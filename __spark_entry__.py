@@ -1,38 +1,896 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each named query in ``queries()`` is one implemented operator from
+SURVEY.md §2 (or a beyond-reference M8 operator), phrased over the driver
+tables; ``oracle_sql()`` holds its DuckDB twin. Column names and types are
+aligned on both sides; float outputs are rounded to 6dp on BOTH sides so
+summation-order jitter cannot break the value hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.functions import exprs as E
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    dedup,
+    evaluation,
+    relational,
+    similarity,
+    text,
+    windows,
+)
+from financial_fraud_detection_using_time_series_data_spark.sources import (
+    generate_transactions,
+    load_table,
+    null_profile,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic scored/labelled projection of events used by the
+    evaluation queries: label = error-event, score = value/(value+100)
+    (pure +,/ arithmetic → bit-identical in Spark and DuckDB)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("label"),
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("score"),
+    )
+
+
+_SCORED_SQL = (
+    "SELECT event_id, (event_type = 'error')::INT AS label, "
+    "value / (value + 100.0) AS score FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# W1-W9: window/behavioral engine (reference engineer.py:60-152)
+
+
+def q_user_expanding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = windows.expanding_user_features(
+        ev, user_col="user_id", ts_col="ts", amt_col="value", id_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("user_txn_count").cast("long").alias("user_txn_count"),
+        E.r6("user_total_amount").alias("user_total_amount"),
+        E.r6("user_avg_amount").alias("user_avg_amount"),
+        E.r6("user_std_amount").alias("user_std_amount"),
+        E.r6("user_max_amount").alias("user_max_amount"),
+        E.r6("user_min_amount").alias("user_min_amount"),
+        "time_since_last_us",
+        "is_first_txn",
+        E.r6("amount_deviation").alias("amount_deviation"),
+    )
+
+
+_EXPANDING_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+    row_number() OVER win - 1 AS user_txn_count,
+    (sum(value::DECIMAL(25,2)) OVER winf)::DOUBLE AS user_total_amount,
+    (sum(value::DECIMAL(25,2)) OVER winf)::DOUBLE / (count(*) OVER winf)
+      AS user_avg_amount,
+    stddev_samp(value) OVER winf AS user_std_amount,
+    max(value) OVER winf AS user_max_amount,
+    min(value) OVER winf AS user_min_amount,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS time_since_last_us,
+    (row_number() OVER win = 1)::INT AS is_first_txn
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+         winf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, user_txn_count::BIGINT AS user_txn_count,
+  floor((user_total_amount) * 1000000 + 0.5) / 1000000.0 AS user_total_amount,
+  floor((user_avg_amount) * 1000000 + 0.5) / 1000000.0 AS user_avg_amount,
+  floor((user_std_amount) * 1000000 + 0.5) / 1000000.0 AS user_std_amount,
+  floor((user_max_amount) * 1000000 + 0.5) / 1000000.0 AS user_max_amount,
+  floor((user_min_amount) * 1000000 + 0.5) / 1000000.0 AS user_min_amount,
+  time_since_last_us, is_first_txn,
+  floor(((value - user_avg_amount) / (coalesce(user_std_amount, 1.0) + 1.0)) * 1000000 + 0.5) / 1000000.0
+    AS amount_deviation
+FROM w
+"""
+
+
+def q_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = windows.velocity_features(
+        ev, user_col="user_id", ts_col="ts", amt_col="value", id_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("txn_velocity").cast("long").alias("txn_velocity"),
+        E.r6("amount_velocity").alias("amount_velocity"),
+        E.r6("time_diff_s").alias("time_diff_s"),
+        E.r6("spending_rate").alias("spending_rate"),
+        E.r6("spending_acceleration").alias("spending_acceleration"),
+    )
+
+
+_VELOCITY_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, value,
+    row_number() OVER win AS rn,
+    (sum(value::DECIMAL(25,2)) OVER winf)::DOUBLE AS cum_sum,
+    coalesce(epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER win, 0.0)
+      AS time_diff_s
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+         winf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+rates AS (
+  SELECT *,
+    value / ((CASE WHEN time_diff_s = 0 THEN 1.0 ELSE time_diff_s END) + 1.0)
+      AS spending_rate
+  FROM base
+)
+SELECT event_id, user_id, (rn - 1)::BIGINT AS txn_velocity,
+  floor((cum_sum / rn) * 1000000 + 0.5) / 1000000.0 AS amount_velocity,
+  floor((time_diff_s) * 1000000 + 0.5) / 1000000.0 AS time_diff_s,
+  floor((spending_rate) * 1000000 + 0.5) / 1000000.0 AS spending_rate,
+  floor((coalesce(spending_rate - lag(spending_rate)
+      OVER (PARTITION BY user_id ORDER BY rn), 0.0)) * 1000000 + 0.5) / 1000000.0 AS spending_acceleration
+FROM rates
+"""
+
+
+def q_time_bounded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = windows.time_bounded_user_features(
+        ev, days_list=(1, 7), user_col="user_id", ts_col="ts", amt_col="value"
+    )
+    cols = ["event_id", "user_id"]
+    for d in (1, 7):
+        cols += [
+            F.col(f"user_txn_count_{d}d").cast("long").alias(f"user_txn_count_{d}d"),
+            E.r6(f"user_total_amount_{d}d").alias(f"user_total_amount_{d}d"),
+            E.r6(f"user_avg_amount_{d}d").alias(f"user_avg_amount_{d}d"),
+        ]
+    return out.select(*cols)
+
+
+_TIME_BOUNDED_SQL = """
+SELECT event_id, user_id,
+  count(*) OVER w1 AS user_txn_count_1d,
+  floor(((sum(value::DECIMAL(25,2)) OVER w1)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS user_total_amount_1d,
+  floor(((sum(value::DECIMAL(25,2)) OVER w1)::DOUBLE / (count(*) OVER w1)) * 1000000 + 0.5) / 1000000.0 AS user_avg_amount_1d,
+  count(*) OVER w7 AS user_txn_count_7d,
+  floor(((sum(value::DECIMAL(25,2)) OVER w7)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS user_total_amount_7d,
+  floor(((sum(value::DECIMAL(25,2)) OVER w7)::DOUBLE / (count(*) OVER w7)) * 1000000 + 0.5) / 1000000.0 AS user_avg_amount_7d
+FROM events
+WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)/1000000.0
+              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
+       w7 AS (PARTITION BY user_id ORDER BY epoch_us(ts)/1000000.0
+              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_pct_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        E.r6(windows.pct_rank_pandas(F.col("value"), "user_id")).alias("amount_percentile_user"),
+    )
+
+
+_PCT_RANK_SQL = """
+SELECT event_id, user_id,
+  floor(((rank() OVER (PARTITION BY user_id ORDER BY value)
+    + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0)
+    / count(*) OVER (PARTITION BY user_id)) * 1000000 + 0.5) / 1000000.0 AS amount_percentile_user
+FROM events
+"""
+
+
+def q_first_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 composite-key first-occurrence flags (is_new_device analog:
+    first event of each (user, event_type) pair)."""
+    ev = _events(spark, sf_dir)
+    w_user = windows.user_window("user_id", "ts", "event_id")
+    w_pair = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        windows.first_row_flag(w_user).alias("is_first_txn"),
+        windows.first_row_flag(w_pair).alias("is_new_type"),
+    )
+
+
+_FIRST_FLAGS_SQL = """
+SELECT event_id, user_id, event_type,
+  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1)::INT
+    AS is_first_txn,
+  (row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1)::INT
+    AS is_new_type
+FROM events
+"""
+
+
+def q_sliding_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: last-5 values per user as an array column (full windows only)."""
+    ev = _events(spark, sf_dir)
+    w = windows.user_window("user_id", "ts", "event_id")
+    seq = windows.sliding_sequence(F.col("value"), w, seq_len=5)
+    out = ev.select("event_id", "user_id", seq.alias("seq"))
+    return out.filter(F.size("seq") == 5)
+
+
+_SLIDING_SEQ_SQL = """
+SELECT event_id, user_id, seq FROM (
+  SELECT event_id, user_id,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq
+  FROM events
+) WHERE len(seq) = 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core (J1, J2, A1-A8, P-ops, O-ops)
+
+
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A5: TPC-H-Q1-style aggregate over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal-exact sums: order-independent, bit-identical to the
+            # oracle regardless of partial-agg combination order
+            E.dsum("l_quantity").cast("double").alias("sum_qty"),
+            E.dsum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            (E.dsum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (E.dsum("l_extendedprice").cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (E.dsum("l_discount").cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_GROUPBY_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(25,2))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(25,2))::DOUBLE AS sum_base_price,
+  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+    AS sum_disc_price,
+  sum(l_quantity::DECIMAL(25,2))::DOUBLE / count(*) AS avg_qty,
+  sum(l_extendedprice::DECIMAL(25,2))::DOUBLE / count(*) AS avg_price,
+  sum(l_discount::DECIMAL(25,2))::DOUBLE / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⟕ dim with broadcast (orders ⟕ customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    joined = relational.left_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+    )
+    return joined.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "c_acctbal")
+
+
+_LEFT_JOIN_SQL = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, c_acctbal
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1: per-user error-rate lookup (broadcast map-join), default-filled."""
+    ev = _events(spark, sf_dir)
+    labelled = ev.withColumn("is_error", (F.col("event_type") == "error").cast("int"))
+    out = relational.target_encode(
+        labelled, labelled, key="user_id", label="is_error",
+        out_col="user_error_rate", default=0.035,
+    )
+    return out.select("event_id", "user_id", E.r6("user_error_rate").alias("user_error_rate"))
+
+
+_TARGET_ENCODE_SQL = """
+SELECT e.event_id, e.user_id,
+  floor((coalesce(r.rate, 0.035)) * 1000000 + 0.5) / 1000000.0 AS user_error_rate
+FROM events e
+LEFT JOIN (
+  SELECT user_id, avg((event_type = 'error')::INT) AS rate
+  FROM events GROUP BY user_id
+) r USING (user_id)
+"""
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/S7: per-column null counts over orders."""
+    return null_profile(load_table(spark, sf_dir, "orders"))
+
+
+def _null_profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"SELECT '{c}' AS col_name, sum(({c} IS NULL)::INT)::BIGINT AS null_count FROM orders"
+        for c in cols
+    ]
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT col_name, null_count, floor((null_count / (SELECT count(*) FROM orders) * 100.0) * 1000000 + 0.5) / 1000000.0"
+        f" AS null_pct FROM ({union})"
+    )
+
+
+def q_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct event_types per user attached to each row (two-phase)."""
+    ev = _events(spark, sf_dir)
+    out = relational.distinct_count_per_group(ev, "user_id", "event_type", "n_event_types")
+    return out.select("event_id", "user_id", "n_event_types")
+
+
+_DISTINCT_PER_GROUP_SQL = """
+SELECT e.event_id, e.user_id, d.n_event_types
+FROM events e
+JOIN (
+  SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_event_types
+  FROM events GROUP BY user_id
+) d USING (user_id)
+"""
+
+
+def q_group_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: keep users with >= 30 events."""
+    ev = _events(spark, sf_dir)
+    out = relational.group_size_filter(ev, "user_id", 30)
+    return out.select("event_id", "user_id", F.col("group_size").cast("long").alias("group_size"))
+
+
+_GROUP_SIZE_SQL = """
+SELECT event_id, user_id, group_size FROM (
+  SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id) AS group_size
+  FROM events
+) WHERE group_size >= 30
+"""
+
+
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: chronological 70/15/15 split assignment."""
+    ev = _events(spark, sf_dir)
+    out = relational.time_split(ev, "ts", (0.7, 0.15, 0.15), tiebreak="event_id")
+    return out.select("event_id", "split")
+
+
+_TIME_SPLIT_SQL = """
+SELECT event_id,
+  CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+       WHEN rn <= floor(n * 0.85) THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT event_id,
+    row_number() OVER (ORDER BY ts, event_id) AS rn,
+    count(*) OVER () AS n
+  FROM events
+)
+"""
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-20 orders by totalprice (TakeOrderedAndProject)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_TOP_K_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4/P5/P6: pushed-down filter + computed projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 10) & (F.col("l_returnflag") != "A")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        E.r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.when(F.col("l_quantity") >= 40, 1).otherwise(0).alias("heavy"),
+    )
+
+
+_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+  floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) / 1000000.0 AS revenue,
+  CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END AS heavy
+FROM lineitem
+WHERE l_quantity > 10 AND l_returnflag <> 'A'
+"""
+
+
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: distinct counts per column (one agg pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return relational.cardinality(li, ["l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"])
+
+
+_CARDINALITY_SQL = """
+SELECT col AS col_name, n_distinct FROM (
+  SELECT count(DISTINCT l_returnflag)::BIGINT AS l_returnflag,
+         count(DISTINCT l_linestatus)::BIGINT AS l_linestatus,
+         count(DISTINCT l_partkey)::BIGINT AS l_partkey,
+         count(DISTINCT l_suppkey)::BIGINT AS l_suppkey
+  FROM lineitem
+) UNPIVOT (n_distinct FOR col IN (l_returnflag, l_linestatus, l_partkey, l_suppkey))
+"""
+
+
+def q_group_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-class describe (orders by status)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = relational.group_describe(orders, "o_orderstatus", "o_totalprice")
+    return out.select(
+        "o_orderstatus",
+        F.col("n"),
+        E.r6("mean_value").alias("mean_value"),
+        E.r6("median_value").alias("median_value"),
+        E.r6("max_value").alias("max_value"),
+    )
+
+
+_GROUP_DESCRIBE_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+  floor((sum(o_totalprice::DECIMAL(25,2))::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000.0 AS mean_value,
+  floor((median(o_totalprice)) * 1000000 + 0.5) / 1000000.0 AS median_value,
+  floor((max(o_totalprice)) * 1000000 + 0.5) / 1000000.0 AS max_value
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_corr_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: correlation of numeric cols with a target col, one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = relational.corr_vector(li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice")
+    return out.select("col_name", E.r6("corr").alias("corr"))
+
+
+_CORR_SQL = """
+SELECT col AS col_name, floor((c) * 1000000 + 0.5) / 1000000.0 AS corr FROM (
+  SELECT corr(l_quantity, l_extendedprice) AS l_quantity,
+         corr(l_discount, l_extendedprice) AS l_discount,
+         corr(l_tax, l_extendedprice) AS l_tax
+  FROM lineitem
+) UNPIVOT (c FOR col IN (l_quantity, l_discount, l_tax))
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar/temporal library (F1-F14)
+
+
+def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F4/F5/P5: datetime parts (pandas dow origin), cyclical
+    encodings, log1p, binning, decimal/round flags, boolean predicates."""
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts")
+    hour = F.hour(ts)
+    dow = E.pandas_dow(ts)
+    hs, hc = E.cyclical(hour, 24.0)
+    ds, dc = E.cyclical(dow, 7.0)
+    return ev.select(
+        "event_id",
+        hour.alias("hour"),
+        dow.alias("dow"),
+        F.dayofmonth(ts).alias("day"),
+        F.weekofyear(ts).alias("week"),
+        F.month(ts).alias("month"),
+        E.r6(hs).alias("hour_sin"),
+        E.r6(hc).alias("hour_cos"),
+        E.r6(ds).alias("dow_sin"),
+        E.r6(dc).alias("dow_cos"),
+        ((dow >= 5).cast("int")).alias("is_weekend"),
+        (((hour >= 22) | (hour <= 6)).cast("int")).alias("is_night"),
+        (((hour >= 9) & (hour <= 17)).cast("int")).alias("is_business_hours"),
+        E.r6(F.log1p("value")).alias("log_value"),
+        E.amount_bin(F.col("value")).alias("value_bin"),
+        E.has_decimal(F.col("value")).alias("has_decimal"),
+        E.is_round_number(F.col("value"), 10).alias("is_round_10"),
+    )
+
+
+_TEMPORAL_SQL = """
+SELECT event_id,
+  hour(ts)::INT AS hour,
+  ((dayofweek(ts) + 6) % 7)::INT AS dow,
+  dayofmonth(ts)::INT AS day,
+  weekofyear(ts)::INT AS week,
+  month(ts)::INT AS month,
+  floor((sin(2 * pi() * hour(ts) / 24.0)) * 1000000 + 0.5) / 1000000.0 AS hour_sin,
+  floor((cos(2 * pi() * hour(ts) / 24.0)) * 1000000 + 0.5) / 1000000.0 AS hour_cos,
+  floor((sin(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7.0)) * 1000000 + 0.5) / 1000000.0 AS dow_sin,
+  floor((cos(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7.0)) * 1000000 + 0.5) / 1000000.0 AS dow_cos,
+  (((dayofweek(ts) + 6) % 7) >= 5)::INT AS is_weekend,
+  (hour(ts) >= 22 OR hour(ts) <= 6)::INT AS is_night,
+  (hour(ts) >= 9 AND hour(ts) <= 17)::INT AS is_business_hours,
+  floor((ln(1 + value)) * 1000000 + 0.5) / 1000000.0 AS log_value,
+  (CASE WHEN value <= 50 THEN 0 WHEN value <= 100 THEN 1 WHEN value <= 200 THEN 2
+        WHEN value <= 500 THEN 3 WHEN value <= 1000 THEN 4 WHEN value <= 5000 THEN 5
+        ELSE 6 END)::INT AS value_bin,
+  (fmod(value, 1.0) > 0)::INT AS has_decimal,
+  (fmod(value, 10.0) = 0)::INT AS is_round_10
+FROM events
+"""
+
+
+def q_zscore_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A2: z-score vs global mean/std (broadcast 1-row agg, no collect)."""
+    ev = _events(spark, sf_dir)
+    stats = ev.agg(
+        (E.dsum("value").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    out = ev.crossJoin(F.broadcast(stats))
+    return out.select(
+        "event_id",
+        E.r6(E.zscore(F.col("value"), F.col("mu"), F.col("sigma"))).alias("value_zscore"),
+    )
+
+
+_ZSCORE_SQL = """
+SELECT event_id,
+  floor(((value - (SELECT sum(value::DECIMAL(25,2))::DOUBLE / count(*) FROM events))
+        / ((SELECT stddev_samp(value) FROM events) + 1.0)) * 1000000 + 0.5) / 1000000.0 AS value_zscore
+FROM events
+"""
+
+
+def q_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: missing indicators + sentinel imputation over documents.lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        E.missing_indicator(F.col("lang")).alias("lang_missing"),
+        E.impute_categorical(F.col("lang")).alias("lang_imputed"),
+        E.impute_numeric(F.col("n_chars")).alias("n_chars_imputed"),
+    )
+
+
+_IMPUTATION_SQL = """
+SELECT doc_id,
+  (lang IS NULL)::INT AS lang_missing,
+  coalesce(lang, 'missing') AS lang_imputed,
+  coalesce(n_chars, -999) AS n_chars_imputed
+FROM documents
+"""
+
+
+def q_risk_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F14: heuristic sigmoid score → risk label."""
+    ev = _events(spark, sf_dir)
+    score = E.heuristic_score(F.col("value"))
+    return ev.select(
+        "event_id",
+        E.r6(score).alias("heuristic_score"),
+        E.risk_bucket(score).alias("risk"),
+    )
+
+
+_RISK_SQL = """
+SELECT event_id,
+  floor((1.0 / (1.0 + exp(-0.003 * (value - 500.0)))) * 1000000 + 0.5) / 1000000.0 AS heuristic_score,
+  CASE WHEN 1.0 / (1.0 + exp(-0.003 * (value - 500.0))) >= 0.8 THEN 'CRITICAL'
+       WHEN 1.0 / (1.0 + exp(-0.003 * (value - 500.0))) >= 0.6 THEN 'HIGH'
+       WHEN 1.0 / (1.0 + exp(-0.003 * (value - 500.0))) >= 0.4 THEN 'MEDIUM'
+       WHEN 1.0 / (1.0 + exp(-0.003 * (value - 500.0))) >= 0.2 THEN 'LOW'
+       ELSE 'MINIMAL' END AS risk
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# evaluation engine (E2-E5, A10)
+
+
+def q_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.classification_metrics(scored, "label", "score", 0.5)
+
+
+_CONFUSION_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+c AS (
+  SELECT
+    sum((label = 1 AND score >= 0.5)::INT)::BIGINT AS tp,
+    sum((label = 0 AND score >= 0.5)::INT)::BIGINT AS fp,
+    sum((label = 0 AND score < 0.5)::INT)::BIGINT AS tn,
+    sum((label = 1 AND score < 0.5)::INT)::BIGINT AS fn
+  FROM scored
+)
+SELECT tp, fp, tn, fn,
+  floor((tp / nullif(tp + fp, 0)) * 1000000 + 0.5) / 1000000.0 AS precision,
+  floor((tp / nullif(tp + fn, 0)) * 1000000 + 0.5) / 1000000.0 AS recall,
+  floor((2.0 * (tp / nullif(tp + fp, 0)) * (tp / nullif(tp + fn, 0))
+    / nullif((tp / nullif(tp + fp, 0)) + (tp / nullif(tp + fn, 0)), 0)) * 1000000 + 0.5) / 1000000.0 AS f1,
+  floor(((tp + tn) / (tp + fp + tn + fn)) * 1000000 + 0.5) / 1000000.0 AS accuracy,
+  floor((tn / nullif(tn + fp, 0)) * 1000000 + 0.5) / 1000000.0 AS specificity,
+  (fn * 1000.0 + fp * 10.0) AS cost
+FROM c
+"""
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.threshold_sweep(scored, "label", "score")
+
+
+_SWEEP_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+t AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS threshold),
+agg AS (
+  SELECT threshold,
+    sum((label = 1 AND score >= threshold)::INT)::BIGINT AS tp,
+    sum((label = 0 AND score >= threshold)::INT)::BIGINT AS fp,
+    sum((label = 0 AND score < threshold)::INT)::BIGINT AS tn,
+    sum((label = 1 AND score < threshold)::INT)::BIGINT AS fn
+  FROM scored CROSS JOIN t GROUP BY threshold
+)
+SELECT threshold, tp, fp, tn, fn,
+  floor((tp / nullif(tp + fp, 0)) * 1000000 + 0.5) / 1000000.0 AS precision,
+  floor((tp / nullif(tp + fn, 0)) * 1000000 + 0.5) / 1000000.0 AS recall,
+  floor((2.0 * (tp / nullif(tp + fp, 0)) * (tp / nullif(tp + fn, 0))
+    / nullif((tp / nullif(tp + fp, 0)) + (tp / nullif(tp + fn, 0)), 0)) * 1000000 + 0.5) / 1000000.0 AS f1,
+  (fn * 1000.0 + fp * 10.0) AS cost
+FROM agg
+"""
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.pr_curve(scored, "label", "score", "event_id")
+
+
+_PR_CURVE_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+scanned AS (
+  SELECT score AS threshold,
+    sum(label) OVER (ORDER BY score DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+    row_number() OVER (ORDER BY score DESC, event_id) AS cum_pred_pos,
+    sum(label) OVER () AS total_pos
+  FROM scored
+),
+per_t AS (
+  SELECT threshold, max(cum_tp)::BIGINT AS tp, max(cum_pred_pos)::BIGINT AS pred_pos,
+         max(total_pos)::BIGINT AS total_pos
+  FROM scanned GROUP BY threshold
+)
+SELECT threshold, tp, pred_pos,
+  floor((tp / pred_pos) * 1000000 + 0.5) / 1000000.0 AS precision,
+  floor((tp / total_pos) * 1000000 + 0.5) / 1000000.0 AS recall,
+  floor((2.0 * (tp / pred_pos) * (tp / total_pos)
+    / nullif((tp / pred_pos) + (tp / total_pos), 0)) * 1000000 + 0.5) / 1000000.0 AS f1
+FROM per_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# M8: text / dedup / similarity
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_features(docs)
+
+
+def _text_features_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, text, norm,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(string_split(norm, ' ')) END AS n_tokens,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(list_filter(string_split(norm, ' '),
+                  x -> list_contains([{sw}], x))) END AS n_sw
+  FROM base
+)
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars_computed,
+  n_tokens::INT AS n_tokens,
+  floor((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / nullif(length(text), 0)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
+  floor((n_sw / nullif(n_tokens, 0)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
+  floor(((least(length(text) / 200.0, 1.0)
+         + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(length(text), 0)::DOUBLE
+         + least((n_sw / nullif(n_tokens, 0)::DOUBLE) * 4.0, 1.0)) / 3.0) * 1000000 + 0.5) / 1000000.0 AS quality_score,
+  CASE WHEN n_tokens < 3 THEN 'unknown'
+       WHEN n_sw / nullif(n_tokens, 0)::DOUBLE >= 0.12 THEN 'en'
+       ELSE 'other' END AS lang_pred,
+  md5(norm) AS fingerprint
+FROM tok
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries_df, k=5)
+    return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+_BRUTE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+    floor((list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qvec, q.qvec)), 0)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant — Spark-only (rows-only check): recall<1 by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=6)
+    return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: distributed synthetic transaction generator (rows-only check —
+    rand() partition seeding is env-dependent by design)."""
+    return generate_transactions(spark, n=10_000, fraud_rate=0.035, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the fraud-style per-user behavioral feature pipeline over
+    events at sf0.001 — expanding stats + velocity + deviation + risk."""
+    out = q_user_expanding_features(spark, SF0001)
+    vel = q_velocity_features(spark, SF0001).select(
+        "event_id", "txn_velocity", "amount_velocity", "spending_rate"
+    )
+    return out.join(vel, "event_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # window engine (W1-W10)
+        "user_expanding_features": q_user_expanding_features,
+        "velocity_features": q_velocity_features,
+        "time_bounded_features": q_time_bounded_features,
+        "pct_rank_pandas": q_pct_rank_pandas,
+        "first_flags": q_first_flags,
+        "sliding_sequence": q_sliding_sequence,
+        # relational core
+        "groupby_agg": q_groupby_agg,
+        "left_join": q_left_join,
+        "target_encode": q_target_encode,
+        "null_profile": q_null_profile,
+        "distinct_per_group": q_distinct_per_group,
+        "group_size_filter": q_group_size_filter,
+        "time_split": q_time_split,
+        "top_k": q_top_k,
+        "filter_project": q_filter_project,
+        "cardinality": q_cardinality,
+        "group_describe": q_group_describe,
+        "corr_vector": q_corr_vector,
+        # scalar/temporal library
+        "temporal_features": q_temporal_features,
+        "zscore_global": q_zscore_global,
+        "imputation": q_imputation,
+        "risk_bucket": q_risk_bucket,
+        # evaluation engine
+        "confusion_metrics": q_confusion_metrics,
+        "threshold_sweep": q_threshold_sweep,
+        "pr_curve": q_pr_curve,
+        # M8: text / dedup / similarity
+        "text_features": q_text_features,
+        "exact_dedup": q_exact_dedup,
+        "brute_force_topk": q_brute_force_topk,
+        "lsh_topk": q_lsh_topk,
+        # sources
+        "synthetic_source": q_synthetic_source,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "user_expanding_features": _EXPANDING_SQL,
+        "velocity_features": _VELOCITY_SQL,
+        "time_bounded_features": _TIME_BOUNDED_SQL,
+        "pct_rank_pandas": _PCT_RANK_SQL,
+        "first_flags": _FIRST_FLAGS_SQL,
+        "sliding_sequence": _SLIDING_SEQ_SQL,
+        "groupby_agg": _GROUPBY_AGG_SQL,
+        "left_join": _LEFT_JOIN_SQL,
+        "target_encode": _TARGET_ENCODE_SQL,
+        "null_profile": _null_profile_sql(),
+        "distinct_per_group": _DISTINCT_PER_GROUP_SQL,
+        "group_size_filter": _GROUP_SIZE_SQL,
+        "time_split": _TIME_SPLIT_SQL,
+        "top_k": _TOP_K_SQL,
+        "filter_project": _FILTER_PROJECT_SQL,
+        "cardinality": _CARDINALITY_SQL,
+        "group_describe": _GROUP_DESCRIBE_SQL,
+        "corr_vector": _CORR_SQL,
+        "temporal_features": _TEMPORAL_SQL,
+        "zscore_global": _ZSCORE_SQL,
+        "imputation": _IMPUTATION_SQL,
+        "risk_bucket": _RISK_SQL,
+        "confusion_metrics": _CONFUSION_SQL,
+        "threshold_sweep": _SWEEP_SQL,
+        "pr_curve": _PR_CURVE_SQL,
+        "text_features": _text_features_sql(),
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "brute_force_topk": _BRUTE_TOPK_SQL,
+        # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)
+    }

@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + a cheap count-style sink
+that forces full materialization without driver collection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from financial_fraud_detection_using_time_series_data_spark.session import get_spark
+
+# headline set: the flagship window pipeline + one per operator family
+BENCH_QUERIES = [
+    "user_expanding_features",
+    "velocity_features",
+    "time_bounded_features",
+    "pct_rank_pandas",
+    "sliding_sequence",
+    "groupby_agg",
+    "left_join",
+    "target_encode",
+    "distinct_per_group",
+    "time_split",
+    "top_k",
+    "temporal_features",
+    "zscore_global",
+    "pr_curve",
+    "threshold_sweep",
+    "text_features",
+    "exact_dedup",
+    "brute_force_topk",
+    "lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full evaluation of every output column (count() alone can
+        # prune projections; summing a hash of all columns cannot)
+        df.selectExpr("sum(hash(*)) as h").collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Evaluation engine (SURVEY §2.10): thresholded confusion metrics, cost
+model, PR-curve threshold search, threshold sweep — all as distributed
+aggregations (the reference uses sklearn over in-RAM arrays,
+``src/evaluation/metrics.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import r6
+
+COST_FN = 1000.0  # missed fraud  (config/config.yaml:91-93)
+COST_FP = 10.0    # false alarm
+
+
+def confusion_counts(df: DataFrame, label: str, score: str, threshold: float) -> DataFrame:
+    """A10/E2 (metrics.py:61-87): binarize at t, four conditional sums in one
+    agg (no pivot shuffle)."""
+    y = F.col(label)
+    p = (F.col(score) >= F.lit(threshold)).cast("int")
+    return df.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+    )
+
+
+def classification_metrics(df: DataFrame, label: str, score: str, threshold: float) -> DataFrame:
+    """E2+E3: precision/recall/F1/accuracy/specificity/FPR + cost model."""
+    c = confusion_counts(df, label, score, threshold)
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    prec = tp / F.nullif(tp + fp, F.lit(0))
+    rec = tp / F.nullif(tp + fn, F.lit(0))
+    return c.select(
+        "*",
+        r6(prec).alias("precision"),
+        r6(rec).alias("recall"),
+        r6(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias("f1"),
+        r6((tp + tn) / (tp + fp + tn + fn)).alias("accuracy"),
+        r6(tn / F.nullif(tn + fp, F.lit(0))).alias("specificity"),
+        (fn * F.lit(COST_FN) + fp * F.lit(COST_FP)).alias("cost"),
+    )
+
+
+def pr_curve(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
+    """E4 (metrics.py:121-200): the PR curve as a sorted scan + cumulative
+    sums — the flagship analytic.
+
+    Sort desc by score (range-partitioned), cumulative TP = sum(label),
+    cumulative predicted-positive = row_number; precision/recall at every
+    distinct score threshold. Window state is O(1); the only shuffle is the
+    range partitioning of the sort.
+    """
+    w = Window.orderBy(F.col(score).desc(), F.col(id_col))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total_pos = F.sum(F.col(label)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    scanned = df.select(
+        F.col(score).alias("threshold"),
+        F.sum(label).over(frame).alias("cum_tp"),
+        F.row_number().over(w).alias("cum_pred_pos"),
+        total_pos.alias("total_pos"),
+    )
+    # keep the LAST row per distinct threshold (ties share a threshold)
+    per_t = scanned.groupBy("threshold").agg(
+        F.max("cum_tp").alias("tp"),
+        F.max("cum_pred_pos").alias("pred_pos"),
+        F.max("total_pos").alias("total_pos"),
+    )
+    return per_t.select(
+        "threshold",
+        "tp",
+        "pred_pos",
+        r6(F.col("tp") / F.col("pred_pos")).alias("precision"),
+        r6(F.col("tp") / F.col("total_pos")).alias("recall"),
+        r6(
+            2 * (F.col("tp") / F.col("pred_pos")) * (F.col("tp") / F.col("total_pos"))
+            / F.nullif(F.col("tp") / F.col("pred_pos") + F.col("tp") / F.col("total_pos"), F.lit(0.0))
+        ).alias("f1"),
+    )
+
+
+def best_threshold_by_f1(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
+    """E4: argmax-F1 threshold — top-1 of the PR curve."""
+    curve = pr_curve(df, label, score, id_col)
+    return curve.orderBy(F.col("f1").desc(), F.col("threshold").desc()).limit(1)
+
+
+def threshold_sweep(
+    df: DataFrame, label: str, score: str, thresholds: list[float] | None = None
+) -> DataFrame:
+    """E5 (metrics.py:240-273): metrics at t in {0.1..0.9} via a literal
+    threshold table cross-joined (broadcast — 9 rows) then grouped, so the
+    scored table is scanned once."""
+    thresholds = thresholds or [round(0.1 * i, 1) for i in range(1, 10)]
+    spark = df.sparkSession
+    t_df = spark.createDataFrame([(t,) for t in thresholds], ["threshold"])
+    y = F.col(label)
+    p = (F.col(score) >= F.col("threshold")).cast("int")
+    joined = df.crossJoin(F.broadcast(t_df))
+    agg = joined.groupBy("threshold").agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    prec = tp / F.nullif(tp + fp, F.lit(0))
+    rec = tp / F.nullif(tp + fn, F.lit(0))
+    return agg.select(
+        "threshold", "tp", "fp", "tn", "fn",
+        r6(prec).alias("precision"),
+        r6(rec).alias("recall"),
+        r6(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias("f1"),
+        (fn * F.lit(COST_FN) + fp * F.lit(COST_FP)).alias("cost"),
+    )
+
+
+def roc_auc(df: DataFrame, label: str, score: str) -> float:
+    """E1: exact ROC-AUC via the rank formula (Mann-Whitney U):
+    AUC = (sum of positive ranks - n_pos*(n_pos+1)/2) / (n_pos*n_neg).
+    Average ranks for ties — matches sklearn exactly; fully distributed."""
+    w = Window.orderBy(score)
+    w_tie = Window.partitionBy(score)
+    ranked = df.select(
+        F.col(label).alias("y"),
+        (F.rank().over(w) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("sum_pos_ranks"),
+        F.sum((F.col("y") == 1).cast("long")).alias("np"),
+        F.sum((F.col("y") == 0).cast("long")).alias("nn"),
+    ).collect()[0]
+    if not agg.np or not agg.nn:
+        return float("nan")
+    return (agg.sum_pos_ranks - agg.np * (agg.np + 1) / 2.0) / (agg.np * agg.nn)

@@ -1,0 +1,135 @@
+"""Relational core (SURVEY §2.2-2.4, §2.6): joins, aggregations, splits,
+top-k — all stock Catalyst operators, wrapped thin.
+
+Scale notes per operator are inline; none of these materialize on the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def left_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], broadcast_dim: bool = True
+) -> DataFrame:
+    """J1 (loader.py:62-66): transactions ⟕ identity on TransactionID.
+
+    The dim side (identity; ~25% coverage) is small relative to the fact →
+    broadcast to avoid shuffling the 100 TB side. For a dim too big to
+    broadcast, drop the flag and let AQE pick sort-merge with skew split.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how="left")
+
+
+def target_encode(
+    df: DataFrame,
+    train: DataFrame,
+    key: str,
+    label: str,
+    out_col: str,
+    default: float,
+) -> DataFrame:
+    """J2/A1 (engineer.py:159-172): fit mean(label) per key on the TRAIN
+    frame only, broadcast-join onto df, fill unseen keys with the global
+    default. Two-phase: the groupBy agg is map-side-combined; the result is
+    tiny (|keys| rows) → broadcast."""
+    rates = train.groupBy(key).agg(F.avg(label).alias(out_col))
+    joined = df.join(F.broadcast(rates), on=key, how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
+
+
+def distinct_count_per_group(
+    df: DataFrame, key: str, value: str, out_col: str, approx: bool = False
+) -> DataFrame:
+    """A6 (engineer.py:201-213): groupby(key)[value].transform('nunique')
+    attached as a column.
+
+    Scalable form: groupBy(key).agg(countDistinct) then broadcast-join back
+    — two-phase, skew-safe — instead of `size(collect_set) over window`,
+    which buffers every distinct value per row group and dies on whale keys.
+    `approx=True` switches to HLL approx_count_distinct for the 100 TB path.
+    """
+    agg_fn = F.approx_count_distinct if approx else F.countDistinct
+    counts = df.groupBy(key).agg(agg_fn(value).alias(out_col))
+    return df.join(counts, on=key, how="left")
+
+
+def group_size_filter(
+    df: DataFrame, key: str, min_rows: int, count_col: str = "group_size"
+) -> DataFrame:
+    """P7 (sequence_builder.py:65-66): keep groups with >= min_rows rows.
+    Window count avoids a join; count state is O(1) per group."""
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn(count_col, F.count(F.lit(1)).over(w))
+        .filter(F.col(count_col) >= min_rows)
+    )
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    fracs: tuple[float, float, float] = (0.7, 0.15, 0.15),
+    tiebreak: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """O3 (preprocessor.py:73-105): chronological 70/15/15 train/val/test.
+
+    percent_rank over a global time order — Spark range-partitions the sort,
+    so this scales; the reference does a full in-RAM sort + positional
+    slice. NOTE percent_rank is (rank-1)/(n-1); to match positional
+    slicing exactly we use row_number vs count thresholds.
+    """
+    assert abs(sum(fracs) - 1.0) < 1e-9
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.orderBy(*order)
+    n = df.count()
+    t1, t2 = int(n * fracs[0]), int(n * (fracs[0] + fracs[1]))
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        split_col,
+        F.when(rn <= t1, "train").when(rn <= t2, "val").otherwise("test"),
+    )
+
+
+def top_k(df: DataFrame, by: str | Column, k: int, ascending: bool = False) -> DataFrame:
+    """O4: orderBy + limit → TakeOrderedAndProject (per-partition heap +
+    driver merge of k items — no global sort)."""
+    col = F.col(by) if isinstance(by, str) else by
+    return df.orderBy(col.asc() if ascending else col.desc()).limit(k)
+
+
+def group_describe(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A5 (train_pipeline.py:74-78): per-class mean/median/max of a value.
+    Median = exact percentile (Spark `median`) to match DuckDB; swap to
+    percentile_approx at the 100 TB scale point. Mean via exact decimal
+    sum / count so partial-agg order can't perturb the double."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col(value).cast("decimal(25,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_value"
+        ),
+        F.median(value).alias("median_value"),
+        F.max(value).alias("max_value"),
+    )
+
+
+def corr_vector(df: DataFrame, cols: list[str], label: str) -> DataFrame:
+    """A8 (nb 03 cell-17): Pearson corr of each col with the label, one
+    wide agg pass (all corrs computed in a single job)."""
+    aggs = [F.corr(c, label).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return wide.selectExpr(f"stack({len(cols)}, {stack_expr}) as (col_name, corr)")
+
+
+def cardinality(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """A7 (preprocessor.py:148-155): nunique per column, one agg pass."""
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [fn(c).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return wide.selectExpr(f"stack({len(cols)}, {stack_expr}) as (col_name, n_distinct)")

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (SURVEY §7 M8).
+
+- Brute-force cosine top-k: the exact baseline. Query set × corpus join;
+  dot/norm via `aggregate`/`zip_with` (JVM, codegen) — no Python.
+- LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
+  deterministic pseudo-random planes) → candidates share a signature
+  prefix bucket → exact re-rank inside buckets. The 100 TB path: the
+  cross-join collapses from |Q|×|C| to |Q|×bucket_size.
+
+Planes are derived from md5-seeded hashes (deterministic, no RNG state),
+so results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import r6
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small side);
+    the corpus scan is the only big pass; per-query top-k via window rank
+    (AQE handles the skewless groupBy)."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    joined = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid_col))
+    scored = joined.select(
+        qid_col,
+        id_col,
+        r6(cosine(F.col(vec_col), F.col("qvec"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _plane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1,1] derived
+    from md5 — stable across sessions, no RNG."""
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()
+        vals.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH signature as an int (bit b = sign of dot with
+    plane b)."""
+    sig = F.lit(0).cast("long")
+    for b in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(dim, b)])
+        bit = (dot(vec, plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, b)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """ANN top-k: candidates share the hyperplane-signature bucket; exact
+    cosine re-rank within the bucket. Recall < 1.0 by design; bucket count
+    2^n_planes bounds the join fan-out."""
+    c = corpus.withColumn("bucket", rh_signature(F.col(vec_col), dim, n_planes))
+    q = queries.select(
+        F.col(qid_col),
+        F.col(vec_col).alias("qvec"),
+    ).withColumn("bucket", rh_signature(F.col("qvec"), dim, n_planes))
+    joined = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
+    scored = joined.select(
+        qid_col,
+        id_col,
+        r6(cosine(F.col(vec_col), F.col("qvec"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""Text-analysis operators for LLM-data-pipeline workloads (SURVEY §7 M8).
+
+All JVM built-ins (split/regexp/md5/array ops) — no Python in the hot
+path, so these run at scan speed over 100 TB of documents. Each has an
+ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exprs import r6
+
+# small English stopword list used by the quality/language heuristics;
+# kept tiny + explicit so the SQL oracle can inline the same list
+STOPWORDS = (
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
+)
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — canonical form used by
+    fingerprinting and dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of the normalized text."""
+    return F.split(normalize(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty)."""
+    t = normalize(text)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, " ")))
+
+
+def word_chars(text: Column) -> Column:
+    """Count of alphabetic characters."""
+    return F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return p / F.nullif(n.cast("double"), F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are common-English stopwords — the core of
+    the n-gram-free language/quality heuristic."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.array_intersect(toks, sw))  # distinct-wise; cheap proxy
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length sweet-spot, alpha ratio,
+    stopword presence. Deterministic arithmetic only (oracle-safe)."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    alpha_ratio = word_chars(text) / F.nullif(n, F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    return (len_score + alpha_ratio + sw_score) / F.lit(3.0)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. md5 exists in both
+    Spark and DuckDB → exact oracle parity (vs xxhash64, Spark-only)."""
+    return F.md5(normalize(text))
+
+
+def char_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the normalized text (dedup building
+    block). Built with sequence+transform — stays in codegen."""
+    t = normalize(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: 'en' when stopword ratio is high, 'unknown'
+    for short/empty, else 'other'. (Real n-gram models plug in here; the
+    heuristic keeps the operator SQL-expressible for the oracle.)"""
+    sw = stopword_ratio(text)
+    return (
+        F.when(token_count(text) < 3, "unknown")
+        .when(sw >= 0.12, "en")
+        .otherwise("other")
+    )
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The full text-analysis block over `documents`."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(t).alias("n_chars_computed"),
+        token_count(t).alias("n_tokens"),
+        r6(punct_ratio(t)).alias("punct_ratio"),
+        r6(stopword_ratio(t)).alias("stopword_ratio"),
+        r6(quality_score(t)).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,214 @@
+"""Window/behavioral engine (SURVEY §2.5 W1-W11) — the heart of the reference.
+
+The reference sorts by (user, ts) and runs per-group Python lambdas
+(``src/features/engineer.py:72-141``); here every operator is a native
+window expression, so there is exactly ONE shuffle per distinct partition
+key and zero Python in the hot path. Catalyst reuses the exchange across
+all same-keyed windows.
+
+Two semantics per "windowed" stat:
+- *reference mode* (default): pure expanding/cumulative frames — the
+  reference's ``lookback_windows: [1,7,30]`` config is ignored by its own
+  implementation (engineer.py:74-99 uses .expanding()), so the three
+  window sizes yield identical cumulative stats. We preserve that.
+- *corrected mode*: genuinely time-bounded via ``rangeBetween`` on epoch
+  seconds — what the config intended.
+
+Scale note: expanding windows over a Zipf-heavy user key are safe — window
+exec streams a sorted partition; state per group is O(1) for sum/avg/min/
+max/stddev. The dangerous ones are collect_list sequences (bounded at
+seq_len) and global sorts (range-partitioned by Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def user_window(user_col: str = "user_id", ts_col: str = "ts", *tiebreak: str) -> WindowSpec:
+    """Canonical per-entity time window. Tie-break on a unique id so row
+    ordering (hence row_number/lag) is deterministic."""
+    return Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
+
+
+def expanding_frame(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def time_bounded_frame(user_col: str, epoch_col: Column, days: int) -> WindowSpec:
+    """Corrected (intended) semantics: last N days inclusive of current row."""
+    return (
+        Window.partitionBy(user_col)
+        .orderBy(epoch_col)
+        .rangeBetween(-days * 86400, 0)
+    )
+
+
+def cum_count(w: WindowSpec) -> Column:
+    """W1 (engineer.py:78,112,130): groupby().cumcount() — prior-row count."""
+    return F.row_number().over(w) - F.lit(1)
+
+
+def expanding_sum(col: Column, w: WindowSpec) -> Column:
+    """W2 (engineer.py:81-83)."""
+    return F.sum(col).over(expanding_frame(w))
+
+
+def expanding_avg(col: Column, w: WindowSpec) -> Column:
+    """W3 (engineer.py:85-87)."""
+    return F.avg(col).over(expanding_frame(w))
+
+
+def expanding_std(col: Column, w: WindowSpec) -> Column:
+    """W4 (engineer.py:89-91): sample std (ddof=1), NULL at n=1 — Spark's
+    stddev_samp matches pandas' NaN-at-first-row exactly."""
+    return F.stddev_samp(col).over(expanding_frame(w))
+
+
+def expanding_max(col: Column, w: WindowSpec) -> Column:
+    return F.max(col).over(expanding_frame(w))
+
+
+def expanding_min(col: Column, w: WindowSpec) -> Column:
+    return F.min(col).over(expanding_frame(w))
+
+
+def lag_diff(col: Column, w: WindowSpec, default: float | None = None) -> Column:
+    """W6 (engineer.py:108-109,127): groupby().diff() — x - lag(x)."""
+    d = col - F.lag(col, 1).over(w)
+    return F.coalesce(d, F.lit(default)) if default is not None else d
+
+
+def first_row_flag(w: WindowSpec) -> Column:
+    """W7 (engineer.py:112,175-176,207-209): first occurrence within the
+    partition key (use composite keys for is_new_device etc.)."""
+    return (F.row_number().over(w) == 1).cast("int")
+
+
+def pct_rank_pandas(value: Column, user_col: str) -> Column:
+    """W8 (engineer.py:243): pandas rank(pct=True) = average-rank / count.
+
+    For ties, pandas assigns the average of the positions, i.e.
+    min_rank + (n_ties - 1)/2, then divides by the group size. cume_dist /
+    percent_rank have different tie semantics, so compose exactly."""
+    w_val = Window.partitionBy(user_col).orderBy(value)
+    w_grp = Window.partitionBy(user_col)
+    w_tie = Window.partitionBy(user_col, value)
+    min_rank = F.rank().over(w_val)
+    ties = F.count(F.lit(1)).over(w_tie)
+    cnt = F.count(F.lit(1)).over(w_grp)
+    return (min_rank + (ties - F.lit(1)) / F.lit(2.0)) / cnt
+
+
+def sliding_sequence(
+    features: Column, w: WindowSpec, seq_len: int = 10
+) -> Column:
+    """W10 (sequence_builder.py:59-91): last seq_len rows (incl. current) as
+    an array-of-structs/arrays column; label stays on the current row so
+    there is no leakage. Filter ``size(...) == seq_len`` for full windows."""
+    return F.collect_list(features).over(w.rowsBetween(-(seq_len - 1), 0))
+
+
+def pad_sequence(seq: Column, seq_len: int, zero: Column, pre: bool = True) -> Column:
+    """W11 (sequence_builder.py:145-174): zero-pad variable-length sequences."""
+    pad = F.array_repeat(zero, seq_len - F.size(seq))
+    padded = F.concat(pad, seq) if pre else F.concat(seq, pad)
+    return F.when(F.size(seq) >= seq_len, F.slice(seq, 1, seq_len)).otherwise(padded)
+
+
+def expanding_user_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amt_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The reference's user-behavior feature block (engineer.py:60-118) as a
+    single multi-window select: prior txn count, cumulative sum/avg/std/
+    max/min of amount, time-since-last, first-txn flag, amount deviation.
+
+    All expressions share one WindowSpec -> one exchange + one sort.
+    """
+    w = user_window(user_col, ts_col, id_col)
+    frame = expanding_frame(w)
+    epoch_us = F.unix_micros(F.col(ts_col))
+    amt = F.col(amt_col)
+    cnt = cum_count(w)
+    # money sums go through decimal so the cumulative value is exact and
+    # bit-identical to any other engine regardless of summation order
+    exp_sum = F.sum(amt.cast("decimal(25,2)")).over(frame).cast("double")
+    exp_avg = exp_sum / F.count(F.lit(1)).over(frame)
+    exp_std = expanding_std(amt, w)
+    return df.select(
+        "*",
+        cnt.alias("user_txn_count"),
+        exp_sum.alias("user_total_amount"),
+        exp_avg.alias("user_avg_amount"),
+        exp_std.alias("user_std_amount"),
+        expanding_max(amt, w).alias("user_max_amount"),
+        expanding_min(amt, w).alias("user_min_amount"),
+        (epoch_us - F.lag(epoch_us, 1).over(w)).alias("time_since_last_us"),
+        first_row_flag(w).alias("is_first_txn"),
+        # engineer.py:102-105: (amt - avg) / (coalesce(std,1) + 1)
+        ((amt - exp_avg) / (F.coalesce(exp_std, F.lit(1.0)) + F.lit(1.0))).alias(
+            "amount_deviation"
+        ),
+    )
+
+
+def velocity_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amt_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """engineer.py:120-152: txn velocity, amount velocity, spending rate and
+    acceleration (second-order lag diff)."""
+    w = user_window(user_col, ts_col, id_col)
+    epoch_s = F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+    amt = F.col(amt_col)
+    time_diff = epoch_s - F.lag(epoch_s, 1).over(w)
+    # reference replaces 0-diff with 1 then adds 1 in denominator
+    td = F.coalesce(time_diff, F.lit(0.0))
+    td_repl = F.when(td == 0, F.lit(1.0)).otherwise(td)
+    row_no = F.row_number().over(w)
+    cum_sum = F.sum(amt.cast("decimal(25,2)")).over(expanding_frame(w)).cast("double")
+    out = df.select(
+        "*",
+        (row_no - 1).alias("txn_velocity"),
+        (cum_sum / row_no).alias("amount_velocity"),
+        td.alias("time_diff_s"),
+        (amt / (td_repl + F.lit(1.0))).alias("spending_rate"),
+    )
+    w2 = user_window(user_col, ts_col, id_col)
+    rate = F.col("spending_rate")
+    return out.withColumn(
+        "spending_acceleration",
+        F.coalesce(rate - F.lag(rate, 1).over(w2), F.lit(0.0)),
+    )
+
+
+def time_bounded_user_features(
+    df: DataFrame,
+    days_list: tuple[int, ...] = (1, 7, 30),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amt_col: str = "value",
+) -> DataFrame:
+    """Corrected-mode W1-W5: genuinely time-bounded lookbacks via
+    rangeBetween on epoch seconds (what config.yaml:17 intended)."""
+    epoch_s = F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+    df = df.withColumn("__epoch_s", epoch_s)
+    cols = ["*"]
+    for d in days_list:
+        w = time_bounded_frame(user_col, F.col("__epoch_s"), d)
+        amt = F.col(amt_col)
+        dec_sum = F.sum(amt.cast("decimal(25,2)")).over(w).cast("double")
+        cols += [
+            F.count(F.lit(1)).over(w).alias(f"user_txn_count_{d}d"),
+            dec_sum.alias(f"user_total_amount_{d}d"),
+            (dec_sum / F.count(F.lit(1)).over(w)).alias(f"user_avg_amount_{d}d"),
+        ]
+    return df.select(*cols).drop("__epoch_s")

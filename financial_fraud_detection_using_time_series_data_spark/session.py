@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (``local[N]``) is a single JVM; the same configs are what we'd
+ship to a 1000-executor cluster job except for master/memory:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting —
+  the main defense for Zipf-skewed user/device keys at 100 TB.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalesce makes the initial number mostly a ceiling.
+- Arrow enabled for every pandas interop (Pandas UDFs, toPandas).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-fraud-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long then convert (tables.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

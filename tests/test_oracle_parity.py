@@ -1,0 +1,38 @@
+"""Differential test: every queries() entry with an oracle must match
+DuckDB on the same parquet tables — the same check the driver runs."""
+
+import importlib.util
+import os
+
+import pytest
+
+from .oracle import compare, run_oracle
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+)
+spark_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(spark_entry)
+
+QUERIES = spark_entry.queries()
+ORACLES = spark_entry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    opdf = run_oracle(ORACLES[name], sf_dir)
+    ok, msg = compare(sdf, opdf)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = spark_entry.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 5
