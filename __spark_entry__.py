@@ -801,6 +801,258 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# engine-surface extensions the reference lacks (SURVEY §2.3/§2.4/§2.7/§2.8
+# notes: rollup/cube, set ops, pivot, as-of carry-forward, JSON)
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS/rollup (free in Spark; absent in the reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            E.dsum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  sum(l_quantity::DECIMAL(25,2))::DOUBLE AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: intersect / exceptAll with provenance tags."""
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(building).withColumn("op", F.lit("both"))
+    only_rich = rich.exceptAll(building).withColumn("op", F.lit("only_rich"))
+    return both.unionByName(only_rich)
+
+
+_SET_OPS_SQL = """
+SELECT c_custkey, 'both' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT c_custkey, 'only_rich' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT ALL
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11-adjacent: pivot (column explosion) of event_type counts."""
+    ev = _events(spark, sf_dir)
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+  sum((event_type = 'click')::INT)::BIGINT AS click,
+  sum((event_type = 'error')::INT)::BIGINT AS error,
+  sum((event_type = 'purchase')::INT)::BIGINT AS purchase,
+  sum((event_type = 'signup')::INT)::BIGINT AS signup,
+  sum((event_type = 'view')::INT)::BIGINT AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_last_known_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of semantics (SURVEY §2.3 note): carry forward each user's most
+    recent purchase amount onto every event — last(expr, ignorenulls) over
+    an expanding frame. The building block for as-of joins."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select("event_id", "user_id", last_purchase.alias("last_purchase_amount"))
+
+
+_LAST_KNOWN_SQL = """
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_amount
+FROM events
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar ops over events.props (engine extension; reference has
+    no JSON surface)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_id, (props->>'$.k')::INT AS k_val FROM events
+"""
+
+
+def q_padded_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10+W11: last-3 window with zero pre-padding for short histories."""
+    ev = _events(spark, sf_dir)
+    w = windows.user_window("user_id", "ts", "event_id")
+    seq = windows.sliding_sequence(F.col("value"), w, seq_len=3)
+    out = ev.select("event_id", "user_id", seq.alias("__seq"))
+    padded = windows.pad_sequence(F.col("__seq"), 3, F.lit(0.0), pre=True)
+    return out.select("event_id", "user_id", padded.alias("seq"))
+
+
+_PADDED_SEQ_SQL = """
+SELECT event_id, user_id,
+  CASE WHEN len(seq) >= 3 THEN seq
+       ELSE list_concat([0.0 FOR i IN range(3 - len(seq))], seq) END AS seq
+FROM (
+  SELECT event_id, user_id,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+  FROM events
+)
+"""
+
+
+def q_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V2 batch plane of the streaming scorer: heuristic score, risk
+    bucket, reasons array — the same score_batch used by the stream."""
+    from financial_fraud_detection_using_time_series_data_spark.streaming import score_batch
+
+    ev = _events(spark, sf_dir)
+    out = score_batch(ev, amount_col="value")
+    return out.select(
+        "event_id", E.r6("fraud_score").alias("fraud_score"), "risk", "reasons"
+    )
+
+
+_SCORE_EVENTS_SQL = """
+WITH s AS (
+  SELECT event_id, value,
+    1.0 / (1.0 + exp(-0.003 * (value - 500.0))) AS score
+  FROM events
+)
+SELECT event_id,
+  floor((greatest(least(score, 1.0), 0.0)) * 1000000 + 0.5) / 1000000.0 AS fraud_score,
+  CASE WHEN score >= 0.8 THEN 'CRITICAL' WHEN score >= 0.6 THEN 'HIGH'
+       WHEN score >= 0.4 THEN 'MEDIUM' WHEN score >= 0.2 THEN 'LOW'
+       ELSE 'MINIMAL' END AS risk,
+  list_filter([
+    CASE WHEN value > 1000 THEN 'high_amount' END,
+    CASE WHEN fmod(value, 100.0) = 0 THEN 'round_amount' END,
+    CASE WHEN score >= 0.8 THEN 'critical_score' END
+  ], x -> x IS NOT NULL) AS reasons
+FROM s
+"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 dedup: MinHash banding + exact shingle Jaccard over all pairs of
+    a doc sample — verifies the full near-dup machinery (signatures, band
+    buckets, set similarity) with guaranteed-nonzero output."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sigs = dedup.minhash_signature(docs, num_hashes=8, shingle_k=3)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(",", F.slice("signature", b * 2 + 1, 2))).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    sh = docs.select("doc_id", text.char_shingles(F.col("text"), 3).alias("sh"))
+    side = bands.join(sh, "doc_id")
+    a = side.select(*[F.col(c).alias(f"a_{c}") for c in side.columns])
+    b = side.select(*[F.col(c).alias(f"b_{c}") for c in side.columns])
+    pairs = a.join(b, F.col("a_doc_id") < F.col("b_doc_id"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    n_band = sum(
+        (F.col(f"a_b{i}") == F.col(f"b_b{i}")).cast("int") for i in range(4)
+    )
+    return pairs.select(
+        F.col("a_doc_id").alias("id_a"),
+        F.col("b_doc_id").alias("id_b"),
+        E.r6(inter / F.nullif(union.cast("double"), F.lit(0.0))).alias("jaccard"),
+        n_band.alias("n_band_matches"),
+    )
+
+
+_NEAR_DUP_SQL = """
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm)-2, 1)+1)]) AS shingles
+  FROM base
+),
+sig AS (
+  SELECT doc_id, shingles,
+    [list_min(list_transform(shingles, s -> md5(h || ':' || s))) FOR h IN range(0, 8)] AS sg
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, shingles,
+    md5(array_to_string(list_slice(sg, 1, 2), ',')) AS b0,
+    md5(array_to_string(list_slice(sg, 3, 4), ',')) AS b1,
+    md5(array_to_string(list_slice(sg, 5, 6), ',')) AS b2,
+    md5(array_to_string(list_slice(sg, 7, 8), ',')) AS b3
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  floor((len(list_intersect(a.shingles, b.shingles))
+         / nullif(len(list_distinct(list_concat(a.shingles, b.shingles))), 0)::DOUBLE)
+        * 1000000 + 0.5) / 1000000.0 AS jaccard,
+  ((a.b0 = b.b0)::INT + (a.b1 = b.b1)::INT + (a.b2 = b.b2)::INT + (a.b3 = b.b3)::INT)
+    AS n_band_matches
+FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: full banded-LSH candidate generation over all documents — the
+    100 TB-shaped pipeline (map-only signatures → bucket groupBy join).
+    Rows-only check: candidate sets are recall<1 by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: 32-bit SimHash signatures (rows-only: bit arithmetic is
+    Spark-side only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: binary media columns → mapInPandas feature extraction (stubbed
+    decode, real Arrow plumbing). Rows-only (no SQL surface for binary)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=96)
+    return multimodal.extract_features(media)
+
+
 def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: distributed synthetic transaction generator (rows-only check —
     rand() partition seeding is env-dependent by design)."""
@@ -848,6 +1100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_global": q_zscore_global,
         "imputation": q_imputation,
         "risk_bucket": q_risk_bucket,
+        # engine-surface extensions
+        "rollup_agg": q_rollup_agg,
+        "set_ops": q_set_ops,
+        "pivot_counts": q_pivot_counts,
+        "last_known_value": q_last_known_value,
+        "json_extract": q_json_extract,
+        "padded_sequence": q_padded_sequence,
+        "score_events": q_score_events,
         # evaluation engine
         "confusion_metrics": q_confusion_metrics,
         "threshold_sweep": q_threshold_sweep,
@@ -855,6 +1115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M8: text / dedup / similarity
         "text_features": q_text_features,
         "exact_dedup": q_exact_dedup,
+        "near_dup_pairs": q_near_dup_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
         "brute_force_topk": q_brute_force_topk,
         "lsh_topk": q_lsh_topk,
         # sources
@@ -886,11 +1150,19 @@ def oracle_sql() -> dict[str, str]:
         "zscore_global": _ZSCORE_SQL,
         "imputation": _IMPUTATION_SQL,
         "risk_bucket": _RISK_SQL,
+        "rollup_agg": _ROLLUP_SQL,
+        "set_ops": _SET_OPS_SQL,
+        "pivot_counts": _PIVOT_SQL,
+        "last_known_value": _LAST_KNOWN_SQL,
+        "json_extract": _JSON_SQL,
+        "padded_sequence": _PADDED_SEQ_SQL,
+        "score_events": _SCORE_EVENTS_SQL,
         "confusion_metrics": _CONFUSION_SQL,
         "threshold_sweep": _SWEEP_SQL,
         "pr_curve": _PR_CURVE_SQL,
         "text_features": _text_features_sql(),
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,
         # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)
     }

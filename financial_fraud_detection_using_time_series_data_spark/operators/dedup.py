@@ -51,12 +51,22 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of h_i(s).
+    """Per-doc MinHash signature: sig[i] = min over shingles of h_i(s),
+    where h_i(s) = md5(i || ':' || s) compared LEXICOGRAPHICALLY — md5 hex
+    strings are uniform, and string-min is reproducible bit-exactly in the
+    DuckDB oracle (integer conversion of hex is not portable SQL).
     Map-only (no shuffle); signature length bounds the state."""
     sh = char_shingles(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: _md5_hash64(s, i))) for i in range(num_hashes)]
-    )
+
+    # NB: the lambda must take exactly ONE parameter — PySpark dispatches a
+    # two-parameter lambda as (element, index), so a captured default arg
+    # (lambda s, i=i: ...) silently receives the array-index Column instead
+    # of the seed. Bind the seed via a closure factory.
+    def _minhash(seed: int):
+        prefix = f"{seed}:"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -82,7 +92,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "band_sig"),
-    ).select(id_col, "band", F.md5(F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"))
+    ).select(id_col, "band", F.md5(F.concat_ws(",", "band_sig")).alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -126,14 +136,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     small Hamming distance. Map-only."""
     toks = tokens(F.col(text_col))
     tok_hash = F.transform(toks, lambda t: _md5_hash64(t, 9999))
-    bit_cols = []
-    for b in range(bits):
-        # +1 if bit b set else -1, summed over tokens
-        contrib = F.aggregate(
+
+    # closure factory: F.aggregate's merge lambda must be exactly 2-arg
+    # (see minhash_signature note on PySpark lambda arity dispatch)
+    def _bit_contrib(bit: int):
+        return F.aggregate(
             tok_hash,
             F.lit(0),
-            lambda acc, h, b=b: acc + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(F.shiftright(h, bit) % 2 == 1, 1).otherwise(-1),
         )
+
+    bit_cols = []
+    for b in range(bits):
+        contrib = _bit_contrib(b)
         bit_cols.append(F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
     sig = bit_cols[0]
     for c in bit_cols[1:]:

@@ -93,20 +93,27 @@ def best_threshold_by_f1(df: DataFrame, label: str, score: str, id_col: str) -> 
 def threshold_sweep(
     df: DataFrame, label: str, score: str, thresholds: list[float] | None = None
 ) -> DataFrame:
-    """E5 (metrics.py:240-273): metrics at t in {0.1..0.9} via a literal
-    threshold table cross-joined (broadcast — 9 rows) then grouped, so the
-    scored table is scanned once."""
+    """E5 (metrics.py:240-273): metrics at t in {0.1..0.9} as ONE wide
+    aggregation pass (4 conditional sums per threshold) then an unpivot of
+    the 1-row result — scans the scored table once with no row
+    multiplication (the crossJoin formulation shuffles |rows|×|thresholds|)."""
     thresholds = thresholds or [round(0.1 * i, 1) for i in range(1, 10)]
-    spark = df.sparkSession
-    t_df = spark.createDataFrame([(t,) for t in thresholds], ["threshold"])
     y = F.col(label)
-    p = (F.col(score) >= F.col("threshold")).cast("int")
-    joined = df.crossJoin(F.broadcast(t_df))
-    agg = joined.groupBy("threshold").agg(
-        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
-        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
-        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
-        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+    aggs = []
+    for i, t in enumerate(thresholds):
+        p = (F.col(score) >= F.lit(t)).cast("int")
+        aggs += [
+            F.sum(((y == 1) & (p == 1)).cast("long")).alias(f"tp_{i}"),
+            F.sum(((y == 0) & (p == 1)).cast("long")).alias(f"fp_{i}"),
+            F.sum(((y == 0) & (p == 0)).cast("long")).alias(f"tn_{i}"),
+            F.sum(((y == 1) & (p == 0)).cast("long")).alias(f"fn_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"{t}D, tp_{i}, fp_{i}, tn_{i}, fn_{i}" for i, t in enumerate(thresholds)
+    )
+    agg = wide.selectExpr(
+        f"stack({len(thresholds)}, {stack}) as (threshold, tp, fp, tn, fn)"
     )
     tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
     prec = tp / F.nullif(tp + fp, F.lit(0))

@@ -1,0 +1,94 @@
+"""Structured Streaming scoring surface (SURVEY §2.11 V1-V4).
+
+The reference serves one Pydantic record at a time over FastAPI
+(``api/main.py:185-285``) and keeps mutable global stats; its "real-time"
+path is stateless per request, so every user-history feature is
+unavailable at serve time (train/serve skew — api/main.py:189-195).
+
+The Spark design fixes that skew:
+- ONE scoring function (``score_batch``: DataFrame -> DataFrame) reused
+  verbatim by batch jobs and by the stream (via ``foreachBatch`` or
+  direct transformation) — identical semantics in both planes.
+- event-time watermark + sliding window velocity features
+  (``streaming_velocity``) — the 1h velocity the reference *names* but
+  computes as a cumulative count (engineer.py:130).
+- bounded state: watermark TTL caps per-user state; at 100 TB/day the
+  state store shards by user key across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import exprs as E
+
+
+def score_batch(df: DataFrame, amount_col: str = "value", model_score_col: str | None = None) -> DataFrame:
+    """V1/V2: heuristic sigmoid base + optional model blend 0.4/0.6
+    (api/main.py:269-272), risk bucket + reasons array (reasons =
+    array(when(...)) with nulls filtered — api/main.py:324-357)."""
+    amt = F.col(amount_col)
+    heuristic = E.heuristic_score(amt)
+    score = (
+        F.lit(0.4) * F.col(model_score_col) + F.lit(0.6) * heuristic
+        if model_score_col
+        else heuristic
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(amt > 1000, F.lit("high_amount")),
+            F.when(amt % 100 == 0, F.lit("round_amount")),
+            F.when(score >= 0.8, F.lit("critical_score")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        "*",
+        E.clip(score, 0.0, 1.0).alias("fraud_score"),
+        E.risk_bucket(score).alias("risk"),
+        reasons.alias("reasons"),
+    )
+
+
+def build_stream_scorer(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """V1 as a streaming query: watermarked event stream -> scored stream.
+    Append-mode safe (row-wise transforms only)."""
+    return score_batch(stream.withWatermark(ts_col, watermark))
+
+
+def streaming_velocity(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    watermark: str = "1 hour",
+    window_dur: str = "1 hour",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """V3 + the *intended* 1h velocity: per-user sliding event-time window
+    counts/sums with late-data tolerance = watermark. outputMode('update')
+    or append-after-watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur, slide), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("txn_velocity_1h"),
+            F.sum(amount_col).alias("amount_velocity_1h"),
+            F.avg(amount_col).alias("avg_amount_1h"),
+        )
+    )
+
+
+def running_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """V3 (api/main.py:379-391): global running prediction stats as a
+    streaming aggregation (replaces mutable process globals)."""
+    return stream.withWatermark(ts_col, "1 hour").agg(
+        F.count(F.lit(1)).alias("prediction_count"),
+        F.avg("fraud_score").alias("avg_score"),
+        F.sum((F.col("fraud_score") >= 0.5).cast("long")).alias("flagged_count"),
+    )
