@@ -749,6 +749,144 @@ FROM tok
 """
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 text: whitespace + BPE-ish token counts and the rolling-hash
+    fingerprint (all JVM built-ins — regexp_extract_all + aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("ws_tokens"),
+        text.bpe_token_count(t).alias("bpe_tokens"),
+        text.rolling_hash(t).alias("rolling_hash"),
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+  (CASE WHEN length(norm) = 0 THEN 0
+        ELSE len(string_split(norm, ' ')) END)::INT AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(string_split(norm, ''), s -> ascii(s)::BIGINT)),
+    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+FROM base
+"""
+
+
+def q_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 dedup: word-2-gram Jaccard over all pairs of a doc sample — the
+    word-level counterpart of the char-shingle near-dup check."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = docs.select("doc_id", text.word_shingles(F.col("text"), 2).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        E.r6(inter / F.nullif(union.cast("double"), F.lit(0.0))).alias("jaccard"),
+    )
+
+
+_WORD_NGRAM_SQL = r"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 30
+),
+t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM base),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(toks, i, i + 1), ' ')
+                   FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS shingles
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  floor((len(list_intersect(a.shingles, b.shingles))
+         / nullif(len(list_distinct(list_concat(a.shingles, b.shingles))), 0)::DOUBLE)
+        * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 dedup: embedding-cosine near-duplicate pairs — oracle-exact
+    sequential-fold arithmetic (bit-identical to DuckDB's
+    list_dot_product). Repartition: single-file scan -> spread the
+    nested-loop probe side."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = dedup.embedding_near_dup(emb, threshold=0.4)
+    return out.select("id_a", "id_b", E.r6("cos_sim").alias("cos_sim"))
+
+
+def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 dedup throughput path: blocked numpy matrix products via
+    applyInPandas (rows-only check: BLAS summation order differs from the
+    SQL oracle at the last bit, which can flip a 6dp rounding boundary)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup_blocked(emb, threshold=0.4)
+    return out.select("id_a", "id_b", E.r6("cos_sim").alias("cos_sim"))
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
+      AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+  floor(cos_sim * 1000000 + 0.5) / 1000000.0 AS cos_sim
+FROM p WHERE cos_sim >= 0.4
+"""
+
+
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: pandas cat.codes (lexicographic) via a broadcast dense_rank
+    dimension — the big table never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = relational.label_encode(orders, "o_orderpriority")
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderpriority_code").cast("int").alias("o_orderpriority_code"),
+    )
+
+
+_LABEL_ENCODE_SQL = """
+SELECT o_orderkey, o_orderpriority, coalesce(d.code, -1)::INT AS o_orderpriority_code
+FROM orders
+LEFT JOIN (
+  SELECT o_orderpriority, (dense_rank() OVER (ORDER BY o_orderpriority) - 1)::INT AS code
+  FROM (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL)
+) d USING (o_orderpriority)
+"""
+
+
+def q_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 flagship: argmax-F1 threshold — top-1 of the sorted-cumsum PR
+    curve (metrics.py:121-200 as one declarative plan)."""
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.best_threshold_by_f1(scored, "label", "score", "event_id")
+
+
+_BEST_THRESHOLD_SQL = f"""
+WITH curve AS ({_PR_CURVE_SQL})
+SELECT * FROM curve ORDER BY f1 DESC, threshold DESC LIMIT 1
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
@@ -1033,8 +1171,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: full banded-LSH candidate generation over all documents — the
     100 TB-shaped pipeline (map-only signatures → bucket groupBy join).
     Rows-only check: candidate sets are recall<1 by construction."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    # the test corpus is ONE small parquet file -> one scan partition; the
+    # signature stage is embarrassingly parallel, so spread it (at real
+    # scale the scan already has thousands of splits and this is a no-op
+    # cost-wise)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=2)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,13 +1252,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "padded_sequence": q_padded_sequence,
         "score_events": q_score_events,
+        "label_encode": q_label_encode,
         # evaluation engine
         "confusion_metrics": q_confusion_metrics,
         "threshold_sweep": q_threshold_sweep,
         "pr_curve": q_pr_curve,
+        "best_threshold": q_best_threshold,
         # M8: text / dedup / similarity
         "text_features": q_text_features,
+        "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
+        "word_ngram_jaccard": q_word_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "near_dup_pairs": q_near_dup_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1157,11 +1307,16 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_SQL,
         "padded_sequence": _PADDED_SEQ_SQL,
         "score_events": _SCORE_EVENTS_SQL,
+        "label_encode": _LABEL_ENCODE_SQL,
         "confusion_metrics": _CONFUSION_SQL,
         "threshold_sweep": _SWEEP_SQL,
         "pr_curve": _PR_CURVE_SQL,
+        "best_threshold": _BEST_THRESHOLD_SQL,
         "text_features": _text_features_sql(),
+        "token_stats": _TOKEN_STATS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "word_ngram_jaccard": _WORD_NGRAM_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,
         # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)

@@ -36,7 +36,10 @@ BENCH_QUERIES = [
     "pr_curve",
     "threshold_sweep",
     "text_features",
+    "token_stats",
     "exact_dedup",
+    "minhash_lsh_pairs",
+    "embedding_near_dup_blocked",
     "brute_force_topk",
     "lsh_topk",
 ]

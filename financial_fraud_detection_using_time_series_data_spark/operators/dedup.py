@@ -50,24 +50,53 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of h_i(s),
-    where h_i(s) = md5(i || ':' || s) compared LEXICOGRAPHICALLY — md5 hex
-    strings are uniform, and string-min is reproducible bit-exactly in the
-    DuckDB oracle (integer conversion of hex is not portable SQL).
-    Map-only (no shuffle); signature length bounds the state."""
-    sh = char_shingles(F.col(text_col), shingle_k)
+    """Per-doc MinHash signature: sig[i] = min over shingles of h_i(s).
+
+    fast=False (oracle mode): h_i(s) = md5(i || ':' || s) compared
+    LEXICOGRAPHICALLY — md5 hex strings are uniform, and string-min is
+    reproducible bit-exactly in the DuckDB oracle (integer conversion of
+    hex is not portable SQL).
+    fast=True (scale mode): h_i(s) = xxhash64(i, s) — JVM-native 64-bit
+    integer hashing, ~10× cheaper; Spark-only (rows-only checks).
+
+    Map-only (no shuffle); signature length bounds the state.
+
+    The shingle array is materialized in its OWN projection before the
+    num_hashes min-hash columns reference it: CollapseProject refuses to
+    inline a non-cheap multiply-referenced alias, so the O(len²)
+    array_distinct in char_shingles runs once per doc, not num_hashes
+    times (the inlined form was ~80× slower at sf0.1).
+    """
+    # two layered selects: normalize once, then shingle the attribute
+    # (see char_shingles PERF note — HOF lambdas re-evaluate captured
+    # expressions per element)
+    shingled = df.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("__norm")
+    ).select(
+        F.col(id_col),
+        # distinct only in oracle mode (DuckDB twin builds a distinct set);
+        # minhash itself is multiset-invariant, so fast mode skips the
+        # O(len²) array_distinct
+        char_shingles(
+            F.col("__norm"), shingle_k, normalized=True, distinct=not fast
+        ).alias("__sh"),
+    )
+    sh = F.col("__sh")
 
     # NB: the lambda must take exactly ONE parameter — PySpark dispatches a
     # two-parameter lambda as (element, index), so a captured default arg
     # (lambda s, i=i: ...) silently receives the array-index Column instead
     # of the seed. Bind the seed via a closure factory.
     def _minhash(seed: int):
+        if fast:
+            return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
         prefix = f"{seed}:"
         return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return shingled.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -75,13 +104,26 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 3,
+    bands: int = 2,
+    shingle_k: int = 5,
+    fast: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band of
-    the signature. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    the signature. Returns (id_a, id_b) with id_a < id_b, distinct.
+    fast=True uses integer minhashes + xxhash64 bucket keys (scale mode;
+    this operator is rows-only checked, so oracle portability is moot).
+
+    Tuning note: short natural-language docs share many char-3-grams, so
+    the baseline Jaccard between NON-duplicates is high; k=5 shingles +
+    8 rows/band (P[candidate] = s^8 per band) keeps the candidate set
+    ~linear in corpus size where k=3/4-rows admitted ~8% of all n² pairs.
+    Exact duplicates (s=1) are always caught regardless of banding."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, fast=fast)
+    bucket = (
+        F.xxhash64("band_sig") if fast
+        else F.md5(F.concat_ws(",", "band_sig"))
+    )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -92,7 +134,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "band_sig"),
-    ).select(id_col, "band", F.md5(F.concat_ws(",", "band_sig")).alias("bucket"))
+    ).select(id_col, "band", bucket.alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -134,14 +176,21 @@ def ngram_jaccard(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash signature: sign-sum of per-token hash bits. Near-dups have
     small Hamming distance. Map-only."""
-    toks = tokens(F.col(text_col))
-    tok_hash = F.transform(toks, lambda t: _md5_hash64(t, 9999))
+    # materialize the per-token hash array ONCE (own projection, see
+    # minhash_signature) — the naive form re-tokenizes + re-hashes every
+    # token per bit, i.e. `bits`× the work
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: _md5_hash64(t, 9999)).alias(
+            "__tok_hash"
+        ),
+    )
 
     # closure factory: F.aggregate's merge lambda must be exactly 2-arg
     # (see minhash_signature note on PySpark lambda arity dispatch)
     def _bit_contrib(bit: int):
         return F.aggregate(
-            tok_hash,
+            F.col("__tok_hash"),
             F.lit(0),
             lambda acc, h: acc + F.when(F.shiftright(h, bit) % 2 == 1, 1).otherwise(-1),
         )
@@ -153,4 +202,142 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     sig = bit_cols[0]
     for c in bit_cols[1:]:
         sig = sig + c
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, ORACLE-EXACT path:
+    (id_a, id_b, cos_sim) for every pair with cosine >= threshold.
+
+    All arithmetic is a sequential left-to-right fold over the arrays
+    (F.aggregate/zip_with), which is bit-identical to DuckDB's
+    list_dot_product — numpy's pairwise/BLAS summation is NOT (it flipped
+    a 1e-6 rounding boundary in testing; see embedding_near_dup_blocked
+    for the throughput path). Norms are precomputed per SIDE (one per
+    row), so each pair costs exactly one dot product; parallelism comes
+    from the probe side's partitioning — repartition upstream if the
+    input is a single file.
+    """
+    from .similarity import dot, norm
+
+    side = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+    ).select("id", "v", norm(F.col("v")).alias("nrm"))
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def embedding_near_dup_blocked(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
+    every pair with cosine >= threshold — EXACT all-pairs via blocked
+    matrix products.
+
+    The 100 TB shape: split the corpus into uniform blocks (hash of id),
+    replicate each row once per partner block (n_blocks× inflation — the
+    unavoidable cost of exact all-pairs; tune n_blocks so a block pair
+    fits one executor), then one ``applyInPandas`` per block pair computes
+    the full cosine submatrix with a numpy matmul and emits only pairs
+    over threshold. Each task is O((n/b)²·d) flops on an Arrow
+    batch — BLAS speed — and block size is tunable to executor memory.
+    The interpreted alternative (self-join + per-row higher-order-function
+    dot product) was ~30× slower at sf0.1. For corpora where even blocked
+    n² is too big, pre-bucket with similarity.rh_signature and run this
+    within buckets.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    blocked = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("block"),
+    )
+    # upper-triangle replication: row in block i participates in pair
+    # groups (min(i,j), max(i,j)) for every j
+    pairs_of_blocks = blocked.select(
+        "id",
+        "v",
+        "block",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        "id",
+        "v",
+        "block",
+        F.least("block", "other").alias("ba"),
+        F.greatest("block", "other").alias("bb"),
+    )
+
+    def _block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        same = ba == bb
+        if same:
+            sub = pdf.drop_duplicates("id")
+            left = right = sub
+        else:
+            left = pdf[pdf["block"] == ba].drop_duplicates("id")
+            right = pdf[pdf["block"] == bb].drop_duplicates("id")
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        la = np.stack(left["v"].to_numpy())
+        rb = np.stack(right["v"].to_numpy())
+        la = la / np.linalg.norm(la, axis=1, keepdims=True)
+        rb = rb / np.linalg.norm(rb, axis=1, keepdims=True)
+        sims = la @ rb.T
+        ia, ib = np.where(sims >= threshold)
+        id_a = left["id"].to_numpy()[ia]
+        id_b = right["id"].to_numpy()[ib]
+        if same:
+            # full matrix contains self + both mirrors; keep one orientation
+            keep = id_a < id_b
+        else:
+            # each cross-block pair appears exactly once; keep all
+            keep = np.ones(len(id_a), dtype=bool)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id_a, id_b)[keep],
+                "id_b": np.maximum(id_a, id_b)[keep],
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    return (
+        pairs_of_blocks.groupBy("ba", "bb")
+        .applyInPandas(_block_pair, schema=out_schema)
+    )

@@ -133,3 +133,21 @@ def cardinality(df: DataFrame, cols: list[str], approx: bool = False) -> DataFra
     wide = df.agg(*aggs)
     stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
     return wide.selectExpr(f"stack({len(cols)}, {stack_expr}) as (col_name, n_distinct)")
+
+
+def label_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """F10 (preprocessor.py:124-127): pandas ``astype('category').cat.codes``
+    — lexicographic integer codes, NULL -> -1. Computed as a tiny distinct
+    dimension ranked with dense_rank then broadcast-joined back, so the big
+    table never shuffles (vs. a window over the full table, which would).
+    StringIndexer(stringOrderType='alphabetAsc') gives the same ordering for
+    the MLlib path; this is the pure-SQL twin."""
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{col}_code"
+    dim = (
+        df.select(col).filter(F.col(col).isNotNull()).distinct()
+        .withColumn(out_col, F.dense_rank().over(Window.orderBy(col)) - F.lit(1))
+    )
+    joined = df.join(F.broadcast(dim), on=col, how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(-1)))

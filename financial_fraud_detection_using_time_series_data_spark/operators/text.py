@@ -76,13 +76,68 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text))
 
 
-def char_shingles(text: Column, k: int = 3) -> Column:
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, and single punctuation
+    marks each count as one token — the ASCII core of a GPT-2-style
+    pre-tokenizer, kept regex-portable so the DuckDB oracle matches
+    (`regexp_extract_all` exists in both engines with this pattern)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text:
+    h = fold(h*31 + ascii(ch)) mod 1e9+7, entirely in int64 (max interim
+    value < 31e9+255, no overflow). Unlike md5 this is incrementally
+    updatable — the building block for windowed/rabin-karp fingerprints."""
+    chars = F.split(normalize(text), "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_HASH_BASE + c) % ROLLING_HASH_MOD,
+    )
+
+
+def word_shingles(text: Column, n: int = 2, tokenized: bool = False) -> Column:
+    """Distinct word n-grams of the normalized text (n-gram Jaccard dedup
+    building block — the word-level counterpart of char_shingles).
+    tokenized=True: `text` is already a token array materialized in its
+    own select (see char_shingles PERF note)."""
+    toks = text if tokenized else tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def char_shingles(
+    text: Column, k: int = 3, normalized: bool = False, distinct: bool = True
+) -> Column:
     """Distinct character k-grams of the normalized text (dedup building
-    block). Built with sequence+transform — stays in codegen."""
-    t = normalize(text)
+    block). Built with sequence+transform — stays in codegen.
+
+    PERF: expressions captured in a higher-order-function lambda are
+    re-evaluated PER ARRAY ELEMENT, so the normalize() regex would run
+    ~len(text) times per document if embedded here. Pass normalized=True
+    with a pre-materialized normalized column (its own select, so it is
+    an attribute — cheap per element) in any hot path; measured 17.5s →
+    <1s over sf0.1 documents."""
+    t = text if normalized else normalize(text)
     n = F.length(t)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+    # distinct=False skips the O(len²) array_distinct — correct whenever
+    # the consumer is multiset-invariant (e.g. MinHash: min over a
+    # multiset == min over its set)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def lang_id(text: Column) -> Column:

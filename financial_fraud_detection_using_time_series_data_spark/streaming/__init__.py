@@ -1,3 +1,9 @@
 from .scoring import score_batch, build_stream_scorer, streaming_velocity
+from .stateful import stateful_user_features
 
-__all__ = ["score_batch", "build_stream_scorer", "streaming_velocity"]
+__all__ = [
+    "score_batch",
+    "build_stream_scorer",
+    "streaming_velocity",
+    "stateful_user_features",
+]

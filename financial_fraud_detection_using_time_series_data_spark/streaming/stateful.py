@@ -1,0 +1,143 @@
+"""Stateful per-user expanding features for streams (SURVEY §2.11 / §4.3.3).
+
+The reference cannot compute any user-history feature at serve time (its
+FastAPI path is stateless per request — api/main.py:189-195), which is why
+it blends in a heuristic. This module closes that train/serve skew: the
+SAME expanding statistics the batch window engine computes (W1-W6,
+engineer.py:60-118) are maintained incrementally per user with
+``applyInPandasWithState``, so a streaming score sees exactly the feature
+values a batch backfill would produce (verified row-for-row in
+tests/test_streaming_stateful.py).
+
+State design (the 100 TB story):
+- state per user is O(1): (count, sum, sum_sq, max, min, last_ts) — six
+  numbers regardless of history length; the sum/sum-of-squares form gives
+  the same sample std the batch engine's stddev_samp computes.
+- keyed state shards by user across executors (state-store partitions =
+  shuffle partitions), so unbounded key cardinality spreads evenly.
+- a processing-time timeout evicts users idle longer than a day —
+  bounded total state under an unbounded key space.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("amt_sum", DoubleType()),
+        StructField("amt_sq", DoubleType()),
+        StructField("amt_max", DoubleType()),
+        StructField("amt_min", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("user_txn_count", LongType()),
+        StructField("user_total_amount", DoubleType()),
+        StructField("user_avg_amount", DoubleType()),
+        StructField("user_std_amount", DoubleType()),
+        StructField("user_max_amount", DoubleType()),
+        StructField("user_min_amount", DoubleType()),
+        StructField("time_since_last_us", LongType()),
+        StructField("is_first_txn", LongType()),
+    ]
+)
+
+_STATE_TTL_MS = 24 * 3600 * 1000
+
+
+def _update_user(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user incremental update. Rows within a micro-batch are ordered
+    by (event time, id) so expanding stats match the batch window engine's
+    (ts, id)-ordered frames exactly."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+
+    if state.exists:
+        cnt, amt_sum, amt_sq, amt_max, amt_min, last_ts = state.get
+    else:
+        cnt, amt_sum, amt_sq, amt_max, amt_min, last_ts = 0, 0.0, 0.0, None, None, None
+
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["event_ts_us", "event_id"])
+        for event_id, ts_us, value in zip(
+            pdf["event_id"], pdf["event_ts_us"], pdf["value"]
+        ):
+            ts_us, value = int(ts_us), float(value)
+            is_first = 1 if cnt == 0 else 0
+            prior_cnt = cnt  # pandas cumcount counts rows BEFORE this one
+            cnt += 1
+            amt_sum += value
+            amt_sq += value * value
+            amt_max = value if amt_max is None else max(amt_max, value)
+            amt_min = value if amt_min is None else min(amt_min, value)
+            mean = amt_sum / cnt
+            if cnt > 1:
+                var = max((amt_sq - cnt * mean * mean) / (cnt - 1), 0.0)
+                std = math.sqrt(var)
+            else:
+                std = None  # stddev_samp is NULL at n=1, like the batch engine
+            dt = None if last_ts is None else ts_us - last_ts
+            last_ts = ts_us
+            out_rows.append(
+                (
+                    key[0], int(event_id), ts_us, value, prior_cnt, amt_sum,
+                    mean, std, amt_max, amt_min, dt, is_first,
+                )
+            )
+
+    state.update((cnt, amt_sum, amt_sq, amt_max, amt_min, last_ts))
+    state.setTimeoutDuration(_STATE_TTL_MS)
+    yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def stateful_user_features(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``windows.expanding_user_features``: same columns,
+    maintained incrementally with O(1) state per user. Input must be a
+    streaming DataFrame."""
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("event_ts_us"),
+        F.col(amount_col).cast("double").alias("value"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

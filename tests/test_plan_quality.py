@@ -1,0 +1,108 @@
+"""Physical-plan assertions — the scale contract, not just correctness.
+
+Each test pins a property that keeps the operator viable at 100 TB:
+filters/projections reaching the parquet scan, small dimensions broadcast
+rather than shuffled, all same-keyed window expressions sharing ONE
+exchange, and map-side partial aggregation before the shuffle.
+"""
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    relational,
+    windows,
+)
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry_plans",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+)
+spark_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(spark_entry)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark_entry.q_filter_project(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters:" in plan
+    # the quantity predicate must be pushed into the parquet scan
+    assert "GreaterThan(l_quantity" in plan, plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    # ReadSchema must contain only the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_is_broadcast(spark, sf_dir):
+    df = spark_entry.q_target_encode(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_left_join_dim_is_broadcast(spark, sf_dir):
+    df = spark_entry.q_left_join(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_label_encode_is_broadcast(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    df = relational.label_encode(orders, "o_orderpriority")
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_expanding_windows_share_one_exchange(spark, sf_dir):
+    """All W1-W9 expressions partition by the same key -> Catalyst must
+    plan exactly ONE shuffle (hashpartitioning on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = windows.expanding_user_features(ev)
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 window exchange, got {n_exchanges}:\n{plan[:3000]}"
+
+
+def test_groupby_agg_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregate nodes (partial + final) around
+    the exchange, so the shuffle carries |groups| not |rows|."""
+    df = spark_entry.q_groupby_agg(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    """O4: orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    df = spark_entry.q_top_k(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_scalar_pipeline(spark, sf_dir):
+    """F1-F14 scalar features must stay inside whole-stage codegen (no
+    Python, no row-at-a-time eval)."""
+    df = spark_entry.q_temporal_features(spark, sf_dir)
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the simple plan
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

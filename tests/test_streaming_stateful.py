@@ -1,0 +1,84 @@
+"""Train/serve-skew check: the stateful streaming expanding features must
+equal the batch window engine's output row-for-row on the same data."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import windows
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+from financial_fraud_detection_using_time_series_data_spark.streaming import (
+    stateful_user_features,
+)
+
+
+def test_stateful_stream_matches_batch_windows(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+
+    # the file-stream source wants a directory of files, and the RAW
+    # schema (ts is TIMESTAMP(NANOS) -> bigint under nanosAsLong); convert
+    # to a timestamp in the stream exactly like load_table does
+    import shutil
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    scored = stateful_user_features(stream)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stateful_features")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    stream_out = spark.sql(
+        "select event_id, user_id, user_txn_count, user_total_amount, "
+        "user_avg_amount, user_std_amount, user_max_amount, user_min_amount, "
+        "time_since_last_us, is_first_txn from stateful_features"
+    )
+
+    batch = windows.expanding_user_features(ev).select(
+        "event_id", "user_id",
+        F.col("user_txn_count").cast("long").alias("user_txn_count"),
+        "user_total_amount", "user_avg_amount", "user_std_amount",
+        "user_max_amount", "user_min_amount", "time_since_last_us",
+        F.col("is_first_txn").cast("long").alias("is_first_txn"),
+    )
+
+    n_stream = stream_out.count()
+    n_batch = batch.count()
+    assert n_stream == n_batch, f"row counts differ: stream={n_stream} batch={n_batch}"
+
+    # join on event_id; every float rounded to 6dp (stddev_samp uses a
+    # different accumulation scheme than sum/sum-of-squares)
+    j = stream_out.alias("s").join(batch.alias("b"), "event_id")
+    mismatches = j.filter(
+        (F.col("s.user_txn_count") != F.col("b.user_txn_count"))
+        | (F.abs(F.col("s.user_total_amount") - F.col("b.user_total_amount")) > 1e-6)
+        | (F.abs(F.col("s.user_avg_amount") - F.col("b.user_avg_amount")) > 1e-6)
+        | (
+            F.abs(F.col("s.user_std_amount") - F.col("b.user_std_amount")) > 1e-6
+        )  # NULL-safe: NULL != NULL filters to false on both sides below
+        | (F.col("s.user_std_amount").isNull() != F.col("b.user_std_amount").isNull())
+        | (F.col("s.user_max_amount") != F.col("b.user_max_amount"))
+        | (F.col("s.user_min_amount") != F.col("b.user_min_amount"))
+        | (
+            F.coalesce(F.col("s.time_since_last_us"), F.lit(-1))
+            != F.coalesce(F.col("b.time_since_last_us"), F.lit(-1))
+        )
+        | (F.col("s.is_first_txn") != F.col("b.is_first_txn"))
+    ).count()
+    assert mismatches == 0, f"{mismatches} rows differ between stream and batch"
