@@ -706,6 +706,98 @@ FROM per_t
 """
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact ROC-AUC via the Mann-Whitney rank-sum identity over the
+    distinct-score aggregate (the raw table is never globally sorted)."""
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.roc_auc(scored, "label", "score")
+
+
+_ROC_AUC_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+per_score AS (
+  SELECT score AS s, count(*)::DOUBLE AS n, sum(label)::DOUBLE AS npos
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT n, npos,
+    sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - (n - 1) / 2 AS avgrank
+  FROM per_score
+),
+agg AS (
+  SELECT sum(npos * avgrank) AS pos_rank_sum, sum(npos) AS p,
+         sum(n - npos) AS nn
+  FROM ranked
+)
+SELECT floor(((pos_rank_sum - p * (p + 1) / 2) / nullif(p * nn, 0))
+       * 1000000 + 0.5) / 1000000.0 AS roc_auc
+FROM agg
+"""
+
+
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: PR-AUC as sklearn average precision — step integral of the
+    sorted-cumsum PR curve."""
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.average_precision(scored, "label", "score", "event_id")
+
+
+_PR_AUC_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+scanned AS (
+  SELECT score AS threshold,
+    sum(label) OVER (ORDER BY score DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+    row_number() OVER (ORDER BY score DESC, event_id) AS cum_pred_pos,
+    sum(label) OVER () AS total_pos
+  FROM scored
+),
+per_t AS (
+  SELECT threshold, max(cum_tp) AS tp, max(cum_pred_pos) AS pred_pos,
+         max(total_pos) AS total_pos
+  FROM scanned GROUP BY threshold
+),
+stepped AS (
+  SELECT (tp / total_pos
+          - coalesce(lag(tp / total_pos) OVER (ORDER BY threshold DESC), 0.0))
+         * (tp / pred_pos) AS ap_term
+  FROM per_t
+)
+SELECT floor(sum(ap_term) * 1000000 + 0.5) / 1000000.0 AS pr_auc FROM stepped
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3.1: skew-proof two-phase aggregation — result bit-identical to
+    a single-phase GROUP BY (decimal partials compose exactly)."""
+    ev = _events(spark, sf_dir)
+    return relational.salted_agg(ev, "user_id", "value", "event_id")
+
+
+_SALTED_AGG_SQL = """
+SELECT user_id, sum(value::DECIMAL(25,2))::DOUBLE AS total, count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_fraud_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference training feature plan (train_pipeline.py:124-132;
+    SURVEY §3.1) over synthetic transactions: preprocess -> temporal ->
+    amount -> user -> velocity -> merchant -> device, ~60 engineered
+    columns in one lazy DataFrame. Rows-only check (rand() inputs are
+    env-seeded)."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import (
+        FraudPipelineConfig,
+        engineer_features,
+        preprocess,
+    )
+
+    txns = generate_transactions(spark, n=20_000, fraud_rate=0.035, seed=42)
+    cfg = FraudPipelineConfig()
+    return engineer_features(preprocess(txns, cfg), cfg)
+
+
 # ---------------------------------------------------------------------------
 # M8: text / dedup / similarity
 
@@ -1258,6 +1350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "pr_curve": q_pr_curve,
         "best_threshold": q_best_threshold,
+        "roc_auc": q_roc_auc,
+        "pr_auc": q_pr_auc,
+        "salted_agg": q_salted_agg,
+        "fraud_feature_pipeline": q_fraud_feature_pipeline,
         # M8: text / dedup / similarity
         "text_features": q_text_features,
         "token_stats": q_token_stats,
@@ -1312,6 +1408,10 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep": _SWEEP_SQL,
         "pr_curve": _PR_CURVE_SQL,
         "best_threshold": _BEST_THRESHOLD_SQL,
+        "roc_auc": _ROC_AUC_SQL,
+        "pr_auc": _PR_AUC_SQL,
+        "salted_agg": _SALTED_AGG_SQL,
+        # fraud_feature_pipeline: rows-only (env-seeded rand inputs)
         "text_features": _text_features_sql(),
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,

@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "zscore_global",
     "pr_curve",
     "threshold_sweep",
+    "roc_auc",
+    "pr_auc",
+    "salted_agg",
+    "fraud_feature_pipeline",
     "text_features",
     "token_stats",
     "exact_dedup",

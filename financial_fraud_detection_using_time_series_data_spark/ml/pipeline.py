@@ -59,12 +59,19 @@ def build_feature_pipeline(
     categorical_cols: list[str],
     numeric_cols: list[str],
     features_col: str = "features",
+    one_hot: bool = False,
+    standardize: bool = False,
 ) -> Pipeline:
     """F10 label encoding (StringIndexer, alphabetAsc = pandas category
-    order) + assembly. keep-invalid so serving-time unseen categories don't
-    fail (reference maps unknowns to 'missing')."""
+    order) + optional F11 one-hot (pd.get_dummies analog,
+    preprocessor.py:129-134) + assembly + optional F13 standard scaling
+    (fit-on-train Estimator contract, sequence_builder.py:93-139).
+    keep-invalid so serving-time unseen categories don't fail (reference
+    maps unknowns to 'missing')."""
+    from pyspark.ml.feature import OneHotEncoder, StandardScaler
+
     stages = []
-    indexed = []
+    cat_out = []
     for c in categorical_cols:
         stages.append(
             StringIndexer(
@@ -74,14 +81,33 @@ def build_feature_pipeline(
                 stringOrderType="alphabetAsc",
             )
         )
-        indexed.append(f"{c}_idx")
+        cat_out.append(f"{c}_idx")
+    if one_hot and categorical_cols:
+        stages.append(
+            OneHotEncoder(
+                inputCols=cat_out,
+                outputCols=[f"{c}_oh" for c in categorical_cols],
+                handleInvalid="keep",
+            )
+        )
+        cat_out = [f"{c}_oh" for c in categorical_cols]
+    assembled = "__raw_features" if standardize else features_col
     stages.append(
         VectorAssembler(
-            inputCols=numeric_cols + indexed,
-            outputCol=features_col,
+            inputCols=numeric_cols + cat_out,
+            outputCol=assembled,
             handleInvalid="keep",
         )
     )
+    if standardize:
+        stages.append(
+            StandardScaler(
+                inputCol=assembled,
+                outputCol=features_col,
+                withMean=True,
+                withStd=True,
+            )
+        )
     return Pipeline(stages=stages)
 
 

@@ -45,15 +45,9 @@ def classification_metrics(df: DataFrame, label: str, score: str, threshold: flo
     )
 
 
-def pr_curve(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
-    """E4 (metrics.py:121-200): the PR curve as a sorted scan + cumulative
-    sums — the flagship analytic.
-
-    Sort desc by score (range-partitioned), cumulative TP = sum(label),
-    cumulative predicted-positive = row_number; precision/recall at every
-    distinct score threshold. Window state is O(1); the only shuffle is the
-    range partitioning of the sort.
-    """
+def _pr_points(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
+    """Shared sorted-cumsum core of pr_curve / average_precision:
+    (threshold, tp, pred_pos, total_pos) at every distinct score."""
     w = Window.orderBy(F.col(score).desc(), F.col(id_col))
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     total_pos = F.sum(F.col(label)).over(
@@ -66,11 +60,23 @@ def pr_curve(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
         total_pos.alias("total_pos"),
     )
     # keep the LAST row per distinct threshold (ties share a threshold)
-    per_t = scanned.groupBy("threshold").agg(
+    return scanned.groupBy("threshold").agg(
         F.max("cum_tp").alias("tp"),
         F.max("cum_pred_pos").alias("pred_pos"),
         F.max("total_pos").alias("total_pos"),
     )
+
+
+def pr_curve(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
+    """E4 (metrics.py:121-200): the PR curve as a sorted scan + cumulative
+    sums — the flagship analytic.
+
+    Sort desc by score (range-partitioned), cumulative TP = sum(label),
+    cumulative predicted-positive = row_number; precision/recall at every
+    distinct score threshold. Window state is O(1); the only shuffle is the
+    range partitioning of the sort.
+    """
+    per_t = _pr_points(df, label, score, id_col)
     return per_t.select(
         "threshold",
         "tp",
@@ -145,3 +151,57 @@ def roc_auc(df: DataFrame, label: str, score: str) -> float:
     if not agg.np or not agg.nn:
         return float("nan")
     return (agg.sum_pos_ranks - agg.np * (agg.np + 1) / 2.0) / (agg.np * agg.nn)
+
+
+def roc_auc(df: DataFrame, label: str, score: str) -> DataFrame:
+    """E1 (metrics.py:47-58): exact ROC-AUC via the Mann-Whitney rank-sum
+    identity, AUC = (sum of positives' average ranks - P(P+1)/2) / (P*N),
+    with tied scores getting the average rank (sklearn semantics).
+
+    Scale shape: aggregate per DISTINCT score first (one hash-agg
+    shuffle), rank the distinct-score table analytically from cumulative
+    counts, then one scalar agg. The global-order window runs over
+    |distinct scores| rows, not |rows| — at 100 TB the raw table is never
+    globally sorted. Returns one row: (roc_auc).
+    """
+    per_score = df.groupBy(F.col(score).alias("s")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col(label).cast("long")).cast("double").alias("npos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_score.select(
+        "n",
+        "npos",
+        # ranks occupied by this score group: (cum_n - n + 1) .. cum_n;
+        # average rank = cum_n - (n - 1)/2
+        (F.sum("n").over(w) - (F.col("n") - 1) / 2).alias("avgrank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("npos") * F.col("avgrank")).alias("pos_rank_sum"),
+        F.sum("npos").alias("p"),
+        F.sum(F.col("n") - F.col("npos")).alias("nn"),
+    )
+    p, nn = F.col("p"), F.col("nn")
+    return agg.select(
+        r6(
+            (F.col("pos_rank_sum") - p * (p + 1) / 2)
+            / F.nullif(p * nn, F.lit(0.0))
+        ).alias("roc_auc")
+    )
+
+
+def average_precision(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
+    """E1: PR-AUC as average precision, AP = sum_i (R_i - R_{i-1}) * P_i
+    over distinct thresholds in descending-score order (sklearn's
+    step-function definition, not a trapezoid). Built on the pr_curve
+    sorted-cumsum plan. Returns one row: (pr_auc)."""
+    curve = _pr_points(df, label, score, id_col)
+    w = Window.orderBy(F.col("threshold").desc())
+    prec = F.col("tp") / F.col("pred_pos")
+    rec = F.col("tp") / F.col("total_pos")
+    stepped = curve.select(
+        (
+            (rec - F.coalesce(F.lag(rec).over(w), F.lit(0.0))) * prec
+        ).alias("ap_term")
+    )
+    return stepped.agg(r6(F.sum("ap_term")).alias("pr_auc"))

@@ -151,3 +151,30 @@ def label_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFra
     )
     joined = df.join(F.broadcast(dim), on=col, how="left")
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(-1)))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof two-phase aggregation (SURVEY §4.3.1): stage 1 groups by
+    (key, salt) so a whale key splits into n_salts uniform partials;
+    stage 2 combines the partials per key. sum/count compose exactly, and
+    the decimal cast makes the result bit-identical to a single-phase
+    GROUP BY regardless of combination order. The salt is a deterministic
+    hash of the row id (oracle-reproducible, no rand()).
+
+    Returns (key, total, n) == plain ``groupBy(key).agg(sum, count)``.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.sum(F.col(value).cast("decimal(25,2)")).alias("__psum"),
+        F.count(F.lit(1)).alias("__pcnt"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__psum").cast("double").alias("total"),
+        F.sum("__pcnt").alias("n"),
+    )

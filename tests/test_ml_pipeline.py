@@ -176,3 +176,30 @@ def test_streaming_velocity_window(spark):
         assert rows, "windowed aggregation produced no rows"
     finally:
         q.stop()
+
+
+def test_one_hot_and_scaler_pipeline(spark, engineered, tmp_path):
+    """F11 one-hot + F13 standard scaling as pipeline stages, plus S5
+    model persistence round-trip."""
+    from pyspark.ml import PipelineModel
+
+    feat = build_feature_pipeline(
+        engineered,
+        ["ProductCD", "card4"],
+        ["TransactionAmt", "amount_log", "hour"],
+        one_hot=True,
+        standardize=True,
+    )
+    model = feat.fit(engineered)
+    out = model.transform(engineered)
+    assert "features" in out.columns
+    # scaled features: mean ~0 for the first (numeric) slot
+    from pyspark.ml.functions import vector_to_array
+
+    m = out.select(F.avg(vector_to_array("features")[0])).collect()[0][0]
+    assert abs(m) < 1e-6
+
+    path = str(tmp_path / "feat_model")
+    model.write().overwrite().save(path)
+    back = PipelineModel.load(path)
+    assert back.transform(engineered).count() == engineered.count()
