@@ -528,6 +528,8 @@ def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.amount_bin(F.col("value")).alias("value_bin"),
         E.has_decimal(F.col("value")).alias("has_decimal"),
         E.is_round_number(F.col("value"), 10).alias("is_round_10"),
+        (F.dayofmonth(ts) == 1).cast("int").alias("is_month_start"),
+        (F.dayofmonth(ts) == F.dayofmonth(F.last_day(ts))).cast("int").alias("is_month_end"),
     )
 
 
@@ -550,7 +552,9 @@ SELECT event_id,
         WHEN value <= 500 THEN 3 WHEN value <= 1000 THEN 4 WHEN value <= 5000 THEN 5
         ELSE 6 END)::INT AS value_bin,
   (fmod(value, 1.0) > 0)::INT AS has_decimal,
-  (fmod(value, 10.0) = 0)::INT AS is_round_10
+  (fmod(value, 10.0) = 0)::INT AS is_round_10,
+  (dayofmonth(ts) = 1)::INT AS is_month_start,
+  (dayofmonth(ts) = dayofmonth(last_day(ts)))::INT AS is_month_end
 FROM events
 """
 
@@ -1055,6 +1059,23 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 4 grouping sets in one
+    pass (free in Spark; absent in the reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        E.dsum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  sum(l_quantity::DECIMAL(25,2))::DOUBLE AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7: intersect / exceptAll with provenance tags."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1299,14 +1320,46 @@ def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 
 
+def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: ALL 14 behavioral columns (W1-W9) in one window
+    projection — single exchange + sort."""
+    ev = _events(spark, sf_dir)
+    out = windows.behavioral_features(ev)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("user_txn_count").cast("long").alias("user_txn_count"),
+        E.r6("user_total_amount").alias("user_total_amount"),
+        E.r6("user_avg_amount").alias("user_avg_amount"),
+        E.r6("user_std_amount").alias("user_std_amount"),
+        E.r6("user_max_amount").alias("user_max_amount"),
+        E.r6("user_min_amount").alias("user_min_amount"),
+        "time_since_last_us",
+        "is_first_txn",
+        E.r6("amount_deviation").alias("amount_deviation"),
+        E.r6("amount_velocity").alias("amount_velocity"),
+        E.r6("time_diff_s").alias("time_diff_s"),
+        E.r6("spending_rate").alias("spending_rate"),
+        E.r6("spending_acceleration").alias("spending_acceleration"),
+    )
+
+
+_BEHAVIORAL_SQL = f"""
+WITH e AS ({_EXPANDING_SQL.strip()}),
+v AS ({_VELOCITY_SQL.strip()})
+SELECT e.event_id, e.user_id, e.user_txn_count, e.user_total_amount,
+  e.user_avg_amount, e.user_std_amount, e.user_max_amount, e.user_min_amount,
+  e.time_since_last_us, e.is_first_txn, e.amount_deviation,
+  v.amount_velocity, v.time_diff_s, v.spending_rate, v.spending_acceleration
+FROM e JOIN v USING (event_id, user_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
-    events at sf0.001 — expanding stats + velocity + deviation + risk."""
-    out = q_user_expanding_features(spark, SF0001)
-    vel = q_velocity_features(spark, SF0001).select(
-        "event_id", "txn_velocity", "amount_velocity", "spending_rate"
-    )
-    return out.join(vel, "event_id")
+    events at sf0.001 — expanding stats + velocity + deviation, one
+    window exchange."""
+    return q_behavioral_features(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1314,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window engine (W1-W10)
         "user_expanding_features": q_user_expanding_features,
         "velocity_features": q_velocity_features,
+        "behavioral_features": q_behavioral_features,
         "time_bounded_features": q_time_bounded_features,
         "pct_rank_pandas": q_pct_rank_pandas,
         "first_flags": q_first_flags,
@@ -1338,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_bucket": q_risk_bucket,
         # engine-surface extensions
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
         "set_ops": q_set_ops,
         "pivot_counts": q_pivot_counts,
         "last_known_value": q_last_known_value,
@@ -1376,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "user_expanding_features": _EXPANDING_SQL,
         "velocity_features": _VELOCITY_SQL,
+        "behavioral_features": _BEHAVIORAL_SQL,
         "time_bounded_features": _TIME_BOUNDED_SQL,
         "pct_rank_pandas": _PCT_RANK_SQL,
         "first_flags": _FIRST_FLAGS_SQL,
@@ -1397,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "imputation": _IMPUTATION_SQL,
         "risk_bucket": _RISK_SQL,
         "rollup_agg": _ROLLUP_SQL,
+        "cube_agg": _CUBE_SQL,
         "set_ops": _SET_OPS_SQL,
         "pivot_counts": _PIVOT_SQL,
         "last_known_value": _LAST_KNOWN_SQL,

@@ -20,6 +20,7 @@ from financial_fraud_detection_using_time_series_data_spark.session import get_s
 
 # headline set: the flagship window pipeline + one per operator family
 BENCH_QUERIES = [
+    "behavioral_features",
     "user_expanding_features",
     "velocity_features",
     "time_bounded_features",

@@ -212,3 +212,55 @@ def time_bounded_user_features(
             (dec_sum / F.count(F.lit(1)).over(w)).alias(f"user_avg_amount_{d}d"),
         ]
     return df.select(*cols).drop("__epoch_s")
+
+
+def behavioral_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amt_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The flagship: expanding stats + velocity/acceleration in ONE
+    projection over ONE window spec — a single exchange + sort computes
+    all 14 behavioral columns (the two-step expanding ⋈ velocity
+    formulation costs an extra shuffle for the join)."""
+    w = user_window(user_col, ts_col, id_col)
+    frame = expanding_frame(w)
+    amt = F.col(amt_col)
+    epoch_us = F.unix_micros(F.col(ts_col))
+    epoch_s = epoch_us / F.lit(1_000_000.0)
+    row_no = F.row_number().over(w)
+    exp_sum = F.sum(amt.cast("decimal(25,2)")).over(frame).cast("double")
+    exp_avg = exp_sum / F.count(F.lit(1)).over(frame)
+    exp_std = F.stddev_samp(amt).over(frame)
+    time_diff = F.coalesce(epoch_s - F.lag(epoch_s, 1).over(w), F.lit(0.0))
+    td_repl = F.when(time_diff == 0, F.lit(1.0)).otherwise(time_diff)
+    spending_rate = amt / (td_repl + F.lit(1.0))
+    out = df.select(
+        "*",
+        (row_no - 1).alias("user_txn_count"),
+        exp_sum.alias("user_total_amount"),
+        exp_avg.alias("user_avg_amount"),
+        exp_std.alias("user_std_amount"),
+        F.max(amt).over(frame).alias("user_max_amount"),
+        F.min(amt).over(frame).alias("user_min_amount"),
+        (epoch_us - F.lag(epoch_us, 1).over(w)).alias("time_since_last_us"),
+        (row_no == 1).cast("int").alias("is_first_txn"),
+        ((amt - exp_avg) / (F.coalesce(exp_std, F.lit(1.0)) + F.lit(1.0))).alias(
+            "amount_deviation"
+        ),
+        (row_no - 1).alias("txn_velocity"),
+        (exp_sum / row_no).alias("amount_velocity"),
+        time_diff.alias("time_diff_s"),
+        spending_rate.alias("spending_rate"),
+    )
+    # second-order lag needs spending_rate materialized; same window key ->
+    # Catalyst reuses the exchange, adds only a window pass
+    return out.withColumn(
+        "spending_acceleration",
+        F.coalesce(
+            F.col("spending_rate") - F.lag("spending_rate", 1).over(user_window(user_col, ts_col, id_col)),
+            F.lit(0.0),
+        ),
+    )

@@ -76,3 +76,11 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Expose the catalog to the Spark SQL surface: one temp view per
+    table, so every engine operation is equally reachable via
+    ``spark.sql(...)`` (the reference has no SQL surface at all)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

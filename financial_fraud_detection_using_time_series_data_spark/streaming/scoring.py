@@ -92,3 +92,18 @@ def running_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.avg("fraud_score").alias("avg_score"),
         F.sum((F.col("fraud_score") >= 0.5).cast("long")).alias("flagged_count"),
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: drop duplicate
+    events (retries, at-least-once sources) by key. State is bounded by
+    the watermark — Spark evicts seen-keys older than the horizon, so the
+    dedup set never grows without bound (the batch exact_dedup operator's
+    streaming counterpart)."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -203,3 +203,47 @@ def test_one_hot_and_scaler_pipeline(spark, engineered, tmp_path):
     model.write().overwrite().save(path)
     back = PipelineModel.load(path)
     assert back.transform(engineered).count() == engineered.count()
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    """streaming_dedup: duplicate event_ids within the watermark horizon
+    must be dropped (file source, availableNow)."""
+    import pandas as pd
+
+    from financial_fraud_detection_using_time_series_data_spark.streaming import (
+        streaming_dedup,
+    )
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 2, 3, 3, 3, 4],
+            "ts": (
+                pd.to_datetime("2024-01-01 00:00:00")
+                + pd.to_timedelta(range(7), unit="s")
+            ).tz_localize("UTC"),  # tz-aware -> TIMESTAMP (watermark needs ltz)
+            "value": [10.0] * 7,
+        }
+    )
+    # µs precision: pandas default nanos parquet reads as bigint under the
+    # session's nanosAsLong setting
+    pdf.to_parquet(src / "part0.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = streaming_dedup(stream, keys=["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    ids = sorted(
+        r.event_id for r in spark.sql("select event_id from dedup_stream").collect()
+    )
+    assert ids == [1, 2, 3, 4]

@@ -106,3 +106,12 @@ def test_whole_stage_codegen_covers_scalar_pipeline(spark, sf_dir):
     # '*(n)' prefixes mark whole-stage-codegen spans in the simple plan
     assert "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_behavioral_features_single_exchange(spark, sf_dir):
+    """The combined flagship (expanding + velocity + acceleration) must
+    still plan exactly ONE shuffle."""
+    df = spark_entry.q_behavioral_features(spark, sf_dir)
+    plan = _plan(df)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 exchange, got {n}"

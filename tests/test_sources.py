@@ -44,3 +44,45 @@ def test_synthetic_generator_deterministic(spark):
     assert ha == hb, "same seed must give identical data"
     rate = a.agg(F.avg("isFraud")).collect()[0][0]
     assert 0.02 < rate < 0.10
+
+
+def test_sql_surface(spark, sf_dir):
+    """register_views + spark.sql: the engine's SQL plane."""
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(25,2))) AS qty
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    assert len(out) >= 2 and all(r.n > 0 for r in out)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned parquet sink + partition pruning on read-back: the
+    scan of one partition must show PartitionFilters, not a full scan."""
+    import contextlib
+    import io
+
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        write_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert line and "event_type" in line[0], plan[:1500]
+    assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
