@@ -624,6 +624,80 @@ FROM events
 """
 
 
+def q_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (ensemble.py:159-188): weighted-average ensemble of score
+    columns as a pure column expression."""
+    ev = _events(spark, sf_dir)
+    s1 = E.heuristic_score(F.col("value"))
+    s2 = F.col("value") / (F.col("value") + F.lit(100.0))
+    return ev.select(
+        "event_id",
+        E.r6(F.lit(0.6) * s1 + F.lit(0.4) * s2).alias("ensemble_score"),
+    )
+
+
+_WEIGHTED_ENSEMBLE_SQL = """
+SELECT event_id,
+  floor((0.6 * (1.0 / (1.0 + exp(-0.003 * (value - 500.0))))
+       + 0.4 * (value / (value + 100.0))) * 1000000 + 0.5) / 1000000.0
+    AS ensemble_score
+FROM events
+"""
+
+
+def q_scoring_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3 (api/main.py:360-391): batch-scoring aggregate — flagged
+    count, total, average score."""
+    ev = _events(spark, sf_dir)
+    score = E.heuristic_score(F.col("value"))
+    return ev.agg(
+        F.count(F.lit(1)).alias("prediction_count"),
+        F.sum((score >= 0.5).cast("long")).alias("flagged_count"),
+        E.r6(F.avg(score)).alias("avg_score"),
+    )
+
+
+_SCORING_SUMMARY_SQL = """
+SELECT count(*) AS prediction_count,
+  sum((1.0 / (1.0 + exp(-0.003 * (value - 500.0))) >= 0.5)::INT)::BIGINT
+    AS flagged_count,
+  floor(avg(1.0 / (1.0 + exp(-0.003 * (value - 500.0)))) * 1000000 + 0.5) / 1000000.0
+    AS avg_score
+FROM events
+"""
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (helpers.py:151-181): balanced class weights
+    total/(n_classes*count_c) attached per row via a broadcast 2-row agg."""
+    ev = _events(spark, sf_dir)
+    labelled = ev.select(
+        "event_id", (F.col("event_type") == "error").cast("int").alias("label")
+    )
+    counts = labelled.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    total = labelled.select(F.count(F.lit(1)).alias("total"))
+    weights = counts.crossJoin(F.broadcast(total)).select(
+        "label", (F.col("total") / (2.0 * F.col("n"))).alias("weight")
+    )
+    return labelled.join(F.broadcast(weights), "label").select(
+        "event_id", "label", E.r6("weight").alias("weight")
+    )
+
+
+_CLASS_WEIGHTS_SQL = """
+WITH l AS (
+  SELECT event_id, (event_type = 'error')::INT AS label FROM events
+),
+w AS (
+  SELECT label, (SELECT count(*) FROM l) / (2.0 * count(*)) AS weight
+  FROM l GROUP BY label
+)
+SELECT l.event_id, l.label,
+  floor(w.weight * 1000000 + 0.5) / 1000000.0 AS weight
+FROM l JOIN w USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # evaluation engine (E2-E5, A10)
 
@@ -1390,6 +1464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_global": q_zscore_global,
         "imputation": q_imputation,
         "risk_bucket": q_risk_bucket,
+        "weighted_ensemble": q_weighted_ensemble,
+        "scoring_summary": q_scoring_summary,
+        "class_weights": q_class_weights,
         # engine-surface extensions
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
@@ -1452,6 +1529,9 @@ def oracle_sql() -> dict[str, str]:
         "zscore_global": _ZSCORE_SQL,
         "imputation": _IMPUTATION_SQL,
         "risk_bucket": _RISK_SQL,
+        "weighted_ensemble": _WEIGHTED_ENSEMBLE_SQL,
+        "scoring_summary": _SCORING_SUMMARY_SQL,
+        "class_weights": _CLASS_WEIGHTS_SQL,
         "rollup_agg": _ROLLUP_SQL,
         "cube_agg": _CUBE_SQL,
         "set_ops": _SET_OPS_SQL,

@@ -62,12 +62,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full evaluation of every output column (count() alone can
-        # prune projections; summing a hash of all columns cannot)
-        df.selectExpr("sum(hash(*)) as h").collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        # min of 2 runs: the first window/agg/python-udf query of a JVM
+        # pays one-time codegen + interpreter warm-up that would otherwise
+        # be billed to whichever query happens to run first
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # force full evaluation of every output column (count() alone
+            # can prune projections; summing a hash of all columns cannot)
+            df.selectExpr("sum(hash(*)) as h").collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
