@@ -1,4 +1,5 @@
 from .scoring import (
+    running_stats,
     score_batch,
     build_stream_scorer,
     streaming_dedup,
@@ -7,6 +8,7 @@ from .scoring import (
 from .stateful import stateful_user_features
 
 __all__ = [
+    "running_stats",
     "score_batch",
     "build_stream_scorer",
     "streaming_dedup",

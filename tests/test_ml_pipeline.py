@@ -247,3 +247,59 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
         r.event_id for r in spark.sql("select event_id from dedup_stream").collect()
     )
     assert ids == [1, 2, 3, 4]
+
+
+def test_end_to_end_training_pipeline(spark):
+    """train_pipeline.py equivalent: one call from raw transactions to
+    trained ensemble + metrics, with chronological splits and fit-on-train
+    encodings."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import (
+        run_training_pipeline,
+    )
+
+    res = run_training_pipeline(spark, n_synthetic=6000)
+    assert res.n_train > res.n_val > 0 and res.n_test > 0
+    total = res.n_train + res.n_val + res.n_test
+    assert abs(res.n_train / total - 0.7) < 0.02
+    assert "ensemble" in res.metrics and "model_0" in res.metrics
+    assert res.metrics["model_0"]["areaUnderROC"] > 0.5
+    assert len(res.importances) == 20
+
+
+def test_running_stats_stream(spark, tmp_path):
+    """V3: global running prediction stats as a streaming aggregation."""
+    import pandas as pd
+
+    from financial_fraud_detection_using_time_series_data_spark.streaming import (
+        running_stats,
+    )
+
+    src = tmp_path / "scored_events"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "ts": (
+                pd.to_datetime("2024-01-01") + pd.to_timedelta(range(20), unit="s")
+            ).tz_localize("UTC"),
+            "fraud_score": [i / 20.0 for i in range(20)],
+        }
+    )
+    pdf.to_parquet(src / "p0.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stats = running_stats(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    row = spark.sql("select * from running_stats").collect()[0]
+    assert row.prediction_count == 20
+    assert row.flagged_count == 10  # scores 0.5..0.95
+    assert abs(row.avg_score - sum(i / 20.0 for i in range(20)) / 20) < 1e-9
