@@ -120,6 +120,10 @@ def threshold_sweep(
     )
     agg = wide.selectExpr(
         f"stack({len(thresholds)}, {stack}) as (threshold, tp, fp, tn, fn)"
+    ).filter(
+        # empty input: df.agg() yields one all-NULL row -> would unpivot
+        # into |thresholds| phantom rows; the old crossJoin form returned 0
+        F.col("tp").isNotNull()
     )
     tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
     prec = tp / F.nullif(tp + fp, F.lit(0))
@@ -131,26 +135,6 @@ def threshold_sweep(
         r6(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias("f1"),
         (fn * F.lit(COST_FN) + fp * F.lit(COST_FP)).alias("cost"),
     )
-
-
-def roc_auc(df: DataFrame, label: str, score: str) -> float:
-    """E1: exact ROC-AUC via the rank formula (Mann-Whitney U):
-    AUC = (sum of positive ranks - n_pos*(n_pos+1)/2) / (n_pos*n_neg).
-    Average ranks for ties — matches sklearn exactly; fully distributed."""
-    w = Window.orderBy(score)
-    w_tie = Window.partitionBy(score)
-    ranked = df.select(
-        F.col(label).alias("y"),
-        (F.rank().over(w) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("sum_pos_ranks"),
-        F.sum((F.col("y") == 1).cast("long")).alias("np"),
-        F.sum((F.col("y") == 0).cast("long")).alias("nn"),
-    ).collect()[0]
-    if not agg.np or not agg.nn:
-        return float("nan")
-    return (agg.sum_pos_ranks - agg.np * (agg.np + 1) / 2.0) / (agg.np * agg.nn)
 
 
 def roc_auc(df: DataFrame, label: str, score: str) -> DataFrame:

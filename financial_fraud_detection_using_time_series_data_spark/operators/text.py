@@ -42,10 +42,15 @@ def word_chars(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
 
 
+# the ONE punctuation class used by punct_ratio everywhere (helper,
+# text_features, and the DuckDB oracle must agree)
+PUNCT_CLASS = r"[^.,;:!?]"
+
+
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars."""
     n = F.length(text)
-    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    p = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
     return p / F.nullif(n.cast("double"), F.lit(0.0))
 
 
@@ -165,7 +170,7 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     base = df.select(
         id_col,
         F.length(t).cast("long").alias("n_chars_computed"),
-        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).alias("__n_punct"),
+        F.length(F.regexp_replace(t, PUNCT_CLASS, "")).alias("__n_punct"),
         F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("__n_alpha"),
         normalize(t).alias("__norm"),
     )

@@ -90,20 +90,46 @@ def run_training_pipeline(
     test = prepped.filter(F.col("split") == "test")
 
     models = [train_gbt(train, model_cfg, seed=s) for s in model_cfg.seeds]
-    scored = test
-    score_cols = []
-    for i, m in enumerate(models):
-        scored = score_column(m, scored, f"base_score_{i}")
-        score_cols.append(f"base_score_{i}")
 
+    def _score_all(df: DataFrame) -> DataFrame:
+        out = df
+        for i, m in enumerate(models):
+            out = score_column(m, out, f"base_score_{i}")
+        return out
+
+    score_cols = [f"base_score_{i}" for i in range(len(models))]
     meta, _ = train_stacking_ensemble(train, models, model_cfg)
-    scored = weighted_average_scores(scored, score_cols)
+
+    from pyspark.ml.functions import vector_to_array
+
+    def _with_ensembles(df: DataFrame) -> DataFrame:
+        stacked = meta.transform(_score_all(df)).withColumn(
+            "stacked_score", vector_to_array("probability")[1]
+        )
+        return weighted_average_scores(stacked, score_cols)
+
+    scored = _with_ensembles(test)
+
+    # threshold selection on the VAL split (never on test): argmax-F1 of
+    # the weighted ensemble's PR curve (metrics.py:121-200)
+    from ..operators.evaluation import best_threshold_by_f1
+
+    val_scored = _with_ensembles(val)
+    best_t = best_threshold_by_f1(
+        val_scored.withColumn("__lbl", F.col(pipeline_cfg.label_col).cast("int")),
+        "__lbl",
+        "ensemble_score",
+        pipeline_cfg.id_col,
+    ).collect()
+    chosen_threshold = float(best_t[0]["threshold"]) if best_t else 0.5
 
     metrics = {
         f"model_{i}": evaluate(scored, c, pipeline_cfg.label_col)
         for i, c in enumerate(score_cols)
     }
     metrics["ensemble"] = evaluate(scored, "ensemble_score", pipeline_cfg.label_col)
+    metrics["stacked"] = evaluate(scored, "stacked_score", pipeline_cfg.label_col)
+    metrics["chosen_threshold"] = chosen_threshold
 
     imps = feature_importances(
         models[0], num_cols + [f"{c}_idx" for c in categorical_cols], top_n=20

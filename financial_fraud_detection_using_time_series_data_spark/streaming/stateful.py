@@ -83,8 +83,14 @@ def _update_user(
         cnt, amt_sum, amt_sq, amt_max, amt_min, last_ts = 0, 0.0, 0.0, None, None, None
 
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["event_ts_us", "event_id"])
+    # a group larger than one Arrow batch arrives as MULTIPLE chunks —
+    # concatenate before sorting, or later-chunk rows with earlier
+    # timestamps would be processed out of order
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["event_ts_us", "event_id"]
+        )
         for event_id, ts_us, value in zip(
             pdf["event_id"], pdf["event_ts_us"], pdf["value"]
         ):

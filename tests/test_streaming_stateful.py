@@ -82,3 +82,60 @@ def test_stateful_stream_matches_batch_windows(spark, sf_dir, tmp_path):
         | (F.col("s.is_first_txn") != F.col("b.is_first_txn"))
     ).count()
     assert mismatches == 0, f"{mismatches} rows differ between stream and batch"
+
+
+def test_stateful_multi_chunk_group_ordering(spark, tmp_path):
+    """A user whose micro-batch spans MULTIPLE Arrow chunks must still be
+    processed in global (ts, id) order — regression for per-chunk
+    sorting (Arrow batch size forced tiny, input written ts-descending)."""
+    import pandas as pd
+
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": (
+                pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="s")
+            ).tz_localize("UTC"),
+            "user_id": [1] * n,
+            "value": [float((i * 7) % 100) for i in range(n)],
+        }
+    ).sort_values("ts", ascending=False)  # worst case: reverse time order
+
+    src = tmp_path / "one_user"
+    src.mkdir()
+    pdf.to_parquet(src / "p0.parquet", coerce_timestamps="us", index=False)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        schema = spark.read.parquet(str(src)).schema
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = stateful_user_features(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunked_stateful")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+        got = (
+            spark.sql(
+                "select event_id, user_txn_count, time_since_last_us "
+                "from chunked_stateful"
+            )
+            .toPandas()
+            .sort_values("event_id")
+        )
+        assert len(got) == n
+        # processed in ts order == event_id order: cumcount must equal id
+        assert (got["user_txn_count"].to_numpy() == got["event_id"].to_numpy()).all()
+        # every gap is exactly +1s, never negative
+        dt = got["time_since_last_us"].iloc[1:]
+        assert (dt == 1_000_000).all()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
