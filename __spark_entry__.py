@@ -458,6 +458,43 @@ SELECT col AS col_name, n_distinct FROM (
 """
 
 
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A5: df.summary()-style whole-table numeric profile — one agg
+    pass over all columns, unpivoted to tall (col_name, n, mean, min,
+    max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            (E.dsum(c).cast("double") / F.count(F.col(c))).alias(f"mean_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_{c}, mean_{c}, min_{c}, max_{c}" for c in cols
+    )
+    tall = wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as (col_name, n, mean, min, max)"
+    )
+    return tall.select(
+        "col_name", "n", E.r6("mean").alias("mean"), "min", "max"
+    )
+
+
+def _numeric_profile_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        f"SELECT '{c}' AS col_name, count({c}) AS n, "
+        f"floor((sum({c}::DECIMAL(25,2))::DOUBLE / count({c})) * 1000000 + 0.5) / 1000000.0 AS mean, "
+        f"min({c}) AS min, max({c}) AS max FROM lineitem"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_group_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: per-class describe (orders by status)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1458,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": q_filter_project,
         "cardinality": q_cardinality,
         "group_describe": q_group_describe,
+        "numeric_profile": q_numeric_profile,
         "corr_vector": q_corr_vector,
         # scalar/temporal library
         "temporal_features": q_temporal_features,
@@ -1524,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": _FILTER_PROJECT_SQL,
         "cardinality": _CARDINALITY_SQL,
         "group_describe": _GROUP_DESCRIBE_SQL,
+        "numeric_profile": _numeric_profile_sql(),
         "corr_vector": _CORR_SQL,
         "temporal_features": _TEMPORAL_SQL,
         "zscore_global": _ZSCORE_SQL,
