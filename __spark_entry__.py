@@ -1428,6 +1428,263 @@ def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-2 operators: as-of/range joins, sessionization, time buckets,
+# quantiles, anomaly scores, TF-IDF, survivor dedup, IVF ANN
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (§2.3 extension): each click event picks up the
+    most recent purchase value by the same user at or before its ts —
+    union-trick implementation, one shuffle, no pair explosion."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = relational.as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], right_id="event_id",
+    )
+    return out.select("event_id", "user_id", F.col("asof_value").alias("last_purchase_value"))
+
+
+_ASOF_SQL = """
+SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: errors by the same user within the 10 minutes
+    preceding each purchase (equi on user + range on ts; the equi key
+    keeps it a hash/SMJ join with a residual range predicate — no
+    cartesian blowup; at 100 TB bucket both sides by (user, ts-bucket))."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts"))
+    )
+    joined = p.join(e, cond, "left")
+    return (
+        joined.groupBy("p_id", "p_user")
+        .agg(F.count("e_id").alias("n_errors_10m"))
+        .select(F.col("p_id").alias("event_id"), F.col("p_user").alias("user_id"), "n_errors_10m")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, count(e.event_id)::BIGINT AS n_errors_10m
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type = 'error'
+  AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-event session
+    index — lag boundary flag + expanding sum, one exchange."""
+    ev = _events(spark, sf_dir)
+    out = windows.sessionize(ev, gap_s=1800)
+    return out.select("event_id", "user_id", F.col("session_idx").cast("long").alias("session_idx"))
+
+
+_SESSIONIZE_SQL = """
+SELECT event_id, user_id,
+  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+    AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+"""
+
+
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup over the sessionized stream: count, exact-sum
+    value, duration."""
+    ev = _events(spark, sf_dir)
+    out = windows.session_agg(ev, gap_s=1800)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        E.r6("total_value").alias("total_value"),
+        E.r6("duration_s").alias("duration_s"),
+        "session_start",
+    )
+
+
+_SESSION_AGG_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts, value,
+      CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+  floor((sum(value::DECIMAL(25,2))::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS total_value,
+  floor(((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0) * 1000000 + 0.5) / 1000000.0 AS duration_s,
+  min(ts) AS session_start
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly continuous aggregate per event_type."""
+    ev = _events(spark, sf_dir)
+    out = windows.time_bucket_rollup(ev, bucket="hour", keys=("event_type",))
+    return out.select(
+        "bucket", "event_type", "n",
+        E.r6("total_value").alias("total_value"),
+        E.r6("avg_value").alias("avg_value"),
+    )
+
+
+_TIME_BUCKET_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+  floor((sum(value::DECIMAL(25,2))::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS total_value,
+  floor((sum(value::DECIMAL(25,2))::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation, same rule as
+    DuckDB quantile_cont / numpy)."""
+    ev = _events(spark, sf_dir)
+    out = relational.group_quantiles(ev, "event_type", "value", probs=(0.5, 0.9, 0.99))
+    return out.select(
+        "event_type", "n",
+        E.r6("p50").alias("p50"), E.r6("p90").alias("p90"), E.r6("p99").alias("p99"),
+    )
+
+
+_GROUP_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+  floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000.0 AS p50,
+  floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000.0 AS p90,
+  floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000.0 AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier score per event_type — the robust upgrade of the
+    reference's mean/std amount_deviation (engineer.py:102-105)."""
+    ev = _events(spark, sf_dir)
+    out = relational.robust_zscore(ev, "event_type", "value")
+    return out.select("event_id", "event_type", E.r6("robust_z").alias("robust_z"))
+
+
+_ROBUST_Z_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - med.m)) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+  floor((0.6745 * (e.value - med.m) / nullif(mad.mad, 0.0)) * 1000000 + 0.5) / 1000000.0
+    AS robust_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "term", E.r6("tfidf").alias("tfidf"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+filtered AS (SELECT * FROM toks WHERE length(term) > 0),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS term_n FROM filtered GROUP BY doc_id, term
+),
+doclen AS (SELECT doc_id, count(*)::DOUBLE AS doc_n FROM filtered GROUP BY doc_id),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    (tf.term_n / doclen.doc_n) * ln(n.n_docs / dfreq.df) AS tfidf
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term,
+  floor(tfidf * 1000000 + 0.5) / 1000000.0 AS tfidf,
+  rank::INT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-form exact dedup: the full first row per fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.dedup_keep_first(docs)
+    return out.select("doc_id", "source", "n_chars", "fingerprint")
+
+
+_DEDUP_KEEP_FIRST_SQL = r"""
+SELECT doc_id, source, n_chars, fingerprint FROM (
+  SELECT doc_id, source, n_chars,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+    row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k (rows-only: recall < 1 by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries_df, nlist=16, nprobe=4, k=5)
+    return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 
 
@@ -1539,6 +1796,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         # sources
         "synthetic_source": q_synthetic_source,
+        # round-2: temporal joins / sessions / quantiles / text / ANN
+        "asof_join": q_asof_join,
+        "range_join_count": q_range_join_count,
+        "sessionize": q_sessionize,
+        "session_agg": q_session_agg,
+        "time_bucket_rollup": q_time_bucket_rollup,
+        "group_quantiles": q_group_quantiles,
+        "robust_zscore": q_robust_zscore,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "dedup_keep_first": q_dedup_keep_first,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1596,4 +1864,14 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,
         # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)
+        "asof_join": _ASOF_SQL,
+        "range_join_count": _RANGE_JOIN_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "session_agg": _SESSION_AGG_SQL,
+        "time_bucket_rollup": _TIME_BUCKET_SQL,
+        "group_quantiles": _GROUP_QUANTILES_SQL,
+        "robust_zscore": _ROBUST_Z_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
+        "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
+        # ivf_topk: rows-only (recall < 1 by design)
     }

@@ -341,3 +341,20 @@ def embedding_near_dup_blocked(
         pairs_of_blocks.groupBy("ba", "bb")
         .applyInPandas(_block_pair, schema=out_schema)
     )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup, survivor form: the full surviving rows (first id per
+    normalized-text fingerprint) rather than the group summary — what a
+    training-data pipeline actually materializes downstream. Window
+    row_number over the fingerprint key: one shuffle, streaming pass, no
+    join back (vs groupBy(min)+join = two shuffles of the wide table)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    tagged = df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -153,6 +153,102 @@ def label_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFra
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(-1)))
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    left_id: str | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the most recent right row
+    with ``right.ts <= left.ts`` for the same key (SURVEY §2.3 notes this
+    as the natural extension of the reference's map-joins for fraud
+    lookups — "last known device/merchant state at transaction time").
+
+    Implemented with the union trick — tag both sides, sort each key
+    partition once by (ts, side, right_id), carry the right values forward
+    with ``last(ignorenulls)`` — instead of a range self-join. The range
+    join explodes to O(|L|·|R|) pairs per key before aggregation; this
+    form is ONE shuffle on the key and O(1) state per row, so a whale key
+    with 10M rows costs a sort, not 10M² candidate pairs. Ties at equal
+    ts: the right row sorts first (side 0 < side 1), i.e. inclusive <=
+    semantics, matching DuckDB's ASOF JOIN.
+    """
+    rid = right_id or right.columns[0]
+    lcols = [F.col(c) for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rid"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(rid).cast("long").alias("__rid"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    ).select(*[c for c in l_tagged.columns])
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", "__rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    keep = [c for c in left.columns] + [f"asof_{c}" for c in value_cols]
+    return carried.filter(F.col("__side") == 1).select(*keep)
+
+
+def group_quantiles(
+    df: DataFrame, key: str, value: str, probs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation — same rule as
+    numpy/pandas/DuckDB quantile_cont). One hash-agg pass; `percentile`
+    buffers the group's values, so at the 100 TB scale point swap to
+    `percentile_approx` (bounded-memory KLL-ish sketch) — same call shape,
+    documented accuracy trade."""
+    aggs = [
+        F.percentile(F.col(value), F.lit(p)).alias(f"p{int(p * 100)}") for p in probs
+    ]
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+def robust_zscore(
+    df: DataFrame, key: str, value: str, score_col: str = "robust_z"
+) -> DataFrame:
+    """Median/MAD anomaly score per group: 0.6745·(x - median)/MAD, the
+    outlier-resistant z-score (the natural upgrade of the reference's
+    mean/std deviation features, engineer.py:102-105). Two grouped agg
+    passes (median, then MAD of residuals) + broadcast joins back — the
+    big table shuffles once per agg, never sorts globally. MAD=0 groups
+    (constant value) yield NULL scores."""
+    med = df.groupBy(key).agg(F.median(value).alias("__med"))
+    with_med = df.join(F.broadcast(med), on=key)
+    mad = (
+        with_med.groupBy(key)
+        .agg(F.median(F.abs(F.col(value) - F.col("__med"))).alias("__mad"))
+    )
+    out = with_med.join(F.broadcast(mad), on=key)
+    score = (
+        F.lit(0.6745)
+        * (F.col(value) - F.col("__med"))
+        / F.nullif(F.col("__mad"), F.lit(0.0))
+    )
+    return out.withColumn(score_col, score).drop("__med", "__mad")
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

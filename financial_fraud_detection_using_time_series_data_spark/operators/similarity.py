@@ -106,3 +106,63 @@ def lsh_topk(
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into nlist cells (nearest
+    seed centroid), probe only the nprobe cells nearest each query, exact
+    cosine re-rank within probed cells.
+
+    Seeds are the first nlist vectors by id — deterministic, no RNG/k-means
+    state (a Lloyd refinement would slot in here as an iterative groupBy-
+    average; seeds keep the operator reproducible for the harness). The
+    centroid table is nlist rows → broadcast twice (assignment + probe);
+    the corpus is scanned once to assign cells and shuffles once on
+    cell_id. Join fan-out is |Q|·nprobe·cell_size ≪ |Q|·|C| — the scale
+    win over brute force. Recall < 1 by design (rows-only check).
+    """
+    w_id = Window.orderBy(F.col(id_col))
+    cents = (
+        corpus.orderBy(id_col).limit(nlist)
+        .select(
+            (F.row_number().over(w_id) - 1).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    # assign: argmax cosine over the broadcast centroid table
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col(vec_col), F.col("cvec")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    # probe: nprobe nearest cells per query
+    q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
+    w_probe = Window.partitionBy(qid_col).orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(qid_col, "qvec", "cell_id")
+    )
+    # search only within probed cells
+    joined = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = joined.select(
+        qid_col, id_col, r6(cosine(F.col(vec_col), F.col("qvec"))).alias("cos_sim")
+    )
+    w_rank = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= k)

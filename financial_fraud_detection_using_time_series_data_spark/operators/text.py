@@ -205,3 +205,49 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .alias("lang_pred"),
         F.md5("__norm").alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """TF-IDF keyword extraction: top-k terms per document by
+    tf·idf, with tf = term_count/doc_len and idf = ln(N/df).
+
+    Shape for scale: explode → two hash aggs (term-per-doc counts, then
+    doc-frequency) → broadcast join of the small (term, df) dimension →
+    per-doc top-k window. The doc-frequency table is |vocab| rows —
+    broadcastable far beyond 100 TB of raw text; the N scalar rides a
+    1-row cross-join (no driver collect). Deterministic tiebreak
+    (tfidf desc, term asc) keeps the output oracle-comparable.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("term_n"))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (
+                (F.col("term_n") / F.col("doc_n"))
+                * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -264,3 +264,86 @@ def behavioral_features(
             F.lit(0.0),
         ),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same user exceeds ``gap_s`` seconds. The
+    classic two-window composition — boundary flag via lag, then a
+    cumulative sum of flags — so the whole operator is one shuffle on the
+    user key and two streaming window passes over the same sorted
+    exchange (Catalyst reuses it). Session ids are 1-based per user.
+
+    At 100 TB this is strictly better than `F.session_window` groupBy for
+    per-event labelling (session_window emits one row per session, not
+    per event) and the state is O(1) per row. The streaming twin is
+    `session_window`/`transformWithState` with the same gap.
+    """
+    w = user_window(user_col, ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    new_sess = (
+        F.coalesce(
+            (us - F.lag(us, 1).over(w)) > F.lit(gap_s * 1_000_000), F.lit(True)
+        )
+    ).cast("long")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(new_sess).over(frame))
+
+
+def session_agg(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per-session aggregates over the sessionized stream: event count,
+    exact-decimal value total, session duration. The groupBy lands on
+    (user, session_idx) — same leading key as the sessionize shuffle, so
+    AQE/exchange-reuse makes the agg a local pass after the sort."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_s)
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("total_value"),
+            ((F.max(us) - F.min(us)) / F.lit(1_000_000.0)).alias("duration_s"),
+            F.min(ts_col).alias("session_start"),
+        )
+    )
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: truncate event time to
+    a bucket (`date_trunc`) and aggregate per (bucket, keys). This is the
+    canonical pre-aggregation for time-series dashboards — at 100 TB the
+    input is partitioned by date so the scan prunes to affected partitions
+    and the agg is map-side-combined (|buckets|·|keys| result rows,
+    trivially broadcastable downstream)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    return (
+        df.groupBy(b, *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("total_value"),
+            (
+                F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
