@@ -47,6 +47,16 @@ BENCH_QUERIES = [
     "embedding_near_dup_blocked",
     "brute_force_topk",
     "lsh_topk",
+    "ivf_topk",
+    "asof_join",
+    "range_join_count",
+    "sessionize",
+    "session_agg",
+    "time_bucket_rollup",
+    "group_quantiles",
+    "robust_zscore",
+    "tfidf_top_terms",
+    "dedup_keep_first",
 ]
 
 

@@ -42,7 +42,12 @@ def target_encode(
 
 
 def distinct_count_per_group(
-    df: DataFrame, key: str, value: str, out_col: str, approx: bool = False
+    df: DataFrame,
+    key: str,
+    value: str,
+    out_col: str,
+    approx: bool = False,
+    agg_source: DataFrame | None = None,
 ) -> DataFrame:
     """A6 (engineer.py:201-213): groupby(key)[value].transform('nunique')
     attached as a column.
@@ -51,9 +56,16 @@ def distinct_count_per_group(
     — two-phase, skew-safe — instead of `size(collect_set) over window`,
     which buffers every distinct value per row group and dies on whale keys.
     `approx=True` switches to HLL approx_count_distinct for the 100 TB path.
+
+    ``agg_source``: optional NARROW frame to aggregate instead of ``df``
+    (must contain the same (key, value) rows). When ``df`` is the tail of
+    a long plan, aggregating df itself re-executes every upstream stage
+    that column pruning can't eliminate (joins survive pruning); passing
+    the original pre-pipeline input cuts that recomputation.
     """
     agg_fn = F.approx_count_distinct if approx else F.countDistinct
-    counts = df.groupBy(key).agg(agg_fn(value).alias(out_col))
+    src = agg_source if agg_source is not None else df
+    counts = src.groupBy(key).agg(agg_fn(value).alias(out_col))
     return df.join(counts, on=key, how="left")
 
 

@@ -71,13 +71,31 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
 
 def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH signature as an int (bit b = sign of dot with
-    plane b)."""
-    sig = F.lit(0).cast("long")
-    for b in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _plane(dim, b)])
-        bit = (dot(vec, plane) > 0).cast("long")
-        sig = sig + F.shiftleft(bit, b)
-    return sig
+    plane b).
+
+    The whole n_planes×dim matrix ships as ONE nested literal + a single
+    indexed transform/aggregate — the per-plane form was n_planes·dim
+    separate `lit()` py4j calls (~1s of driver time at 6×64) and a
+    correspondingly huge codegen unit. `vec` must be a plain attribute
+    (HOF lambdas re-evaluate captured expressions per element)."""
+    # one py4j call: ship the whole matrix as SQL text, parsed JVM-side
+    # into a foldable array literal (F.lit on a nested python list walks
+    # every element through py4j — ~0.3s at 6×64)
+    matrix_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"{v!r}D" for v in _plane(dim, b)))
+            for b in range(n_planes)
+        )
+    )
+    planes = F.expr(matrix_sql)
+    # shiftleft needs a literal shift amount, so weight by 2^i instead
+    # (exact in double for i < 53, cast back to long)
+    bits = F.transform(
+        planes,
+        lambda p, i: (dot(vec, p) > 0).cast("long")
+        * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def lsh_topk(

@@ -51,18 +51,29 @@ def preprocess(df: DataFrame, cfg: FraudPipelineConfig = FraudPipelineConfig()) 
     """DataPreprocessor.clean_data (preprocessor.py:26-71): missing
     indicators for every nullable column, categorical→'missing',
     numeric→-999 sentinel."""
-    string_cols = [c for c, t in df.dtypes if t == "string"]
-    num_cols = [
+    string_cols = {c for c, t in df.dtypes if t == "string"}
+    num_cols = {
         c for c, t in df.dtypes
         if t in ("double", "float", "int", "bigint") and c not in (cfg.label_col, cfg.id_col)
+    }
+    # ONE select, not a withColumn per column: each withColumn re-analyzes
+    # the whole plan, so ~30 of them cost seconds of driver time on a wide
+    # frame (and the result is identical — indicators read the ORIGINAL
+    # nullable column, imputed values replace in place, indicators append)
+    cols = []
+    for c in df.columns:
+        if c in string_cols:
+            cols.append(E.impute_categorical(F.col(c)).alias(c))
+        elif c in num_cols:
+            cols.append(E.impute_numeric(F.col(c), cfg.sentinel).alias(c))
+        else:
+            cols.append(F.col(c))
+    cols += [
+        E.missing_indicator(F.col(c)).alias(f"{c}_missing")
+        for c in df.columns
+        if c in string_cols
     ]
-    out = df
-    for c in string_cols:
-        out = out.withColumn(f"{c}_missing", E.missing_indicator(F.col(c)))
-        out = out.withColumn(c, E.impute_categorical(F.col(c)))
-    for c in num_cols:
-        out = out.withColumn(c, E.impute_numeric(F.col(c), cfg.sentinel))
-    return out
+    return df.select(*cols)
 
 
 def temporal_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame:
@@ -218,9 +229,16 @@ def merchant_features(df: DataFrame, cfg: FraudPipelineConfig, train: DataFrame)
     )
 
 
-def device_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame:
+def device_features(
+    df: DataFrame, cfg: FraudPipelineConfig, agg_source: DataFrame | None = None
+) -> DataFrame:
     """engineer.py:196-224: new-device flag, users-per-device /
-    devices-per-user distinct counts (two-phase agg+join, skew-safe)."""
+    devices-per-user distinct counts (two-phase agg+join, skew-safe).
+
+    ``agg_source``: the raw pipeline input; the distinct counts only need
+    its (user, device) pairs, so aggregating it instead of the engineered
+    tail avoids re-running the whole upstream join/window chain twice
+    (the joins upstream survive column pruning)."""
     wd = Window.partitionBy(cfg.user_col, cfg.device_col).orderBy(cfg.ts_col, cfg.id_col)
     out = df.withColumn(
         "is_new_device", (F.row_number().over(wd) == 1).cast("int")
@@ -229,11 +247,16 @@ def device_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame:
         out = out.withColumn(
             "is_mobile", (F.col("DeviceType") == "mobile").cast("int")
         )
-    out = relational.distinct_count_per_group(
-        out, cfg.device_col, cfg.user_col, "users_per_device"
+    narrow = (
+        agg_source.select(cfg.user_col, cfg.device_col)
+        if agg_source is not None
+        else None
     )
     out = relational.distinct_count_per_group(
-        out, cfg.user_col, cfg.device_col, "devices_per_user"
+        out, cfg.device_col, cfg.user_col, "users_per_device", agg_source=narrow
+    )
+    out = relational.distinct_count_per_group(
+        out, cfg.user_col, cfg.device_col, "devices_per_user", agg_source=narrow
     )
     return out
 
@@ -251,7 +274,7 @@ def engineer_features(
     out = user_behavior_features(out, cfg)
     out = velocity_features(out, cfg)
     out = merchant_features(out, cfg, train)
-    out = device_features(out, cfg)
+    out = device_features(out, cfg, agg_source=df)
     # final fillna(-999) over engineered numerics (engineer.py:307)
     num_cols = [
         c for c, t in out.dtypes
