@@ -1674,6 +1674,70 @@ SELECT doc_id, source, n_chars, fingerprint FROM (
 """
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (engine surface beyond the reference —
+    SURVEY §2.3 notes their absence): customers with vs without orders,
+    tagged and unioned. Both compile to broadcast/shuffled hash joins
+    with no row duplication from the orders side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = cust.join(orders, "c_custkey", "left_semi").withColumn(
+        "op", F.lit("has_orders")
+    )
+    without = cust.join(orders, "c_custkey", "left_anti").withColumn(
+        "op", F.lit("no_orders")
+    )
+    return with_orders.unionByName(without)
+
+
+_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_mktsegment, 'has_orders' AS op FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'no_orders' AS op FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (engine surface beyond the reference): orders ⟗
+    customer keeps customers without orders AND any orphan orders."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey, "full_outer")
+    return joined.select(
+        "o_orderkey",
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "o_totalprice",
+        "c_name",
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT o_orderkey, coalesce(o_custkey, c_custkey) AS custkey, o_totalprice, c_name
+FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing via ntile(10) over the global value order — the
+    window-function sibling of F7 binning (equal-frequency instead of
+    fixed splits)."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy("value", "event_id")
+    return ev.select("event_id", F.ntile(10).over(w).alias("decile"))
+
+
+_NTILE_SQL = """
+SELECT event_id, ntile(10) OVER (ORDER BY value, event_id) AS decile
+FROM events
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-k (rows-only: recall < 1 by design)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1807,6 +1871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_keep_first": q_dedup_keep_first,
         "ivf_topk": q_ivf_topk,
+        "semi_anti_join": q_semi_anti_join,
+        "full_outer_join": q_full_outer_join,
+        "ntile_deciles": q_ntile_deciles,
     }
 
 
@@ -1874,4 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
         # ivf_topk: rows-only (recall < 1 by design)
+        "semi_anti_join": _SEMI_ANTI_SQL,
+        "full_outer_join": _FULL_OUTER_SQL,
+        "ntile_deciles": _NTILE_SQL,
     }

@@ -42,6 +42,12 @@ def get_spark(
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long then convert (tables.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (write_bucketed) live under the warehouse dir;
+        # keep it out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-fraud-warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -78,6 +78,27 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink: pre-shuffle the data ONCE at write time so
+    every later equi-join/agg on ``bucket_col`` between same-bucketed
+    tables runs with ZERO exchanges — the decisive join strategy at
+    100 TB, where re-shuffling the fact table per query is the dominant
+    cost. Optional per-bucket sort makes the join a pure merge.
+    ``test_sources.py::test_bucketed_join_no_shuffle`` pins the plan
+    property (no Exchange under SortMergeJoin)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Expose the catalog to the Spark SQL surface: one temp view per
     table, so every engine operation is equally reachable via

@@ -107,3 +107,26 @@ def streaming_dedup(
     streaming counterpart)."""
     keys = keys or ["event_id"]
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows (gap-based, same 30-min semantics as the
+    batch ``windows.sessionize``): per-(user, session) event count and
+    value total, sessions close after `gap` inactivity and emit once the
+    watermark passes — state per open session is O(1) and bounded by the
+    watermark horizon. The streaming twin of ``windows.session_agg``."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(amount_col).alias("total_value"),
+        )
+    )

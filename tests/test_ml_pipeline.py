@@ -303,3 +303,45 @@ def test_running_stats_stream(spark, tmp_path):
     assert row.prediction_count == 20
     assert row.flagged_count == 10  # scores 0.5..0.95
     assert abs(row.avg_score - sum(i / 20.0 for i in range(20)) / 20) < 1e-9
+
+
+def test_streaming_session_window(spark):
+    """Event-time session windows (gap-based) over a rate stream: rows
+    flow, per-session counts are positive, session bounds are ordered."""
+    from financial_fraud_detection_using_time_series_data_spark.streaming import (
+        streaming_session_agg,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("user_id"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    sess = streaming_session_agg(stream, gap="10 seconds", watermark="30 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "select session_window.start s, session_window.end e, user_id,"
+                " n_events, total_value from session_stream"
+            ).collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert rows, "no session rows emitted"
+        assert all(r.n_events > 0 and r.s <= r.e for r in rows)
+    finally:
+        q.stop()

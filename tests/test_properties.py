@@ -76,3 +76,114 @@ def test_scrub_removes_all_non_finite(spark, vals):
     df = spark.createDataFrame(pdf)
     out = [r.s for r in df.select(E.scrub(F.col("v")).alias("s")).collect()]
     assert all(s is not None and math.isfinite(s) for s in out)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=4000), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_bruteforce(spark, gaps):
+    """Session indices must equal the sequential brute-force labelling for
+    any gap sequence (gap > 1800s starts a new session)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts, cur = [], t0
+    for g in gaps:
+        cur = cur + datetime.timedelta(seconds=g)
+        ts.append(cur)
+    pdf = pd.DataFrame({"user_id": 1, "ts": ts, "event_id": range(len(ts)), "value": 1.0})
+    df = spark.createDataFrame(pdf)
+    got = (
+        windows.sessionize(df, gap_s=1800)
+        .select("event_id", "session_idx")
+        .toPandas()
+        .sort_values("event_id")["session_idx"]
+        .tolist()
+    )
+    want, sid = [], 0
+    prev = None
+    for t in ts:
+        if prev is None or (t - prev).total_seconds() > 1800:
+            sid += 1
+        want.append(sid)
+        prev = t
+    assert got == want
+
+
+@given(vals=st.lists(finite_doubles, min_size=2, max_size=40))
+@settings(**_SETTINGS)
+def test_group_quantiles_match_numpy(spark, vals):
+    """Exact percentile must match numpy's linear-interpolation rule."""
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    pdf = pd.DataFrame({"k": "a", "v": vals})
+    df = spark.createDataFrame(pdf)
+    row = relational.group_quantiles(df, "k", "v", probs=(0.5, 0.9)).collect()[0]
+    assert abs(row["p50"] - np.percentile(vals, 50)) < 1e-9
+    assert abs(row["p90"] - np.percentile(vals, 90)) < 1e-9
+
+
+@given(
+    l_ts=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15),
+    r_ts=st.lists(st.integers(min_value=0, max_value=1000), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, l_ts, r_ts):
+    """as_of_join must pick the latest right value at-or-before each left
+    ts (ties on right ts broken by larger right id)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        {
+            "lid": range(len(l_ts)),
+            "k": 1,
+            "ts": [base + datetime.timedelta(seconds=s) for s in l_ts],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "rid": range(len(r_ts)),
+            "k": 1,
+            "ts": [base + datetime.timedelta(seconds=s) for s in r_ts],
+            "val": [float(i) for i in range(len(r_ts))],
+        }
+    )
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    left = spark.createDataFrame(lpdf)
+    right = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "rid long, k long, ts timestamp, val double")
+    )
+    out = (
+        relational.as_of_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["val"], right_id="rid",
+        )
+        .select("lid", "asof_val")
+        .toPandas()
+        .sort_values("lid")["asof_val"]
+        .tolist()
+    )
+    want = []
+    for lt in lpdf["ts"]:
+        cands = [
+            (rt, rid, v)
+            for rt, rid, v in zip(rpdf["ts"], rpdf["rid"], rpdf["val"])
+            if rt <= lt
+        ]
+        if cands:
+            want.append(max(cands, key=lambda c: (c[0], c[1]))[2])
+        else:
+            want.append(None)
+    assert len(out) == len(want)
+    for a, b in zip(out, want):
+        if b is None:
+            assert a is None or math.isnan(a)
+        else:
+            assert a == b

@@ -86,3 +86,38 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     line = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert line and "event_type" in line[0], plan[:1500]
     assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucketed co-located join: two tables bucketed on the same key must
+    join with ZERO Exchange operators — the decisive 100 TB join strategy
+    (pre-shuffle once at write time, every later join is shuffle-free)."""
+    import contextlib
+    import io
+
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8, sort_col="o_custkey")
+    write_bucketed(cust, "b_customer", "o_custkey", n_buckets=8, sort_col="o_custkey")
+    try:
+        # disable broadcast so the join would otherwise be a shuffled SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        # and it actually returns the right row count
+        assert joined.count() == spark.table("b_orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
