@@ -6,7 +6,7 @@ from .scoring import (
     streaming_session_agg,
     streaming_velocity,
 )
-from .stateful import stateful_user_features
+from .stateful import stateful_user_features, stateful_user_features_tws
 
 __all__ = [
     "running_stats",
@@ -16,4 +16,5 @@ __all__ = [
     "streaming_session_agg",
     "streaming_velocity",
     "stateful_user_features",
+    "stateful_user_features_tws",
 ]

@@ -139,3 +139,86 @@ def test_stateful_multi_chunk_group_ordering(spark, tmp_path):
         assert (dt == 1_000_000).all()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_tws_stream_matches_batch_windows(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas implementation must ALSO equal the
+    batch window engine row-for-row (same contract as the
+    applyInPandasWithState path, Spark 4 API + RocksDB state store).
+
+    Skipped when google.protobuf is unavailable: the TWS state-server
+    protocol is protobuf-based (pyspark/sql/streaming/proto/) and this
+    container does not ship protobuf; the applyInPandasWithState parity
+    test above covers the same state machine unconditionally."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from financial_fraud_detection_using_time_series_data_spark.streaming import (
+        stateful_user_features_tws,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    import shutil
+
+    src_dir = tmp_path / "events_stream_tws"
+    src_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(str(src_dir))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        out = stateful_user_features_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_features")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old_provider)
+
+    stream_out = spark.sql(
+        "select event_id, user_id, user_txn_count, user_total_amount, "
+        "user_avg_amount, user_std_amount, time_since_last_us, is_first_txn "
+        "from tws_features"
+    )
+    batch = windows.expanding_user_features(ev).select(
+        "event_id", "user_id",
+        F.col("user_txn_count").cast("long").alias("user_txn_count"),
+        "user_total_amount", "user_avg_amount", "user_std_amount",
+        "time_since_last_us",
+        F.col("is_first_txn").cast("long").alias("is_first_txn"),
+    )
+    assert stream_out.count() == batch.count()
+    j = stream_out.alias("s").join(batch.alias("b"), "event_id")
+    mismatches = j.filter(
+        (F.col("s.user_txn_count") != F.col("b.user_txn_count"))
+        | (F.abs(F.col("s.user_total_amount") - F.col("b.user_total_amount")) > 1e-6)
+        | (F.abs(F.col("s.user_avg_amount") - F.col("b.user_avg_amount")) > 1e-6)
+        | (F.col("s.user_std_amount").isNull() != F.col("b.user_std_amount").isNull())
+        | (
+            F.coalesce(F.col("s.time_since_last_us"), F.lit(-1))
+            != F.coalesce(F.col("b.time_since_last_us"), F.lit(-1))
+        )
+        | (F.col("s.is_first_txn") != F.col("b.is_first_txn"))
+    ).count()
+    assert mismatches == 0, f"{mismatches} rows differ between TWS stream and batch"
