@@ -1674,6 +1674,85 @@ SELECT doc_id, source, n_chars, fingerprint FROM (
 """
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped multi-join analytic: lineitem ⋈ orders ⋈ customer ⋈
+    nation revenue rollup. The join tree mixes strategies the way a 100 TB
+    plan should: nation (25 rows) and customer (smallish dim) broadcast;
+    lineitem⋈orders is the only big shuffle pair and AQE picks its
+    strategy. Column pruning cuts the lineitem scan to 3 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REVENUE_NATION_SQL = """
+SELECT n_name,
+  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+    AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric rangeBetween frame (value-domain window, not time): for
+    each event, how many of the same user's events have value within
+    [v-50, v] — ordered by value, a streamed frame with O(1) state."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("value")
+        .rangeBetween(-50, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_similar_value"),
+    )
+
+
+_VALUE_RANGE_SQL = """
+SELECT event_id, user_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS n_similar_value
+FROM events
+"""
+
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile — the 100 TB twins of the exact operators:
+    HLL distinct counts (A7) + KLL-ish approximate percentiles (A5/O4).
+    Rows-only check: sketch outputs are implementation-defined by design;
+    the exact versions (`cardinality`, `group_quantiles`) are the
+    hash-checked twins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins (engine surface beyond the reference —
     SURVEY §2.3 notes their absence): customers with vs without orders,
@@ -1874,6 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "full_outer_join": q_full_outer_join,
         "ntile_deciles": q_ntile_deciles,
+        "revenue_by_nation": q_revenue_by_nation,
+        "value_range_window": q_value_range_window,
+        "approx_profile": q_approx_profile,
     }
 
 
@@ -1944,4 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join": _SEMI_ANTI_SQL,
         "full_outer_join": _FULL_OUTER_SQL,
         "ntile_deciles": _NTILE_SQL,
+        "revenue_by_nation": _REVENUE_NATION_SQL,
+        "value_range_window": _VALUE_RANGE_SQL,
+        # approx_profile: rows-only (sketches are implementation-defined)
     }
