@@ -1817,6 +1817,120 @@ FROM events
 """
 
 
+def q_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: sequence-model inference hosting — W10 sliding windows built
+    JVM-side, scored by an Arrow-batched mapInPandas forward pass
+    (deterministic logistic head standing in for the trained BiLSTM; see
+    ml/sequence_scorer.py for the real-model plug-point)."""
+    from financial_fraud_detection_using_time_series_data_spark.ml.sequence_scorer import (
+        score_sequences,
+    )
+
+    ev = _events(spark, sf_dir)
+    w = windows.user_window("user_id", "ts", "event_id")
+    seq = windows.sliding_sequence(F.col("value"), w, seq_len=5)
+    seqs = ev.select("event_id", "user_id", seq.alias("seq")).filter(F.size("seq") == 5)
+    out = score_sequences(seqs, w=0.01, b=-5.0)
+    return out.select("event_id", "user_id", E.r6("seq_score").alias("seq_score"))
+
+
+_SEQUENCE_SCORE_SQL = """
+SELECT event_id, user_id,
+  floor((1.0 / (1.0 + exp(-(0.01 * list_avg(seq) - 5.0)))) * 1000000 + 0.5) / 1000000.0
+    AS seq_score
+FROM (
+  SELECT event_id, user_id,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq
+  FROM events
+) WHERE len(seq) = 5
+"""
+
+
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one windowed select (rank,
+    dense_rank, percent_rank, cume_dist, lead, nth_value) — all share ONE
+    exchange on the user key."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        E.r6(F.percent_rank().over(w)).alias("pct_rank"),
+        E.r6(F.cume_dist().over(w)).alias("cume"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.nth_value("value", 3).over(wf).alias("third_value"),
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT event_id, user_id,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume,
+  lead(value, 1) OVER w AS next_value,
+  nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY value, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS third_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between candidate doc pairs — the
+    string-metric verify stage for near-dup dedup (both engines implement
+    standard unit-cost edit distance)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.levenshtein("t_a", "t_b").alias("edit_distance")
+    )
+
+
+_EDIT_DISTANCE_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.text, b.text)::INT AS edit_distance
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 20 AND b.doc_id < 20
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube): per-returnflag and
+    per-linestatus totals in one pass, with grouping() disambiguators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n,
+               cast(sum(cast(l_quantity AS decimal(25,2))) AS double) AS sum_qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag)::INT AS g_flag,
+       grouping(l_linestatus)::INT AS g_status,
+       count(*) AS n,
+       sum(l_quantity::DECIMAL(25,2))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-k (rows-only: recall < 1 by design)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1956,6 +2070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "value_range_window": q_value_range_window,
         "approx_profile": q_approx_profile,
+        "window_rank_suite": q_window_rank_suite,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "grouping_sets": q_grouping_sets,
+        "sequence_score": q_sequence_score,
     }
 
 
@@ -2029,4 +2147,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _REVENUE_NATION_SQL,
         "value_range_window": _VALUE_RANGE_SQL,
         # approx_profile: rows-only (sketches are implementation-defined)
+        "window_rank_suite": _WINDOW_RANK_SQL,
+        "edit_distance_pairs": _EDIT_DISTANCE_SQL,
+        "grouping_sets": _GROUPING_SETS_SQL,
+        "sequence_score": _SEQUENCE_SCORE_SQL,
     }

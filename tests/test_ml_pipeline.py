@@ -345,3 +345,32 @@ def test_streaming_session_window(spark):
         assert all(r.n_events > 0 and r.s <= r.e for r in rows)
     finally:
         q.stop()
+
+
+def test_sequence_scorer_matches_jvm_expression(spark, sf_dir):
+    """The Arrow/mapInPandas forward pass must equal the same formula
+    computed entirely JVM-side — pins the Arrow plumbing (batch shapes,
+    column alignment), not just the math."""
+    from financial_fraud_detection_using_time_series_data_spark.ml.sequence_scorer import (
+        score_sequences,
+    )
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = windows.user_window("user_id", "ts", "event_id")
+    seq = windows.sliding_sequence(F.col("value"), w, seq_len=5)
+    seqs = ev.select("event_id", "user_id", seq.alias("seq")).filter(F.size("seq") == 5)
+
+    got = score_sequences(seqs, w=0.01, b=-5.0)
+    mean = F.aggregate("seq", F.lit(0.0), lambda a, x: a + x) / F.lit(5.0)
+    want = seqs.select(
+        "event_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.01) * mean + F.lit(-5.0))))).alias(
+            "want_score"
+        ),
+    )
+    j = got.join(want, "event_id")
+    bad = j.filter(F.abs(F.col("seq_score") - F.col("want_score")) > 1e-12).count()
+    assert bad == 0
+    assert got.count() == seqs.count()

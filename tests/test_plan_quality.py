@@ -115,3 +115,33 @@ def test_behavioral_features_single_exchange(spark, sf_dir):
     plan = _plan(df)
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 exchange, got {n}"
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The as-of join must be ONE shuffle on the key (union + window), not
+    a join — no Join operator and exactly one Exchange in the plan."""
+    df = spark_entry.q_asof_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan[:2000]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}\n{plan[:2000]}"
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    """The multi-join rollup must broadcast both dimension tables; only
+    the lineitem<->orders pair may shuffle."""
+    df = spark_entry.q_revenue_by_nation(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_sessionize_reuses_exchange(spark, sf_dir):
+    """Sessionize = lag flag + running sum over the SAME user-key sort:
+    one hash exchange total."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    df = W.sessionize(ev)
+    plan = _plan(df)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 hash exchange, got {n}\n{plan[:2000]}"
