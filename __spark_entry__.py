@@ -1817,6 +1817,26 @@ FROM events
 """
 
 
+def q_chunked_expanding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-key rescue: expanding prefix sum parallelized over time
+    chunks (3 bounded stages) — the oracle is the PLAIN single-window
+    expanding sum, so the decomposition is proven bit-exact against an
+    independent engine."""
+    ev = _events(spark, sf_dir)
+    out = windows.chunked_expanding_sum(ev, chunk="day")
+    return out.select("event_id", "user_id", E.r6("expanding_sum").alias("expanding_sum"))
+
+
+_CHUNKED_EXPANDING_SQL = """
+SELECT event_id, user_id,
+  floor(((sum(value::DECIMAL(25,2)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE) * 1000000 + 0.5) / 1000000.0
+    AS expanding_sum
+FROM events
+"""
+
+
 def q_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4: sequence-model inference hosting — W10 sliding windows built
     JVM-side, scored by an Arrow-batched mapInPandas forward pass
@@ -2074,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "grouping_sets": q_grouping_sets,
         "sequence_score": q_sequence_score,
+        "chunked_expanding_sum": q_chunked_expanding_sum,
     }
 
 
@@ -2151,4 +2172,5 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _EDIT_DISTANCE_SQL,
         "grouping_sets": _GROUPING_SETS_SQL,
         "sequence_score": _SEQUENCE_SCORE_SQL,
+        "chunked_expanding_sum": _CHUNKED_EXPANDING_SQL,
     }

@@ -347,3 +347,55 @@ def time_bucket_rollup(
             ).alias("avg_value"),
         )
     )
+
+
+def chunked_expanding_sum(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    chunk: str = "day",
+    out_col: str = "expanding_sum",
+) -> DataFrame:
+    """Whale-key rescue for expanding aggregation: the prefix sum of a
+    single user's history, parallelized across TIME CHUNKS.
+
+    A plain expanding window puts each user's entire history in one task —
+    fine for millions of users, a straggler when one key holds 1% of
+    100 TB. This splits the scan three ways, all bounded:
+
+      1. within-chunk prefix sums, windowed on (user, date_trunc(chunk))
+         — a whale's history now spreads across |chunks| parallel tasks;
+      2. per-(user, chunk) totals rolled into EXCLUSIVE running offsets
+         with a window over the tiny |users|·|chunks| chunk table;
+      3. broadcast the offsets back: expanding = offset + within-chunk.
+
+    Decimal partials make the result bit-identical to the single-window
+    form regardless of the split (asserted in tests). The same shape
+    extends to count/avg (sum pairs) and min/max (monotone merge); it is
+    the batch analog of the streaming processor's O(1) running state.
+    """
+    chunk_col = F.date_trunc(chunk, F.col(ts_col))
+    base = df.withColumn("__chunk", chunk_col)
+    w_in = Window.partitionBy(user_col, "__chunk").orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = base.withColumn(
+        "__within", F.sum(F.col(value_col).cast("decimal(25,2)")).over(w_in)
+    )
+    totals = base.groupBy(user_col, "__chunk").agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__chunk_total")
+    )
+    w_off = (
+        Window.partitionBy(user_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__chunk_total").over(w_off), F.lit(0).cast("decimal(25,2)"))
+    ).select(user_col, "__chunk", "__offset")
+    joined = within.join(F.broadcast(offsets), [user_col, "__chunk"])
+    return joined.withColumn(
+        out_col, (F.col("__offset") + F.col("__within")).cast("double")
+    ).drop("__chunk", "__within", "__offset")

@@ -55,3 +55,65 @@ def test_expanding_windows_correct_on_whale_key(spark):
     expect = whale["value"].cumsum().round(6)
     got = whale["user_total_amount"].round(6)
     pd.testing.assert_series_equal(got, expect, check_names=False)
+
+
+def test_chunked_expanding_sum_bit_exact(spark, sf_dir):
+    """The chunked (parallel-over-time) expanding sum must equal the
+    single-window expanding sum bit-for-bit on real data."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows as W
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.user_window("user_id", "ts", "event_id")
+    plain = ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("want"),
+    )
+    chunked = W.chunked_expanding_sum(ev).select("event_id", "expanding_sum")
+    j = chunked.join(plain, "event_id")
+    assert j.filter(F.col("expanding_sum") != F.col("want")).count() == 0
+    assert chunked.count() == ev.count()
+
+
+def test_chunked_expanding_sum_splits_whale(spark):
+    """A whale user spanning many days must actually get multiple
+    within-chunk window partitions (the parallelism claim), and still be
+    bit-exact."""
+    import pandas as pd
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": (
+                pd.to_datetime("2024-01-01", utc=True)
+                + pd.to_timedelta([i * 17 for i in range(n)], unit="m")
+            ),
+            "user_id": [1] * n,  # one whale
+            "value": [float((i * 13) % 997) / 7.0 for i in range(n)],
+        }
+    )
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows as W
+
+    df = spark.createDataFrame(pdf)
+    out = (
+        W.chunked_expanding_sum(df)
+        .select("event_id", "expanding_sum")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    want = pdf["value"].map(lambda v: round(v, 2)).cumsum()
+    import numpy as np
+
+    got = out["expanding_sum"].to_numpy()
+    # decimal(25,2) quantizes inputs to cents; brute force the same way
+    cents = (pdf["value"] * 100).round().astype("int64").cumsum() / 100.0
+    assert np.allclose(got, cents.to_numpy(), atol=1e-9)
+    # the whale spans ~59 days -> at least 50 distinct chunks
+    n_chunks = df.select(F.date_trunc("day", "ts")).distinct().count()
+    assert n_chunks >= 50
