@@ -1837,6 +1837,43 @@ FROM events
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: hourly per-user grid with forward-filled last
+    value (pandas resample().last().ffill())."""
+    ev = _events(spark, sf_dir)
+    out = windows.resample_ffill(ev, bucket="hour", step_s=3600)
+    return out.select(
+        "user_id", "bucket", E.r6("value_ffill").alias("value_ffill"), "has_data"
+    )
+
+
+_RESAMPLE_SQL = """
+WITH per_bucket AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+    -- DuckDB max_by has no struct ordering; (user_id, ts) is unique in
+    -- the driver tables so ts alone is the same order (Spark side keeps
+    -- the (ts, id) tiebreak for generality)
+    max_by(value, ts) AS last_val
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+)
+SELECT g.user_id, g.bucket,
+  floor((last_value(p.last_val IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000.0
+    AS value_ffill,
+  (p.last_val IS NOT NULL)::INT AS has_data
+FROM grid g LEFT JOIN per_bucket p USING (user_id, bucket)
+"""
+
+
 def q_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4: sequence-model inference hosting — W10 sliding windows built
     JVM-side, scored by an Arrow-batched mapInPandas forward pass
@@ -2095,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "sequence_score": q_sequence_score,
         "chunked_expanding_sum": q_chunked_expanding_sum,
+        "resample_ffill": q_resample_ffill,
     }
 
 
@@ -2173,4 +2211,5 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": _GROUPING_SETS_SQL,
         "sequence_score": _SEQUENCE_SCORE_SQL,
         "chunked_expanding_sum": _CHUNKED_EXPANDING_SQL,
+        "resample_ffill": _RESAMPLE_SQL,
     }

@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "robust_zscore",
     "tfidf_top_terms",
     "dedup_keep_first",
+    "revenue_by_nation",
+    "window_rank_suite",
+    "sequence_score",
+    "chunked_expanding_sum",
 ]
 
 

@@ -399,3 +399,57 @@ def chunked_expanding_sum(
     return joined.withColumn(
         out_col, (F.col("__offset") + F.col("__within")).cast("double")
     ).drop("__chunk", "__within", "__offset")
+
+
+def resample_ffill(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: one row per (user,
+    bucket) from each user's first to last event, carrying the latest
+    in-bucket aggregate forward across empty buckets (pandas
+    ``resample().last().ffill()`` / hypertable gap-fill).
+
+    Stages, all bounded: (1) per-(user, bucket) agg keeps the LAST value
+    by (ts, id) — max_by, one map-combined shuffle; (2) the dense grid is
+    a per-user `sequence()` explode — |buckets| rows per user, generated
+    executor-side, no driver loop; (3) forward fill = `last(ignorenulls)`
+    over the (user, bucket) order — one streamed window pass. Grid size
+    is data-bounded (span/step per user), the same cardinality any
+    downstream dashboard would materialize anyway.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    per_bucket = (
+        df.withColumn("__bucket", b)
+        .groupBy(user_col, "__bucket")
+        .agg(
+            F.expr(f"max_by({value_col}, struct({ts_col}, {id_col}))").alias("__last_val")
+        )
+    )
+    span = df.groupBy(user_col).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("__hi"),
+    )
+    grid = span.select(
+        user_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step_s} SECONDS"))
+        ).alias("__bucket"),
+    )
+    joined = grid.join(per_bucket, [user_col, "__bucket"], "left")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(user_col),
+        F.col("__bucket").alias("bucket"),
+        F.last("__last_val", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("__last_val").isNotNull().cast("int").alias("has_data"),
+    )
