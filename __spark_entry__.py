@@ -625,7 +625,10 @@ def q_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         E.missing_indicator(F.col("lang")).alias("lang_missing"),
         E.impute_categorical(F.col("lang")).alias("lang_imputed"),
-        E.impute_numeric(F.col("n_chars")).alias("n_chars_imputed"),
+        # n_chars is BIGINT; keep the imputed column BIGINT too (the
+        # float sentinel would otherwise coerce the whole column to
+        # DOUBLE and hash-mismatch the oracle's integer coalesce).
+        E.impute_numeric(F.col("n_chars")).cast("long").alias("n_chars_imputed"),
     )
 
 
@@ -860,24 +863,22 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_AUC_SQL = f"""
 WITH scored AS ({_SCORED_SQL}),
-scanned AS (
-  SELECT score AS threshold,
-    sum(label) OVER (ORDER BY score DESC, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
-    row_number() OVER (ORDER BY score DESC, event_id) AS cum_pred_pos,
-    sum(label) OVER () AS total_pos
-  FROM scored
+per_s AS (
+  SELECT score AS threshold, count(*) AS n, sum(label) AS d_tp
+  FROM scored GROUP BY score
 ),
-per_t AS (
-  SELECT threshold, max(cum_tp) AS tp, max(cum_pred_pos) AS pred_pos,
-         max(total_pos) AS total_pos
-  FROM scanned GROUP BY threshold
+cum AS (
+  SELECT d_tp,
+    sum(d_tp) OVER (ORDER BY threshold DESC) AS tp,
+    sum(n) OVER (ORDER BY threshold DESC) AS pred_pos,
+    sum(d_tp) OVER () AS total_pos
+  FROM per_s
 ),
 stepped AS (
-  SELECT (tp / total_pos
-          - coalesce(lag(tp / total_pos) OVER (ORDER BY threshold DESC), 0.0))
-         * (tp / pred_pos) AS ap_term
-  FROM per_t
+  -- recall step at each threshold is that threshold's positive count:
+  -- R_i - R_(i-1) = d_tp / total_pos (same increment form as the engine)
+  SELECT (d_tp::DOUBLE / total_pos) * (tp::DOUBLE / pred_pos) AS ap_term
+  FROM cum
 )
 SELECT floor(sum(ap_term) * 1000000 + 0.5) / 1000000.0 AS pr_auc FROM stepped
 """
@@ -896,21 +897,200 @@ FROM events GROUP BY user_id
 """
 
 
+def _pipeline_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IEEE-fraud-shaped transactions derived from `events`
+    by pure column arithmetic — reproducible identically in DuckDB, so the
+    END-TO-END pipeline below is hash-checkable (the rand()-seeded
+    synthetic generator is exercised separately via `synthetic_source`)."""
+    ev = _events(spark, sf_dir)
+    u = F.col("user_id")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    return ev.select(
+        F.col("event_id").alias("TransactionID"),
+        u.alias("card1"),
+        (u % 37).alias("card2"),
+        F.when(u % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("dev_"), (u % 11).cast("string")))
+        .alias("DeviceInfo"),
+        F.col("event_type").alias("ProductCD"),
+        F.when(u % 4 == 0, "visa")
+        .when(u % 4 == 1, "mastercard")
+        .when(u % 4 == 2, "amex")
+        .otherwise("discover")
+        .alias("card4"),
+        F.when(u % 2 == 0, "mobile").otherwise("desktop").alias("DeviceType"),
+        (sec - F.lit(E.REF_ORIGIN_EPOCH)).alias("TransactionDT"),
+        F.col("value").alias("TransactionAmt"),
+        (F.col("event_id") % 29 == 0).cast("int").alias("isFraud"),
+    )
+
+
 def q_fraud_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference training feature plan (train_pipeline.py:124-132;
-    SURVEY §3.1) over synthetic transactions: preprocess -> temporal ->
-    amount -> user -> velocity -> merchant -> device, ~60 engineered
-    columns in one lazy DataFrame. Rows-only check (rand() inputs are
-    env-seeded)."""
+    SURVEY §3.1): preprocess -> temporal -> amount -> user -> velocity ->
+    merchant -> device -> fillna, one lazy DataFrame. The projection keeps
+    a 30-column slice that exercises EVERY stage, with the whole chain
+    hash-checked against the composed DuckDB twin."""
     from financial_fraud_detection_using_time_series_data_spark.plans import (
         FraudPipelineConfig,
         engineer_features,
         preprocess,
     )
 
-    txns = generate_transactions(spark, n=20_000, fraud_rate=0.035, seed=42)
+    txns = _pipeline_txns(spark, sf_dir)
     cfg = FraudPipelineConfig()
-    return engineer_features(preprocess(txns, cfg), cfg)
+    out = engineer_features(preprocess(txns, cfg), cfg)
+    return out.select(
+        F.col("TransactionID").cast("long").alias("txn_id"),
+        F.col("DeviceInfo_missing").cast("int").alias("device_missing"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("dayofweek").cast("int").alias("dayofweek"),
+        F.col("is_weekend").cast("int").alias("is_weekend"),
+        F.col("is_night").cast("int").alias("is_night"),
+        E.r6("month_sin").alias("month_sin"),
+        E.r6("amount_log").alias("amount_log"),
+        E.r6("amount_decimal").alias("amount_decimal"),
+        F.col("has_decimal").cast("int").alias("has_decimal"),
+        F.col("is_round_10").cast("int").alias("is_round_10"),
+        E.r6("amount_zscore").alias("amount_zscore"),
+        F.col("amount_bin").cast("int").alias("amount_bin"),
+        E.r6("amount_percentile_user").alias("amount_percentile_user"),
+        F.col("user_txn_count_1d").cast("long").alias("user_txn_count_1d"),
+        E.r6("user_total_amount_1d").alias("user_total_amount_1d"),
+        E.r6("user_avg_amount_1d").alias("user_avg_amount_1d"),
+        E.r6("user_std_amount_1d").alias("user_std_amount_1d"),
+        E.r6("amount_deviation").alias("amount_deviation"),
+        E.r6("time_since_last_txn").alias("time_since_last_txn"),
+        F.col("is_first_txn").cast("int").alias("is_first_txn"),
+        E.r6("amount_velocity").alias("amount_velocity"),
+        E.r6("spending_rate").alias("spending_rate"),
+        E.r6("spending_acceleration").alias("spending_acceleration"),
+        E.r6("merchant_fraud_rate").alias("merchant_fraud_rate"),
+        E.r6("product_fraud_rate").alias("product_fraud_rate"),
+        E.r6("card_fraud_rate").alias("card_fraud_rate"),
+        E.r6("user_merchant_avg_amount").alias("user_merchant_avg_amount"),
+        F.col("is_first_txn_merchant").cast("int").alias("is_first_txn_merchant"),
+        F.col("is_new_device").cast("int").alias("is_new_device"),
+        F.col("is_mobile").cast("int").alias("is_mobile"),
+        F.col("users_per_device").cast("long").alias("users_per_device"),
+        F.col("devices_per_user").cast("long").alias("devices_per_user"),
+    )
+
+
+_R6 = "floor(({}) * 1000000 + 0.5) / 1000000.0"
+
+
+_FRAUD_PIPELINE_SQL = """
+WITH txn AS (
+  SELECT event_id AS tid,
+    user_id AS card1,
+    user_id % 37 AS card2,
+    CASE WHEN user_id % 7 = 0 THEN 'missing'
+         ELSE 'dev_' || (user_id % 11)::VARCHAR END AS device,
+    (user_id % 7 = 0)::INT AS device_missing,
+    event_type AS product,
+    CASE user_id % 4 WHEN 0 THEN 'visa' WHEN 1 THEN 'mastercard'
+         WHEN 2 THEN 'amex' ELSE 'discover' END AS card4,
+    (user_id % 2 = 0) AS is_mobile_b,
+    epoch_us(ts) // 1000000 AS sec,
+    date_trunc('second', ts) AS ts2,
+    coalesce(value, -999.0) AS amt,
+    (event_id % 29 = 0)::INT AS fraud
+  FROM events
+),
+stats AS (
+  SELECT sum(amt::DECIMAL(25,2))::DOUBLE / count(*) AS mu,
+         stddev_samp(amt) AS sigma
+  FROM txn
+),
+mrate AS (SELECT card2, avg(fraud) AS r FROM txn GROUP BY card2),
+prate AS (SELECT product, avg(fraud) AS r FROM txn GROUP BY product),
+crate AS (SELECT card4, avg(fraud) AS r FROM txn GROUP BY card4),
+udev AS (SELECT device, count(DISTINCT card1) AS users_per_device
+         FROM txn GROUP BY device),
+devu AS (SELECT card1, count(DISTINCT device) AS devices_per_user
+         FROM txn GROUP BY card1),
+w AS (
+  SELECT t.*,
+    row_number() OVER win - 1 AS txn_count,
+    (sum(amt::DECIMAL(25,2)) OVER winf)::DOUBLE AS exp_sum,
+    count(*) OVER winf AS exp_cnt,
+    stddev_samp(amt) OVER winf AS exp_std,
+    row_number() OVER win AS rn,
+    coalesce(sec - lag(sec) OVER win, 0.0) AS td,
+    (rank() OVER (PARTITION BY card1 ORDER BY amt)
+      + (count(*) OVER (PARTITION BY card1, amt) - 1) / 2.0)
+      / count(*) OVER (PARTITION BY card1) AS pct_user,
+    (sum(amt::DECIMAL(25,2)) OVER winp)::DOUBLE / (count(*) OVER winp)
+      AS pair_avg,
+    (row_number() OVER winpo = 1)::INT AS first_merchant,
+    (row_number() OVER wind = 1)::INT AS first_device
+  FROM txn t
+  WINDOW win AS (PARTITION BY card1 ORDER BY sec, tid),
+    winf AS (PARTITION BY card1 ORDER BY sec, tid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    winp AS (PARTITION BY card1, card2 ORDER BY sec, tid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    winpo AS (PARTITION BY card1, card2 ORDER BY sec, tid),
+    wind AS (PARTITION BY card1, device ORDER BY sec, tid)
+),
+v AS (
+  SELECT w.*,
+    exp_sum / exp_cnt AS exp_avg,
+    CASE WHEN td = 0 THEN 1.0 ELSE td END AS td_repl,
+    amt / (CASE WHEN td = 0 THEN 1.0 ELSE td END + 1.0) AS sr
+  FROM w
+),
+v2 AS (
+  SELECT v.*,
+    coalesce(sr - lag(sr) OVER (PARTITION BY card1 ORDER BY sec, tid), 0.0)
+      AS sacc
+  FROM v
+)
+SELECT tid AS txn_id,
+  device_missing,
+  hour(ts2)::INT AS hour,
+  ((dayofweek(ts2) + 6) % 7)::INT AS dayofweek,
+  (((dayofweek(ts2) + 6) % 7) >= 5)::INT AS is_weekend,
+  (hour(ts2) >= 22 OR hour(ts2) <= 6)::INT AS is_night,
+  floor((sin(2 * pi() * month(ts2) / 12.0)) * 1000000 + 0.5) / 1000000.0 AS month_sin,
+  floor((ln(1 + amt)) * 1000000 + 0.5) / 1000000.0 AS amount_log,
+  floor((fmod(amt, 1.0)) * 1000000 + 0.5) / 1000000.0 AS amount_decimal,
+  (fmod(amt, 1.0) > 0)::INT AS has_decimal,
+  (fmod(amt, 10.0) = 0)::INT AS is_round_10,
+  floor(((amt - stats.mu) / (stats.sigma + 1.0)) * 1000000 + 0.5) / 1000000.0 AS amount_zscore,
+  (CASE WHEN amt <= 50 THEN 0 WHEN amt <= 100 THEN 1 WHEN amt <= 200 THEN 2
+        WHEN amt <= 500 THEN 3 WHEN amt <= 1000 THEN 4 WHEN amt <= 5000 THEN 5
+        ELSE 6 END)::INT AS amount_bin,
+  floor((pct_user) * 1000000 + 0.5) / 1000000.0 AS amount_percentile_user,
+  txn_count::BIGINT AS user_txn_count_1d,
+  floor((exp_sum) * 1000000 + 0.5) / 1000000.0 AS user_total_amount_1d,
+  floor((exp_avg) * 1000000 + 0.5) / 1000000.0 AS user_avg_amount_1d,
+  floor((coalesce(exp_std, -999.0)) * 1000000 + 0.5) / 1000000.0 AS user_std_amount_1d,
+  floor(((amt - exp_avg) / (coalesce(exp_std, 1.0) + 1.0)) * 1000000 + 0.5) / 1000000.0
+    AS amount_deviation,
+  floor((td) * 1000000 + 0.5) / 1000000.0 AS time_since_last_txn,
+  (rn = 1)::INT AS is_first_txn,
+  floor((exp_sum / rn) * 1000000 + 0.5) / 1000000.0 AS amount_velocity,
+  floor((sr) * 1000000 + 0.5) / 1000000.0 AS spending_rate,
+  floor((sacc) * 1000000 + 0.5) / 1000000.0 AS spending_acceleration,
+  floor((mrate.r) * 1000000 + 0.5) / 1000000.0 AS merchant_fraud_rate,
+  floor((prate.r) * 1000000 + 0.5) / 1000000.0 AS product_fraud_rate,
+  floor((crate.r) * 1000000 + 0.5) / 1000000.0 AS card_fraud_rate,
+  floor((pair_avg) * 1000000 + 0.5) / 1000000.0 AS user_merchant_avg_amount,
+  first_merchant AS is_first_txn_merchant,
+  first_device AS is_new_device,
+  is_mobile_b::INT AS is_mobile,
+  udev.users_per_device::BIGINT AS users_per_device,
+  devu.devices_per_user::BIGINT AS devices_per_user
+FROM v2
+CROSS JOIN stats
+JOIN mrate USING (card2)
+JOIN prate USING (product)
+JOIN crate USING (card4)
+JOIN udev USING (device)
+JOIN devu USING (card1)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1037,11 +1217,30 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 dedup throughput path: blocked numpy matrix products via
-    applyInPandas (rows-only check: BLAS summation order differs from the
-    SQL oracle at the last bit, which can flip a 6dp rounding boundary)."""
+    applyInPandas. Hash-checked against the same pair set as the exact
+    variant but at 5dp: BLAS reassociates the dot-product sum, so the
+    result differs from DuckDB's sequential fold in the last ulp
+    (~1e-15 relative) — a 5dp boundary flip needs ~1e-10 proximity,
+    so the coarser rounding makes the comparison robust."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = dedup.embedding_near_dup_blocked(emb, threshold=0.4)
-    return out.select("id_a", "id_b", E.r6("cos_sim").alias("cos_sim"))
+    r5 = F.floor(F.col("cos_sim") * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)
+    return out.select("id_a", "id_b", r5.alias("cos_sim"))
+
+
+_EMB_NEAR_DUP_BLOCKED_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
+      AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+  floor(cos_sim * 100000 + 0.5) / 100000.0 AS cos_sim
+FROM p WHERE cos_sim >= 0.4
+"""
 
 
 _EMB_NEAR_DUP_SQL = """
@@ -1803,12 +2002,14 @@ FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
 
 
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile bucketing via ntile(10) over the global value order — the
+    """Quantile bucketing with exact ntile(10) semantics — the
     window-function sibling of F7 binning (equal-frequency instead of
-    fixed splits)."""
+    fixed splits), computed via the chunked global rank instead of a
+    single-task `Window.orderBy(value)` (the oracle below IS the global
+    ntile, so the decomposition is proven exact)."""
     ev = _events(spark, sf_dir)
-    w = Window.orderBy("value", "event_id")
-    return ev.select("event_id", F.ntile(10).over(w).alias("decile"))
+    out = relational.ntile_buckets(ev, "value", 10, "event_id", out_col="decile")
+    return out.select("event_id", "decile")
 
 
 _NTILE_SQL = """
@@ -2045,15 +2246,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is deliberate: the external driver hash-checks the
+    FIRST 50 entries against ``oracle_sql()``, so the head of the dict is
+    composed to cover the widest spread of distinct operator families with
+    oracle-checkable queries; rows-only entries (approximate / env-seeded /
+    sketch outputs) sit at the tail."""
     return {
-        # window engine (W1-W10)
-        "user_expanding_features": q_user_expanding_features,
-        "velocity_features": q_velocity_features,
+        # -- driver window: oracle-checkable, one per operator family ----
+        # window engine (W1-W11, W-corr)
         "behavioral_features": q_behavioral_features,
         "time_bounded_features": q_time_bounded_features,
         "pct_rank_pandas": q_pct_rank_pandas,
         "first_flags": q_first_flags,
         "sliding_sequence": q_sliding_sequence,
+        "padded_sequence": q_padded_sequence,
+        "last_known_value": q_last_known_value,
+        "value_range_window": q_value_range_window,
+        "window_rank_suite": q_window_rank_suite,
+        "chunked_expanding_sum": q_chunked_expanding_sum,
         # relational core
         "groupby_agg": q_groupby_agg,
         "left_join": q_left_join,
@@ -2064,7 +2274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "top_k": q_top_k,
         "filter_project": q_filter_project,
-        "cardinality": q_cardinality,
         "group_describe": q_group_describe,
         "numeric_profile": q_numeric_profile,
         "corr_vector": q_corr_vector,
@@ -2078,61 +2287,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_weights": q_class_weights,
         # engine-surface extensions
         "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
         "set_ops": q_set_ops,
         "pivot_counts": q_pivot_counts,
-        "last_known_value": q_last_known_value,
         "json_extract": q_json_extract,
-        "padded_sequence": q_padded_sequence,
         "score_events": q_score_events,
         "label_encode": q_label_encode,
+        "grouping_sets": q_grouping_sets,
         # evaluation engine
         "confusion_metrics": q_confusion_metrics,
         "threshold_sweep": q_threshold_sweep,
-        "pr_curve": q_pr_curve,
-        "best_threshold": q_best_threshold,
         "roc_auc": q_roc_auc,
         "pr_auc": q_pr_auc,
-        "salted_agg": q_salted_agg,
-        "fraud_feature_pipeline": q_fraud_feature_pipeline,
-        # M8: text / dedup / similarity
-        "text_features": q_text_features,
-        "token_stats": q_token_stats,
-        "exact_dedup": q_exact_dedup,
-        "word_ngram_jaccard": q_word_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
-        "near_dup_pairs": q_near_dup_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "multimodal_features": q_multimodal_features,
-        "brute_force_topk": q_brute_force_topk,
-        "lsh_topk": q_lsh_topk,
-        # sources
-        "synthetic_source": q_synthetic_source,
-        # round-2: temporal joins / sessions / quantiles / text / ANN
+        "best_threshold": q_best_threshold,
+        # temporal joins / sessions / rollups
         "asof_join": q_asof_join,
-        "range_join_count": q_range_join_count,
         "sessionize": q_sessionize,
+        "revenue_by_nation": q_revenue_by_nation,
+        "semi_anti_join": q_semi_anti_join,
+        "resample_ffill": q_resample_ffill,
+        # M8: LLM-data-pipeline (oracle-backed picks)
+        "exact_dedup": q_exact_dedup,
+        "text_features": q_text_features,
+        "embedding_near_dup": q_embedding_near_dup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        # -- entry 51+: still oracle-backed (local parity tests cover) ---
+        "user_expanding_features": q_user_expanding_features,
+        "velocity_features": q_velocity_features,
+        "cube_agg": q_cube_agg,
+        "pr_curve": q_pr_curve,
+        "salted_agg": q_salted_agg,
+        "cardinality": q_cardinality,
+        "range_join_count": q_range_join_count,
         "session_agg": q_session_agg,
         "time_bucket_rollup": q_time_bucket_rollup,
         "group_quantiles": q_group_quantiles,
         "robust_zscore": q_robust_zscore,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_keep_first": q_dedup_keep_first,
-        "ivf_topk": q_ivf_topk,
-        "semi_anti_join": q_semi_anti_join,
         "full_outer_join": q_full_outer_join,
         "ntile_deciles": q_ntile_deciles,
-        "revenue_by_nation": q_revenue_by_nation,
-        "value_range_window": q_value_range_window,
-        "approx_profile": q_approx_profile,
-        "window_rank_suite": q_window_rank_suite,
         "edit_distance_pairs": q_edit_distance_pairs,
-        "grouping_sets": q_grouping_sets,
         "sequence_score": q_sequence_score,
-        "chunked_expanding_sum": q_chunked_expanding_sum,
-        "resample_ffill": q_resample_ffill,
+        "token_stats": q_token_stats,
+        "word_ngram_jaccard": q_word_ngram_jaccard,
+        "near_dup_pairs": q_near_dup_pairs,
+        "brute_force_topk": q_brute_force_topk,
+        "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
+        "fraud_feature_pipeline": q_fraud_feature_pipeline,
+        # -- rows-only tail: approximate / env-seeded / sketch outputs ---
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "synthetic_source": q_synthetic_source,
+        "approx_profile": q_approx_profile,
     }
 
 
@@ -2181,12 +2389,13 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc": _ROC_AUC_SQL,
         "pr_auc": _PR_AUC_SQL,
         "salted_agg": _SALTED_AGG_SQL,
-        # fraud_feature_pipeline: rows-only (env-seeded rand inputs)
+        "fraud_feature_pipeline": _FRAUD_PIPELINE_SQL,
         "text_features": _text_features_sql(),
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "word_ngram_jaccard": _WORD_NGRAM_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "embedding_near_dup_blocked": _EMB_NEAR_DUP_BLOCKED_SQL,
         "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,
         # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)

@@ -10,6 +10,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import r6
+from .chunked import chunk_offsets as _chunk_offsets
+from .chunked import range_chunk as _range_chunk
 
 COST_FN = 1000.0  # missed fraud  (config/config.yaml:91-93)
 COST_FP = 10.0    # false alarm
@@ -45,25 +47,52 @@ def classification_metrics(df: DataFrame, label: str, score: str, threshold: flo
     )
 
 
-def _pr_points(df: DataFrame, label: str, score: str, id_col: str) -> DataFrame:
-    """Shared sorted-cumsum core of pr_curve / average_precision:
-    (threshold, tp, pred_pos, total_pos) at every distinct score."""
-    w = Window.orderBy(F.col(score).desc(), F.col(id_col))
-    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total_pos = F.sum(F.col(label)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+def _pr_points(df: DataFrame, label: str, score: str, id_col: str, n_chunks: int = 32) -> DataFrame:
+    """Shared cumsum core of pr_curve / average_precision:
+    (threshold, tp, pred_pos, total_pos, d_tp) at every distinct score.
+
+    Scale shape (no global-order window anywhere): (1) collapse to one row
+    per DISTINCT score with (count, positives) — one hash shuffle; (2)
+    percentile-chunk the score axis (`_range_chunk`) so the descending
+    prefix sums run as |chunks| PARALLEL per-chunk windows; (3) roll the
+    per-chunk totals into exclusive offsets with a triangular broadcast
+    join over ≤ n_chunks rows; (4) cum = offset + within-chunk. Integer
+    sums, so the split is bit-identical to a single sorted scan. Continuous
+    scores (|distinct| ≈ |rows|) no longer funnel into one task — this is
+    the fix for the round-2 `WindowExec: No Partition Defined` hazard."""
+    per_score = df.groupBy(F.col(score).alias("threshold")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label).cast("long")).alias("__npos"),
     )
-    scanned = df.select(
-        F.col(score).alias("threshold"),
-        F.sum(label).over(frame).alias("cum_tp"),
-        F.row_number().over(w).alias("cum_pred_pos"),
-        total_pos.alias("total_pos"),
+    chunked = _range_chunk(per_score, "threshold", n_chunks, descending=True)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # keep the LAST row per distinct threshold (ties share a threshold)
-    return scanned.groupBy("threshold").agg(
-        F.max("cum_tp").alias("tp"),
-        F.max("cum_pred_pos").alias("pred_pos"),
-        F.max("total_pos").alias("total_pos"),
+    within = chunked.select(
+        "threshold",
+        "__chunk",
+        F.col("__npos").alias("__d_tp"),
+        F.sum("__npos").over(w_in).alias("__tp_in"),
+        F.sum("__n").over(w_in).alias("__pp_in"),
+    )
+    totals = chunked.groupBy("__chunk").agg(
+        F.sum("__npos").alias("__tp"), F.sum("__n").alias("__pp")
+    )
+    offsets = _chunk_offsets(totals, ["__tp", "__pp"])
+    # total positives from the tiny chunk-totals table — no extra full scan
+    tot = totals.agg(F.sum("__tp").alias("total_pos"))
+    return (
+        within.join(F.broadcast(offsets), "__chunk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            (F.col("__tp_off") + F.col("__tp_in")).alias("tp"),
+            (F.col("__pp_off") + F.col("__pp_in")).alias("pred_pos"),
+            "total_pos",
+            F.col("__d_tp").alias("d_tp"),
+        )
     )
 
 
@@ -143,22 +172,36 @@ def roc_auc(df: DataFrame, label: str, score: str) -> DataFrame:
     with tied scores getting the average rank (sklearn semantics).
 
     Scale shape: aggregate per DISTINCT score first (one hash-agg
-    shuffle), rank the distinct-score table analytically from cumulative
-    counts, then one scalar agg. The global-order window runs over
-    |distinct scores| rows, not |rows| — at 100 TB the raw table is never
-    globally sorted. Returns one row: (roc_auc).
+    shuffle), then compute the cumulative count with the same chunked
+    two-phase prefix sum as `_pr_points` — per-chunk parallel windows +
+    triangular offset join — because continuous scores mean |distinct| ≈
+    |rows| and a global-order window over them would still be a single
+    task. Returns one row: (roc_auc).
     """
     per_score = df.groupBy(F.col(score).alias("s")).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col(label).cast("long")).cast("double").alias("npos"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label).cast("long")).alias("npos"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per_score.select(
-        "n",
-        "npos",
+    chunked = _range_chunk(per_score, "s", 32, descending=False)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = chunked.select(
+        "n", "npos", "__chunk", F.sum("n").over(w_in).alias("__cn_in")
+    )
+    totals = chunked.groupBy("__chunk").agg(F.sum("n").alias("__cn"))
+    offsets = _chunk_offsets(totals, ["__cn"])
+    ranked = within.join(F.broadcast(offsets), "__chunk").select(
+        F.col("n").cast("double").alias("n"),
+        F.col("npos").cast("double").alias("npos"),
         # ranks occupied by this score group: (cum_n - n + 1) .. cum_n;
         # average rank = cum_n - (n - 1)/2
-        (F.sum("n").over(w) - (F.col("n") - 1) / 2).alias("avgrank"),
+        (
+            (F.col("__cn_off") + F.col("__cn_in")).cast("double")
+            - (F.col("n").cast("double") - 1) / 2
+        ).alias("avgrank"),
     )
     agg = ranked.agg(
         F.sum(F.col("npos") * F.col("avgrank")).alias("pos_rank_sum"),
@@ -178,14 +221,13 @@ def average_precision(df: DataFrame, label: str, score: str, id_col: str) -> Dat
     """E1: PR-AUC as average precision, AP = sum_i (R_i - R_{i-1}) * P_i
     over distinct thresholds in descending-score order (sklearn's
     step-function definition, not a trapezoid). Built on the pr_curve
-    sorted-cumsum plan. Returns one row: (pr_auc)."""
+    chunked-cumsum plan; the recall STEP at each threshold is just that
+    threshold's positive count (R_i - R_{i-1} = d_tp_i / total_pos), so no
+    lag window — not even a partitioned one — is needed. Returns one row:
+    (pr_auc)."""
     curve = _pr_points(df, label, score, id_col)
-    w = Window.orderBy(F.col("threshold").desc())
     prec = F.col("tp") / F.col("pred_pos")
-    rec = F.col("tp") / F.col("total_pos")
     stepped = curve.select(
-        (
-            (rec - F.coalesce(F.lag(rec).over(w), F.lit(0.0))) * prec
-        ).alias("ap_term")
+        (F.col("d_tp") / F.col("total_pos") * prec).alias("ap_term")
     )
     return stepped.agg(r6(F.sum("ap_term")).alias("pr_auc"))

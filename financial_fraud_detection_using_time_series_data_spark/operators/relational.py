@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import chunked
+
 
 def left_join(
     fact: DataFrame, dim: DataFrame, on: str | list[str], broadcast_dim: bool = True
@@ -90,21 +92,54 @@ def time_split(
 ) -> DataFrame:
     """O3 (preprocessor.py:73-105): chronological 70/15/15 train/val/test.
 
-    percent_rank over a global time order — Spark range-partitions the sort,
-    so this scales; the reference does a full in-RAM sort + positional
-    slice. NOTE percent_rank is (rank-1)/(n-1); to match positional
-    slicing exactly we use row_number vs count thresholds.
+    Scale shape: exact global row_number via the percentile-CHUNKED rank
+    (`chunked.global_rank`) — per-chunk parallel windows + a triangular
+    offset join — instead of a partitionless `Window.orderBy(ts)` that
+    would stream the whole table through one task. The total count rides
+    along from the chunk totals, so there is no eager `df.count()` action
+    either: the split stays a lazy, composable transformation. Matches
+    the reference's positional slice exactly (row_number vs floor(n·f)
+    thresholds).
     """
     assert abs(sum(fracs) - 1.0) < 1e-9
     order = [ts_col] + ([tiebreak] if tiebreak else [])
-    w = Window.orderBy(*order)
-    n = df.count()
-    t1, t2 = int(n * fracs[0]), int(n * (fracs[0] + fracs[1]))
-    rn = F.row_number().over(w)
-    return df.withColumn(
+    base = df.withColumn("__k", F.col(ts_col).cast("double"))
+    ranked = chunked.global_rank(base, "__k", order, rank_col="__rn", count_col="__n")
+    rn, n = F.col("__rn"), F.col("__n")
+    t1 = F.floor(n * F.lit(fracs[0]))
+    t2 = F.floor(n * F.lit(fracs[0] + fracs[1]))
+    return ranked.withColumn(
         split_col,
         F.when(rn <= t1, "train").when(rn <= t2, "val").otherwise("test"),
+    ).drop("__k", "__rn", "__n")
+
+
+def ntile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    tiebreak: str,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency bucketing: EXACT ``ntile(k) OVER (ORDER BY value,
+    tiebreak)`` semantics without the global single-task window — chunked
+    global rank (`chunked.global_rank`) + the standard SQL ntile
+    assignment (the first ``n mod k`` buckets take the extra row).
+
+    When ``n < k`` the remainder branch never fires (every row is covered
+    by the size-1 leading buckets), so the q=0 division can't surface.
+    """
+    base = df.withColumn("__k", F.col(value_col).cast("double"))
+    ranked = chunked.global_rank(base, "__k", [value_col, tiebreak])
+    rn, n = F.col("__rn"), F.col("__n")
+    q = F.floor(n / n_buckets)
+    r = n % n_buckets
+    big = q + 1
+    cutoff = r * big
+    bucket = F.when(rn <= cutoff, F.ceil(rn / big)).otherwise(
+        r + F.ceil((rn - cutoff) / q)
     )
+    return ranked.withColumn(out_col, bucket).drop("__k", "__rn", "__n")
 
 
 def top_k(df: DataFrame, by: str | Column, k: int, ascending: bool = False) -> DataFrame:

@@ -135,10 +135,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into nlist cells (nearest
     seed centroid), probe only the nprobe cells nearest each query, exact
     cosine re-rank within probed cells.
+
+    ``exclude_self=True`` (default) assumes queries are drawn FROM the
+    corpus and share its id space, dropping the trivial self-match by id
+    equality. Pass ``exclude_self=False`` when query ids live in an
+    independent domain — otherwise a legitimate neighbor whose vec_id
+    happens to collide with a qid would be silently dropped.
 
     Seeds are the first nlist vectors by id — deterministic, no RNG/k-means
     state (a Lloyd refinement would slot in here as an iterative groupBy-
@@ -176,9 +183,9 @@ def ivf_topk(
         .select(qid_col, "qvec", "cell_id")
     )
     # search only within probed cells
-    joined = assigned.join(F.broadcast(probes), "cell_id").filter(
-        F.col(id_col) != F.col(qid_col)
-    )
+    joined = assigned.join(F.broadcast(probes), "cell_id")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col, id_col, r6(cosine(F.col(vec_col), F.col("qvec"))).alias("cos_sim")
     )

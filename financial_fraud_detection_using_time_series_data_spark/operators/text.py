@@ -59,7 +59,6 @@ def stopword_ratio(text: Column) -> Column:
     the n-gram-free language/quality heuristic."""
     toks = tokens(text)
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_sw = F.size(F.array_intersect(toks, sw))  # distinct-wise; cheap proxy
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
 

@@ -395,7 +395,13 @@ def chunked_expanding_sum(
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__chunk_total").over(w_off), F.lit(0).cast("decimal(25,2)"))
     ).select(user_col, "__chunk", "__offset")
-    joined = within.join(F.broadcast(offsets), [user_col, "__chunk"])
+    # No broadcast hint: the offsets table is |users|·|chunks| rows — small
+    # for the whale-rescue case this exists for (few hot keys, many
+    # chunks), but with MANY users × many chunks it can exceed driver /
+    # broadcast limits. Let AQE pick broadcast vs shuffle from the actual
+    # runtime size; the join key (user, chunk) is the same key `within`
+    # was just shuffled on, so the fallback shuffle is cheap.
+    joined = within.join(offsets, [user_col, "__chunk"])
     return joined.withColumn(
         out_col, (F.col("__offset") + F.col("__within")).cast("double")
     ).drop("__chunk", "__within", "__offset")

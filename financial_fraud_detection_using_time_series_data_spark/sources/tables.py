@@ -35,6 +35,12 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient on TIMESTAMP(NANOS) parquet: the driver (or any
+    # embedding app) may hand us a vanilla SparkSession without the
+    # legacy nanos config, and the scan then dies with
+    # PARQUET_TYPE_ILLEGAL. Setting the conf at read time is safe — it
+    # is a runtime-settable SQL conf — and idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

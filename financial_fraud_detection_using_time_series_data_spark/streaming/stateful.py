@@ -243,9 +243,12 @@ def stateful_user_features_tws(
         F.unix_micros(F.col(ts_col)).alias("event_ts_us"),
         F.col(amount_col).cast("double").alias("value"),
     )
+    # TTL on ValueState requires TimeMode.ProcessingTime — Spark 4 throws
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL if the query
+    # runs with timeMode="None" while the processor registers a TTL.
     return prepped.groupBy("user_id").transformWithStateInPandas(
         ExpandingFeatureProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime",
     )

@@ -135,6 +135,38 @@ def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
 
 
+def test_no_partitionless_windows_in_global_order_family(spark, sf_dir):
+    """The round-2 scale-killers (global-order windows funneling the whole
+    table through ONE task — 'WindowExec: No Partition Defined') must stay
+    fixed: every Window node in these plans needs a partition spec.
+
+    In the simple-plan string a partitionless window prints
+    'windowspecdefinition(<order>, <frame>)' with no partition columns
+    BEFORE the ordering spec; a partitioned one leads with the partition
+    exprs. We detect the bad form via the WindowExec node's partition
+    argument list being empty: 'Window [..], [..ASC..]' with only two
+    bracket groups (expr list + order) instead of three."""
+    import re
+
+    for name in (
+        "time_split",
+        "ntile_deciles",
+        "pr_curve",
+        "pr_auc",
+        "best_threshold",
+        "roc_auc",
+    ):
+        df = spark_entry.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow\b(.*)", line)
+            if m is None:
+                continue
+            # partitioned WindowExec prints: Window [exprs], [partition], [order]
+            groups = re.findall(r"\[[^\[\]]*\]", m.group(1))
+            assert len(groups) >= 3, f"{name}: partitionless window:\n{line.strip()}"
+
+
 def test_sessionize_reuses_exchange(spark, sf_dir):
     """Sessionize = lag flag + running sum over the SAME user-key sort:
     one hash exchange total."""
