@@ -1604,6 +1604,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=2)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: the full 100 TB embedding-dedup composition — banded
+    random-hyperplane LSH prefilter, exact BLAS verify inside buckets,
+    cross-band dedup. Rows-only check (recall < 1 by design; the recall
+    floor vs the exact all-pairs path is pinned by
+    tests/test_dedup_composition.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = dedup.embedding_near_dup_lsh(emb, dim=64, threshold=0.4)
+    return out.select("id_a", "id_b", E.r6("cos_sim").alias("cos_sim"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: 32-bit SimHash signatures (rows-only: bit arithmetic is
     Spark-side only)."""
@@ -2334,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "fraud_feature_pipeline": q_fraud_feature_pipeline,
         # -- rows-only tail: approximate / env-seeded / sketch outputs ---
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,

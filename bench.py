@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "embedding_near_dup_blocked",
+    "embedding_near_dup_lsh",
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",

@@ -130,6 +130,51 @@ def train_gbt(
     return Pipeline(stages=[gbt]).fit(train)
 
 
+def train_gbt_early_stop(
+    train: DataFrame,
+    cfg: FraudModelConfig = FraudModelConfig(),
+    max_iter_grid: tuple[int, ...] = (10, 20, 30),
+    seed: int = 42,
+    train_ratio: float = 0.8,
+):
+    """Early-stopping analog (reference ``lightgbm_model.py:95-105``
+    ``early_stopping_rounds=50``): MLlib exposes no per-iteration
+    validation callback, so the same decision — "stop boosting when the
+    validation metric stops improving" — is made by validation-driven
+    selection of the boosting LENGTH: ``TrainValidationSplit`` over a
+    ``maxIter`` grid keeps the model whose held-out AUC is best. The grid
+    models train concurrently (``parallelism=len(grid)``), each a normal
+    distributed GBT fit, so the extra cost is bounded by the largest
+    grid entry, not the grid size.
+
+    Returns the fitted TrainValidationSplitModel: ``.bestModel`` is the
+    selected GBT, ``.validationMetrics`` the per-grid-entry AUCs.
+    """
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    gbt = GBTClassifier(
+        labelCol=cfg.label_col,
+        featuresCol=cfg.features_col,
+        weightCol=cfg.weight_col,
+        maxDepth=cfg.max_depth,
+        stepSize=cfg.step_size,
+        subsamplingRate=cfg.subsample,
+        seed=seed,
+    )
+    grid = ParamGridBuilder().addGrid(gbt.maxIter, list(max_iter_grid)).build()
+    tvs = TrainValidationSplit(
+        estimator=gbt,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(
+            labelCol=cfg.label_col, metricName="areaUnderROC"
+        ),
+        trainRatio=train_ratio,
+        parallelism=len(grid),
+        seed=seed,
+    )
+    return tvs.fit(train)
+
+
 def score_column(model, df: DataFrame, out_col: str) -> DataFrame:
     """M2: probability-of-fraud as a plain double column; drops the
     intermediate ml vectors so models can be chained (J3/ensemble concat)."""

@@ -343,6 +343,96 @@ def embedding_near_dup_blocked(
     )
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Embedding near-dup, the END-TO-END 100 TB path: banded random-
+    hyperplane LSH prefilter → EXACT numpy-matmul verification inside each
+    (band, signature) bucket → cross-band pair dedup.
+
+    This is the composition the blocked all-pairs docstring points at:
+    instead of n² flops over the corpus, each vector is replicated
+    n_bands× and all-pairs runs only WITHIN buckets of expected size
+    |corpus|/2^n_planes — total cost ~ n_bands · Σ bucket², linear-ish
+    when signatures spread. Two candidate pairs colliding in several
+    bands produce identical cosines (a pair's dot product is order-
+    independent), so the final groupBy-max dedup is exact. Recall < 1 by
+    design (tune n_planes↓ / n_bands↑ for higher recall; the recall test
+    pins ≥ 0.6 at cos≥0.4 on the test corpus with these defaults, and
+    every emitted pair is exact-verified, so precision is 1 vs the
+    all-pairs oracle by construction).
+
+    One shuffle on (band, sig); the signature pass is map-only JVM fold
+    arithmetic (`rh_signature`), the verify is Arrow-batched BLAS.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .similarity import rh_signature
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    sigs = base.select(
+        "id",
+        "v",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    rh_signature(F.col("v"), dim, n_planes, band=b).alias("sig"),
+                )
+                for b in range(n_bands)
+            ]
+        ).alias("__bands"),
+    )
+    exploded = sigs.select(
+        "id", "v", F.explode("__bands").alias("bs")
+    ).select("id", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ia, ib = np.where(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    candidates = exploded.groupBy("band", "sig").applyInPandas(
+        _bucket, schema=out_schema
+    )
+    return candidates.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
+
+
 def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup, survivor form: the full surviving rows (first id per
     normalized-text fingerprint) rather than the group summary — what a

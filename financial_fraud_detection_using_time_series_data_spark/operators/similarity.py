@@ -69,7 +69,7 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
-def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def rh_signature(vec: Column, dim: int, n_planes: int = 8, band: int = 0) -> Column:
     """Random-hyperplane LSH signature as an int (bit b = sign of dot with
     plane b).
 
@@ -81,9 +81,13 @@ def rh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     # one py4j call: ship the whole matrix as SQL text, parsed JVM-side
     # into a foldable array literal (F.lit on a nested python list walks
     # every element through py4j — ~0.3s at 6×64)
+    # `band` offsets the plane seeds so multi-band LSH (banded dedup) gets
+    # independent signatures; band=0 reproduces the historical planes
     matrix_sql = "array({})".format(
         ", ".join(
-            "array({})".format(", ".join(f"{v!r}D" for v in _plane(dim, b)))
+            "array({})".format(
+                ", ".join(f"{v!r}D" for v in _plane(dim, band * n_planes + b))
+            )
             for b in range(n_planes)
         )
     )

@@ -25,10 +25,26 @@ def generate_transactions(
     fraud_rate: float = 0.035,
     seed: int = 42,
     n_days: int = 30,
+    signal: str = "mild",
 ) -> DataFrame:
+    """``signal`` selects the planted fraud signal strength:
+
+    - ``"mild"`` (default): amount scales 120/180 with no floor, V-column
+      shifts 0.5·sin(i) — a deliberately hard set that keeps AUC away
+      from 1.0 so ensemble/threshold logic stays exercised.
+    - ``"reference"``: the reference generator's own distributions
+      (``loader.py:108-180``): legit amounts Exp(50), fraud amounts
+      Exp(200)+100 (the +100 floor is most of its separability), V-column
+      fraud means Uniform(-1,1) per column — the set on which the
+      reference reports its published ROC-AUC ≈ 0.94.
+    """
+    import random as _random
+
     df = spark.range(0, n).withColumnRenamed("id", "TransactionID")
     u = lambda s: F.rand(seed + s)
     g = lambda s: F.randn(seed + s)
+    _ref = signal == "reference"
+    _vshift = _random.Random(seed)  # per-V-column deterministic means
 
     df = df.withColumn("isFraud", (u(1) < F.lit(fraud_rate)).cast("int"))
     # sorted uniform timestamps over n_days (reference sorts after draw;
@@ -41,8 +57,13 @@ def generate_transactions(
     )
     # exponential amounts, fraud-shifted, clipped to [1, 10000]
     # (loader.py:119-128): inverse-CDF from uniform
-    amt_scale = F.when(F.col("isFraud") == 1, 180.0).otherwise(120.0)
-    amt = -amt_scale * F.log(F.lit(1.0) - u(3))
+    if _ref:
+        amt = F.when(
+            F.col("isFraud") == 1, -200.0 * F.log(F.lit(1.0) - u(3)) + F.lit(100.0)
+        ).otherwise(-50.0 * F.log(F.lit(1.0) - u(3)))
+    else:
+        amt_scale = F.when(F.col("isFraud") == 1, 180.0).otherwise(120.0)
+        amt = -amt_scale * F.log(F.lit(1.0) - u(3))
     df = df.withColumn("TransactionAmt", F.greatest(F.least(amt, F.lit(10000.0)), F.lit(1.0)))
 
     n_users = max(n // 5, 1)
@@ -87,7 +108,8 @@ def generate_transactions(
     )
     # V-columns: standard normal, fraud-mean-shifted (loader.py:164-174)
     for i in range(1, 20):
-        shift = F.when(F.col("isFraud") == 1, F.lit(0.5 * math.sin(i))).otherwise(F.lit(0.0))
+        mean_i = _vshift.uniform(-1.0, 1.0) if _ref else 0.5 * math.sin(i)
+        shift = F.when(F.col("isFraud") == 1, F.lit(mean_i)).otherwise(F.lit(0.0))
         v = F.when(u(100 + i) < 0.1, F.lit(None).cast("double")).otherwise(g(200 + i) + shift)
         df = df.withColumn(f"V{i}", v)
     return df

@@ -1,0 +1,39 @@
+"""Recall/precision contract of the banded-LSH embedding dedup (the
+100 TB composition) against the exact all-pairs path."""
+
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import dedup
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+
+def test_lsh_dedup_recall_and_exactness(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup.embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup.embedding_near_dup_lsh(emb, dim=64, threshold=0.4).collect()
+    }
+    assert exact, "test corpus must contain near-dup pairs"
+    # precision: every emitted pair is exact-verified inside its bucket,
+    # so it MUST appear in the all-pairs result
+    assert set(lsh) <= set(exact), sorted(set(lsh) - set(exact))[:5]
+    # values agree to rounding (BLAS vs fold differ in the last ulp)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+    # recall floor at the default (n_planes=4, n_bands=16) banding
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} below floor ({len(lsh)}/{len(exact)})"
+
+
+def test_lsh_dedup_single_shuffle_shape(spark, sf_dir):
+    """The candidate stage must shuffle ONCE on (band, sig) — signatures
+    are map-side fold arithmetic, not a join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup_lsh(emb, dim=64, threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]

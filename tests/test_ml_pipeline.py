@@ -62,6 +62,35 @@ def test_fraud_plan_no_leaked_nulls(engineered):
     assert all(v == 0 for v in null_counts)
 
 
+def test_gbt_early_stop_selection(spark, engineered):
+    """Validation-driven maxIter selection (the MLlib early-stopping
+    analog): TrainValidationSplit must produce one AUC per grid entry and
+    keep the best model."""
+    from financial_fraud_detection_using_time_series_data_spark.ml.pipeline import (
+        train_gbt_early_stop,
+    )
+
+    cfg = FraudModelConfig(max_iter=8, max_depth=3)
+    weighted = add_class_weights(engineered)
+    num_cols = [
+        c for c, t in weighted.dtypes
+        if t in ("double", "int", "bigint")
+        and c not in ("isFraud", "TransactionID", "weight")
+    ][:20]
+    feat = build_feature_pipeline(weighted, ["ProductCD"], num_cols)
+    prepped = feat.fit(weighted).transform(weighted)
+    tvs_model = train_gbt_early_stop(
+        prepped, cfg, max_iter_grid=(2, 5), seed=3
+    )
+    assert len(tvs_model.validationMetrics) == 2
+    assert all(0.0 <= m <= 1.0 for m in tvs_model.validationMetrics)
+    chosen = tvs_model.bestModel.getMaxIter()
+    assert chosen in (2, 5)
+    # the best model scores like any other GBT
+    scored = tvs_model.bestModel.transform(prepped)
+    assert "probability" in scored.columns
+
+
 def test_gbt_train_score_ensemble(spark, engineered):
     cfg = FraudModelConfig(max_iter=8, max_depth=4, seeds=(42, 202))
     weighted = add_class_weights(engineered)

@@ -80,6 +80,39 @@ def test_chunked_expanding_sum_bit_exact(spark, sf_dir):
     assert chunked.count() == ev.count()
 
 
+def test_chunked_expanding_sum_whale_sf01(spark):
+    """Round-2 verdict follow-up: the whale rescue at REAL scale shape —
+    sf0.1 events (~600K rows) with ~10% of all rows remapped onto ONE
+    user — must stay bit-exact vs the single-window form. Skipped
+    quietly if the sf0.1 testdata isn't present."""
+    import os
+
+    import pytest
+    from pyspark.sql import Window
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows as W
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "events.parquet")):
+        pytest.skip("sf0.1 testdata not available")
+    ev = load_table(spark, sf01, "events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(-1)).otherwise(F.col("user_id")),
+    )
+    w = W.user_window("user_id", "ts", "event_id")
+    plain = ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("want"),
+    )
+    chunked = W.chunked_expanding_sum(ev).select("event_id", "expanding_sum")
+    j = chunked.join(plain, "event_id")
+    assert j.filter(F.col("expanding_sum") != F.col("want")).count() == 0
+
+
 def test_chunked_expanding_sum_splits_whale(spark):
     """A whale user spanning many days must actually get multiple
     within-chunk window partitions (the parallelism claim), and still be
