@@ -192,6 +192,10 @@ def label_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFra
     from pyspark.sql import Window
 
     out_col = out_col or f"{col}_code"
+    # partitionless window is safe here: its input is the distinct VOCAB
+    # of a categorical column (broadcastable by the same assumption the
+    # join below already makes), never the fact table. For genuinely
+    # high-cardinality keys use chunked.global_rank on the dim instead.
     dim = (
         df.select(col).filter(F.col(col).isNotNull()).distinct()
         .withColumn(out_col, F.dense_rank().over(Window.orderBy(col)) - F.lit(1))

@@ -69,7 +69,13 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
-def rh_signature(vec: Column, dim: int, n_planes: int = 8, band: int = 0) -> Column:
+def rh_signature(
+    vec: Column,
+    dim: int,
+    n_planes: int = 8,
+    band: int = 0,
+    plane_offset: int | None = None,
+) -> Column:
     """Random-hyperplane LSH signature as an int (bit b = sign of dot with
     plane b).
 
@@ -81,12 +87,16 @@ def rh_signature(vec: Column, dim: int, n_planes: int = 8, band: int = 0) -> Col
     # one py4j call: ship the whole matrix as SQL text, parsed JVM-side
     # into a foldable array literal (F.lit on a nested python list walks
     # every element through py4j — ~0.3s at 6×64)
-    # `band` offsets the plane seeds so multi-band LSH (banded dedup) gets
-    # independent signatures; band=0 reproduces the historical planes
+    # `band` (or an explicit `plane_offset`) offsets the plane seeds so
+    # multi-band LSH (banded dedup) gets independent signatures; band=0
+    # reproduces the historical planes. plane_offset exists for packed
+    # multi-band words whose plane range doesn't start at a multiple of
+    # the call's own n_planes.
+    offset = plane_offset if plane_offset is not None else band * n_planes
     matrix_sql = "array({})".format(
         ", ".join(
             "array({})".format(
-                ", ".join(f"{v!r}D" for v in _plane(dim, band * n_planes + b))
+                ", ".join(f"{v!r}D" for v in _plane(dim, offset + b))
             )
             for b in range(n_planes)
         )
@@ -159,6 +169,8 @@ def ivf_topk(
     cell_id. Join fan-out is |Q|·nprobe·cell_size ≪ |Q|·|C| — the scale
     win over brute force. Recall < 1 by design (rows-only check).
     """
+    # partitionless window is safe here: its input is the nlist-row
+    # (≤ dozens) centroid seed set, not the corpus
     w_id = Window.orderBy(F.col(id_col))
     cents = (
         corpus.orderBy(id_col).limit(nlist)
