@@ -38,12 +38,23 @@ def range_chunk(
     the first values in the requested order; equal values always land in
     the same chunk.
     """
+    if n_chunks <= 1:
+        # degenerate request: one chunk, no cut points (an empty
+        # percentile list yields NULL, which would NULL the chunk id)
+        return df.withColumn("__chunk", F.lit(0))
     fracs = [i / n_chunks for i in range(1, n_chunks)]
     cuts = df.agg(F.percentile_approx(key, fracs, 10000).alias("__cuts"))
     op = ">" if descending else "<"
     return (
         df.crossJoin(F.broadcast(cuts))
-        .withColumn("__chunk", F.expr(f"size(filter(__cuts, c -> c {op} `{key}`))"))
+        .withColumn(
+            "__chunk",
+            # coalesce guards the all-NULL-key degenerate input, where
+            # percentile_approx returns NULL cut points
+            F.coalesce(
+                F.expr(f"size(filter(__cuts, c -> c {op} `{key}`))"), F.lit(0)
+            ),
+        )
         .drop("__cuts")
     )
 

@@ -187,3 +187,55 @@ def test_asof_join_matches_bruteforce(spark, l_ts, r_ts):
             assert a is None or math.isnan(a)
         else:
             assert a == b
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    n_chunks=st.integers(min_value=1, max_value=8),
+)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_chunked_global_rank_matches_single_window(spark, vals, n_chunks):
+    """chunked.global_rank must equal row_number() over a single global
+    window for ANY value multiset (heavy ties included) and ANY chunk
+    count — the exactness contract every chunked operator rests on."""
+    from pyspark.sql import Window
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import chunked
+
+    pdf = pd.DataFrame(
+        {"tid": range(len(vals)), "v": [float(v) for v in vals]}
+    )
+    df = spark.createDataFrame(pdf).withColumn("__k", F.col("v"))
+    got = chunked.global_rank(
+        df, "__k", ["v", "tid"], n_chunks=n_chunks, rank_col="rn", count_col="n"
+    )
+    want = df.withColumn(
+        "want_rn", F.row_number().over(Window.orderBy("v", "tid"))
+    )
+    j = got.join(want.select("tid", "want_rn"), "tid")
+    assert j.filter(F.col("rn") != F.col("want_rn")).count() == 0
+    assert got.select(F.max("n")).collect()[0][0] == len(vals)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-20, max_value=20), min_size=1, max_size=50
+    ),
+    k=st.integers(min_value=2, max_value=10),
+)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_ntile_buckets_matches_builtin_ntile(spark, vals, k):
+    """relational.ntile_buckets must reproduce F.ntile(k) exactly for any
+    multiset and bucket count (incl. n < k)."""
+    from pyspark.sql import Window
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    pdf = pd.DataFrame({"tid": range(len(vals)), "v": [float(v) for v in vals]})
+    df = spark.createDataFrame(pdf)
+    got = relational.ntile_buckets(df, "v", k, "tid", out_col="b")
+    want = df.withColumn("want_b", F.ntile(k).over(Window.orderBy("v", "tid")))
+    j = got.join(want.select("tid", "want_b"), "tid")
+    assert j.filter(F.col("b") != F.col("want_b")).count() == 0
