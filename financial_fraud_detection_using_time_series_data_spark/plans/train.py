@@ -143,3 +143,45 @@ def run_training_pipeline(
     )
     prepped.unpersist()
     return result
+
+
+def main() -> None:
+    """CLI twin of the reference's ``python train_pipeline.py``:
+    ``python -m financial_fraud_detection_using_time_series_data_spark.plans.train
+    [n_rows] [signal]`` trains the 3-seed GBT + ensembles on synthetic
+    transactions and prints one JSON metrics line."""
+    import json
+    import sys
+
+    from ..ml.pipeline import FraudModelConfig
+    from ..session import get_spark
+    from ..sources import generate_transactions
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    signal = sys.argv[2] if len(sys.argv) > 2 else "mild"
+    spark = get_spark(app_name="train")
+    txns = generate_transactions(spark, n=n, fraud_rate=0.035, seed=42, signal=signal)
+    res = run_training_pipeline(
+        spark,
+        txns=txns,
+        model_cfg=FraudModelConfig(max_iter=30, max_depth=6, seeds=(42, 202, 777)),
+        categorical_cols=("ProductCD", "card4", "card6", "DeviceType"),
+        max_features=60,
+    )
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "signal": signal,
+                "splits": [res.n_train, res.n_val, res.n_test],
+                "metrics": res.metrics,
+                "top_features": res.importances[:10],
+            },
+            default=float,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
