@@ -94,7 +94,11 @@ def global_rank(
     chunked = range_chunk(df, key_col, n_chunks)
     w_in = Window.partitionBy("__chunk").orderBy(*order)
     within = chunked.withColumn("__rn_in", F.row_number().over(w_in))
-    totals = chunked.groupBy("__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
+    # per-chunk totals = max within-chunk row_number, aggregated FROM the
+    # windowed frame: the groupBy key equals the window's partitioning, so
+    # this branch rides the same exchange (exchange reuse) instead of
+    # re-scanning the input for a second aggregation
+    totals = within.groupBy("__chunk").agg(F.max("__rn_in").alias("__cnt"))
     offsets = chunk_offsets(totals, ["__cnt"])
     out = within.join(F.broadcast(offsets), "__chunk").withColumn(
         rank_col, F.col("__cnt_off") + F.col("__rn_in")

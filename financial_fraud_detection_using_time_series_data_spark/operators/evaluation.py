@@ -77,8 +77,11 @@ def _pr_points(df: DataFrame, label: str, score: str, id_col: str, n_chunks: int
         F.sum("__npos").over(w_in).alias("__tp_in"),
         F.sum("__n").over(w_in).alias("__pp_in"),
     )
-    totals = chunked.groupBy("__chunk").agg(
-        F.sum("__npos").alias("__tp"), F.sum("__n").alias("__pp")
+    # chunk totals = max of the monotone within-chunk cumsums, taken FROM
+    # the windowed frame — the groupBy key matches the window partitioning,
+    # so this rides the same exchange instead of re-scanning per_score
+    totals = within.groupBy("__chunk").agg(
+        F.max("__tp_in").alias("__tp"), F.max("__pp_in").alias("__pp")
     )
     offsets = _chunk_offsets(totals, ["__tp", "__pp"])
     # total positives from the tiny chunk-totals table — no extra full scan
@@ -191,7 +194,9 @@ def roc_auc(df: DataFrame, label: str, score: str) -> DataFrame:
     within = chunked.select(
         "n", "npos", "__chunk", F.sum("n").over(w_in).alias("__cn_in")
     )
-    totals = chunked.groupBy("__chunk").agg(F.sum("n").alias("__cn"))
+    # same exchange-sharing trick as _pr_points: max of the monotone
+    # within-chunk cumulative count IS the chunk total
+    totals = within.groupBy("__chunk").agg(F.max("__cn_in").alias("__cn"))
     offsets = _chunk_offsets(totals, ["__cn"])
     ranked = within.join(F.broadcast(offsets), "__chunk").select(
         F.col("n").cast("double").alias("n"),

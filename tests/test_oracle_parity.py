@@ -32,6 +32,15 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_first_fifty_registry_entries_are_oracle_backed():
+    """The external driver hash-checks only the FIRST 50 queries()
+    entries; keep that window 100% oracle-backed (rows-only entries
+    belong at the tail)."""
+    names = list(QUERIES)
+    missing = [n for n in names[:50] if n not in ORACLES]
+    assert not missing, f"first-50 entries without an oracle twin: {missing}"
+
+
 def test_entry_smoke(spark):
     df = spark_entry.entry(spark)
     assert df.count() > 0
