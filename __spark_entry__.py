@@ -1604,6 +1604,64 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=2)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: token-bounded document chunking (map-only splitter every
+    training-data pipeline runs before packing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=32).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+
+
+_CHUNK_DOCS_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+    CASE WHEN len(n) = 0 THEN [] ELSE string_split(n, ' ') END AS toks
+  FROM norm
+),
+c AS (
+  SELECT doc_id, toks,
+    unnest(range(0, ceil(len(toks) / 32.0)::INT)) AS chunk_id
+  FROM tok
+),
+s AS (
+  SELECT doc_id, chunk_id::INT AS chunk_id,
+    array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ') AS chunk_text
+  FROM c
+)
+SELECT doc_id, chunk_id, chunk_text,
+  CASE WHEN len(chunk_text) = 0 THEN 0
+       ELSE len(string_split(chunk_text, ' ')) END::BIGINT AS chunk_tokens
+FROM s
+"""
+
+
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: deterministic hash sampling — the kept subset is a pure
+    function of the id (stable across engines/runs/cluster sizes), which
+    is what makes curated training subsets reproducible. The oracle twin
+    computes the SAME md5 bucket, so even membership is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.sample_by_hash(docs, "doc_id", rate=0.2)
+    return out.select("doc_id", "n_chars", "lang")
+
+
+_SAMPLE_HASH_SQL = """
+SELECT doc_id, n_chars, lang
+FROM documents
+WHERE ('0x' || substring(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+      < 2000
+"""
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: the full 100 TB embedding-dedup composition — banded
     random-hyperplane LSH prefilter, exact BLAS verify inside buckets,
@@ -2346,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brute_force_topk": q_brute_force_topk,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "fraud_feature_pipeline": q_fraud_feature_pipeline,
+        "chunk_documents": q_chunk_documents,
+        "sample_by_hash": q_sample_by_hash,
         # -- rows-only tail: approximate / env-seeded / sketch outputs ---
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2410,6 +2470,8 @@ def oracle_sql() -> dict[str, str]:
         "word_ngram_jaccard": _WORD_NGRAM_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "embedding_near_dup_blocked": _EMB_NEAR_DUP_BLOCKED_SQL,
+        "chunk_documents": _CHUNK_DOCS_SQL,
+        "sample_by_hash": _SAMPLE_HASH_SQL,
         "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,
         # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)

@@ -250,3 +250,61 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """Token-bounded document chunking — the splitter every LLM
+    training-data pipeline runs before tokenization/packing: each document
+    becomes ceil(n_tokens/chunk_tokens) rows of at most ``chunk_tokens``
+    whitespace tokens, with a stable (doc_id, chunk_id) key.
+
+    Map-only: split → slice the token array per chunk (`F.slice` on a
+    per-row `sequence` of chunk indices) → posexplode. No shuffle at all —
+    chunking 100 TB is a pure scan — and downstream dedup/packing can
+    bucket on the (doc_id, chunk_id) key. Empty documents yield no rows.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.when(F.length(normalize(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.concat_ws(
+            " ", F.slice(toks, c * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    out = df.select(
+        id_col,
+        F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_id", "chunk_text"),
+    )
+    return out.withColumn(
+        "chunk_tokens",
+        F.when(F.length("chunk_text") == 0, 0).otherwise(
+            F.size(F.split("chunk_text", " "))
+        ),
+    )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate: float = 0.1,
+    salt: str = "sample",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic hash sampling for dataset curation: keep a row iff
+    md5(salt:id) mod buckets < rate·buckets. Unlike `df.sample`, the kept
+    set is a pure function of the id — stable across engines, runs,
+    partitionings, and cluster sizes, so a curated subset is reproducible
+    (and joinable) anywhere. Map-only scan; change `salt` for independent
+    draws."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.filter((h % buckets) < int(rate * buckets))
