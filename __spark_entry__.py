@@ -1644,6 +1644,38 @@ FROM s
 """
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: offset-based sequence packing over the chunked documents —
+    global token prefix sum via the chunked primitives (no single-task
+    window), pack assignment hash-checked against DuckDB's global-window
+    form."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_tokens=32)
+    out = text.pack_chunks(chunks, target_tokens=128)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+    )
+
+
+_PACK_CHUNKS_SQL = f"""
+WITH chunks AS ({_CHUNK_DOCS_SQL}),
+cs AS (
+  SELECT doc_id, chunk_id, chunk_tokens,
+    sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM chunks
+)
+SELECT doc_id, chunk_id, chunk_tokens,
+  ((c - chunk_tokens) // 128)::BIGINT AS pack_id,
+  ((c - chunk_tokens) % 128)::BIGINT AS pack_offset
+FROM cs
+"""
+
+
 def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: deterministic hash sampling — the kept subset is a pure
     function of the id (stable across engines/runs/cluster sizes), which
@@ -2405,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "fraud_feature_pipeline": q_fraud_feature_pipeline,
         "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
         "sample_by_hash": q_sample_by_hash,
         # -- rows-only tail: approximate / env-seeded / sketch outputs ---
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2471,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "embedding_near_dup_blocked": _EMB_NEAR_DUP_BLOCKED_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
+        "pack_chunks": _PACK_CHUNKS_SQL,
         "sample_by_hash": _SAMPLE_HASH_SQL,
         "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,

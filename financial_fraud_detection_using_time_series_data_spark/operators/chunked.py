@@ -75,6 +75,37 @@ def chunk_offsets(totals: DataFrame, sum_cols: list[str]) -> DataFrame:
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    key_col: str,
+    order: list[str | Column],
+    value_col: str,
+    n_chunks: int = 32,
+    out_col: str = "__cumsum",
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` over the global order
+    — the same chunked decomposition as `global_rank`, for an arbitrary
+    long-typed value. Integer sums compose exactly across the chunk
+    split."""
+    chunked = range_chunk(df, key_col, n_chunks)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = chunked.withColumn("__cs_in", F.sum(value_col).over(w_in))
+    # per-chunk total = max of the monotone within-chunk cumsum (values
+    # must be non-negative for the monotonicity shortcut; sums of counts/
+    # token lengths are) — rides the window's exchange
+    totals = within.groupBy("__chunk").agg(F.max("__cs_in").alias("__cs"))
+    offsets = chunk_offsets(totals, ["__cs"])
+    return (
+        within.join(F.broadcast(offsets), "__chunk")
+        .withColumn(out_col, F.col("__cs_off") + F.col("__cs_in"))
+        .drop("__chunk", "__cs_in", "__cs_off")
+    )
+
+
 def global_rank(
     df: DataFrame,
     key_col: str,

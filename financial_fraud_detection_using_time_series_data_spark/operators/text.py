@@ -308,3 +308,35 @@ def sample_by_hash(
         10,
     ).cast("long")
     return df.filter((h % buckets) < int(rate * buckets))
+
+
+def pack_chunks(
+    df: DataFrame,
+    target_tokens: int = 1024,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    token_col: str = "chunk_tokens",
+) -> DataFrame:
+    """Sequence packing: assign contiguous chunks (in (doc, chunk) order)
+    to fixed-token-budget packs — the offset-based packing a training
+    pipeline runs between chunking and tokenized-batch writing.
+
+    ``pack_id = exclusive_running_tokens div target`` — a pure function
+    of the global token prefix sum, computed with `chunked.global_cumsum`
+    (percentile-chunked parallel windows, no single-task WindowExec), so
+    packing 100 TB of chunks is one bounded shuffle. ``pack_offset`` is
+    the chunk's token start position within its pack. Deterministic, so
+    the pack assignment is reproducible and oracle-checkable.
+    """
+    from . import chunked
+
+    base = df.withColumn("__k", F.col(doc_col).cast("double"))
+    cs = chunked.global_cumsum(
+        base, "__k", [doc_col, chunk_col], token_col, out_col="__cs"
+    )
+    excl = F.col("__cs") - F.col(token_col)
+    return (
+        cs.withColumn("pack_id", F.expr(f"(__cs - {token_col}) div {target_tokens}"))
+        .withColumn("pack_offset", excl % target_tokens)
+        .drop("__k", "__cs")
+    )
