@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "fraud_feature_pipeline",
     "text_features",
     "token_stats",
+    "chunk_documents",
+    "pack_chunks",
     "exact_dedup",
     "minhash_lsh_pairs",
     "embedding_near_dup_blocked",
