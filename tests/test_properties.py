@@ -239,3 +239,66 @@ def test_ntile_buckets_matches_builtin_ntile(spark, vals, k):
     want = df.withColumn("want_b", F.ntile(k).over(Window.orderBy("v", "tid")))
     j = got.join(want.select("tid", "want_b"), "tid")
     assert j.filter(F.col("b") != F.col("want_b")).count() == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=120
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_tokens=st.integers(min_value=1, max_value=7),
+)
+@settings(**{**_SETTINGS, "max_examples": 8})
+def test_chunk_documents_roundtrip(spark, texts, chunk_tokens):
+    """Chunking must partition the token stream: re-joining a document's
+    chunks in chunk_id order reproduces its normalized text exactly, and
+    every chunk except possibly the last is full."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import text as T
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    out = T.chunk_documents(df, chunk_tokens=chunk_tokens).toPandas()
+    for doc_id, want in enumerate(texts):
+        norm = " ".join(want.split())
+        got = out[out.doc_id == doc_id].sort_values("chunk_id")
+        rejoined = " ".join(got.chunk_text)
+        assert rejoined == norm, (doc_id, rejoined, norm)
+        sizes = got.chunk_tokens.tolist()
+        assert all(s == chunk_tokens for s in sizes[:-1])
+        if sizes:
+            assert 1 <= sizes[-1] <= chunk_tokens
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    target=st.integers(min_value=1, max_value=12),
+)
+@settings(**{**_SETTINGS, "max_examples": 8})
+def test_pack_chunks_invariants(spark, tokens, target):
+    """Offset packing: pack_id non-decreasing in stream order, offsets in
+    [0, target), and (pack_id, pack_offset) equals the exclusive prefix
+    sum decomposition."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import text as T
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i // 4 for i in range(len(tokens))],
+            "chunk_id": [i % 4 for i in range(len(tokens))],
+            "chunk_tokens": tokens,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        T.pack_chunks(df, target_tokens=target)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    ecs = 0
+    for _, row in out.iterrows():
+        assert row.pack_id == ecs // target
+        assert row.pack_offset == ecs % target
+        ecs += row.chunk_tokens
+    assert (out.pack_offset < target).all() and (out.pack_offset >= 0).all()
