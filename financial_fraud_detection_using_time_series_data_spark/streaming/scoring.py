@@ -84,6 +84,38 @@ def streaming_velocity(
     )
 
 
+def score_to_parquet(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    amount_col: str = "value",
+    model_score_col: str | None = None,
+):
+    """The durable-sink leg of the one-scorer-three-planes design:
+    ``foreachBatch`` applies the SAME ``score_batch`` plan to each
+    micro-batch and appends it as parquet partitioned by risk — so the
+    scored archive is immediately prunable by risk level downstream.
+
+    foreachBatch (vs a direct parquet sink) is what lets a micro-batch
+    reuse arbitrary BATCH writers — partitionBy, bucketing, multi-sink
+    fan-out — while the checkpoint still gives end-to-end exactly-once
+    for this idempotent append (batch replays overwrite the same files).
+    Returns the started StreamingQuery; caller owns stop().
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_batch(batch_df, amount_col, model_score_col)
+        # reasons is array<string>; fine for parquet
+        scored.write.mode("append").partitionBy("risk").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def running_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """V3 (api/main.py:379-391): global running prediction stats as a
     streaming aggregation (replaces mutable process globals)."""

@@ -403,3 +403,46 @@ def test_sequence_scorer_matches_jvm_expression(spark, sf_dir):
     bad = j.filter(F.abs(F.col("seq_score") - F.col("want_score")) > 1e-12).count()
     assert bad == 0
     assert got.count() == seqs.count()
+
+
+def test_score_to_parquet_foreach_batch(spark, tmp_path):
+    """foreachBatch durable sink: rate source → score_batch → parquet
+    partitioned by risk; assert files land and partition pruning sees the
+    risk directories."""
+    import time
+
+    from financial_fraud_detection_using_time_series_data_spark.streaming.scoring import (
+        score_to_parquet,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 15).alias("user_id"),
+            (F.col("value") % 2000).cast("double").alias("value"),
+        )
+    )
+    out_dir = str(tmp_path / "scored")
+    q = score_to_parquet(stream, out_dir, str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0, "no parquet output from foreachBatch sink"
+        out = spark.read.parquet(out_dir)
+        assert "risk" in out.columns and "fraud_score" in out.columns
+        # risk partition values materialized as directories
+        import os
+
+        parts = [d for d in os.listdir(out_dir) if d.startswith("risk=")]
+        assert parts, os.listdir(out_dir)
+    finally:
+        q.stop()
