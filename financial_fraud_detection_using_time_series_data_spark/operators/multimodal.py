@@ -83,6 +83,56 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def _be_int(col, pos: int, nbytes: int):
+    """Big-endian unsigned int from `nbytes` bytes at 1-based `pos` of a
+    binary column — hex the slice, parse base-16. All JVM built-ins."""
+    return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("long")
+
+
+def _le_int(col, pos: int, nbytes: int):
+    """Little-endian unsigned int: reverse the hex byte pairs then parse."""
+    h = F.hex(F.substring(col, pos, nbytes))
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+
+def sniff_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Codec-FREE media metadata from raw bytes — the part of multimodal
+    ingestion that needs no PIL/ffmpeg and therefore runs real here:
+    container sniffing (magic numbers) + header field extraction for
+    PNG (IHDR width/height, big-endian), GIF (logical screen size,
+    little-endian) and WAV (channels + sample rate, little-endian).
+
+    Pure `substring`/`hex`/`conv` expressions → whole-stage codegen, scan
+    speed over 100 TB of blobs; the typical first pass of a media
+    pipeline (drop corrupt/unsupported files, bucket by resolution)
+    before any expensive decode."""
+    c = F.col(content_col)
+    hdr = F.hex(F.substring(c, 1, 8))
+    fmt = (
+        F.when(hdr.startswith("89504E47"), "png")
+        .when(hdr.startswith("474946383"), "gif")
+        .when(
+            hdr.startswith("52494646")
+            & (F.hex(F.substring(c, 9, 4)) == F.lit("57415645")),
+            "wav",
+        )
+        .otherwise("unknown")
+    )
+    out = df.withColumn("format", fmt)
+    return out.select(
+        "*",
+        F.when(F.col("format") == "png", _be_int(c, 17, 4))
+        .when(F.col("format") == "gif", _le_int(c, 7, 2))
+        .alias("sniff_width"),
+        F.when(F.col("format") == "png", _be_int(c, 21, 4))
+        .when(F.col("format") == "gif", _le_int(c, 9, 2))
+        .alias("sniff_height"),
+        F.when(F.col("format") == "wav", _le_int(c, 23, 2)).alias("sniff_channels"),
+        F.when(F.col("format") == "wav", _le_int(c, 25, 4)).alias("sniff_sample_rate"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into frame
     timestamps (sequence + explode — JVM-side), ready for a decoder UDF.
