@@ -68,3 +68,56 @@ def score_sequences(
             yield out
 
     return df.mapInPandas(_forward, schema=SCORE_SCHEMA)
+
+
+def train_sequence_head(
+    df: DataFrame,
+    seq_col: str = "seq",
+    label_col: str = "label",
+    max_iter: int = 50,
+    reg: float = 0.0,
+):
+    """TRAIN the sequence head distributed: MLlib LogisticRegression over
+    the raw sequence vector (`array_to_vector`, no Python in the fit
+    path) — the linear baseline a BiLSTM is benchmarked against, and the
+    piece that upgrades the hosting path from a fixed stub to a model
+    actually fit on data. Returns ``(weights ndarray(seq_len), bias)``
+    exported for the Arrow forward pass below; a deep model would export
+    its state dict through the same seam."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    prepped = df.withColumn("__features", array_to_vector(F.col(seq_col)))
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol=label_col, maxIter=max_iter, regParam=reg
+    )
+    model = lr.fit(prepped)
+    return np.asarray(model.coefficients.toArray()), float(model.intercept)
+
+
+def score_sequences_trained(
+    df: DataFrame,
+    weights: "np.ndarray",
+    bias: float,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Host the TRAINED head in the same Arrow `mapInPandas` pattern as
+    `score_sequences`: scores = sigmoid(seqs @ w + b), numerically
+    identical to `LogisticRegressionModel.transform`'s probability (both
+    are float64 sigmoid of the same dot product), so batch-vs-hosted
+    parity is testable to 1e-9. Weights ride the task closure (broadcast
+    for real weight matrices), loaded once per executor."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def _forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seqs = np.stack(pdf[seq_col].to_numpy())
+            scores = 1.0 / (1.0 + np.exp(-(seqs @ w + bias)))
+            out = pdf[["event_id", "user_id"]].copy()
+            out["seq_score"] = scores
+            yield out
+
+    return df.mapInPandas(_forward, schema=SCORE_SCHEMA)

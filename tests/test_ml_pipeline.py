@@ -446,3 +446,67 @@ def test_score_to_parquet_foreach_batch(spark, tmp_path):
         assert parts, os.listdir(out_dir)
     finally:
         q.stop()
+
+
+def test_trained_sequence_head_parity_and_signal(spark, sf_dir):
+    """M4 upgrade: the sequence head is TRAINED (MLlib LR over raw
+    sequence vectors) and the Arrow-hosted forward pass must reproduce
+    the MLlib model's probabilities to float64 precision — the
+    batch-vs-hosted parity any exported deep model needs."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from financial_fraud_detection_using_time_series_data_spark.ml.sequence_scorer import (
+        score_sequences_trained,
+        train_sequence_head,
+    )
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = windows.user_window("user_id", "ts", "event_id")
+    seqs = (
+        ev.select(
+            "event_id",
+            "user_id",
+            windows.sliding_sequence(F.col("value"), w, seq_len=5).alias("seq"),
+        )
+        .filter(F.size("seq") == 5)
+        .select("event_id", "user_id", F.col("seq").cast("array<double>").alias("seq"))
+    )
+    # planted signal: label = sequence mean above the global value mean
+    # (data-driven cut so both classes are populated at any SF)
+    gmean = seqs.agg(
+        F.avg(F.aggregate("seq", F.lit(0.0), lambda a, v: a + v) / F.size("seq")).alias("g")
+    )
+    labeled = seqs.crossJoin(F.broadcast(gmean)).withColumn(
+        "label",
+        (
+            F.aggregate("seq", F.lit(0.0), lambda a, v: a + v) / F.size("seq")
+            > F.col("g")
+        ).cast("double"),
+    ).drop("g")
+    w, b = train_sequence_head(labeled, max_iter=30)
+    assert w.shape == (5,)
+
+    hosted = score_sequences_trained(labeled, w, b)
+    # MLlib's own probabilities on the same rows
+    from pyspark.ml.classification import LogisticRegression
+
+    prepped = labeled.withColumn("__features", array_to_vector(F.col("seq")))
+    model = LogisticRegression(
+        featuresCol="__features", labelCol="label", maxIter=30, regParam=0.0
+    ).fit(prepped)
+    want = model.transform(prepped).select(
+        "event_id", vector_to_array("probability")[1].alias("p")
+    )
+    j = hosted.join(want, "event_id").select(
+        F.max(F.abs(F.col("seq_score") - F.col("p"))).alias("max_err")
+    ).collect()[0]
+    assert j.max_err < 1e-9, j.max_err
+    # and the trained head actually separates the planted signal
+    auc_df = hosted.join(labeled.select("event_id", "label"), "event_id")
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import roc_auc
+
+    auc = roc_auc(auc_df.withColumn("label", F.col("label").cast("int")), "label", "seq_score").collect()[0][0]
+    assert auc > 0.95, auc
