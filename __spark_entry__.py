@@ -2302,6 +2302,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with Lloyd-trained centroids (rows-only: recall < 1 by
+    design). Train is 3 deterministic iterations; search is the map-only
+    assign/probe path — no crossJoin in the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cents = similarity.kmeans_centroids(emb, nlist=16, n_iter=3)
+    out = similarity.ivf_topk(
+        emb, queries_df, nlist=16, nprobe=4, k=5, centroids=cents
+    )
+    return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2446,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_trained": q_ivf_topk_trained,
         "synthetic_source": q_synthetic_source,
         "approx_profile": q_approx_profile,
     }

@@ -140,6 +140,96 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _matrix_literal(rows: list[list[float]]) -> Column:
+    """Ship a small float matrix as ONE SQL-text array literal (single py4j
+    call, parsed JVM-side) — the nested-`lit` form walks every element
+    through py4j and bloats codegen (see `rh_signature`)."""
+    sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"{float(v)!r}D" for v in row))
+            for row in rows
+        )
+    )
+    return F.expr(sql)
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each row with the argmax-cosine centroid index — MAP-ONLY.
+
+    The centroid matrix is a foldable literal, so assignment is a pure
+    projection: no crossJoin, no shuffle, no window. At 100 TB this is the
+    difference between a free pass over the scan and materializing
+    nlist×|C| join rows. Ties take the lowest cell index
+    (`array_position` returns the first exact match)."""
+    sims = F.transform(
+        _matrix_literal(centroids),
+        lambda c: cosine(F.col(vec_col), c),
+    )
+    # layered select: materialize sims once; array_max + array_position
+    # would otherwise each re-expand the 64-term cosine fold
+    return (
+        corpus.withColumn("__sims", sims)
+        .withColumn(
+            "cell_id",
+            (
+                F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1
+            ).cast("int"),
+        )
+        .drop("__sims")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of the IVF seed centroids, DataFrame-native.
+
+    Per iteration (one Spark job each):
+      1. `assign_cells` — map-only argmax over the literal centroid matrix.
+      2. element-wise cell means via `posexplode` → groupBy(cell, pos) avg.
+         The explode is dim×|C| rows, but hash aggregation combines
+         map-side, so the shuffle carries only ~partitions·nlist·dim
+         partial rows — bytes independent of |C|.
+      3. the nlist·dim means are collected (a few KB) and re-shipped as the
+         next literal matrix, so iteration N does not lazily recompute
+         iterations 1..N-1 (the classic iterative-lineage trap).
+    Empty cells keep their previous centroid. Seeds are the first nlist
+    vectors by id — deterministic, no RNG (reference trains no ANN index;
+    this is the scale path for `src/models`-style embedding retrieval).
+
+    Returns plain Python lists so callers can feed `ivf_topk(centroids=...)`
+    or persist them as a model artifact.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    cents = [[float(x) for x in r.v] for r in seeds]
+    for _ in range(n_iter):
+        assigned = assign_cells(corpus, cents, vec_col)
+        means = (
+            assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r.cell_id][r.pos] = float(r.m)
+        cents = new
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,10 +240,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into nlist cells (nearest
     seed centroid), probe only the nprobe cells nearest each query, exact
     cosine re-rank within probed cells.
+
+    With ``centroids`` (e.g. from `kmeans_centroids`) BOTH the corpus
+    assignment and the query probe become map-only projections over the
+    literal centroid matrix — no crossJoin, no window; the only shuffle
+    left is the cell_id join. That is the 100 TB shape: index once with
+    k-means, then every search pass is scan + one bounded join.
 
     ``exclude_self=True`` (default) assumes queries are drawn FROM the
     corpus and share its id space, dropping the trivial self-match by id
@@ -169,6 +266,42 @@ def ivf_topk(
     cell_id. Join fan-out is |Q|·nprobe·cell_size ≪ |Q|·|C| — the scale
     win over brute force. Recall < 1 by design (rows-only check).
     """
+    if centroids is not None:
+        assigned = assign_cells(corpus, centroids, vec_col).select(
+            id_col, vec_col, "cell_id"
+        )
+        # probe: top-nprobe cells per query, map-only — rank the sims
+        # array itself (sort structs of (-sim, idx): desc sim, asc cell
+        # on ties, matching the window path's tie-break)
+        q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
+        sims = F.transform(
+            _matrix_literal(centroids), lambda c: cosine(F.col("qvec"), c)
+        )
+        probes = (
+            q.withColumn("__sims", sims)
+            .withColumn(
+                "__top",
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("__sims"),
+                            lambda s, i: F.struct((-s).alias("n"), i.alias("i")),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+            )
+            .select(
+                qid_col,
+                "qvec",
+                F.explode(F.col("__top")).alias("__t"),
+            )
+            .select(qid_col, "qvec", F.col("__t.i").cast("int").alias("cell_id"))
+        )
+        return _ivf_rerank(
+            assigned, probes, k, id_col, vec_col, qid_col, exclude_self
+        )
     # partitionless window is safe here: its input is the nlist-row
     # (≤ dozens) centroid seed set, not the corpus
     w_id = Window.orderBy(F.col(id_col))
@@ -199,6 +332,20 @@ def ivf_topk(
         .select(qid_col, "qvec", "cell_id")
     )
     # search only within probed cells
+    return _ivf_rerank(assigned, probes, k, id_col, vec_col, qid_col, exclude_self)
+
+
+def _ivf_rerank(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Exact cosine re-rank within probed cells; probes (|Q|·nprobe rows)
+    are the broadcast side of the single cell_id join."""
     joined = assigned.join(F.broadcast(probes), "cell_id")
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(qid_col))

@@ -1,0 +1,67 @@
+"""Lloyd k-means IVF training and the map-only trained-index search path.
+
+The reference serves embedding-style retrieval eagerly in memory; the
+engine's scale path is: train centroids once (`kmeans_centroids`), then
+every search is a map-only assign/probe plus ONE cell_id join."""
+
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import similarity
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+NLIST, NPROBE, K = 8, 3, 5
+
+
+def _recall(approx, exact):
+    a = {(r.qid, r.vec_id) for r in approx}
+    e = {(r.qid, r.vec_id) for r in exact}
+    return len(a & e) / len(e)
+
+
+def test_kmeans_shapes_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = similarity.kmeans_centroids(emb, nlist=NLIST, n_iter=2)
+    c2 = similarity.kmeans_centroids(emb, nlist=NLIST, n_iter=2)
+    assert len(c1) == NLIST and all(len(v) == 64 for v in c1)
+    assert c1 == c2, "no RNG state — training must be bit-reproducible"
+
+
+def test_kmeans_improves_objective(spark, sf_dir):
+    """Lloyd iterations must not worsen the mean best-cell cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def objective(cents):
+        sims = F.transform(
+            similarity._matrix_literal(cents),
+            lambda c: similarity.cosine(F.col("embedding"), c),
+        )
+        return (
+            emb.select(F.array_max(sims).alias("s"))
+            .agg(F.avg("s").alias("m"))
+            .collect()[0]
+            .m
+        )
+
+    seeds = similarity.kmeans_centroids(emb, nlist=NLIST, n_iter=0)
+    trained = similarity.kmeans_centroids(emb, nlist=NLIST, n_iter=3)
+    assert objective(trained) >= objective(seeds) - 1e-9
+
+
+def test_trained_ivf_recall_and_plan(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=K).collect()
+    cents = similarity.kmeans_centroids(emb, nlist=NLIST, n_iter=3)
+    trained = similarity.ivf_topk(
+        emb, queries, nlist=NLIST, nprobe=NPROBE, k=K, centroids=cents
+    )
+    assert _recall(trained.collect(), exact) >= 0.5
+
+    # the trained path must be join-once: no crossJoin (seed assignment's
+    # |C|×nlist blow-up) anywhere in the physical plan
+    plan = trained._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, (
+        plan[:1500]
+    )
