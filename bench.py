@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",
+    "ivf_topk_trained",
     "asof_join",
     "range_join_count",
     "sessionize",
