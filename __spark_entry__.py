@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from financial_fraud_detection_using_time_series_data_spark.functions import exprs as E
 from financial_fraud_detection_using_time_series_data_spark.operators import (
     dedup,
+    drift,
     evaluation,
     relational,
     similarity,
@@ -2302,6 +2303,56 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 adjunct: PSI drift between two halves of the events stream
+    (even event_id = reference window, odd = current). Decile edges via
+    exact percentile on the reference; map-only binning; everything past
+    the two groupBys is 10 rows."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = drift.psi_bins(ref, cur, "value", n_bins=10)
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        E.r6("p_ref").alias("p_ref"),
+        E.r6("p_cur").alias("p_cur"),
+        E.r6("psi_term").alias("psi_term"),
+    )
+
+
+_PSI_DRIFT_SQL = """
+WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
+edges AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+  FROM ref
+),
+rb AS (SELECT len(list_filter(ed.e, x -> r.value > x)) AS bin FROM ref r CROSS JOIN edges ed),
+cb AS (SELECT len(list_filter(ed.e, x -> c.value > x)) AS bin FROM cur c CROSS JOIN edges ed),
+rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+bins AS (SELECT range::INT AS bin FROM range(0, 10)),
+tot AS (SELECT (SELECT count(*) FROM ref) AS tr, (SELECT count(*) FROM cur) AS tc)
+SELECT b.bin,
+  coalesce(rc.n_ref, 0) AS n_ref,
+  coalesce(cc.n_cur, 0) AS n_cur,
+  floor(greatest(coalesce(rc.n_ref, 0)::DOUBLE / tot.tr, 1e-6) * 1000000 + 0.5) / 1000000.0 AS p_ref,
+  floor(greatest(coalesce(cc.n_cur, 0)::DOUBLE / tot.tc, 1e-6) * 1000000 + 0.5) / 1000000.0 AS p_cur,
+  floor((greatest(coalesce(cc.n_cur, 0)::DOUBLE / tot.tc, 1e-6)
+         - greatest(coalesce(rc.n_ref, 0)::DOUBLE / tot.tr, 1e-6))
+        * ln(greatest(coalesce(cc.n_cur, 0)::DOUBLE / tot.tc, 1e-6)
+             / greatest(coalesce(rc.n_ref, 0)::DOUBLE / tot.tr, 1e-6))
+        * 1000000 + 0.5) / 1000000.0 AS psi_term
+FROM bins b
+LEFT JOIN rc ON b.bin = rc.bin
+LEFT JOIN cc ON b.bin = cc.bin
+CROSS JOIN tot
+ORDER BY b.bin
+"""
+
+
 _IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
 
 
@@ -2454,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "full_outer_join": q_full_outer_join,
         "ntile_deciles": q_ntile_deciles,
+        "psi_drift": q_psi_drift,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2542,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "session_agg": _SESSION_AGG_SQL,
         "time_bucket_rollup": _TIME_BUCKET_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,
+        "psi_drift": _PSI_DRIFT_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

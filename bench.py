@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "window_rank_suite",
     "sequence_score",
     "chunked_expanding_sum",
+    "psi_drift",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Distribution-drift monitoring (V3 adjunct — SURVEY §2.11).
+
+The reference tracks running score stats in its serving layer
+(``api/main.py`` stats endpoint) but has no drift detector; any
+production fraud scorer needs one — score/feature distributions shifting
+between the training window and live traffic is the canonical model-decay
+signal. PSI (population stability index) is the industry-standard
+measure: decile the reference window, compare bin proportions,
+``PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)``.
+
+Scale shape: edges are ONE exact-percentile aggregate over the reference
+window (map-side combined); binning is a map-only projection against the
+broadcast 1-row edge array; everything downstream of the two groupBys is
+n_bins rows. No windows, no big joins — two scans total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edges(ref: DataFrame, value_col: str, n_bins: int) -> DataFrame:
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return ref.agg(
+        F.percentile(
+            F.col(value_col), F.array(*[F.lit(p) for p in probs])
+        ).alias("__edges")
+    )
+
+
+def _bin_counts(df: DataFrame, edges: DataFrame, value_col: str, out: str) -> DataFrame:
+    """bin = #edges strictly below value — map-only after the broadcast
+    1-row edge array; then one tiny hash agg (≤ n_bins groups)."""
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.size(
+            F.filter(F.col("__edges"), lambda e: F.col(value_col) > e)
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias(out))
+
+
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin PSI decomposition: (bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term), all ``n_bins`` rows always present (empty bins carry the
+    ``eps``-floored proportion so the log stays finite — the standard PSI
+    zero-fix). Sum ``psi_term`` for the headline index; the per-bin form
+    is what a monitoring dashboard actually plots."""
+    spark = ref.sparkSession
+    edges = _edges(ref, value_col, n_bins)
+    rc = _bin_counts(ref, edges, value_col, "n_ref")
+    cc = _bin_counts(cur, edges, value_col, "n_cur")
+    tot_r = ref.agg(F.count(F.lit(1)).alias("__tr"))
+    tot_c = cur.agg(F.count(F.lit(1)).alias("__tc"))
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_c))
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(eps))
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+    ).orderBy("bin")
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> float:
+    """Headline PSI scalar. Rule of thumb: <0.1 stable, 0.1–0.25 watch,
+    >0.25 retrain."""
+    row = (
+        psi_bins(ref, cur, value_col, n_bins, eps)
+        .agg(F.sum("psi_term").alias("psi"))
+        .collect()[0]
+    )
+    return float(row.psi)
