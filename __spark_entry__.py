@@ -2353,6 +2353,39 @@ ORDER BY b.bin
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 adjunct: exact two-sample KS between the even/odd event halves
+    — the global-CDF cumsum runs on the chunked primitives (no
+    partitionless window)."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = drift.ks_statistic(ref, cur, "value")
+    return out.select(E.r6("ks_stat").alias("ks_stat"), "n_ref", "n_cur")
+
+
+_KS_DRIFT_SQL = """
+WITH tagged AS (
+  SELECT value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS c
+  FROM events
+),
+g AS (SELECT v, sum(r)::BIGINT AS nr, sum(c)::BIGINT AS nc FROM tagged GROUP BY v),
+cum AS (
+  SELECT sum(nr) OVER (ORDER BY v)::BIGINT AS cr,
+         sum(nc) OVER (ORDER BY v)::BIGINT AS cc
+  FROM g
+),
+tot AS (SELECT sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM g)
+SELECT
+  floor(max(abs(cr::DOUBLE / tr - cc::DOUBLE / tc)) * 1000000 + 0.5) / 1000000.0 AS ks_stat,
+  tr AS n_ref, tc AS n_cur
+FROM cum CROSS JOIN tot
+GROUP BY tr, tc
+"""
+
+
 _IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
 
 
@@ -2506,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_join": q_full_outer_join,
         "ntile_deciles": q_ntile_deciles,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2595,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket_rollup": _TIME_BUCKET_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
+        "ks_drift": _KS_DRIFT_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

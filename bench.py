@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "sequence_score",
     "chunked_expanding_sum",
     "psi_drift",
+    "ks_drift",
 ]
 
 

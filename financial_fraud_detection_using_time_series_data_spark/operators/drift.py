@@ -78,6 +78,74 @@ def psi_bins(
     ).orderBy("bin")
 
 
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, distributed.
+
+    ``KS = max over values v of |F_ref(v) − F_cur(v)|`` with ties handled
+    exactly (both CDFs evaluated at every distinct value). The global
+    CDF needs a running sum along the value order — the partitionless-
+    window trap — so it runs on the chunked primitives: one groupBy on
+    value, `range_chunk` + per-chunk two-column cumsum, triangular
+    offsets, then a global max agg. Every post-shuffle table is bounded
+    by |distinct values| and the max is map-side combined.
+
+    Returns one row: (ks_stat, n_ref, n_cur).
+    """
+    from . import chunked as C
+    from pyspark.sql import Window
+
+    tagged = ref.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("r"), F.lit(0).alias("c")
+    ).unionAll(
+        cur.select(
+            F.col(value_col).alias("v"), F.lit(0).alias("r"), F.lit(1).alias("c")
+        )
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("r").alias("n_ref_v"), F.sum("c").alias("n_cur_v")
+    )
+    ch = C.range_chunk(g, "v", n_chunks)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ch.withColumn("__cr_in", F.sum("n_ref_v").over(w_in)).withColumn(
+        "__cc_in", F.sum("n_cur_v").over(w_in)
+    )
+    # per-chunk totals from the windowed frame (monotone nonneg cumsums →
+    # max = chunk total; groupBy key == window partitioning → exchange reuse)
+    totals = within.groupBy("__chunk").agg(
+        F.max("__cr_in").alias("__cr"), F.max("__cc_in").alias("__cc")
+    )
+    offsets = C.chunk_offsets(totals, ["__cr", "__cc"])
+    tot = totals.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__cc").alias("__tc")
+    )
+    cdfs = (
+        within.join(F.broadcast(offsets), "__chunk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("__cr_off") + F.col("__cr_in")) / F.col("__tr")
+                - (F.col("__cc_off") + F.col("__cc_in")) / F.col("__tc")
+            ).alias("__d"),
+            "__tr",
+            "__tc",
+        )
+    )
+    return cdfs.agg(
+        F.max(F.abs(F.col("__d"))).alias("ks_stat"),
+        F.first("__tr").alias("n_ref"),
+        F.first("__tc").alias("n_cur"),
+    )
+
+
 def psi(
     ref: DataFrame,
     cur: DataFrame,

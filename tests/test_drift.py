@@ -31,6 +31,46 @@ def test_psi_bins_complete_and_sane(spark):
         assert r.n_ref + r.n_cur >= 0 and r.p_ref > 0 and r.p_cur > 0
 
 
+def test_ks_zero_on_identical_and_flags_shift(spark):
+    a, b = _uniform(spark), _uniform(spark)
+    row = drift.ks_statistic(a, b).collect()[0]
+    assert abs(row.ks_stat) < 1e-9 and row.n_ref == row.n_cur == 5000
+    shifted = drift.ks_statistic(a, _uniform(spark, shift=0.5)).collect()[0]
+    assert shifted.ks_stat > 0.45  # half-range shift on uniform → KS ≈ 0.5
+
+
+def test_ks_matches_scipy_formula_small(spark):
+    """Brute-force cross-check on a small deterministic sample."""
+    a, b = _uniform(spark, n=200), _uniform(spark, n=300, shift=0.2)
+    got = drift.ks_statistic(a, b).collect()[0].ks_stat
+    av = sorted(r.value for r in a.collect())
+    bv = sorted(r.value for r in b.collect())
+    pts = sorted(set(av) | set(bv))
+    import bisect
+
+    want = max(
+        abs(
+            bisect.bisect_right(av, p) / len(av)
+            - bisect.bisect_right(bv, p) / len(bv)
+        )
+        for p in pts
+    )
+    assert abs(got - want) < 1e-12
+
+
+def test_ks_windows_are_partitioned(spark):
+    """The CDF cumsum must run chunked — every WindowExec needs a
+    partition spec (three bracket groups in the node's argument list)."""
+    import re
+
+    a, b = _uniform(spark), _uniform(spark, shift=0.1)
+    plan = drift.ks_statistic(a, b)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            groups = re.findall(r"\[[^\]]*\]", line)
+            assert len(groups) >= 3, f"partitionless window:\n{line.strip()}"
+
+
 def test_psi_plan_has_no_window(spark):
     a, b = _uniform(spark), _uniform(spark, shift=0.1)
     plan = drift.psi_bins(a, b)._jdf.queryExecution().executedPlan().toString()
