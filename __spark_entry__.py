@@ -2353,6 +2353,46 @@ ORDER BY b.bin
 """
 
 
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 sibling: weight-of-evidence table per category (user_id%50 as a
+    pseudo merchant bucket, error flag as label). Laplace eps=0.5; the
+    output is the |categories|-row broadcast dim itself — the fact-side
+    join is exercised by `woe_encode` (same broadcast shape as
+    `target_encode`)."""
+    ev = _events(spark, sf_dir)
+    labelled = ev.select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("cat"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    out = relational.woe_table(labelled, "cat", "label", eps=0.5)
+    return out.select(
+        "cat",
+        "n_pos",
+        "n_neg",
+        E.r6("woe").alias("woe"),
+        E.r6("iv_term").alias("iv_term"),
+    ).orderBy("cat")
+
+
+_WOE_SQL = """
+WITH l AS (
+  SELECT user_id % 50 AS cat, (event_type = 'error')::INT AS label FROM events
+),
+c AS (
+  SELECT cat, sum(label)::BIGINT AS n_pos, sum(1 - label)::BIGINT AS n_neg
+  FROM l GROUP BY cat
+),
+t AS (SELECT sum(n_pos)::BIGINT AS tp, sum(n_neg)::BIGINT AS tn FROM c)
+SELECT cat, n_pos, n_neg,
+  floor(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)) * 1000000 + 0.5) / 1000000.0 AS woe,
+  floor(((n_pos + 0.5) / tp - (n_neg + 0.5) / tn)
+        * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn))
+        * 1000000 + 0.5) / 1000000.0 AS iv_term
+FROM c CROSS JOIN t
+ORDER BY cat
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 adjunct: exact two-sample KS between the even/odd event halves
     — the global-CDF cumsum runs on the chunked primitives (no
@@ -2540,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "woe_encode": q_woe_encode,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2630,6 +2671,7 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "psi_drift": _PSI_DRIFT_SQL,
         "ks_drift": _KS_DRIFT_SQL,
+        "woe_encode": _WOE_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -43,6 +43,62 @@ def target_encode(
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
 
 
+def woe_table(
+    train: DataFrame,
+    key: str,
+    label: str,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table per category — the credit-risk-standard
+    categorical encoder (J2 sibling; the reference target-encodes only,
+    ``engineer.py:159-172``, but WOE is what a fraud-scorecard shop
+    actually ships). Laplace-smoothed to keep pure categories finite:
+
+        woe_c = ln( ((n_pos_c + eps) / tot_pos) / ((n_neg_c + eps) / tot_neg) )
+        iv_c  = (p_pos_c − p_neg_c) · woe_c   (sum for the information value)
+
+    One map-side-combined groupBy; the output is |categories| rows →
+    broadcast-join it onto the fact table (`woe_encode`). Totals ride a
+    1-row crossJoin, so nothing big ever shuffles."""
+    counts = train.groupBy(key).agg(
+        F.sum(F.col(label).cast("long")).alias("n_pos"),
+        F.sum(F.lit(1) - F.col(label).cast("long")).alias("n_neg"),
+    )
+    tot = counts.agg(
+        F.sum("n_pos").alias("__tp"), F.sum("n_neg").alias("__tn")
+    )
+    p_pos = (F.col("n_pos") + F.lit(eps)) / F.col("__tp")
+    p_neg = (F.col("n_neg") + F.lit(eps)) / F.col("__tn")
+    woe = F.log(p_pos / p_neg)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            key,
+            "n_pos",
+            "n_neg",
+            woe.alias("woe"),
+            ((p_pos - p_neg) * woe).alias("iv_term"),
+        )
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    train: DataFrame,
+    key: str,
+    label: str,
+    out_col: str = "woe",
+    eps: float = 0.5,
+) -> DataFrame:
+    """Attach the WOE value per row: broadcast the tiny category table;
+    the fact side never shuffles. Unseen categories get 0 (no evidence)."""
+    table = woe_table(train, key, label, eps).select(
+        key, F.col("woe").alias(out_col)
+    )
+    joined = df.join(F.broadcast(table), on=key, how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+
+
 def distinct_count_per_group(
     df: DataFrame,
     key: str,
