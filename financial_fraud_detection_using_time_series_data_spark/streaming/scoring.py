@@ -116,6 +116,73 @@ def score_to_parquet(
     )
 
 
+def drift_monitor(
+    stream: DataFrame,
+    ref: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+):
+    """Per-micro-batch PSI against a static reference window — the
+    streaming leg of `operators/drift.py` (model-decay monitoring the
+    reference's stats endpoint gestures at but never computes).
+
+    The reference profile is fit ONCE: decile edges + bin proportions
+    (2·n_bins scalars collected to the driver). Each micro-batch then
+    pays only a map-only binning against the literal edge array plus one
+    ≤ n_bins-row groupBy; the PSI reduction over those 10 rows happens
+    driver-side, and one (batch_id, n_events, psi) row is appended —
+    a monitoring sink whose cost is independent of reference size.
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    import math
+
+    from ..operators import drift as D
+
+    edges_df = D._edges(ref, value_col, n_bins)
+    edges = [float(e) for e in edges_df.collect()[0]["__edges"]]
+    ref_rows = D._bin_counts(ref, edges_df, value_col, "n_ref").collect()
+    tot_ref = sum(r.n_ref for r in ref_rows)
+    got = {r.bin: r.n_ref for r in ref_rows}
+    p_ref = [max(got.get(b, 0) / tot_ref, eps) for b in range(n_bins)]
+    edge_arr = F.array(*[F.lit(e) for e in edges])
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(
+                F.size(
+                    F.filter(edge_arr, lambda e: F.col(value_col) > e)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .count()
+            .collect()
+        )
+        tot = sum(r["count"] for r in counts)
+        if tot == 0:
+            return
+        byb = {r.bin: r["count"] for r in counts}
+        psi = sum(
+            (pc - pr) * math.log(pc / pr)
+            for b, pr in enumerate(p_ref)
+            for pc in [max(byb.get(b, 0) / tot, eps)]
+        )
+        spark.createDataFrame(
+            [(int(batch_id), int(tot), float(psi))],
+            "batch_id long, n_events long, psi double",
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def running_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """V3 (api/main.py:379-391): global running prediction stats as a
     streaming aggregation (replaces mutable process globals)."""

@@ -71,6 +71,46 @@ def test_ks_windows_are_partitioned(spark):
             assert len(groups) >= 3, f"partitionless window:\n{line.strip()}"
 
 
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Live leg: rate stream vs a same-distribution static reference →
+    per-batch PSI rows land in the sink and read near-zero drift once a
+    batch is big enough to be statistically quiet."""
+    import time
+
+    from financial_fraud_detection_using_time_series_data_spark.streaming.scoring import (
+        drift_monitor,
+    )
+
+    ref = spark.range(20_000).select(
+        (F.col("id") % 2000).cast("double").alias("value")
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 2000).load()
+        .select((F.col("value") % 2000).cast("double").alias("value"))
+    )
+    out_dir = str(tmp_path / "drift")
+    q = drift_monitor(stream, ref, out_dir, str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            if any(r.n_events >= 2000 for r in rows):
+                break
+            time.sleep(1)
+        assert rows, "no PSI rows from the drift monitor"
+        big = [r for r in rows if r.n_events >= 2000]
+        assert big, [r.n_events for r in rows]
+        assert all(r.psi >= 0.0 for r in rows)
+        # same distribution → PSI far below the 0.1 watch line
+        assert min(r.psi for r in big) < 0.05, [(r.n_events, r.psi) for r in big]
+    finally:
+        q.stop()
+
+
 def test_psi_plan_has_no_window(spark):
     a, b = _uniform(spark), _uniform(spark, shift=0.1)
     plan = drift.psi_bins(a, b)._jdf.queryExecution().executedPlan().toString()
