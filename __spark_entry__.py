@@ -2353,6 +2353,39 @@ ORDER BY b.bin
 """
 
 
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic screen: first-significant-digit distribution of value vs
+    Benford's law (string-based digit extraction — engine-exact)."""
+    ev = _events(spark, sf_dir)
+    out = drift.benford_profile(ev, "value")
+    return out.select(
+        "digit",
+        "n",
+        E.r6("p").alias("p"),
+        E.r6("expected_p").alias("expected_p"),
+        E.r6("deviation").alias("deviation"),
+    )
+
+
+_BENFORD_SQL = """
+WITH pos AS (
+  SELECT substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1)::INT AS digit
+  FROM events WHERE value > 0
+),
+c AS (SELECT digit, count(*) AS n FROM pos GROUP BY digit),
+t AS (SELECT sum(n)::BIGINT AS tt FROM c),
+d AS (SELECT range::INT AS digit FROM range(1, 10))
+SELECT d.digit,
+  coalesce(c.n, 0) AS n,
+  floor(coalesce(c.n, 0)::DOUBLE / tt * 1000000 + 0.5) / 1000000.0 AS p,
+  floor(log10(1.0 + 1.0 / d.digit) * 1000000 + 0.5) / 1000000.0 AS expected_p,
+  floor((coalesce(c.n, 0)::DOUBLE / tt - log10(1.0 + 1.0 / d.digit)) * 1000000 + 0.5) / 1000000.0 AS deviation
+FROM d LEFT JOIN c ON d.digit = c.digit
+CROSS JOIN t
+ORDER BY d.digit
+"""
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 sibling: weight-of-evidence table per category (user_id%50 as a
     pseudo merchant bucket, error flag as label). Laplace eps=0.5; the
@@ -2581,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "woe_encode": q_woe_encode,
+        "benford_profile": q_benford_profile,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2672,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_DRIFT_SQL,
         "ks_drift": _KS_DRIFT_SQL,
         "woe_encode": _WOE_SQL,
+        "benford_profile": _BENFORD_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -146,6 +146,51 @@ def ks_statistic(
     )
 
 
+def benford_profile(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic forensic-accounting screen for fabricated amounts (a fraud
+    analysis the reference never ships but its domain demands).
+
+    Digit extraction is STRING-based on integer cents
+    (``substr(cast(floor(v·100) as string), 1, 1)``) rather than
+    ``floor(log10(v))`` — integer-to-string is bit-identical across
+    engines, while log10 near exact powers of 10 (money values like
+    100.00!) can flip the digit on a last-ulp difference. Map-only digit
+    tag + one ≤9-group hash agg; all 9 digits always present.
+
+    Output per digit d: n, p (observed), expected_p = log10(1+1/d),
+    deviation = p − expected_p.
+    """
+    spark = df.sparkSession
+    pos = df.filter(F.col(value_col) > 0).select(
+        F.substring(
+            F.floor(F.col(value_col) * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = pos.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.join(counts, "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("__t")).alias("p"),
+            expected.alias("expected_p"),
+            (F.col("n") / F.col("__t") - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
 def psi(
     ref: DataFrame,
     cur: DataFrame,

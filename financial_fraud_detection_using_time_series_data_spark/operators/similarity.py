@@ -230,6 +230,22 @@ def kmeans_centroids(
     return cents
 
 
+def save_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist a trained IVF index as parquet (S5 model-artifact analog):
+    build once on the cluster, reload for any later search job."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "cell_id int, centroid array<double>"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Reload a persisted IVF index (nlist·dim scalars — a driver-safe
+    collect by construction)."""
+    rows = spark.read.parquet(path).orderBy("cell_id").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

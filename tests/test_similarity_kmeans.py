@@ -47,6 +47,15 @@ def test_kmeans_improves_objective(spark, sf_dir):
     assert objective(trained) >= objective(seeds) - 1e-9
 
 
+def test_centroid_save_load_round_trip(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, nlist=NLIST, n_iter=1)
+    path = str(tmp_path / "ivf_index")
+    similarity.save_centroids(spark, cents, path)
+    loaded = similarity.load_centroids(spark, path)
+    assert loaded == cents, "index round-trip must be bit-exact"
+
+
 def test_trained_ivf_recall_and_plan(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
