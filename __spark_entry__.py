@@ -2353,6 +2353,38 @@ ORDER BY b.bin
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 dedup closure: near-dup PAIRS (embedding cosine >= 0.4, the
+    oracle-exact path) collapsed into duplicate CLUSTERS via min-label
+    propagation. component = min reachable vec_id; the oracle twin walks
+    the same graph with a recursive CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup(emb, threshold=0.4)
+    out = dedup.connected_components(pairs)
+    return out.select(F.col("node").alias("vec_id"), "component").orderBy("vec_id")
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
+        >= 0.4
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b AS src, id_a AS dst FROM p),
+n AS (SELECT DISTINCT src AS v FROM ed),
+reach AS (
+  SELECT v AS src, v AS dst FROM n
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src
+)
+SELECT src AS vec_id, min(dst) AS component
+FROM reach GROUP BY src ORDER BY vec_id
+"""
+
+
 def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forensic screen: first-significant-digit distribution of value vs
     Benford's law (string-based digit extraction — engine-exact)."""
@@ -2615,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "woe_encode": q_woe_encode,
         "benford_profile": q_benford_profile,
+        "dedup_clusters": q_dedup_clusters,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2707,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _KS_DRIFT_SQL,
         "woe_encode": _WOE_SQL,
         "benford_profile": _BENFORD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -467,3 +467,62 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate CLUSTERS: (node, component)
+    where component = min node id reachable through the pair graph — the
+    step every production dedup needs between pair emission and survivor
+    selection (keep component id, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — pure joins + groupBy, no graph
+    library. Rounds needed = graph diameter (near-dup clusters are
+    shallow: a handful). `localCheckpoint` breaks the iterative lineage
+    each round (the plan would otherwise double per iteration); on a real
+    cluster use a checkpoint dir. At 100 TB scale the same loop with the
+    large-star/small-star edge rewriting (Kiveris et al.) cuts rounds to
+    O(log n); dedup graphs rarely need it.
+
+    Convergence is detected distributed (count of changed labels — an
+    agg, not a collect of labels).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nc"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nc"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

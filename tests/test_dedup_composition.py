@@ -29,6 +29,21 @@ def test_lsh_dedup_recall_and_exactness(spark, sf_dir):
     assert recall >= 0.6, f"recall {recall:.2f} below floor ({len(lsh)}/{len(exact)})"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 6-node chain (diameter 5 — forces multiple propagation rounds)
+    plus a separate 2-node island must collapse to min-id components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    from financial_fraud_detection_using_time_series_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
 def test_lsh_dedup_single_shuffle_shape(spark, sf_dir):
     """The candidate stage must shuffle ONCE on (band, sig) — signatures
     are map-side fold arithmetic, not a join."""
