@@ -2385,6 +2385,18 @@ FROM reach GROUP BY src ORDER BY vec_id
 """
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup composition, end-to-end: banded-LSH pair
+    candidates (bucketed, never all-pairs) → exact in-bucket verify →
+    min-label-propagation clusters. Rows-only (LSH recall < 1 by
+    design); the exact twin `dedup_clusters` is the oracle-checked
+    semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_lsh(emb, dim=64, threshold=0.4)
+    out = dedup.connected_components(pairs)
+    return out.select(F.col("node").alias("vec_id"), "component").orderBy("vec_id")
+
+
 def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forensic screen: first-significant-digit distribution of value vs
     Benford's law (string-based digit extraction — engine-exact)."""
@@ -2663,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "multimodal_features": q_multimodal_features,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,

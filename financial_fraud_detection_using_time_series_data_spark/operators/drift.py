@@ -20,13 +20,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _edges(ref: DataFrame, value_col: str, n_bins: int) -> DataFrame:
+def _edges(
+    ref: DataFrame, value_col: str, n_bins: int, exact: bool = True
+) -> DataFrame:
+    """Decile edges. ``exact=True`` (default, oracle-parity) buffers the
+    sorted column per partial — fine to ~10⁸ rows/partition; at 100 TB
+    pass ``exact=False`` for the KLL-sketch `percentile_approx` (bin
+    boundaries shift slightly; PSI is robust to that by construction)."""
     probs = [i / n_bins for i in range(1, n_bins)]
-    return ref.agg(
-        F.percentile(
-            F.col(value_col), F.array(*[F.lit(p) for p in probs])
-        ).alias("__edges")
+    parr = F.array(*[F.lit(p) for p in probs])
+    agg = (
+        F.percentile(F.col(value_col), parr)
+        if exact
+        else F.percentile_approx(F.col(value_col), parr, 10000)
     )
+    return ref.agg(agg.cast("array<double>").alias("__edges"))
 
 
 def _bin_counts(df: DataFrame, edges: DataFrame, value_col: str, out: str) -> DataFrame:
@@ -46,14 +54,16 @@ def psi_bins(
     value_col: str = "value",
     n_bins: int = 10,
     eps: float = 1e-6,
+    exact_edges: bool = True,
 ) -> DataFrame:
     """Per-bin PSI decomposition: (bin, n_ref, n_cur, p_ref, p_cur,
     psi_term), all ``n_bins`` rows always present (empty bins carry the
     ``eps``-floored proportion so the log stays finite — the standard PSI
     zero-fix). Sum ``psi_term`` for the headline index; the per-bin form
-    is what a monitoring dashboard actually plots."""
+    is what a monitoring dashboard actually plots. ``exact_edges=False``
+    switches the decile pass to the KLL sketch for 100 TB references."""
     spark = ref.sparkSession
-    edges = _edges(ref, value_col, n_bins)
+    edges = _edges(ref, value_col, n_bins, exact_edges)
     rc = _bin_counts(ref, edges, value_col, "n_ref")
     cc = _bin_counts(cur, edges, value_col, "n_cur")
     tot_r = ref.agg(F.count(F.lit(1)).alias("__tr"))
@@ -197,11 +207,12 @@ def psi(
     value_col: str = "value",
     n_bins: int = 10,
     eps: float = 1e-6,
+    exact_edges: bool = True,
 ) -> float:
     """Headline PSI scalar. Rule of thumb: <0.1 stable, 0.1–0.25 watch,
     >0.25 retrain."""
     row = (
-        psi_bins(ref, cur, value_col, n_bins, eps)
+        psi_bins(ref, cur, value_col, n_bins, eps, exact_edges)
         .agg(F.sum("psi_term").alias("psi"))
         .collect()[0]
     )

@@ -31,6 +31,15 @@ def test_psi_bins_complete_and_sane(spark):
         assert r.n_ref + r.n_cur >= 0 and r.p_ref > 0 and r.p_cur > 0
 
 
+def test_psi_approx_edges_close_to_exact(spark):
+    """The 100 TB sketch-edges path must track the exact path closely on
+    a smooth distribution."""
+    a, b = _uniform(spark), _uniform(spark, shift=0.3)
+    exact = drift.psi(a, b)
+    approx = drift.psi(a, b, exact_edges=False)
+    assert abs(exact - approx) < 0.05 * max(exact, 1.0), (exact, approx)
+
+
 def test_ks_zero_on_identical_and_flags_shift(spark):
     a, b = _uniform(spark), _uniform(spark)
     row = drift.ks_statistic(a, b).collect()[0]
