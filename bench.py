@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "chunked_expanding_sum",
     "psi_drift",
     "ks_drift",
+    "woe_encode",
+    "benford_profile",
+    "dedup_clusters_lsh",
 ]
 
 

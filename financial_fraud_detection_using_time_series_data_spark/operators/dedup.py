@@ -480,22 +480,28 @@ def connected_components(
     step every production dedup needs between pair emission and survivor
     selection (keep component id, drop the rest).
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels — pure joins + groupBy, no graph
-    library. Rounds needed = graph diameter (near-dup clusters are
-    shallow: a handful). `localCheckpoint` breaks the iterative lineage
-    each round (the plan would otherwise double per iteration); on a real
-    cluster use a checkpoint dir. At 100 TB scale the same loop with the
-    large-star/small-star edge rewriting (Kiveris et al.) cuts rounds to
-    O(log n); dedup graphs rarely need it.
+    Min-label propagation WITH pointer jumping: each round every node
+    takes the min of its own and its neighbors' labels, then label-chases
+    one hop (component := component of its component) — the path-halving
+    step squares the propagation distance, so rounds are O(log diameter)
+    instead of O(diameter). Pure joins + groupBy, no graph library.
+    `localCheckpoint` breaks the iterative lineage each round (the plan
+    would otherwise double per iteration); on a real cluster use a
+    checkpoint dir. At extreme scale the large-star/small-star edge
+    rewriting (Kiveris et al.) also shrinks the EDGE set per round; dedup
+    graphs rarely need it.
 
     Convergence is detected distributed (count of changed labels — an
     agg, not a collect of labels).
     """
+    # materialize the edge list ONCE — it is joined every round, and
+    # without the lineage break each iteration would re-execute the whole
+    # upstream pair-generation (LSH, shingling, …) from scratch
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
@@ -506,13 +512,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("__nc"))
         )
+        stepped = labels.join(neigh, labels.node == neigh.src, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("__nc"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component := component's component (labels are
+        # always node ids, so the self-join always hits); squares the
+        # effective propagation distance per round
         new = (
-            labels.join(neigh, labels.node == neigh.src, "left")
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("__pn"), F.col("component").alias("__pc")
+                ),
+                F.col("x.component") == F.col("__pn"),
+                "left",
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nc"), F.col("component"))
-                ).alias("component"),
+                F.coalesce(F.col("__pc"), F.col("x.component")).alias("component"),
             )
             .localCheckpoint()
         )
