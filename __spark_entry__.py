@@ -2353,6 +2353,33 @@ ORDER BY b.bin
 """
 
 
+def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way (hour, dow) additive deseasonalization of value — broadcast
+    24/7/1-row mean dims onto the fact, which never shuffles."""
+    ev = _events(spark, sf_dir)
+    out = relational.seasonal_adjust(ev)
+    return out.select(
+        "event_id", "hour", "dow", "value", E.r6("adjusted").alias("adjusted")
+    )
+
+
+_SEASONAL_SQL = """
+WITH t AS (
+  SELECT event_id, hour(ts)::INT AS hour, ((dayofweek(ts) + 6) % 7)::INT AS dow, value
+  FROM events
+),
+mh AS (SELECT hour, sum(value::DECIMAL(25,2))::DOUBLE / count(*) AS mh FROM t GROUP BY hour),
+md AS (SELECT dow, sum(value::DECIMAL(25,2))::DOUBLE / count(*) AS md FROM t GROUP BY dow),
+ma AS (SELECT sum(value::DECIMAL(25,2))::DOUBLE / count(*) AS ma FROM t)
+SELECT t.event_id, t.hour, t.dow, t.value,
+  floor((t.value - (mh.mh - ma.ma) - (md.md - ma.ma)) * 1000000 + 0.5) / 1000000.0 AS adjusted
+FROM t
+JOIN mh ON t.hour = mh.hour
+JOIN md ON t.dow = md.dow
+CROSS JOIN ma
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 dedup closure: near-dup PAIRS (embedding cosine >= 0.4, the
     oracle-exact path) collapsed into duplicate CLUSTERS via min-label
@@ -2660,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode": q_woe_encode,
         "benford_profile": q_benford_profile,
         "dedup_clusters": q_dedup_clusters,
+        "seasonal_adjust": q_seasonal_adjust,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2754,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_encode": _WOE_SQL,
         "benford_profile": _BENFORD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "seasonal_adjust": _SEASONAL_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -205,6 +205,59 @@ def top_k(df: DataFrame, by: str | Column, k: int, ascending: bool = False) -> D
     return df.orderBy(col.asc() if ascending else col.desc()).limit(k)
 
 
+def seasonal_adjust(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Two-way additive deseasonalization of an amount series — the
+    seasonality-aware upgrade of the reference's raw temporal flags
+    (engineer.py:27-45 extracts hour/dow but never normalizes by them).
+    Transaction volume and size breathe with hour-of-day and day-of-week;
+    an anomaly score computed on raw value flags every Friday evening.
+
+        adjusted = value − (mean_hour − mean_all) − (mean_dow − mean_all)
+
+    Means are decimal-exact sums / counts (partial-agg order can't
+    perturb the double — same rule as `group_describe`). Three aggregate
+    passes produce 24-, 7-, and 1-row tables, broadcast back onto the
+    fact; the fact side never shuffles."""
+    from ..functions.exprs import pandas_dow
+
+    def _mean(col: str = "__v"):
+        return (
+            F.sum(F.col(col).cast("decimal(25,2)")).cast("double")
+            / F.count(F.lit(1))
+        )
+
+    tagged = df.select(
+        id_col,
+        F.hour(F.col(ts_col)).cast("int").alias("hour"),
+        pandas_dow(F.col(ts_col)).cast("int").alias("dow"),
+        F.col(value_col).alias("__v"),
+    )
+    by_hour = tagged.groupBy("hour").agg(_mean().alias("__mh"))
+    by_dow = tagged.groupBy("dow").agg(_mean().alias("__md"))
+    overall = tagged.agg(_mean().alias("__ma"))
+    return (
+        tagged.join(F.broadcast(by_hour), "hour")
+        .join(F.broadcast(by_dow), "dow")
+        .crossJoin(F.broadcast(overall))
+        .select(
+            id_col,
+            "hour",
+            "dow",
+            F.col("__v").alias(value_col),
+            (
+                F.col("__v")
+                - (F.col("__mh") - F.col("__ma"))
+                - (F.col("__md") - F.col("__ma"))
+            ).alias("adjusted"),
+        )
+    )
+
+
 def group_describe(df: DataFrame, key: str, value: str) -> DataFrame:
     """A5 (train_pipeline.py:74-78): per-class mean/median/max of a value.
     Median = exact percentile (Spark `median`) to match DuckDB; swap to

@@ -167,6 +167,17 @@ def test_no_partitionless_windows_in_global_order_family(spark, sf_dir):
             assert len(groups) >= 3, f"{name}: partitionless window:\n{line.strip()}"
 
 
+def test_seasonal_adjust_broadcasts_dims(spark, sf_dir):
+    """The 24/7/1-row seasonal mean dims must broadcast; the fact side
+    must never sort-merge."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(relational.seasonal_adjust(ev))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_sessionize_reuses_exchange(spark, sf_dir):
     """Sessionize = lag flag + running sum over the SAME user-key sort:
     one hash exchange total."""
