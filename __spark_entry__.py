@@ -2353,6 +2353,37 @@ ORDER BY b.bin
 """
 
 
+def q_target_encode_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free target encode: per-user expanding label mean
+    (strictly-past frame) smoothed toward the global prior — the
+    production-correct form of J2."""
+    ev = _events(spark, sf_dir)
+    labelled = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    out = relational.target_encode_expanding(labelled, "user_id", "label")
+    return out.select("event_id", "label", E.r6("te_expanding").alias("te_expanding"))
+
+
+_TE_EXPANDING_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, (event_type = 'error')::INT AS label FROM events
+),
+p AS (SELECT sum(label)::DOUBLE / count(*) AS prior FROM l)
+SELECT event_id, label,
+  floor(((coalesce(sum(label) OVER w, 0) + 10.0 * prior)
+         / ((count(label) OVER w) + 10.0)) * 1000000 + 0.5) / 1000000.0 AS te_expanding
+FROM l CROSS JOIN p
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+)
+"""
+
+
 def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-way (hour, dow) additive deseasonalization of value — broadcast
     24/7/1-row mean dims onto the fact, which never shuffles."""
@@ -2688,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_profile": q_benford_profile,
         "dedup_clusters": q_dedup_clusters,
         "seasonal_adjust": q_seasonal_adjust,
+        "target_encode_expanding": q_target_encode_expanding,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2783,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_profile": _BENFORD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "seasonal_adjust": _SEASONAL_SQL,
+        "target_encode_expanding": _TE_EXPANDING_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "ks_drift",
     "woe_encode",
     "benford_profile",
+    "seasonal_adjust",
+    "target_encode_expanding",
     "dedup_clusters_lsh",
 ]
 

@@ -43,6 +43,49 @@ def target_encode(
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
 
 
+def target_encode_expanding(
+    df: DataFrame,
+    key: str,
+    label: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    alpha: float = 10.0,
+    out_col: str = "te_expanding",
+) -> DataFrame:
+    """LEAKAGE-FREE target encoding: each row sees only the label history
+    of its key STRICTLY BEFORE itself (time-ordered expanding frame,
+    `ROWS ... AND 1 PRECEDING`), smoothed toward the global prior:
+
+        te = (Σ label_past + α·prior) / (n_past + α)
+
+    The reference's encoder (engineer.py:159-172) fits mean(label) per
+    key on the same frame it transforms — each row's own label leaks
+    into its feature, inflating offline AUC. This is the
+    production-correct variant; first-ever rows fall back to the prior.
+
+    One partitioned (key) window exchange — the scale-safe window shape;
+    label sums are integers so partial order can't perturb them; the
+    prior is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    prior = df.agg(
+        (F.sum(F.col(label).cast("long")).cast("double") / F.count(F.lit(1))).alias(
+            "__prior"
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    past_sum = F.coalesce(F.sum(F.col(label).cast("long")).over(w), F.lit(0))
+    past_n = F.count(F.col(label)).over(w)
+    return df.crossJoin(F.broadcast(prior)).withColumn(
+        out_col,
+        (past_sum + F.lit(alpha) * F.col("__prior")) / (past_n + F.lit(alpha)),
+    ).drop("__prior")
+
+
 def woe_table(
     train: DataFrame,
     key: str,
