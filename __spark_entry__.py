@@ -2411,6 +2411,143 @@ CROSS JOIN ma
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: Gopher-style quality filter — every document with a
+    keep flag and the first failing rule as drop_reason (drop-audit form).
+    Map-only scan; integer/boolean/string output, no float hashing risk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_filter(docs)
+
+
+_QUALITY_FILTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, n_chars, n_alpha, norm,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(string_split(norm, ' ')) END AS n_tokens,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(list_filter(string_split(norm, ' '),
+                  x -> list_contains(['the','of','and','to','in','a','is','that','for','it',
+                                      'on','was','with','as','be','at','by','this','are','or'], x))) END AS n_sw
+  FROM base
+),
+m AS (
+  SELECT doc_id, n_tokens,
+    (length(norm) - n_tokens + 1) / nullif(n_tokens, 0)::DOUBLE AS mean_wl,
+    n_alpha / nullif(n_chars, 0)::DOUBLE AS alpha_ratio,
+    n_sw / nullif(n_tokens, 0)::DOUBLE AS sw_ratio
+  FROM tok
+),
+r AS (
+  SELECT doc_id, n_tokens::INT AS n_tokens,
+    CASE
+      WHEN n_tokens < 5 THEN 'too_short'
+      WHEN n_tokens > 5000 THEN 'too_long'
+      WHEN coalesce(alpha_ratio < 0.55, true) THEN 'low_alpha'
+      WHEN coalesce(mean_wl < 2.0 OR mean_wl > 12.0, true) THEN 'bad_word_len'
+      WHEN coalesce(sw_ratio < 0.04, true) THEN 'low_stopword'
+    END AS drop_reason
+  FROM m
+)
+SELECT doc_id, n_tokens, drop_reason IS NULL AS keep, drop_reason FROM r
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: unigram-LM quality score (mean ln P(token), corpus-fit
+    vocab). Explode → two hash aggs → broadcast vocab dim → per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", E.r6("mean_logprob").alias("mean_logprob")
+    )
+
+
+_UNIGRAM_LP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+  FROM base WHERE length(norm) > 0
+),
+dtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE length(term) > 0 GROUP BY doc_id, term
+),
+voc AS (SELECT term, sum(tf)::BIGINT AS corpus_n FROM dtf GROUP BY term),
+tot AS (SELECT sum(corpus_n)::BIGINT AS corpus_total FROM voc)
+SELECT d.doc_id, sum(d.tf)::BIGINT AS n_tokens,
+  floor((sum(d.tf * (ln(v.corpus_n) - ln(t.corpus_total))) / sum(d.tf)) * 1000000 + 0.5)
+    / 1000000.0 AS mean_logprob
+FROM dtf d JOIN voc v USING (term) CROSS JOIN tot t
+GROUP BY d.doc_id
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: lineitem rows whose order has
+    o_totalprice > 300000 — the bloom bitmap (8 KB literal) filters the
+    fact map-side BEFORE the join shuffle; the exact semi join then drops
+    false positives, so the result equals the plain semi join the oracle
+    runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    out = relational.bloom_semi_join(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+
+
+_BLOOM_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber,
+  l_quantity::DOUBLE AS l_quantity, l_extendedprice::DOUBLE AS l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: rolling per-user median/p90 of value over the last 20
+    events — one partitioned window exchange; Spark `percentile` frame
+    semantics == DuckDB `quantile_cont` (linear interpolation)."""
+    ev = _events(spark, sf_dir)
+    out = windows.rolling_quantiles(ev)
+    return out.select(
+        "event_id",
+        "user_id",
+        E.r6("roll_p50").alias("roll_p50"),
+        E.r6("roll_p90").alias("roll_p90"),
+    )
+
+
+_ROLLING_Q_SQL = """
+SELECT event_id, user_id,
+  floor(quantile_cont(value, 0.5) OVER w * 1000000 + 0.5) / 1000000.0 AS roll_p50,
+  floor(quantile_cont(value, 0.9) OVER w * 1000000 + 0.5) / 1000000.0 AS roll_p90
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 dedup closure: near-dup PAIRS (embedding cosine >= 0.4, the
     oracle-exact path) collapsed into duplicate CLUSTERS via min-label
@@ -2720,6 +2857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "seasonal_adjust": q_seasonal_adjust,
         "target_encode_expanding": q_target_encode_expanding,
+        "quality_filter": q_quality_filter,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_semi_join": q_bloom_semi_join,
+        "rolling_quantiles": q_rolling_quantiles,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2816,6 +2957,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "seasonal_adjust": _SEASONAL_SQL,
         "target_encode_expanding": _TE_EXPANDING_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
+        "unigram_logprob": _UNIGRAM_LP_SQL,
+        "bloom_semi_join": _BLOOM_SEMI_SQL,
+        "rolling_quantiles": _ROLLING_Q_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "benford_profile",
     "seasonal_adjust",
     "target_encode_expanding",
+    "quality_filter",
+    "unigram_logprob",
+    "bloom_semi_join",
+    "rolling_quantiles",
     "dedup_clusters_lsh",
 ]
 

@@ -86,6 +86,77 @@ def target_encode_expanding(
     ).drop("__prior")
 
 
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Semi join with a bloom-filter pre-prune — the runtime-filter
+    pattern for joining a 100 TB fact against a dim too big to broadcast
+    whole: build a k-hash bloom bitmap over the dim keys (one small agg;
+    ``num_bits/64`` longs), inline it as a SQL-literal array, and filter
+    the fact with pure map-side bit tests BEFORE the join shuffle. Rows
+    that can't match never enter the exchange; the exact semi join then
+    removes the bloom's false positives, so the result is IDENTICAL to a
+    plain semi join (the oracle twin).
+
+    A key present in dim always has all k bits set → no false negatives
+    by construction. The bitmap is ~8 KB at the default sizing (65,536
+    bits ≈ 1% FPR for ~5k keys at k=3); size num_bits ≈ 10·|dim keys|
+    for ~1% FPR. Spark's own AQE bloom (runtime.bloomFilter) does this
+    automatically only when thresholds line up — this operator makes the
+    plan explicit and portable.
+    """
+    dim_key = dim_key or fact_key
+    keys = dim.select(F.col(dim_key).alias("__k")).distinct()
+    bits = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__k"), F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        bits.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # F.shiftleft only takes a literal shift; call the SQL
+            # function directly for a column-valued one
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+    # literal array SQL text: one analysis-time constant, no py4j chatter
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
+    fk = F.col(fact_key)
+    test = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(fk, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        test = test & (word.bitwiseAND(bit) != 0)
+    pruned = fact.filter(test)
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        on=fact_key,
+        how="left_semi",
+    )
+
+
 def woe_table(
     train: DataFrame,
     key: str,

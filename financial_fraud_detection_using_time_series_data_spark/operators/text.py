@@ -206,6 +206,123 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# rule order IS the tiebreak: the first failing rule names the drop
+QUALITY_RULES = ("too_short", "too_long", "low_alpha", "bad_word_len", "low_stopword")
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_alpha_ratio: float = 0.55,
+    word_len_range: tuple[float, float] = (2.0, 12.0),
+    min_stopword_ratio: float = 0.04,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, table A1
+    shape): length band, alphabetic-character ratio, mean-word-length
+    band, stopword floor. Emits EVERY document with a ``keep`` flag and
+    the first failing rule as ``drop_reason`` — curation pipelines audit
+    drop distributions, so filters must explain, not just delete.
+
+    Map-only scan (layered selects, text_features-style: normalize/split
+    once); filtering 100 TB is embarrassingly parallel. Deterministic
+    arithmetic only → SQL-twinnable."""
+    t = F.col(text_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = df.select(
+        id_col,
+        F.length(t).cast("long").alias("__n_chars"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("__n_alpha"),
+        normalize(t).alias("__norm"),
+    )
+    toks = base.select(
+        "*",
+        F.when(F.length("__norm") == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.col("__norm"), " "))
+        .alias("__toks"),
+    ).select(
+        "*",
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(sw, x))).alias(
+            "__n_sw"
+        ),
+        # mean word length over the normalized tokens: token chars =
+        # norm length minus the single separating spaces
+        (
+            (F.length("__norm") - F.size("__toks") + 1)
+            / F.nullif(F.size("__toks").cast("double"), F.lit(0.0))
+        ).alias("__mean_wl"),
+    )
+    n_tok = F.col("n_tokens")
+    checks = [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        (
+            "low_alpha",
+            F.col("__n_alpha") / F.nullif(F.col("__n_chars").cast("double"), F.lit(0.0))
+            < min_alpha_ratio,
+        ),
+        (
+            "bad_word_len",
+            (F.col("__mean_wl") < word_len_range[0])
+            | (F.col("__mean_wl") > word_len_range[1]),
+        ),
+        (
+            "low_stopword",
+            F.col("__n_sw") / F.nullif(n_tok.cast("double"), F.lit(0.0))
+            < min_stopword_ratio,
+        ),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(F.coalesce(cond, F.lit(True)), name).otherwise(reason)
+    return toks.select(
+        id_col,
+        "n_tokens",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score: per-document mean
+    ln P(token), with P estimated from the corpus itself (CCNet-style
+    LM-perplexity filtering, reduced to its SQL-expressible unigram
+    core — a real KenLM plugs in by swapping the vocab dimension for a
+    broadcast model table).
+
+    Shape for 100 TB: explode → per-(doc, term) count agg → per-term
+    corpus counts are a |vocab|-row dimension, broadcast onto the
+    doc-term table → one per-doc agg. The corpus total rides the
+    broadcast dim (window-free sum via a 1-row crossJoin). Low mean
+    logprob ⇒ rare/garbled vocabulary ⇒ drop candidate."""
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    doc_tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = doc_tf.groupBy("term").agg(F.sum("tf").alias("corpus_n"))
+    total = vocab.agg(F.sum("corpus_n").alias("corpus_total"))
+    return (
+        doc_tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * (F.log(F.col("corpus_n")) - F.log(F.col("corpus_total")))
+                )
+                / F.sum("tf")
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -459,3 +459,35 @@ def resample_ffill(
         F.last("__last_val", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("__last_val").isNotNull().cast("int").alias("has_data"),
     )
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback: int = 20,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Rolling per-user quantiles over the last ``lookback`` events —
+    the robust sibling of the expanding mean/std features (a rolling
+    median ignores the one-off whale transaction that wrecks a rolling
+    mean; p90 tracks the user's own tail).
+
+    One partitioned window exchange, same shape as every W-op: Spark's
+    `percentile` aggregate runs per-frame with linear interpolation,
+    which is exactly DuckDB's `quantile_cont` → hash-exact oracle. The
+    frame is rows-bounded (``lookback-1 PRECEDING``), so state per group
+    is O(lookback), not O(history).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    out = [F.col(id_col), F.col(user_col), F.col(value_col)]
+    for q in quantiles:
+        name = f"roll_p{int(q * 100)}"
+        out.append(F.percentile(F.col(value_col), F.lit(q)).over(w).alias(name))
+    return df.select(*out)

