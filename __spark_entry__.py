@@ -2548,6 +2548,74 @@ WINDOW w AS (
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: per-user EWMA of value (pandas ewm(adjust=False)
+    semantics, 50-row truncation). Linear recurrence — no built-in window
+    aggregate computes it — folded JVM-side over the collected frame;
+    DuckDB folds the identical frame with list_reduce, so the float
+    sequence is bit-deterministic on both engines."""
+    ev = _events(spark, sf_dir)
+    out = windows.ewma(ev)
+    return out.select("event_id", "user_id", "value", E.r6("ewma").alias("ewma"))
+
+
+_EWMA_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, value::DOUBLE AS value,
+    list(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+)
+SELECT event_id, user_id, value,
+  floor(list_reduce(frame, (acc, x) -> acc * 0.8 + 0.2 * x) * 1000000 + 0.5)
+    / 1000000.0 AS ewma
+FROM f
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: deterministic stratified sampling — rebalance the
+    corpus by language (keep 50% en, 30% zh, 10% of the rest) with
+    engine-stable md5-bucket membership; the oracle hash-checks the kept
+    SET, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.stratified_sample_by_hash(
+        docs, "lang", {"en": 0.5, "zh": 0.3}, default_rate=0.1
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substring(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+      < CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'zh' THEN 3000 ELSE 1000 END
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip value to its event_type's [p01, p99]
+    band — the robust-scaling prep step. Exact percentile bounds are a
+    |groups|-row dim, broadcast onto the fact (which never shuffles)."""
+    ev = _events(spark, sf_dir)
+    out = relational.winsorize(ev, "event_type", "value")
+    return out.select(
+        "event_id", "event_type", "value", E.r6("value_w").alias("value_w")
+    )
+
+
+_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT event_type,
+    quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+  floor(least(greatest(e.value, b.lo), b.hi) * 1000000 + 0.5) / 1000000.0 AS value_w
+FROM events e JOIN b USING (event_type)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 dedup closure: near-dup PAIRS (embedding cosine >= 0.4, the
     oracle-exact path) collapsed into duplicate CLUSTERS via min-label
@@ -2861,6 +2929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bloom_semi_join": q_bloom_semi_join,
         "rolling_quantiles": q_rolling_quantiles,
+        "ewma": q_ewma,
+        "stratified_sample": q_stratified_sample,
+        "winsorize": q_winsorize,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -2961,6 +3032,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_LP_SQL,
         "bloom_semi_join": _BLOOM_SEMI_SQL,
         "rolling_quantiles": _ROLLING_Q_SQL,
+        "ewma": _EWMA_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "winsorize": _WINSORIZE_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "bloom_semi_join",
     "rolling_quantiles",
+    "ewma",
+    "stratified_sample",
+    "winsorize",
     "dedup_clusters_lsh",
 ]
 

@@ -86,6 +86,35 @@ def target_encode_expanding(
     ).drop("__prior")
 
 
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str = "value_w",
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [p_lower, p_upper] band — robust-scaling prep that tames whale
+    values without dropping rows. The exact percentile bounds are a
+    |groups|-row dimension (one map-side-combined agg), broadcast back
+    onto the fact, which never shuffles. For a high-cardinality
+    group_col swap `percentile` for `approx_percentile` and let the
+    bounds dim ride a shuffle join."""
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,

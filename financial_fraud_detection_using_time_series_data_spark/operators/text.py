@@ -457,3 +457,32 @@ def pack_chunks(
         .withColumn("pack_offset", excl % target_tokens)
         .drop("__k", "__cs")
     )
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates over the
+    same engine-stable md5 bucket as `sample_by_hash` — the curation move
+    for rebalancing a corpus (downsample the dominant language/source,
+    keep the tail) while staying reproducible across runs and engines.
+    Map-only scan; the rate lookup is a literal CASE, not a join."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresh: Column = F.lit(int(default_rate * buckets))
+    for stratum, rate in rates.items():
+        thresh = (
+            F.when(F.col(strata_col) == stratum, int(rate * buckets)).otherwise(thresh)
+        )
+    return df.filter((h % buckets) < thresh)

@@ -491,3 +491,50 @@ def rolling_quantiles(
         name = f"roll_p{int(q * 100)}"
         out.append(F.percentile(F.col(value_col), F.lit(q)).over(w).alias(name))
     return df.select(*out)
+
+
+def ewma(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    lookback: int = 50,
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value_col`` —
+    pandas ``ewm(alpha, adjust=False).mean()`` semantics (s₀ = x₀,
+    sₜ = α·xₜ + (1−α)·sₜ₋₁), truncated to the last ``lookback`` events
+    (weights below (1−α)^50 ≈ 1e-5 at the default are dropped, which
+    also bounds per-row state).
+
+    EWMA is a linear recurrence, not a distributive aggregate, so no
+    built-in window function computes it. Rather than fall out of the
+    JVM into applyInPandas, collect the rows-bounded frame with
+    `collect_list` and fold it with `F.aggregate` — array order follows
+    the window's ORDER BY, the fold is left-to-right, and both facts
+    hold identically in DuckDB's `list()`/`list_reduce`, giving
+    bit-deterministic float results. One partitioned exchange; O(lookback)
+    state per row.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    # materialize the frame array as an attribute first: expressions
+    # captured by HOF lambdas are re-evaluated per element otherwise
+    framed = df.select(
+        id_col,
+        user_col,
+        F.col(value_col).cast("double").alias(value_col),
+        F.collect_list(F.col(value_col).cast("double")).over(w).alias("__frame"),
+    )
+    vals = F.col("__frame")
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest,
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+    )
+    return framed.select(id_col, user_col, value_col, folded.alias("ewma"))

@@ -226,3 +226,16 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(text.unigram_logprob(docs))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(windows.ewma(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "No Partition Defined" not in plan
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(relational.winsorize(ev, "event_type", "value"))
+    assert "BroadcastHashJoin" in plan

@@ -302,3 +302,30 @@ def test_pack_chunks_invariants(spark, tokens, target):
         assert row.pack_offset == ecs % target
         ecs += row.chunk_tokens
     assert (out.pack_offset < target).all() and (out.pack_offset >= 0).all()
+
+
+def test_ewma_matches_pandas(spark, sf_dir):
+    """windows.ewma == pandas ewm(alpha, adjust=False).mean() wherever the
+    truncation window covers the full history (rows beyond `lookback` may
+    differ by the dropped ~1e-5 tail weight)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = (
+        windows.ewma(ev, alpha=0.2, lookback=10_000)
+        .toPandas()
+        .set_index("event_id")["ewma"]
+    )
+    pdf = ev.select("event_id", "user_id", "ts", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    want = (
+        pdf.assign(
+            ewma=pdf.groupby("user_id")["value"].transform(
+                lambda s: s.ewm(alpha=0.2, adjust=False).mean()
+            )
+        )
+        .set_index("event_id")["ewma"]
+    )
+    diff = (got - want).abs().max()
+    assert diff < 1e-9, f"max |spark - pandas| = {diff}"
