@@ -2616,6 +2616,94 @@ FROM events e JOIN b USING (event_type)
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: Gopher repetition screens — duplicate-token fraction
+    (map-only) and top-bigram share (two doc-keyed aggs over exploded
+    gram hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        E.r6("dup_token_frac").alias("dup_token_frac"),
+        E.r6("top_bigram_frac").alias("top_bigram_frac"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []::VARCHAR[]
+         ELSE string_split(norm, ' ') END AS toks
+  FROM base
+),
+t AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct
+  FROM tok
+),
+g AS (
+  SELECT doc_id,
+    toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, unnest(range(1, n_tokens)) AS r(i)
+  WHERE n_tokens >= 2
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+pd AS (SELECT doc_id, max(c) AS max_c, sum(c) AS total FROM pg GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens::INT AS n_tokens,
+  floor((1.0 - t.n_distinct / nullif(t.n_tokens, 0)::DOUBLE) * 1000000 + 0.5)
+    / 1000000.0 AS dup_token_frac,
+  floor((pd.max_c / pd.total::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS top_bigram_frac
+FROM t LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: benchmark decontamination — overlap counts of distinct
+    word 5-grams against a deterministic pseudo-benchmark slice
+    (doc_id % 20 == 0). Benchmark shingle hashes broadcast; text never
+    crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return text.decontaminate(train, bench)
+
+
+_DECONTAMINATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks, len(string_split(norm, ' ')) AS n
+  FROM base WHERE length(norm) > 0
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, n - 3),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+    )) AS shingles
+  FROM tok WHERE n >= 5
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT e.doc_id, count(DISTINCT e.s) AS n_hits
+  FROM ex e JOIN bench b USING (s)
+  WHERE e.doc_id % 20 != 0
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 dedup closure: near-dup PAIRS (embedding cosine >= 0.4, the
     oracle-exact path) collapsed into duplicate CLUSTERS via min-label
@@ -2932,6 +3020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "stratified_sample": q_stratified_sample,
         "winsorize": q_winsorize,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -3035,6 +3125,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma": _EWMA_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "winsorize": _WINSORIZE_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

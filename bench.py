@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "ewma",
     "stratified_sample",
     "winsorize",
+    "repetition_stats",
+    "decontaminate",
     "dedup_clusters_lsh",
 ]
 

@@ -486,3 +486,97 @@ def stratified_sample_by_hash(
             F.when(F.col(strata_col) == stratum, int(rate * buckets)).otherwise(thresh)
         )
     return df.filter((h % buckets) < thresh)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition screens: ``dup_token_frac`` (1 −
+    distinct/total tokens) and ``top_bigram_frac`` (share of the most
+    frequent word 2-gram) — high values mark boilerplate/spam that
+    length and stopword rules miss.
+
+    dup_token_frac is map-only (array_distinct on the token array). The
+    bigram share is explode → (doc, gram) count → per-doc max/sum: two
+    map-side-combined aggs keyed by doc_id, so 100 TB shuffles only
+    gram-count pairs, never text."""
+    toks = df.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        "__toks",
+        F.when(F.length(F.concat_ws("", "__toks")) == 0, 0)
+        .otherwise(F.size("__toks"))
+        .alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+    )
+    raw = toks.filter(F.col("n_tokens") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+            )
+        ).alias("__g"),
+    )
+    per_gram = raw.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("__max_c"), F.sum("c").alias("__total")
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.lit(1.0)
+                - F.col("__n_distinct")
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0))
+            ).alias("dup_token_frac"),
+            (F.col("__max_c") / F.col("__total").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``ngram``-gram with a held-out benchmark set (the WMDP/GPT-3
+    appendix-C style 13-gram check, shortened to fit synthetic doc
+    lengths). Returns every training doc with its count of distinct
+    overlapping n-grams — pipelines drop `n_hits > 0` rows, but audits
+    want the counts.
+
+    Shape: both sides explode DISTINCT shingle md5s (hashes, not
+    strings, cross the wire); benchmark shingles are a broadcastable dim
+    (benchmarks are small by definition) inner-joined onto training
+    shingles; one per-doc count agg; left join back for the zero rows.
+    """
+    def shingles(frame: DataFrame) -> DataFrame:
+        t = frame.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+        return t.filter(F.size("__toks") >= ngram).select(
+            id_col,
+            F.explode(word_shingles(F.col("__toks"), ngram, tokenized=True)).alias(
+                "__s"
+            ),
+        ).select(id_col, F.md5("__s").alias("__h"))
+
+    bench_sh = shingles(benchmark).select("__h").distinct()
+    train_sh = shingles(df)
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "__h")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__h").alias("n_hits"))
+    )
+    return df.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
