@@ -26,7 +26,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
     windows,
 )
 from financial_fraud_detection_using_time_series_data_spark.sources import (
+    check_expectations,
     generate_transactions,
+    kfold_assign,
     load_table,
     null_profile,
 )
@@ -2704,6 +2706,87 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (deequ-lite): five declared invariants over
+    events checked in ONE wide aggregate scan; tall (rule, violations,
+    frac, passed) output — the publish-gate a 100 TB ingest asserts."""
+    ev = _events(spark, sf_dir)
+    return check_expectations(
+        ev,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "user_id_not_null": F.col("user_id").isNotNull(),
+            "ts_not_null": F.col("ts").isNotNull(),
+            "known_event_type": F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+            "value_below_cap": F.col("value") < 1e6,
+        },
+    )
+
+
+_EXPECTATIONS_SQL = """
+WITH w AS (
+  SELECT count(*) AS total,
+    sum((NOT coalesce(value >= 0, false))::BIGINT) AS value_non_negative,
+    sum((NOT coalesce(user_id IS NOT NULL, false))::BIGINT) AS user_id_not_null,
+    sum((NOT coalesce(ts IS NOT NULL, false))::BIGINT) AS ts_not_null,
+    sum((NOT coalesce(event_type IN ('click','view','purchase','signup','error'), false))::BIGINT) AS known_event_type,
+    sum((NOT coalesce(value < 1000000, false))::BIGINT) AS value_below_cap
+  FROM events
+),
+t AS (
+  SELECT 'value_non_negative' AS rule, value_non_negative AS n_violations, total FROM w
+  UNION ALL SELECT 'user_id_not_null', user_id_not_null, total FROM w
+  UNION ALL SELECT 'ts_not_null', ts_not_null, total FROM w
+  UNION ALL SELECT 'known_event_type', known_event_type, total FROM w
+  UNION ALL SELECT 'value_below_cap', value_below_cap, total FROM w
+)
+SELECT rule, n_violations::BIGINT AS n_violations,
+  floor(n_violations / total::DOUBLE * 1000000 + 0.5) / 1000000.0 AS violation_frac,
+  n_violations = 0 AS passed
+FROM t ORDER BY rule
+"""
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (md5 bucket mod k) — fold
+    membership itself is hash-checked by the oracle."""
+    ev = _events(spark, sf_dir)
+    return kfold_assign(ev, "event_id").select("event_id", "fold")
+
+
+_KFOLD_SQL = """
+SELECT event_id,
+  (('0x' || substring(md5('fold:' || event_id::VARCHAR), 1, 8))::BIGINT % 5)::INT AS fold
+FROM events
+"""
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick encoding of (event_type, user_id) into a 64-slot
+    signed feature space — no vocabulary fit, no dictionary broadcast;
+    slot and sign membership hash-checked by the oracle."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        E.feature_hash_slot(F.col("event_type")).alias("type_slot"),
+        E.feature_hash_sign(F.col("event_type")).alias("type_sign"),
+        E.feature_hash_slot(F.col("user_id")).alias("user_slot"),
+        E.feature_hash_sign(F.col("user_id")).alias("user_sign"),
+    )
+
+
+_FEATURE_HASH_SQL = """
+SELECT event_id,
+  (('0x' || substring(md5('fh:' || event_type), 1, 8))::BIGINT % 64)::INT AS type_slot,
+  ((('0x' || substring(md5('fhs:' || event_type), 1, 8))::BIGINT % 2) * 2 - 1)::INT AS type_sign,
+  (('0x' || substring(md5('fh:' || user_id::VARCHAR), 1, 8))::BIGINT % 64)::INT AS user_slot,
+  ((('0x' || substring(md5('fhs:' || user_id::VARCHAR), 1, 8))::BIGINT % 2) * 2 - 1)::INT AS user_sign
+FROM events
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 dedup closure: near-dup PAIRS (embedding cosine >= 0.4, the
     oracle-exact path) collapsed into duplicate CLUSTERS via min-label
@@ -3022,6 +3105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "expectations": q_expectations,
+        "kfold_assign": q_kfold_assign,
+        "feature_hash": q_feature_hash,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
         "token_stats": q_token_stats,
@@ -3127,6 +3213,9 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _WINSORIZE_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "expectations": _EXPECTATIONS_SQL,
+        "kfold_assign": _KFOLD_SQL,
+        "feature_hash": _FEATURE_HASH_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

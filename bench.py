@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "winsorize",
     "repetition_stats",
     "decontaminate",
+    "expectations",
+    "kfold_assign",
+    "feature_hash",
     "dedup_clusters_lsh",
 ]
 

@@ -147,3 +147,30 @@ def dsum(col: Column | str, scale: str = "decimal(25,2)") -> Column:
     rounding cannot mask at 1e10 magnitudes."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(scale))
+
+
+def feature_hash_slot(col: "Column", dim: int = 64, salt: str = "fh") -> "Column":
+    """Hashing-trick slot for a categorical value: md5 bucket mod dim.
+    High-cardinality categoricals (merchant ids, devices) map into a
+    fixed-width feature space with no vocabulary fit, no dictionary to
+    broadcast, and no train/serve skew — the standard scale move when
+    label encoding's |keys| dimension stops fitting anywhere. Map-only;
+    md5-based so the DuckDB oracle replays membership exactly."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % dim).cast("int")
+
+
+def feature_hash_sign(col: "Column", salt: str = "fh") -> "Column":
+    """±1 sign companion for the hashing trick (Weinberger et al. 2009):
+    an independent hash bit; signed collisions cancel in expectation
+    instead of always inflating the slot."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}s:"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % 2 * 2 - 1).cast("int")

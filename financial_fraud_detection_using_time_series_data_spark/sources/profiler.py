@@ -32,3 +32,56 @@ def profile(df: DataFrame) -> dict:
         "columns": len(df.columns),
         "dtypes": dict(df.dtypes),
     }
+
+
+def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Declarative data-quality gate (deequ-lite): each rule is a boolean
+    Column that every GOOD row satisfies; the result is one tall row per
+    rule with its violation count and fraction — the contract a 100 TB
+    ingest job asserts before publishing a partition.
+
+    ONE wide aggregate pass (a single scan regardless of rule count,
+    map-side combined); null rule results count as violations, matching
+    SQL three-valued logic pitfalls rather than hiding them."""
+    total_col = F.count(F.lit(1)).alias("__total")
+    aggs = [
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(total_col, *aggs)
+    n = len(rules)
+    stack_expr = ", ".join(f"'{name}', `{name}`" for name in rules)
+    return (
+        wide.selectExpr(
+            "__total", f"stack({n}, {stack_expr}) as (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (
+                F.floor(
+                    F.col("n_violations") / F.col("__total") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("violation_frac"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int = 5, salt: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold assignment for distributed cross-validation:
+    fold = md5(salt:id) bucket mod k — engine-stable like
+    `sample_by_hash`, so folds are reproducible across runs/engines and
+    a fold's train/holdout split can be recomputed anywhere. Map-only."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("fold", (h % k).cast("int"))

@@ -111,3 +111,74 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     ``spark.sql(...)`` (the reference has no SQL surface at all)."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def zorder_value(a, b, bits: int = 12):
+    """Morton (Z-order) key from two bucket ids in [0, 2^bits): bit
+    interleave, built from shift/AND built-ins so it codegens. Input
+    columns must already be integral bucket ids."""
+    z = F.lit(0).cast("long")
+    a = a.cast("long")
+    b = b.cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(bit_a, 2 * i + 1) + F.shiftleft(bit_b, 2 * i)
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_partitions: int = 32,
+    bits: int = 12,
+) -> DataFrame:
+    """Z-order clustering across TWO dimensions (Delta OPTIMIZE ZORDER
+    semantics, plain-Spark form): linear-scale both columns into 2^bits
+    buckets (one min/max agg, broadcast), interleave into a Morton key,
+    then range-partition + sort by it.
+
+    Why at 100 TB: parquet row-group min/max stats prune scans only when
+    values cluster within files. Sorting by ONE column gives perfect
+    pruning on it and none on the other; the Morton key bounds BOTH
+    dims per file (each partition covers ~1/sqrt(P) of each dim's
+    range), so selective filters on either column skip most row groups.
+    Write the result with `write_parquet` to materialize the layout.
+    Linear bucketing keeps the key rank-free (no global sort to fit);
+    swap in percentile cut-points for heavily skewed dims."""
+    stats = df.agg(
+        F.min(col_a).alias("__amin"),
+        F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"),
+        F.max(col_b).alias("__bmax"),
+    )
+    top = (1 << bits) - 1
+    scaled = df.crossJoin(F.broadcast(stats)).select(
+        "*",
+        F.floor(
+            (F.col(col_a) - F.col("__amin"))
+            / F.nullif(F.col("__amax") - F.col("__amin"), F.lit(0))
+            * top
+        )
+        .cast("long")
+        .alias("__ba"),
+        F.floor(
+            (F.col(col_b) - F.col("__bmin"))
+            / F.nullif(F.col("__bmax") - F.col("__bmin"), F.lit(0))
+            * top
+        )
+        .cast("long")
+        .alias("__bb"),
+    )
+    keyed = scaled.select(
+        *df.columns,
+        zorder_value(
+            F.coalesce(F.col("__ba"), F.lit(0)), F.coalesce(F.col("__bb"), F.lit(0)), bits
+        ).alias("__z"),
+    )
+    return (
+        keyed.repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -229,3 +229,51 @@ def streaming_session_agg(
             F.sum(amount_col).alias("total_value"),
         )
     )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the click(s)
+    by the same user in the preceding ``within`` interval — the classic
+    conversion-attribution join, fully streaming on both sides.
+
+    Both inputs carry a watermark and the join condition time-bounds the
+    match, so Spark can expire buffered state: click state is held
+    ``watermark + within``, purchase state ``watermark`` — bounded
+    regardless of stream length. Equi-key (user) + range condition →
+    state is partitioned by user across executors.
+    """
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {within}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

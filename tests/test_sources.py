@@ -121,3 +121,45 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_zorder_layout_bounds_both_dims(spark, sf_dir):
+    """Z-order layout must cluster BOTH dimensions: the average fraction
+    of each dim's global range covered per partition has to be far below
+    the ~100% an unsorted layout shows, on value AND user_id at once
+    (a single-dim sort only achieves it on its own column)."""
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        zorder_layout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def coverage(df, col):
+        lo, hi = df.agg(F.min(col), F.max(col)).first()
+        per_part = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return per_part / (hi - lo)
+
+    z = zorder_layout(ev, "value", "user_id", n_partitions=16).cache()
+    z.count()
+    cov_value = coverage(z, "value")
+    cov_user = coverage(z, "user_id")
+    z.unpersist()
+    # 16 partitions over a 2-d morton curve -> each covers ~1/4 of each
+    # dim's range; allow generous slack but stay far below unsorted (~1.0)
+    assert cov_value < 0.6, f"value coverage {cov_value}"
+    assert cov_user < 0.6, f"user coverage {cov_user}"
+
+    single = ev.repartitionByRange(16, "value").sortWithinPartitions("value").cache()
+    single.count()
+    cov_user_single = coverage(single, "user_id")
+    single.unpersist()
+    assert cov_user_single > cov_user, (
+        "z-order should bound the second dim better than a single-dim sort "
+        f"({cov_user} !< {cov_user_single})"
+    )

@@ -222,3 +222,71 @@ def test_tws_stream_matches_batch_windows(spark, sf_dir, tmp_path):
         | (F.col("s.is_first_txn") != F.col("b.is_first_txn"))
     ).count()
     assert mismatches == 0, f"{mismatches} rows differ between TWS stream and batch"
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming click->purchase attribution join must emit exactly
+    the rows the equivalent batch join produces (no watermark drops with
+    availableNow over a finite input)."""
+    import shutil
+
+    from financial_fraud_detection_using_time_series_data_spark.streaming.scoring import (
+        stream_stream_attribution,
+    )
+
+    src_dir = tmp_path / "events_ss"
+    src_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(str(src_dir))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = stream().filter(F.col("event_type") == "click")
+    purchases = stream().filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "select user_id, click_id, purchase_id, purchase_value from ss_attr"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 minutes"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id", "purchase_value"
+    )
+    n_got, n_want = got.count(), want.count()
+    assert n_want > 0, "batch attribution join matched nothing — fixture too sparse"
+    assert n_got == n_want, f"stream={n_got} batch={n_want}"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
