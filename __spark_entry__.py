@@ -907,7 +907,7 @@ def _pipeline_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic generator is exercised separately via `synthetic_source`)."""
     ev = _events(spark, sf_dir)
     u = F.col("user_id")
-    sec = F.expr("unix_micros(ts) div 1000000")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
     return ev.select(
         F.col("event_id").alias("TransactionID"),
         u.alias("card1"),

@@ -25,6 +25,23 @@ def epoch_to_ts(col: Column, origin_epoch: int = REF_ORIGIN_EPOCH) -> Column:
     return F.timestamp_seconds(col + F.lit(origin_epoch))
 
 
+def epoch_us(col: Column) -> Column:
+    """Epoch microseconds from ANY timestamp flavor (TIMESTAMP,
+    TIMESTAMP_NTZ, or an already-numeric epoch column).
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ outright, so a testdata
+    format change (tz-less parquet) would otherwise break every epoch
+    call site at once. One tolerant helper makes the whole temporal
+    family immune: NTZ is first cast to LTZ (the engine session is
+    pinned UTC, so the instant is unchanged)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def epoch_s(col: Column) -> Column:
+    """Epoch seconds (fractional) from any timestamp flavor."""
+    return epoch_us(col) / F.lit(1_000_000.0)
+
+
 def pandas_dow(ts: Column) -> Column:
     """F2: day-of-week with pandas origin (Mon=0..Sun=6).
 

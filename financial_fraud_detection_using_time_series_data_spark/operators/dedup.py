@@ -315,8 +315,13 @@ def embedding_near_dup_blocked(
             right = pdf[pdf["block"] == bb].drop_duplicates("id")
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
-        la = np.stack(left["v"].to_numpy())
-        rb = np.stack(right["v"].to_numpy())
+        # promote float32 embeddings to float64 BEFORE the matmul: a
+        # float32 accumulation carries ~1e-7 relative error — enough to
+        # flip >=threshold membership and 5dp rounding vs any engine
+        # that folds in double (the r04 flake). float64 leaves only
+        # ~1e-15 reassociation noise, far below both boundaries.
+        la = np.stack(left["v"].to_numpy()).astype(np.float64)
+        rb = np.stack(right["v"].to_numpy()).astype(np.float64)
         la = la / np.linalg.norm(la, axis=1, keepdims=True)
         rb = rb / np.linalg.norm(rb, axis=1, keepdims=True)
         sims = la @ rb.T

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import chunked
+from ..functions import exprs as E
 
 
 def left_join(
@@ -302,7 +303,15 @@ def time_split(
     """
     assert abs(sum(fracs) - 1.0) < 1e-9
     order = [ts_col] + ([tiebreak] if tiebreak else [])
-    base = df.withColumn("__k", F.col(ts_col).cast("double"))
+    # timestamp flavors (incl. TIMESTAMP_NTZ, which rejects a direct
+    # double cast) go through the tolerant epoch helper; numerics as-is
+    dtype = dict(df.dtypes).get(ts_col, "")
+    key = (
+        E.epoch_us(F.col(ts_col)).cast("double")
+        if dtype.startswith("timestamp")
+        else F.col(ts_col).cast("double")
+    )
+    base = df.withColumn("__k", key)
     ranked = chunked.global_rank(base, "__k", order, rank_col="__rn", count_col="__n")
     rn, n = F.col("__rn"), F.col("__n")
     t1 = F.floor(n * F.lit(fracs[0]))

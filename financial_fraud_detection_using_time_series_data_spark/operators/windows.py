@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ..functions import exprs as E
+
 
 def user_window(user_col: str = "user_id", ts_col: str = "ts", *tiebreak: str) -> WindowSpec:
     """Canonical per-entity time window. Tie-break on a unique id so row
@@ -132,7 +134,7 @@ def expanding_user_features(
     """
     w = user_window(user_col, ts_col, id_col)
     frame = expanding_frame(w)
-    epoch_us = F.unix_micros(F.col(ts_col))
+    epoch_us = E.epoch_us(F.col(ts_col))
     amt = F.col(amt_col)
     cnt = cum_count(w)
     # money sums go through decimal so the cumulative value is exact and
@@ -167,7 +169,7 @@ def velocity_features(
     """engineer.py:120-152: txn velocity, amount velocity, spending rate and
     acceleration (second-order lag diff)."""
     w = user_window(user_col, ts_col, id_col)
-    epoch_s = F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+    epoch_s = E.epoch_us(F.col(ts_col)) / F.lit(1_000_000.0)
     amt = F.col(amt_col)
     time_diff = epoch_s - F.lag(epoch_s, 1).over(w)
     # reference replaces 0-diff with 1 then adds 1 in denominator
@@ -199,7 +201,7 @@ def time_bounded_user_features(
 ) -> DataFrame:
     """Corrected-mode W1-W5: genuinely time-bounded lookbacks via
     rangeBetween on epoch seconds (what config.yaml:17 intended)."""
-    epoch_s = F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+    epoch_s = E.epoch_us(F.col(ts_col)) / F.lit(1_000_000.0)
     df = df.withColumn("__epoch_s", epoch_s)
     cols = ["*"]
     for d in days_list:
@@ -228,7 +230,7 @@ def behavioral_features(
     w = user_window(user_col, ts_col, id_col)
     frame = expanding_frame(w)
     amt = F.col(amt_col)
-    epoch_us = F.unix_micros(F.col(ts_col))
+    epoch_us = E.epoch_us(F.col(ts_col))
     epoch_s = epoch_us / F.lit(1_000_000.0)
     row_no = F.row_number().over(w)
     exp_sum = F.sum(amt.cast("decimal(25,2)")).over(frame).cast("double")
@@ -287,7 +289,7 @@ def sessionize(
     `session_window`/`transformWithState` with the same gap.
     """
     w = user_window(user_col, ts_col, id_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = E.epoch_us(F.col(ts_col))
     new_sess = (
         F.coalesce(
             (us - F.lag(us, 1).over(w)) > F.lit(gap_s * 1_000_000), F.lit(True)
@@ -310,7 +312,7 @@ def session_agg(
     (user, session_idx) — same leading key as the sessionize shuffle, so
     AQE/exchange-reuse makes the agg a local pass after the sort."""
     s = sessionize(df, user_col, ts_col, id_col, gap_s)
-    us = F.unix_micros(F.col(ts_col))
+    us = E.epoch_us(F.col(ts_col))
     return (
         s.groupBy(user_col, "session_idx")
         .agg(

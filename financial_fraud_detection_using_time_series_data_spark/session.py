@@ -37,6 +37,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage codegen emits one unique class per query shape; a
+        # long-lived session running many distinct queries (bench, the
+        # driver's correctness sweep) fills the JVM's default 240 MB JIT
+        # code cache, after which the compiler shuts off and EVERYTHING
+        # runs interpreted (~10x: measured 60s vs 5s on the same query
+        # late vs early in a bench session). Only effective when this
+        # builder launches the JVM (pyspark passes it to spark-submit);
+        # a pre-existing gateway keeps its own flags.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark

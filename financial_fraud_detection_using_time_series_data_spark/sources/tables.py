@@ -45,6 +45,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Normalize TIMESTAMP_NTZ -> TIMESTAMP (LTZ) at the scan boundary.
+    # Parquet written as plain timestamp[us] (no tz) reads as
+    # TIMESTAMP_NTZ in Spark 4, which unix_micros()/double-cast reject.
+    # The engine session is pinned to UTC (session.py), so the cast is
+    # value-identical to DuckDB's naive-timestamp semantics, and doing it
+    # once here keeps every downstream operator timestamp-type-agnostic.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -137,7 +137,7 @@ def stateful_user_features(
     prepped = stream.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(id_col).cast("long").alias("event_id"),
-        F.unix_micros(F.col(ts_col)).alias("event_ts_us"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("event_ts_us"),
         F.col(amount_col).cast("double").alias("value"),
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
@@ -240,7 +240,7 @@ def stateful_user_features_tws(
     prepped = stream.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(id_col).cast("long").alias("event_id"),
-        F.unix_micros(F.col(ts_col)).alias("event_ts_us"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("event_ts_us"),
         F.col(amount_col).cast("double").alias("value"),
     )
     # TTL on ValueState requires TimeMode.ProcessingTime — Spark 4 throws
