@@ -234,16 +234,28 @@ FROM events
 
 
 def q_sliding_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10: last-5 values per user as an array column (full windows only)."""
+    """W10: last-5 values per user as an array column (full windows only).
+
+    The array is emitted as a canonical comma-joined string: the driver's
+    canonicalizer hashes pandas objects and lists are unhashable, so an
+    ARRAY output can never be value-checked. Fixed-point decimal(18,2)
+    per-element rendering is identical in Spark and DuckDB (values are
+    2dp money), keeping the comparison exact."""
     ev = _events(spark, sf_dir)
     w = windows.user_window("user_id", "ts", "event_id")
     seq = windows.sliding_sequence(F.col("value"), w, seq_len=5)
-    out = ev.select("event_id", "user_id", seq.alias("seq"))
-    return out.filter(F.size("seq") == 5)
+    out = ev.select("event_id", "user_id", seq.alias("__seq"))
+    out = out.filter(F.size("__seq") == 5)
+    canon = F.concat_ws(
+        ",", F.transform(F.col("__seq"), lambda x: x.cast("decimal(18,2)").cast("string"))
+    )
+    return out.select("event_id", "user_id", canon.alias("seq"))
 
 
 _SLIDING_SEQ_SQL = """
-SELECT event_id, user_id, seq FROM (
+SELECT event_id, user_id,
+  array_to_string(list_transform(seq, x -> (x::DECIMAL(18,2))::VARCHAR), ',') AS seq
+FROM (
   SELECT event_id, user_id,
     list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq
@@ -1475,24 +1487,34 @@ SELECT event_id, (props->>'$.k')::INT AS k_val FROM events
 
 
 def q_padded_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10+W11: last-3 window with zero pre-padding for short histories."""
+    """W10+W11: last-3 window with zero pre-padding for short histories.
+
+    Canonical string output (see q_sliding_sequence): the driver cannot
+    hash ARRAY columns."""
     ev = _events(spark, sf_dir)
     w = windows.user_window("user_id", "ts", "event_id")
     seq = windows.sliding_sequence(F.col("value"), w, seq_len=3)
-    out = ev.select("event_id", "user_id", seq.alias("__seq"))
-    padded = windows.pad_sequence(F.col("__seq"), 3, F.lit(0.0), pre=True)
-    return out.select("event_id", "user_id", padded.alias("seq"))
+    out = ev.select("event_id", "user_id", seq.alias("__raw"))
+    padded = windows.pad_sequence(F.col("__raw"), 3, F.lit(0.0), pre=True)
+    canon = F.concat_ws(
+        ",", F.transform(padded, lambda x: x.cast("decimal(18,2)").cast("string"))
+    )
+    return out.select("event_id", "user_id", canon.alias("seq"))
 
 
 _PADDED_SEQ_SQL = """
 SELECT event_id, user_id,
-  CASE WHEN len(seq) >= 3 THEN seq
-       ELSE list_concat([0.0 FOR i IN range(3 - len(seq))], seq) END AS seq
+  array_to_string(list_transform(padded, x -> (x::DECIMAL(18,2))::VARCHAR), ',') AS seq
 FROM (
   SELECT event_id, user_id,
-    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
-  FROM events
+    CASE WHEN len(seq) >= 3 THEN seq
+         ELSE list_concat([0.0 FOR i IN range(3 - len(seq))], seq) END AS padded
+  FROM (
+    SELECT event_id, user_id,
+      list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+    FROM events
+  )
 )
 """
 
@@ -1504,8 +1526,13 @@ def q_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     out = score_batch(ev, amount_col="value")
+    # reasons is ARRAY<STRING>; join to one scalar so the driver's
+    # canonicalizer can hash it (lists are unhashable in pandas)
     return out.select(
-        "event_id", E.r6("fraud_score").alias("fraud_score"), "risk", "reasons"
+        "event_id",
+        E.r6("fraud_score").alias("fraud_score"),
+        "risk",
+        F.concat_ws("|", F.col("reasons")).alias("reasons"),
     )
 
 
@@ -1520,11 +1547,11 @@ SELECT event_id,
   CASE WHEN score >= 0.8 THEN 'CRITICAL' WHEN score >= 0.6 THEN 'HIGH'
        WHEN score >= 0.4 THEN 'MEDIUM' WHEN score >= 0.2 THEN 'LOW'
        ELSE 'MINIMAL' END AS risk,
-  list_filter([
+  coalesce(array_to_string(list_filter([
     CASE WHEN value > 1000 THEN 'high_amount' END,
     CASE WHEN fmod(value, 100.0) = 0 THEN 'round_amount' END,
     CASE WHEN score >= 0.8 THEN 'critical_score' END
-  ], x -> x IS NOT NULL) AS reasons
+  ], x -> x IS NOT NULL), '|'), '') AS reasons
 FROM s
 """
 
