@@ -3080,7 +3080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
         "pivot_counts": q_pivot_counts,
-        "json_extract": q_json_extract,
+        # the flagship composed query sits INSIDE the driver window so the
+        # end-to-end pipeline gets a hard external parity signal each round
+        # (json_extract rotated to the 51+ tail to make room)
+        "fraud_feature_pipeline": q_fraud_feature_pipeline,
         "score_events": q_score_events,
         "label_encode": q_label_encode,
         "grouping_sets": q_grouping_sets,
@@ -3142,7 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": q_near_dup_pairs,
         "brute_force_topk": q_brute_force_topk,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
-        "fraud_feature_pipeline": q_fraud_feature_pipeline,
+        "json_extract": q_json_extract,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "sample_by_hash": q_sample_by_hash,
