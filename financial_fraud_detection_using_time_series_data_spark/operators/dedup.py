@@ -107,6 +107,7 @@ def minhash_lsh_pairs(
     bands: int = 2,
     shingle_k: int = 5,
     fast: bool = True,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band of
     the signature. Returns (id_a, id_b) with id_a < id_b, distinct.
@@ -117,7 +118,21 @@ def minhash_lsh_pairs(
     the baseline Jaccard between NON-duplicates is high; k=5 shingles +
     8 rows/band (P[candidate] = s^8 per band) keeps the candidate set
     ~linear in corpus size where k=3/4-rows admitted ~8% of all n² pairs.
-    Exact duplicates (s=1) are always caught regardless of banding."""
+    Exact duplicates (s=1) are always caught regardless of banding.
+
+    Degenerate-bucket cap (the 100 TB guard): web corpora concentrate
+    mass-duplicated boilerplate into a single (band, signature) bucket,
+    and an uncapped self-join there goes O(B²) — a 1M-member bucket is
+    5·10¹¹ pairs. Buckets with ≤ ``max_bucket_size`` members keep the
+    exact all-pairs join; larger buckets degrade to the STAR linkage
+    (every member ↔ the bucket's min id, O(B) pairs) plus exact
+    all-pairs over the ``max_bucket_size`` lowest ids. The star keeps
+    every member reachable from the hub, so connected-component
+    clustering (dedup_clusters_lsh) still collapses the whole bucket,
+    and downstream exact verification (ngram_jaccard) filters any false
+    positives the hub introduces. Pair-level recall inside oversized
+    buckets is intentionally traded for the bound; audit the trade with
+    :func:`lsh_bucket_stats`."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, fast=fast)
     bucket = (
@@ -135,9 +150,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     ).select(id_col, "band", bucket.alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    # one extra window pass on the SAME (band,bucket) shuffle key ranks
+    # members and sizes buckets without a second exchange
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = banded.select(
+        id_col,
+        "band",
+        "bucket",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wfull).alias("__n"),
+        F.first(id_col).over(wfull).alias("__hub"),
+    )
+    capped = ranked.filter(
+        (F.col("__n") <= max_bucket_size) | (F.col("__rn") <= max_bucket_size)
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    exact_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -145,9 +175,60 @@ def minhash_lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    star_pairs = (
+        ranked.filter((F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__hub")))
+        .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return exact_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 5,
+    fast: bool = True,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Audit companion for :func:`minhash_lsh_pairs`: per-band bucket
+    census — bucket count, max/mean size, oversized-bucket count, and the
+    number of within-bucket candidate pairs the cap DROPPED (replaced by
+    star links). Pure aggregation, no self-join — safe at any scale."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, fast=fast)
+    bucket = (
+        F.xxhash64("band_sig") if fast
+        else F.md5(F.concat_ws(",", "band_sig"))
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    ).select(id_col, "band", bucket.alias("bucket"))
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    n, cap = F.col("n"), F.lit(max_bucket_size)
+    # pairs dropped in an oversized bucket: full C(n,2) minus the kept
+    # C(cap,2) exact block minus the (n-1) star links (minus overlap of
+    # star links already inside the exact block: cap-1)
+    dropped = (
+        n * (n - 1) / 2 - cap * (cap - 1) / 2 - (n - 1) + (cap - 1)
+    )
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.avg("n").alias("mean_bucket"),
+        F.sum((n > cap).cast("long")).alias("oversized_buckets"),
+        F.sum(F.when(n > cap, dropped).otherwise(F.lit(0))).cast("long").alias("dropped_pairs"),
+    )
 
 
 def ngram_jaccard(
@@ -356,6 +437,7 @@ def embedding_near_dup_lsh(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_bands: int = 16,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup, the END-TO-END 100 TB path: banded random-
     hyperplane LSH prefilter → EXACT numpy-matmul verification inside each
@@ -437,19 +519,58 @@ def embedding_near_dup_lsh(
     def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ia, ib = np.where(sims >= threshold)
-        keep = ids[ia] < ids[ib]
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia][keep],
-                "id_b": ids[ib][keep],
-                "cos_sim": sims[ia, ib][keep],
-            }
+        if len(pdf) <= max_bucket_size:
+            sims = mat @ mat.T
+            ia, ib = np.where(sims >= threshold)
+            keep = ids[ia] < ids[ib]
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia][keep],
+                    "id_b": ids[ib][keep],
+                    "cos_sim": sims[ia, ib][keep],
+                }
+            )
+        # degenerate-bucket guard: a mass-duplicated corpus can put
+        # nearly everything in one (band, sig) bucket, and the full
+        # B×B matmul goes quadratic in ONE task. Bound it: exact
+        # all-pairs over the max_bucket_size lowest ids, plus a STAR
+        # pass (every remaining member vs that head block, O(B·cap·d))
+        # so oversized-bucket members stay reachable from the head for
+        # cluster collapse. Pair recall among the un-capped tail is
+        # traded for the bound — by construction those members also
+        # collide in other bands with probability ≥ the band's, so
+        # cross-band union recovers most of it.
+        head = mat[:max_bucket_size]
+        hsims = head @ head.T
+        ia, ib = np.where(hsims >= threshold)
+        keep = ia < ib
+        frames = [
+            pd.DataFrame(
+                {
+                    "id_a": ids[ia][keep],
+                    "id_b": ids[ib][keep],
+                    "cos_sim": hsims[ia, ib][keep],
+                }
+            )
+        ]
+        tail = mat[max_bucket_size:]
+        tids = ids[max_bucket_size:]
+        tsims = tail @ head.T  # (B-cap, cap)
+        ta, hb = np.where(tsims >= threshold)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "id_a": np.minimum(tids[ta], ids[hb]),
+                    "id_b": np.maximum(tids[ta], ids[hb]),
+                    "cos_sim": tsims[ta, hb],
+                }
+            )
         )
+        return pd.concat(frames, ignore_index=True)
 
     candidates = exploded.groupBy("band", "sig").applyInPandas(
         _bucket, schema=out_schema
