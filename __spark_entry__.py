@@ -1308,6 +1308,68 @@ SELECT * FROM curve ORDER BY f1 DESC, threshold DESC LIMIT 1
 """
 
 
+def q_best_threshold_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 cost mode (metrics.py:156-175): argmin fn·1000 + fp·10 over the
+    PR-point thresholds, ties to the lowest threshold (np.argmin rule)."""
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.best_threshold_by_cost(scored, "label", "score", "event_id")
+
+
+_PR_POINTS_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+scanned AS (
+  SELECT score AS threshold,
+    sum(label) OVER (ORDER BY score DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+    row_number() OVER (ORDER BY score DESC, event_id) AS cum_pred_pos,
+    sum(label) OVER () AS total_pos
+  FROM scored
+)
+SELECT threshold, max(cum_tp)::BIGINT AS tp, max(cum_pred_pos)::BIGINT AS pred_pos,
+       max(total_pos)::BIGINT AS total_pos
+FROM scanned GROUP BY threshold
+"""
+
+
+_BEST_THRESHOLD_COST_SQL = f"""
+WITH per_t AS ({_PR_POINTS_SQL})
+SELECT threshold,
+  (total_pos - tp) * 1000.0 + (pred_pos - tp) * 10.0 AS cost,
+  floor((tp / pred_pos) * 1000000 + 0.5) / 1000000.0 AS precision,
+  floor((tp / total_pos) * 1000000 + 0.5) / 1000000.0 AS recall
+FROM per_t ORDER BY cost ASC, threshold ASC LIMIT 1
+"""
+
+
+def q_best_threshold_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 recall mode (metrics.py:177-195): max precision s.t.
+    recall ≥ 0.90, ties to the lowest threshold; hard fallback to 0.1
+    when the target is unreachable."""
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.best_threshold_by_recall(scored, "label", "score", "event_id")
+
+
+_BEST_THRESHOLD_RECALL_SQL = f"""
+WITH per_t AS ({_PR_POINTS_SQL}),
+curve AS (
+  SELECT threshold,
+    floor((tp / pred_pos) * 1000000 + 0.5) / 1000000.0 AS precision,
+    floor((tp / total_pos) * 1000000 + 0.5) / 1000000.0 AS recall
+  FROM per_t
+),
+top AS (
+  SELECT *, (recall >= 0.90) AS eligible FROM curve
+  ORDER BY eligible DESC,
+    CASE WHEN eligible THEN -precision ELSE 0.0 END ASC,
+    threshold ASC
+  LIMIT 1
+)
+SELECT CASE WHEN eligible THEN threshold ELSE 0.1 END AS threshold,
+  precision, recall
+FROM top
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
@@ -3109,6 +3171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "velocity_features": q_velocity_features,
         "cube_agg": q_cube_agg,
         "pr_curve": q_pr_curve,
+        "best_threshold_cost": q_best_threshold_cost,
+        "best_threshold_recall": q_best_threshold_recall,
         "salted_agg": q_salted_agg,
         "cardinality": q_cardinality,
         "range_join_count": q_range_join_count,
@@ -3205,6 +3269,8 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep": _SWEEP_SQL,
         "pr_curve": _PR_CURVE_SQL,
         "best_threshold": _BEST_THRESHOLD_SQL,
+        "best_threshold_cost": _BEST_THRESHOLD_COST_SQL,
+        "best_threshold_recall": _BEST_THRESHOLD_RECALL_SQL,
         "roc_auc": _ROC_AUC_SQL,
         "pr_auc": _PR_AUC_SQL,
         "salted_agg": _SALTED_AGG_SQL,

@@ -128,6 +128,75 @@ def best_threshold_by_f1(df: DataFrame, label: str, score: str, id_col: str) -> 
     return curve.orderBy(F.col("f1").desc(), F.col("threshold").desc()).limit(1)
 
 
+def best_threshold_by_cost(
+    df: DataFrame,
+    label: str,
+    score: str,
+    id_col: str,
+    cost_fn: float = COST_FN,
+    cost_fp: float = COST_FP,
+) -> DataFrame:
+    """E4 cost mode (metrics.py:156-175, ``metric='cost'``): argmin of
+    fn·cost_fraud_missed + fp·cost_false_alarm over every distinct-score
+    threshold.
+
+    The reference re-runs a full confusion matrix per threshold (O(n·t));
+    here fn = total_pos − tp and fp = pred_pos − tp fall straight out of
+    the shared cumulative PR points, so the whole sweep is the one
+    `_pr_points` pass + a top-1. Ties break to the LOWEST threshold
+    (np.argmin returns the first index of an ascending threshold array).
+    Returns one row: (threshold, cost, precision, recall)."""
+    pts = _pr_points(df, label, score, id_col)
+    tp, pp, tot = F.col("tp"), F.col("pred_pos"), F.col("total_pos")
+    scored = pts.select(
+        "threshold",
+        ((tot - tp) * F.lit(cost_fn) + (pp - tp) * F.lit(cost_fp)).alias("cost"),
+        r6(tp / pp).alias("precision"),
+        r6(tp / tot).alias("recall"),
+    )
+    return scored.orderBy(F.col("cost").asc(), F.col("threshold").asc()).limit(1)
+
+
+def best_threshold_by_recall(
+    df: DataFrame,
+    label: str,
+    score: str,
+    id_col: str,
+    target_recall: float = 0.90,
+    fallback_threshold: float = 0.1,
+) -> DataFrame:
+    """E4 recall mode (metrics.py:177-195, ``metric='recall'``): among
+    thresholds achieving recall ≥ target, maximize precision (ties →
+    lowest threshold, matching np.argmax's first-index rule on the
+    ascending threshold array). If NO threshold reaches the target the
+    reference hard-falls-back to threshold 0.1 with the metrics of its
+    lowest-threshold PR point; the conditional sort below reproduces
+    that without a driver-side emptiness check, so the plan stays one
+    `_pr_points` pass + a top-1. Returns (threshold, precision, recall)."""
+    pts = _pr_points(df, label, score, id_col)
+    tp, pp, tot = F.col("tp"), F.col("pred_pos"), F.col("total_pos")
+    curve = pts.select(
+        "threshold",
+        r6(tp / pp).alias("precision"),
+        r6(tp / tot).alias("recall"),
+    )
+    eligible = F.col("recall") >= F.lit(target_recall)
+    top = curve.orderBy(
+        eligible.desc(),
+        # among eligible rows: precision desc; among a fully ineligible
+        # curve this key is constant and the next key picks min threshold
+        F.when(eligible, -F.col("precision")).otherwise(F.lit(0.0)).asc(),
+        F.col("threshold").asc(),
+    ).limit(1)
+    return top.select(
+        F.when(eligible, F.col("threshold"))
+        .otherwise(F.lit(fallback_threshold))
+        .alias("threshold"),
+        "precision",
+        "recall",
+    )
+
+
 def threshold_sweep(
     df: DataFrame, label: str, score: str, thresholds: list[float] | None = None
 ) -> DataFrame:

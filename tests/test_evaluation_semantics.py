@@ -59,3 +59,63 @@ def test_roc_auc_perfect_and_random(spark):
     pdf["score"] = 0.5
     df = spark.createDataFrame(pdf)
     assert abs(evaluation.roc_auc(df, "label", "score").collect()[0].roc_auc - 0.5) < 1e-9
+
+
+def test_best_threshold_by_cost_matches_bruteforce(spark):
+    df, pdf = _toy(spark)
+    got = evaluation.best_threshold_by_cost(
+        df, "label", "score", "event_id"
+    ).collect()[0]
+
+    best = None
+    for t in np.unique(pdf.score):
+        pred = (pdf.score >= t).astype(int)
+        fn = int(((pdf.label == 1) & (pred == 0)).sum())
+        fp = int(((pdf.label == 0) & (pred == 1)).sum())
+        cost = fn * 1000.0 + fp * 10.0
+        # argmin with ties to the LOWEST threshold (np.argmin first-index
+        # rule on an ascending threshold axis)
+        if best is None or cost < best[1]:
+            best = (t, cost)
+    assert abs(got.threshold - best[0]) < 1e-12
+    assert got.cost == best[1]
+
+
+def test_best_threshold_by_recall_constraint(spark):
+    df, pdf = _toy(spark)
+    got = evaluation.best_threshold_by_recall(
+        df, "label", "score", "event_id", target_recall=0.90
+    ).collect()[0]
+    # the returned point must satisfy the constraint...
+    assert got.recall >= 0.90
+    # ...and be precision-maximal among all satisfying thresholds
+    total_pos = int(pdf.label.sum())
+    best_prec = 0.0
+    for t in np.unique(pdf.score):
+        pred = (pdf.score >= t).astype(int)
+        tp = int(((pdf.label == 1) & (pred == 1)).sum())
+        rec = tp / total_pos
+        prec = tp / int(pred.sum())
+        if rec >= 0.90:
+            best_prec = max(best_prec, prec)
+    assert abs(got.precision - best_prec) < 1e-6
+
+
+def test_best_threshold_by_recall_fallback(spark):
+    """Unreachable target → the reference hard-falls-back to 0.1 with the
+    lowest-threshold PR point's metrics (metrics.py:186-189)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "label": [1, 1, 0, 0],
+            "score": [0.9, 0.2, 0.8, 0.3],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = evaluation.best_threshold_by_recall(
+        df, "label", "score", "event_id", target_recall=2.0  # impossible
+    ).collect()[0]
+    assert got.threshold == 0.1
+    # lowest-threshold point: everything predicted positive
+    assert got.recall == 1.0
+    assert abs(got.precision - 0.5) < 1e-6
