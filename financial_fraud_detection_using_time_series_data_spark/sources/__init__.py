@@ -1,4 +1,4 @@
-from .tables import TABLES, load_table, load_tables
+from .tables import TABLES, load_table, load_tables, normalize_scan_types
 from .synthetic import generate_transactions
 from .profiler import check_expectations, kfold_assign, null_profile, profile
 
@@ -6,6 +6,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "normalize_scan_types",
     "generate_transactions",
     "check_expectations",
     "kfold_assign",

@@ -34,6 +34,29 @@ TABLES = (
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
+def normalize_scan_types(df: DataFrame, nano_cols=()) -> DataFrame:
+    """Timestamp-type normalization applied to EVERY scan (batch or
+    streaming) so downstream operators see one timestamp flavor whatever
+    the producer wrote:
+
+    - nanos-as-bigint (TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong``) -> microsecond timestamp
+      via integer ``div`` (nanos ~1.7e18 exceed double's 53-bit exact
+      range; truncation matches DuckDB's nanos->micros);
+    - TIMESTAMP_NTZ (plain tz-less timestamp[us] parquet, the current
+      testdata format) -> TIMESTAMP (LTZ). The session is pinned UTC
+      (session.py), so the cast is value-identical to DuckDB's naive
+      semantics while restoring unix_micros()/double-cast support.
+    """
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Self-sufficient on TIMESTAMP(NANOS) parquet: the driver (or any
     # embedding app) may hand us a vanilla SparkSession without the
@@ -42,19 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is a runtime-settable SQL conf — and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    # Normalize TIMESTAMP_NTZ -> TIMESTAMP (LTZ) at the scan boundary.
-    # Parquet written as plain timestamp[us] (no tz) reads as
-    # TIMESTAMP_NTZ in Spark 4, which unix_micros()/double-cast reject.
-    # The engine session is pinned to UTC (session.py), so the cast is
-    # value-identical to DuckDB's naive-timestamp semantics, and doing it
-    # once here keeps every downstream operator timestamp-type-agnostic.
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    return normalize_scan_types(df, _NANO_TS_COLS.get(name, []))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -6,7 +6,7 @@ import os
 from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.operators import windows
-from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table, normalize_scan_types
 from financial_fraud_detection_using_time_series_data_spark.streaming import (
     stateful_user_features,
 )
@@ -29,7 +29,7 @@ def test_stateful_stream_matches_batch_windows(spark, sf_dir, tmp_path):
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1000")
         .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(lambda d: normalize_scan_types(d, ["ts"]))
     )
     scored = stateful_user_features(stream)
     q = (
@@ -179,7 +179,7 @@ def test_tws_stream_matches_batch_windows(spark, sf_dir, tmp_path):
             spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", "1000")
             .parquet(str(src_dir))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(lambda d: normalize_scan_types(d, ["ts"]))
         )
         out = stateful_user_features_tws(stream)
         q = (
@@ -243,7 +243,7 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         return (
             spark.readStream.schema(raw_schema)
             .parquet(str(src_dir))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(lambda d: normalize_scan_types(d, ["ts"]))
         )
 
     clicks = stream().filter(F.col("event_type") == "click")
