@@ -2753,6 +2753,63 @@ FROM t LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: PII scrub (URLs, emails, IPv4s, long digit runs →
+    typed tokens + per-category counts). The synthetic corpus carries no
+    real PII, so a deterministic PII suffix is planted on every third doc
+    by pure column arithmetic — reproducible in the DuckDB twin — so the
+    redaction paths are genuinely exercised."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    suffix = F.concat(
+        F.lit(" contact user"), did, F.lit("@example.com via https://ex"),
+        did, F.lit(".test from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(" ref 1234567890"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = text.redact_pii(planted)
+    return out.select("doc_id", "n_url", "n_email", "n_ipv4", "n_idnum", "redacted")
+
+
+_REDACT_PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || doc_id::VARCHAR || '@example.com via https://ex'
+           || doc_id::VARCHAR || '.test from 10.0.0.' || (doc_id % 250)::VARCHAR
+           || ' ref 1234567890'
+    ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_url, n_email,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_url, n_email, n_ipv4,
+       len(regexp_extract_all(t, '\b\d{9,}\b')) AS n_idnum,
+       regexp_replace(t, '\b\d{9,}\b', '<ID>', 'g') AS redacted
+FROM s3
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 curation: benchmark decontamination — overlap counts of distinct
     word 5-grams against a deterministic pseudo-benchmark slice
@@ -3052,6 +3109,30 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (rows-only: quantization distortion makes
+    recall < 1 by design; the recall floor is pinned in test_pq.py). The
+    search side scans ONLY the m-int codes column — the 100 TB
+    compression path. Codebooks are memoized per sf_dir like the IVF
+    index: train once, search many; training is deterministic (fixed
+    seeds + Lloyd), so the cache cannot change results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    books = _PQ_BOOKS_CACHE.get(sf_dir)
+    if books is None:
+        books = similarity.pq_train(emb, dim=64, m=8, ksub=16, n_iter=2)
+        _PQ_BOOKS_CACHE[sf_dir] = books
+    out = similarity.pq_topk(emb, queries_df, books, k=5)
+    return out.select(
+        "qid", "vec_id", "cos_approx", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -3199,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
         "expectations": q_expectations,
         "kfold_assign": q_kfold_assign,
         "feature_hash": q_feature_hash,
@@ -3222,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
+        "pq_topk": q_pq_topk,
         "synthetic_source": q_synthetic_source,
         "approx_profile": q_approx_profile,
     }
@@ -3309,6 +3392,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _WINSORIZE_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "redact_pii": _REDACT_PII_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "kfold_assign": _KFOLD_SQL,
         "feature_hash": _FEATURE_HASH_SQL,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "lsh_topk",
     "ivf_topk",
     "ivf_topk_trained",
+    "pq_topk",
     "asof_join",
     "range_join_count",
     "sessionize",
@@ -83,6 +84,7 @@ BENCH_QUERIES = [
     "expectations",
     "kfold_assign",
     "feature_hash",
+    "redact_pii",
     "dedup_clusters_lsh",
 ]
 

@@ -370,3 +370,155 @@ def _ivf_rerank(
     )
     w_rank = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ style compressed ANN)
+
+
+def _normalized(vec_col: str) -> Column:
+    v = F.col(vec_col)
+    n = F.sqrt(dot(v, v))
+    return F.transform(v, lambda x: x.cast("double") / F.nullif(n, F.lit(0.0)))
+
+
+def _subdists(sub: Column, book: list[list[float]]) -> Column:
+    """Per-codeword squared-L2 distances of one subvector — closure
+    factory, NOT an inline default-arg lambda (pyspark would read a
+    two-arg HOF lambda and bind the extra arg to the element index)."""
+    return F.transform(
+        _matrix_literal(book),
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the (L2-normalized)
+    vector into m subspaces of dim/m and run L2 k-means with ksub
+    centroids in each.
+
+    Normalizing first makes the additive-dot reconstruction rank by
+    COSINE: cos(q, x) ∝ dot(q, x̂) = Σ_j dot(q_j, x̂_j), and each x̂_j is
+    replaced by its nearest codeword. Returns m codebooks of
+    ksub×(dim/m) plain floats — a few KB, the persistable index.
+
+    Scale shape: ONE Spark job per Lloyd iteration REGARDLESS of m — all
+    m subspace assignments are map-only argmin projections in a single
+    select, exploded to (subspace, cell, pos, x) rows whose groupBy
+    mean combines map-side, so the shuffle carries ~partitions·m·ksub·
+    dsub = partitions·dim·ksub partial rows however big the corpus. The
+    per-subspace-sequential formulation costs m× the jobs (and m× full
+    scans) for identical results. Seeds are the first ksub vectors by id
+    — deterministic, no RNG. Means are collected (m·ksub·dsub doubles, a
+    few KB) and re-shipped as literals each iteration, so iteration N
+    does not lazily recompute 1..N-1."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    normed = corpus.select(id_col, _normalized(vec_col).alias("__v"))
+    seed_rows = normed.orderBy(id_col).limit(ksub).collect()
+    books = [
+        [[float(x) for x in r["__v"][j * dsub : (j + 1) * dsub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        structs = []
+        for j, book in enumerate(books):
+            sub = F.slice(F.col("__v"), j * dsub + 1, dsub)
+            dists = _subdists(sub, book)
+            cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            structs.append(
+                F.struct(
+                    F.lit(j).alias("sub"), cell.alias("cell"), sub.alias("vals")
+                )
+            )
+        means = (
+            normed.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.sub", "s.cell", F.posexplode("s.vals").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in means:
+            new[r.sub][r.cell][r.pos] = float(r.mval)
+        books = new
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m codeword indices — the 100 TB compression
+    step: the search scan then reads m small ints per row instead of dim
+    floats (8 codes vs 64 floats = 32× less IO at the defaults), and the
+    codes column is what you'd materialize next to (or instead of) the
+    raw embeddings. Map-only: one argmin-L2 projection per subspace over
+    a foldable codebook literal; no shuffle, no Python."""
+    dsub = len(codebooks[0][0])
+    row = corpus.select(id_col, _normalized(vec_col).alias("__v"))
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("__v"), j * dsub + 1, dsub)
+        dists = _subdists(sub, book)
+        row = row.withColumn(f"__c{j}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return row.select(
+        id_col,
+        F.array(*[F.col(f"__c{j}") for j in range(len(codebooks))]).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance ANN top-k over PQ codes: the query stays
+    full-precision, every corpus vector is reconstructed from its m
+    codewords inside the scoring expression — approx cos(q, x) =
+    Σ_j dot(q_j, codebook_j[code_j]) / ‖q‖.
+
+    Scale shape: the corpus side touches ONLY (id, codes) — the
+    compressed index — broadcast-joins the (small) query set, and ranks
+    with the same per-query window as `brute_force_topk`. Codebooks ride
+    along as foldable literals. Pass a pre-materialized ``codes`` frame
+    (from `pq_encode`, typically persisted) to skip re-encoding; recall
+    < 1 by design (quantization distortion), so this is rows-only
+    checked with a recall-floor test."""
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    dsub = len(codebooks[0][0])
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    joined = codes.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid_col))
+    approx = None
+    for j, book in enumerate(codebooks):
+        qslice = F.slice(F.col("qvec"), j * dsub + 1, dsub)
+        cent = F.element_at(_matrix_literal(book), F.col("codes")[j] + 1)
+        d = dot(qslice, cent)
+        approx = d if approx is None else approx + d
+    qnorm = F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    scored = joined.select(
+        qid_col,
+        id_col,
+        r6(approx / F.nullif(qnorm, F.lit(0.0))).alias("cos_approx"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_approx").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

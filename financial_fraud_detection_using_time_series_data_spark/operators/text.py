@@ -580,3 +580,37 @@ def decontaminate(
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# PII scrub patterns, applied IN ORDER (each runs on the output of the
+# previous replacement; the SQL oracle must mirror the order). Patterns
+# restrict themselves to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no lookaround.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<ID>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Training-corpus PII scrub: URLs, emails, IPv4s, and long digit
+    runs replaced with typed tokens, with a per-category match count for
+    the curation audit trail.
+
+    Map-only column expressions — regexp_count + regexp_replace chained
+    per category — so the scrub runs at scan speed with no shuffle and
+    composes with the quality filters in one pass over 100 TB. Counts
+    are taken on the text as it looks when that category's pass runs
+    (post prior replacements), which is also what the redacted output
+    reflects; replacement tokens contain no digits/@/dots so later
+    patterns can never match inside an earlier token."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(out_col))
