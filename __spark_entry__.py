@@ -2977,6 +2977,86 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("vec_id"), "component").orderBy("vec_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation composition: exact-Jaccard near-dup pairs → connected
+    components → QUALITY-argmax survivor per cluster (ties → lowest id;
+    singletons survive as themselves). The quality-keeps-best rule is
+    what production curation actually ships — min-id keep is a tiebreak,
+    not a policy."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    normed = docs.select(
+        "doc_id", "text", text.normalize(F.col("text")).alias("__norm")
+    )
+    sh = normed.select(
+        "doc_id", text.char_shingles(F.col("__norm"), 3, normalized=True).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter / F.nullif(union.cast("double"), F.lit(0.0)) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    out = dedup.dedup_keep_best(docs, pairs, text.quality_score(F.col("text")))
+    return out.select(
+        "component", "keep_id", "n_members", E.r6("best_q").alias("best_q")
+    )
+
+
+_DEDUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm)-2, 1)+1)]) AS shingles
+  FROM base
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))
+        / nullif(len(list_distinct(list_concat(a.shingles, b.shingles))), 0)::DOUBLE >= 0.5
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b AS src, id_a AS dst FROM p),
+nn AS (SELECT DISTINCT src AS v FROM ed),
+reach AS (
+  SELECT v AS src, v AS dst FROM nn
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+    (least(length(text) / 200.0, 1.0)
+     + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       / nullif(length(text), 0)::DOUBLE
+     + least((len(list_filter(string_split(norm, ' '),
+              x -> list_contains(['the','of','and','to','in','a','is','that','for','it',
+                                  'on','was','with','as','be','at','by','this','are','or'], x)))
+              / nullif(len(string_split(norm, ' ')), 0)::DOUBLE) * 4.0, 1.0)
+    ) / 3.0 AS qv
+  FROM base
+),
+mem AS (
+  SELECT b.doc_id, coalesce(c.component, b.doc_id) AS component, q.qv
+  FROM base b LEFT JOIN comp c USING (doc_id) JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT component, doc_id, qv,
+    row_number() OVER (PARTITION BY component ORDER BY qv DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY component) AS nm
+  FROM mem
+)
+SELECT component, doc_id AS keep_id, nm::BIGINT AS n_members,
+  floor(qv * 1000000 + 0.5) / 1000000.0 AS best_q
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forensic screen: first-significant-digit distribution of value vs
     Benford's law (string-based digit extraction — engine-exact)."""
@@ -3269,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode": q_woe_encode,
         "benford_profile": q_benford_profile,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "seasonal_adjust": q_seasonal_adjust,
         "target_encode_expanding": q_target_encode_expanding,
         "quality_filter": q_quality_filter,
@@ -3381,6 +3462,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_encode": _WOE_SQL,
         "benford_profile": _BENFORD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "seasonal_adjust": _SEASONAL_SQL,
         "target_encode_expanding": _TE_EXPANDING_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,

@@ -672,3 +672,47 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection over near-dup CLUSTERS by QUALITY — the step a
+    production curation pipeline runs after pair emission: collapse the
+    pair graph into components (`connected_components`) and keep the
+    highest-quality member of each (ties → lowest id), not merely the
+    lowest id. Singletons (docs in no pair) survive as their own
+    component.
+
+    One window pass on the component key yields both the argmax member
+    and the member count; the quality expression is evaluated once per
+    doc in the same projection, so the composition costs the CC
+    iterations + one join + one window shuffle. Returns
+    (component, keep_id, n_members, best_q)."""
+    comp = connected_components(pairs)
+    scored = df.select(F.col(id_col), quality.alias("__q"))
+    members = scored.join(
+        comp, scored[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        "__q",
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__q").desc(), F.col(id_col))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = members.select(
+        "component",
+        F.col(id_col),
+        "__q",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wfull).alias("n_members"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "component",
+        F.col(id_col).alias("keep_id"),
+        "n_members",
+        F.col("__q").alias("best_q"),
+    )

@@ -52,3 +52,31 @@ def test_lsh_dedup_single_shuffle_shape(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_dedup_keep_best_quality_argmax(spark):
+    """Survivor = quality argmax per component (ties -> lowest id);
+    singletons survive as themselves."""
+    import pandas as pd
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 9],
+                "q": [0.2, 0.9, 0.5, 0.4],
+            }
+        )
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r.component: (r.keep_id, r.n_members, r.best_q)
+        for r in dedup_keep_best(docs, pairs, F.col("q"), id_col="doc_id").collect()
+    }
+    # cluster {1,2,3}: doc 2 wins on quality despite not being min id
+    assert got[1] == (2, 3, 0.9)
+    # singleton 9 survives as its own component
+    assert got[9] == (9, 1, 0.4)
