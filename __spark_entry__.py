@@ -2909,6 +2909,64 @@ FROM events
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 export: deterministic shard membership + within-shard position
+    for training-data export (resume / reproduce / example→offset
+    mapping on any engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.shard_assign(docs, n_shards=4, order_col="n_chars")
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+_SHARD_ASSIGN_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+    (('0x' || substring(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT % 4)::INT AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY n_chars, doc_id)::BIGINT AS shard_pos
+FROM h
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 curation: data-mixing sampler — per-source rates solved from
+    target weights and a token budget, membership by the shared md5
+    bucket rule. The corpus never shuffles; rates ride a broadcast dim."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.mixture_sample(
+        docs,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens=20_000,
+    )
+    return out.select("doc_id", "source", "n_tokens", E.r6("rate").alias("rate"))
+
+
+_MIXTURE_SAMPLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+    END AS n_tokens
+  FROM documents
+),
+totals AS (SELECT source, sum(n_tokens) AS total FROM toks GROUP BY source),
+rates AS (
+  SELECT source,
+    least(1.0, 20000.0 * (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.2 ELSE 0.0 END)
+          / nullif(total::DOUBLE, 0)) AS rate
+  FROM totals
+)
+SELECT t.doc_id, t.source, t.n_tokens,
+  floor(r.rate * 1000000 + 0.5) / 1000000.0 AS rate
+FROM toks t JOIN rates r USING (source)
+WHERE (('0x' || substring(md5('mix:' || t.doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+      < (r.rate * 10000)::BIGINT
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick encoding of (event_type, user_id) into a 64-slot
     signed feature space — no vocabulary fit, no dictionary broadcast;
@@ -3364,6 +3422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "expectations": q_expectations,
         "kfold_assign": q_kfold_assign,
+        "shard_assign": q_shard_assign,
+        "mixture_sample": q_mixture_sample,
         "feature_hash": q_feature_hash,
         "edit_distance_pairs": q_edit_distance_pairs,
         "sequence_score": q_sequence_score,
@@ -3477,6 +3537,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _REDACT_PII_SQL,
         "expectations": _EXPECTATIONS_SQL,
         "kfold_assign": _KFOLD_SQL,
+        "shard_assign": _SHARD_ASSIGN_SQL,
+        "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "feature_hash": _FEATURE_HASH_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,

@@ -7,7 +7,7 @@ ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import r6
@@ -614,3 +614,80 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-export sharding: shard = md5(salt:id)
+    bucket mod n_shards (engine-stable, like `sample_by_hash`), position
+    = rank within the shard by (order_col, id).
+
+    This is the step between curation and the training job: a fixed
+    shard count with a reproducible membership + ordering means any
+    engine can rewrite exactly the same shard files, resume a partial
+    export, or map a training example back to its shard/offset. The
+    within-shard window partitions on shard — n_shards parallel sorts,
+    never a partitionless global window."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("shard", (h % n_shards).cast("int"))
+    order = [F.col(order_col)] if order_col else []
+    w = Window.partitionBy("shard").orderBy(*order, F.col(id_col))
+    return out.withColumn("shard_pos", F.row_number().over(w))
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Data-mixing sampler: downsample each source so the kept corpus
+    approximates ``budget_tokens`` split by ``weights`` (the standard
+    LLM pretraining "mixture" step).
+
+    rate_s = min(1, budget·w_s / tokens_s) per source — sources with
+    fewer tokens than their allocation are kept whole (no upsampling).
+    Membership is the deterministic md5 bucket rule shared with
+    `sample_by_hash`, so the mixture is reproducible on any engine.
+
+    Plan shape: one agg for per-source token totals (tiny dim, broadcast
+    back), then a map-only filter over the corpus — the big table
+    shuffles zero times. Returns kept rows + (n_tokens, rate)."""
+    toks = df.withColumn("n_tokens", token_count(F.col(text_col)))
+    totals = toks.groupBy(source_col).agg(F.sum("n_tokens").alias("__total"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    rates = totals.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens))
+            * F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+            / F.nullif(F.col("__total").cast("double"), F.lit(0.0)),
+        ).alias("rate"),
+    )
+    joined = toks.join(F.broadcast(rates), source_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return joined.filter((h % buckets) < (F.col("rate") * buckets).cast("long"))
