@@ -239,3 +239,38 @@ def test_winsorize_broadcasts_bounds(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = _plan(relational.winsorize(ev, "event_type", "value"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_rates_are_broadcast(spark, sf_dir):
+    """The per-source rate dim must broadcast — the corpus side of the
+    mixing filter never shuffles."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.mixture_sample(docs, weights={"src0": 1.0}, budget_tokens=1000)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shard_assign_window_is_partitioned(spark, sf_dir):
+    """Within-shard ranking must partition on shard (n parallel sorts),
+    never a partitionless global window."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.shard_assign(docs, n_shards=4, order_col="n_chars")
+    plan = _plan(out)
+    assert "partitionBy" not in plan or True  # textual form varies
+    assert "Window" in plan
+    # a partitionless window renders as 'Window [...], [ORDER BY ...]'
+    # with an Exchange SinglePartition feeding it
+    assert "SinglePartition" not in plan, plan
+
+
+def test_redact_pii_is_map_only(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(text.redact_pii(docs))
+    assert "Exchange" not in plan, plan
