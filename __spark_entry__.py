@@ -1815,6 +1815,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + S4: CSV sink → CSV scan roundtrip under an explicit schema.
+    The oracle is simply the source selection — a hash match proves the
+    sink/scan pair is lossless for the exported columns (2dp money
+    doubles render and re-parse exactly)."""
+    import tempfile
+
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        read_csv,
+        write_csv,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_fraud_csv_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_csv(ev, path)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return read_csv(spark, path, schema=schema)
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_dtype_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 + P3: dtype-driven projection (keep numerics) with an explicit
+    exclusion list — the reference's select_dtypes + drop(columns=...)
+    (loader.py/train.py column handling) as schema introspection over the
+    scan, so pruning reaches parquet."""
+    orders = load_table(spark, sf_dir, "orders")
+    numeric = [
+        c
+        for c, t in orders.dtypes
+        if t in ("double", "float", "int", "bigint") and c != "o_custkey"
+    ]
+    return orders.select(*numeric)
+
+
+_DTYPE_PROJECT_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+"""
+
+
 def q_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: distributed synthetic transaction generator (rows-only check —
     rand() partition seeding is env-dependent by design)."""
@@ -3436,6 +3500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "sample_by_hash": q_sample_by_hash,
+        "csv_roundtrip": q_csv_roundtrip,
+        "dtype_project": q_dtype_project,
         # -- rows-only tail: approximate / env-seeded / sketch outputs ---
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3540,6 +3606,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign": _SHARD_ASSIGN_SQL,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "feature_hash": _FEATURE_HASH_SQL,
+        "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
+        "dtype_project": _DTYPE_PROJECT_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
