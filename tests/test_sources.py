@@ -163,3 +163,32 @@ def test_zorder_layout_bounds_both_dims(spark, sf_dir):
         "z-order should bound the second dim better than a single-dim sort "
         f"({cov_user} !< {cov_user_single})"
     )
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """S4: date-partitioned parquet layout must let a day filter prune at
+    the PLAN level (PartitionFilters), not scan-and-discard — the
+    difference between reading one day and reading 100 TB."""
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        write_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_by_day")
+    write_parquet(ev, path, partition_by=["day"])
+
+    back = spark.read.parquet(path)
+    one_day = back.select("day").distinct().orderBy("day").limit(1).collect()[0].day
+    q = back.filter(F.col("day") == F.lit(one_day))
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day" in plan, plan
+    # correctness: pruned read returns exactly that day's rows
+    want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert q.count() == want
