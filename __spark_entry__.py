@@ -3099,6 +3099,107 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("vec_id"), "component").orderBy("vec_id")
 
 
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-extension: decile lift/gain table — rank by score desc, exact
+    ntile deciles (chunked rank, no partitionless window), per-bucket
+    positive rate / lift vs base rate / cumulative capture."""
+    scored = _scored_events(spark, sf_dir)
+    return evaluation.lift_table(scored, "label", "score", "event_id")
+
+
+_LIFT_TABLE_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+b AS (
+  SELECT *, ntile(10) OVER (ORDER BY score DESC, event_id) AS bucket FROM scored
+),
+per AS (
+  SELECT bucket, count(*)::BIGINT AS n, sum(label)::BIGINT AS npos
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(n)::BIGINT AS tn, sum(npos)::BIGINT AS tp FROM per)
+SELECT bucket::INT AS bucket, n, npos,
+  floor((npos / n) * 1000000 + 0.5) / 1000000.0 AS pos_rate,
+  floor(((npos / n) / (tp / tn)) * 1000000 + 0.5) / 1000000.0 AS lift,
+  floor((sum(npos) OVER (ORDER BY bucket) / tp) * 1000000 + 0.5) / 1000000.0 AS cum_capture,
+  floor(((sum(npos) OVER (ORDER BY bucket) / sum(n) OVER (ORDER BY bucket))
+         / (tp / tn)) * 1000000 + 0.5) / 1000000.0 AS cum_lift
+FROM per, tot ORDER BY bucket
+"""
+
+
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring: two-sample chi-square homogeneity over event_type —
+    the categorical counterpart of PSI/KS (split halves of the stream by
+    event id parity, so drift ≈ 0 by construction but every code path
+    runs)."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return drift.chi2_drift(ref, cur, "event_type")
+
+
+_CHI2_DRIFT_SQL = """
+WITH rc AS (
+  SELECT event_type AS cat, count(*)::BIGINT AS n_ref FROM events
+  WHERE event_id % 2 = 0 GROUP BY event_type
+),
+cc AS (
+  SELECT event_type AS cat, count(*)::BIGINT AS n_cur FROM events
+  WHERE event_id % 2 = 1 GROUP BY event_type
+),
+cells AS (
+  SELECT coalesce(rc.cat, cc.cat) AS cat,
+    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rc FULL OUTER JOIN cc ON rc.cat = cc.cat
+),
+tot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM cells)
+SELECT
+  floor(sum(
+    (n_ref - (n_ref + n_cur)::DOUBLE * tr / (tr + tc))
+      * (n_ref - (n_ref + n_cur)::DOUBLE * tr / (tr + tc))
+      / nullif((n_ref + n_cur)::DOUBLE * tr / (tr + tc), 0)
+    + (n_cur - (n_ref + n_cur)::DOUBLE * tc / (tr + tc))
+      * (n_cur - (n_ref + n_cur)::DOUBLE * tc / (tr + tc))
+      / nullif((n_ref + n_cur)::DOUBLE * tc / (tr + tc), 0)
+  ) * 1000000 + 0.5) / 1000000.0 AS chi2,
+  (count(*) - 1)::INT AS dof,
+  count(*)::INT AS n_categories
+FROM cells, tot
+"""
+
+
+def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability bins over the heuristic score (sklearn
+    calibration_curve semantics; decimal-exact probability means so the
+    bin averages are engine-stable)."""
+    from financial_fraud_detection_using_time_series_data_spark.ml.calibration import (
+        reliability_table,
+    )
+
+    scored = _scored_events(spark, sf_dir)
+    out = reliability_table(scored, "score", "label", n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        E.r6("mean_predicted").alias("mean_predicted"),
+        E.r6("observed_rate").alias("observed_rate"),
+    )
+
+
+_CALIBRATION_SQL = f"""
+WITH scored AS ({_SCORED_SQL}),
+b AS (
+  SELECT least(floor(score * 10), 9)::INT AS bin, score, label FROM scored
+)
+SELECT bin, count(*)::BIGINT AS n,
+  floor((sum(score::DECIMAL(28,18))::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000.0
+    AS mean_predicted,
+  floor((sum(label)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000.0
+    AS observed_rate
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 curation composition: exact-Jaccard near-dup pairs → connected
     components → QUALITY-argmax survivor per cluster (ties → lowest id;
@@ -3472,6 +3573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_profile": q_benford_profile,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "lift_table": q_lift_table,
+        "chi2_drift": q_chi2_drift,
+        "calibration_table": q_calibration_table,
         "seasonal_adjust": q_seasonal_adjust,
         "target_encode_expanding": q_target_encode_expanding,
         "quality_filter": q_quality_filter,
@@ -3589,6 +3693,9 @@ def oracle_sql() -> dict[str, str]:
         "benford_profile": _BENFORD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+        "lift_table": _LIFT_TABLE_SQL,
+        "chi2_drift": _CHI2_DRIFT_SQL,
+        "calibration_table": _CALIBRATION_SQL,
         "seasonal_adjust": _SEASONAL_SQL,
         "target_encode_expanding": _TE_EXPANDING_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,

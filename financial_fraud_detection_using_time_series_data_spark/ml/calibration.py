@@ -119,19 +119,30 @@ def reliability_table(
 ) -> DataFrame:
     """Calibration-curve aggregate (the data behind sklearn's
     ``calibration_curve``): bin by predicted probability, compare mean
-    prediction vs observed positive rate. One hash agg on the bin key."""
+    prediction vs observed positive rate. One hash agg on the bin key.
+
+    The probability mean goes through a decimal(28,18) sum: double
+    summation is order-dependent across partitions, so a plain avg()
+    can differ in the last ulp between runs/engines — decimal partials
+    make the mean bit-stable (probabilities ∈ [0,1] fit exactly at 18
+    fractional digits of accumulation). Label sums are 0/1-valued and
+    already exact in any order."""
     binned = scored.withColumn(
         "bin",
         F.least(
             F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(n_bins - 1)
         ),
     )
+    dec_sum = F.sum(F.col(prob_col).cast("decimal(28,18)")).cast("double")
     return (
         binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(F.col(prob_col)).alias("mean_predicted"),
-            F.avg(F.col(label_col).cast("double")).alias("observed_rate"),
+            (dec_sum / F.count(F.lit(1))).alias("mean_predicted"),
+            (
+                F.sum(F.col(label_col).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("observed_rate"),
         )
         .orderBy("bin")
     )

@@ -217,3 +217,50 @@ def psi(
         .collect()[0]
     )
     return float(row.psi)
+
+
+def chi2_drift(
+    ref: DataFrame, cur: DataFrame, col: str, eps: float = 0.0
+) -> DataFrame:
+    """Two-sample chi-square homogeneity statistic for CATEGORICAL drift
+    — the counterpart of PSI (binned numeric) and KS (continuous): did
+    the category distribution shift between the reference and current
+    windows?
+
+    chi² = Σ_cells (obs − exp)² / exp with exp = row·col totals / N over
+    the 2×k contingency table. Integer counts + one broadcast of the
+    (k ≤ cardinality)-row table: two hash aggs, a full outer join on the
+    category key, and a one-row result — no full-data shuffle beyond the
+    group counts. Returns (chi2, dof, n_categories)."""
+    rc = ref.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("n_ref"))
+    cc = cur.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("n_cur"))
+    cells = (
+        rc.join(cc, "cat", "full_outer")
+        .select(
+            "cat",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    n = (F.col("__tr") + F.col("__tc")).cast("double")
+    rowt = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    e_ref = rowt * F.col("__tr") / n
+    e_cur = rowt * F.col("__tc") / n
+    term = (
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / F.nullif(e_ref, F.lit(0.0))
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / F.nullif(e_cur, F.lit(0.0))
+    )
+    from ..functions.exprs import r6
+
+    return j.agg(
+        F.sum(term).cast("double").alias("__chi2"),
+        F.count(F.lit(1)).alias("__k"),
+    ).select(
+        r6(F.col("__chi2")).alias("chi2"),
+        (F.col("__k") - 1).cast("int").alias("dof"),
+        F.col("__k").cast("int").alias("n_categories"),
+    )

@@ -305,3 +305,46 @@ def average_precision(df: DataFrame, label: str, score: str, id_col: str) -> Dat
         (F.col("d_tp") / F.col("total_pos") * prec).alias("ap_term")
     )
     return stepped.agg(r6(F.sum("ap_term")).alias("pr_auc"))
+
+
+def lift_table(
+    df: DataFrame, label: str, score: str, id_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Decile lift/gain analysis — the standard fraud-model triage view:
+    rank by score desc, split into n equal-frequency buckets (exact ntile
+    semantics), report per-bucket positive rate, lift vs base rate, and
+    cumulative capture/lift.
+
+    Scale shape: the ranking is `ntile_buckets` (chunked global rank —
+    no partitionless window over the corpus); everything after is an
+    n_buckets-row aggregate, so the only full-data costs are the rank's
+    bounded stages + one hash agg. The tiny per-bucket frame then takes
+    a driver-safe cumulative window."""
+    from . import relational
+
+    neg = df.withColumn("__neg", -F.col(score))
+    b = relational.ntile_buckets(neg, "__neg", n_buckets, tiebreak=id_col)
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label).cast("long")).alias("npos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__tn"), F.sum("npos").alias("__tp")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_pos = F.sum("npos").over(w)
+    cum_n = F.sum("n").over(w)
+    base_rate = F.col("__tp") / F.col("__tn")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n",
+            "npos",
+            r6(F.col("npos") / F.col("n")).alias("pos_rate"),
+            r6((F.col("npos") / F.col("n")) / base_rate).alias("lift"),
+            r6(cum_pos / F.col("__tp")).alias("cum_capture"),
+            r6((cum_pos / cum_n) / base_rate).alias("cum_lift"),
+        )
+        .orderBy("bucket")
+    )

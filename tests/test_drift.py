@@ -124,3 +124,56 @@ def test_psi_plan_has_no_window(spark):
     a, b = _uniform(spark), _uniform(spark, shift=0.1)
     plan = drift.psi_bins(a, b)._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "Window" not in plan, plan[:1200]
+
+
+def test_chi2_drift_identical_is_zero(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators.drift import (
+        chi2_drift,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("cat")
+    )
+    r = chi2_drift(df, df, "cat").collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 3
+
+
+def test_chi2_drift_matches_bruteforce(spark):
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.drift import (
+        chi2_drift,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.choice(["x", "y", "z"], size=600, p=[0.5, 0.3, 0.2])
+    b = rng.choice(["x", "y", "z"], size=400, p=[0.3, 0.4, 0.3])
+    import pandas as pd
+
+    ra = spark.createDataFrame(pd.DataFrame({"cat": a}))
+    rb = spark.createDataFrame(pd.DataFrame({"cat": b}))
+    got = chi2_drift(ra, rb, "cat").collect()[0].chi2
+
+    cats = sorted(set(a) | set(b))
+    na = np.array([(a == c).sum() for c in cats], dtype=float)
+    nb = np.array([(b == c).sum() for c in cats], dtype=float)
+    n = na.sum() + nb.sum()
+    row = na + nb
+    ea, eb = row * na.sum() / n, row * nb.sum() / n
+    want = (((na - ea) ** 2) / ea + ((nb - eb) ** 2) / eb).sum()
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_chi2_drift_detects_shift(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators.drift import (
+        chi2_drift,
+    )
+
+    ref = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 8, "a").otherwise("b").alias("cat")
+    )
+    cur = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 2, "a").otherwise("b").alias("cat")
+    )
+    r = chi2_drift(ref, cur, "cat").collect()[0]
+    assert r.chi2 > 100  # massive shift -> far beyond any critical value

@@ -119,3 +119,24 @@ def test_best_threshold_by_recall_fallback(spark):
     # lowest-threshold point: everything predicted positive
     assert got.recall == 1.0
     assert abs(got.precision - 0.5) < 1e-6
+
+
+def test_lift_table_properties(spark):
+    df, pdf = _toy(spark)
+    rows = evaluation.lift_table(df, "label", "score", "event_id").collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == len(pdf)
+    assert sum(r.npos for r in rows) == int(pdf.label.sum())
+    # cumulative capture is monotone and ends at 1
+    caps = [r.cum_capture for r in rows]
+    assert all(b >= a for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-9
+    # scores correlate with labels, so the top decile must over-capture
+    assert rows[0].lift > 1.0
+    # per-bucket lift vs brute force for the top decile
+    top = pdf.sort_values(["score", "event_id"], ascending=[False, True]).head(
+        len(pdf) // 10
+    )
+    base = pdf.label.mean()
+    want_lift = top.label.mean() / base
+    assert abs(rows[0].lift - want_lift) < 1e-6
