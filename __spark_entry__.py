@@ -1914,6 +1914,61 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purcha
 """
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join with a 300 s tolerance (pandas merge_asof
+    tolerance semantics): matches older than the bound are nulled via
+    the carried match timestamp — same single shuffle, no second join."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = relational.as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], right_id="event_id", tolerance_s=300,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_value").alias("recent_purchase_value")
+    )
+
+
+_ASOF_TOL_SQL = """
+SELECT c.event_id, c.user_id,
+  (SELECT p.value FROM events p
+   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+     AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 300 SECONDS
+   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS recent_purchase_value
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD join: each click picks up the NEXT purchase value at
+    or after its ts (conversion-attribution direction) — the same
+    union-trick scan run in descending time order."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = relational.as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], right_id="event_id", direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_value").alias("next_purchase_value")
+    )
+
+
+_ASOF_FWD_SQL = """
+SELECT c.event_id, c.user_id,
+  (SELECT p.value FROM events p
+   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts >= c.ts
+   ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS next_purchase_value
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
 def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: errors by the same user within the 10 minutes
     preceding each purchase (equi on user + range on ts; the equi key
@@ -3574,6 +3629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "lift_table": q_lift_table,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "asof_join_forward": q_asof_join_forward,
         "chi2_drift": q_chi2_drift,
         "calibration_table": q_calibration_table,
         "seasonal_adjust": q_seasonal_adjust,
@@ -3694,6 +3751,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "lift_table": _LIFT_TABLE_SQL,
+        "asof_join_tolerance": _ASOF_TOL_SQL,
+        "asof_join_forward": _ASOF_FWD_SQL,
         "chi2_drift": _CHI2_DRIFT_SQL,
         "calibration_table": _CALIBRATION_SQL,
         "seasonal_adjust": _SEASONAL_SQL,

@@ -474,11 +474,14 @@ def as_of_join(
     value_cols: list[str],
     left_id: str | None = None,
     right_id: str | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, the most recent right row
-    with ``right.ts <= left.ts`` for the same key (SURVEY §2.3 notes this
-    as the natural extension of the reference's map-joins for fraud
-    lookups — "last known device/merchant state at transaction time").
+    """As-of join: for each left row, the nearest right row at-or-before
+    (``direction='backward'``, default) or at-or-after (``'forward'``)
+    its timestamp for the same key (SURVEY §2.3 notes this as the natural
+    extension of the reference's map-joins for fraud lookups — "last
+    known device/merchant state at transaction time").
 
     Implemented with the union trick — tag both sides, sort each key
     partition once by (ts, side, right_id), carry the right values forward
@@ -486,9 +489,15 @@ def as_of_join(
     join explodes to O(|L|·|R|) pairs per key before aggregation; this
     form is ONE shuffle on the key and O(1) state per row, so a whale key
     with 10M rows costs a sort, not 10M² candidate pairs. Ties at equal
-    ts: the right row sorts first (side 0 < side 1), i.e. inclusive <=
-    semantics, matching DuckDB's ASOF JOIN.
-    """
+    ts: the right row sorts first (side 0 < side 1), i.e. inclusive
+    semantics, matching DuckDB's ASOF JOIN; among right rows sharing a
+    timestamp the highest right_id wins (last carried).
+
+    ``tolerance_s`` bounds the match age (pandas merge_asof tolerance):
+    the carried match timestamp rides along the same window, and values
+    farther than the tolerance are nulled — no second join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rid = right_id or right.columns[0]
     lcols = [F.col(c) for c in left.columns]
     l_tagged = left.select(
@@ -507,18 +516,36 @@ def as_of_join(
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     ).select(*[c for c in l_tagged.columns])
     unioned = l_tagged.unionByName(r_tagged)
+    ts_key = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side", "__rid")
+        .orderBy(ts_key, F.col("__side"), F.col("__rid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__match_ts"),
         *[
             F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in value_cols
         ],
     )
+    if tolerance_s is not None:
+        from ..functions import exprs as E
+
+        age = E.epoch_s(F.col("__ts")) - E.epoch_s(F.col("__match_ts"))
+        if direction == "forward":
+            age = -age
+        in_tol = age <= F.lit(float(tolerance_s))
+        carried = carried.select(
+            *[c for c in carried.columns if not c.startswith("asof_")],
+            *[
+                F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
     keep = [c for c in left.columns] + [f"asof_{c}" for c in value_cols]
     return carried.filter(F.col("__side") == 1).select(*keep)
 
