@@ -25,6 +25,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
     text,
     windows,
 )
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    events as events_ops,
+)
 from financial_fraud_detection_using_time_series_data_spark.sources import (
     check_expectations,
     generate_transactions,
@@ -3495,6 +3498,107 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    which event type follows which, with row-normalized probabilities.
+    One exchange on user for the lag, then a |types|²-cardinality agg."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+    return out.select("prev_type", "next_type", F.col("n").cast("long").alias("n"), "p")
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*)::BIGINT AS n,
+  floor(count(*)::DOUBLE / (sum(count(*)) OVER (PARTITION BY prev_type))
+        * 1000000 + 0.5) / 1000000.0 AS p
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel: entities counted at step k
+    only if step k happened strictly after their step k-1 first-reach
+    time. All K step windows + the per-entity rollup share ONE exchange
+    (same hash key); output is K rows."""
+    ev = _events(spark, sf_dir)
+    return events_ops.funnel(ev, ["signup", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id) AS __t0
+  FROM events
+), t2 AS (
+  SELECT user_id, ts, event_type, __t0,
+    min(CASE WHEN event_type = 'click' AND ts > __t0 THEN ts END)
+      OVER (PARTITION BY user_id) AS __t1
+  FROM t1
+), t3 AS (
+  SELECT user_id, __t0, __t1,
+    min(CASE WHEN event_type = 'purchase' AND ts > __t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS __t2
+  FROM t2
+), u AS (
+  SELECT user_id, max(__t0) AS t0, max(__t1) AS t1, max(__t2) AS t2
+  FROM t3 GROUP BY user_id
+), s AS (
+  SELECT 'signup' AS step, 1 AS step_idx, count(t0)::BIGINT AS entities_reached FROM u
+  UNION ALL
+  SELECT 'click', 2, count(t1)::BIGINT FROM u
+  UNION ALL
+  SELECT 'purchase', 3, count(t2)::BIGINT FROM u
+)
+SELECT step, step_idx::INT AS step_idx, entities_reached,
+  floor(entities_reached::DOUBLE
+        / (max(CASE WHEN step_idx = 1 THEN entities_reached END) OVER ())
+        * 1000000 + 0.5) / 1000000.0 AS conversion
+FROM s
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: cohort = ISO week
+    of first event; per (cohort, age) distinct-active counts normalized
+    by the age-0 cohort size."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.cohort_retention(ev)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age_weeks",
+        "n_active",
+        "retention",
+    )
+
+
+_COHORT_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+    date_trunc('week', ts)::DATE AS week,
+    min(date_trunc('week', ts)::DATE) OVER (PARTITION BY user_id) AS cohort
+  FROM events
+), c AS (
+  SELECT cohort, (datediff('day', cohort, week) / 7)::INT AS age_weeks,
+         count(DISTINCT user_id)::BIGINT AS n_active
+  FROM a GROUP BY cohort, age_weeks
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age_weeks, n_active,
+  floor(n_active::DOUBLE
+        / (max(CASE WHEN age_weeks = 0 THEN n_active END)
+           OVER (PARTITION BY cohort))
+        * 1000000 + 0.5) / 1000000.0 AS retention
+FROM c
+"""
+
+
 def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: ALL 14 behavioral columns (W1-W9) in one window
     projection — single exchange + sort."""
@@ -3675,6 +3779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "synthetic_source": q_synthetic_source,
         "approx_profile": q_approx_profile,
+        # event-sequence analytics (beyond-reference)
+        "event_transitions": q_event_transitions,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3774,6 +3882,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _FEATURE_HASH_SQL,
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "dtype_project": _DTYPE_PROJECT_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "funnel": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

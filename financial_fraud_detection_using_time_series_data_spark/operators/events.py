@@ -1,0 +1,167 @@
+"""Event-sequence analytics (beyond-reference): Markov transition
+matrices, ordered funnels, cohort retention.
+
+The reference's behavioral features (``src/features/engineer.py:72-141``)
+treat each user's event stream as an ordered series; these operators mine
+the same streams at the *population* level — which event follows which,
+how users progress through an ordered goal funnel, and how cohorts decay
+over calendar time. All three are single-pass window/agg compositions:
+the event table is shuffled at most once (on the entity key), and every
+output is a tiny aggregate frame.
+
+Scale notes (100 TB):
+- ``transition_matrix``: one exchange on the entity key for the lag
+  window, then a groupBy on (prev, next) whose cardinality is |types|²
+  — map-side combine collapses it before the second (tiny) shuffle. The
+  probability normalization runs on the aggregated frame (|types|² rows),
+  not the corpus.
+- ``funnel``: one exchange on the entity key; the K per-step windows are
+  all unordered frames over the SAME partitioning, so Catalyst reuses a
+  single exchange for every step, and the follow-up per-entity groupBy
+  reuses it again (same hash key). Output is K rows.
+- ``cohort_retention``: one exchange on the entity key for the cohort
+  window, one distinct on (entity, cohort, period) — bounded by active
+  entity-periods, not events — then a groupBy on (cohort, age) which is
+  O(weeks²) tiny. Retention normalizes against the age-0 row via a
+  window over the aggregate frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import exprs as E
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    consecutive event types within each entity's timeline.
+
+    Returns (prev_type, next_type, n, p) where p is row-normalized per
+    prev_type (each prev row sums to 1). First event per entity has no
+    predecessor and is excluded.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *tiebreak)
+    pairs = (
+        df.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    per_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        E.r6(F.col("n") / F.sum("n").over(per_prev)).alias("p"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how many entities completed step[0], then step[1]
+    strictly AFTER their first step[0], then step[2] strictly after that
+    step[1], and so on. An out-of-order occurrence (e.g. a purchase before
+    the signup) does not count toward the later step.
+
+    Returns one row per step: (step, step_idx, entities_reached,
+    conversion) where conversion is relative to step[0]'s count.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(entity_col)
+    cur = df.select(entity_col, ts_col, type_col)
+    prev_t = None
+    t_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() & (F.col(ts_col) > F.col(prev_t))
+        t_col = f"__t{i}"
+        # Unordered min-over-partition; every step shares one exchange.
+        cur = cur.withColumn(t_col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = t_col
+        t_cols.append(t_col)
+    per_entity = cur.groupBy(entity_col).agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    totals = per_entity.agg(
+        *[F.count(t).alias(f"__c{i}") for i, t in enumerate(t_cols)]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {i + 1}, __c{i}" for i, s in enumerate(steps)
+    )
+    rows = totals.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step, step_idx, entities_reached)"
+        )
+    )
+    first = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rows.select(
+        "step",
+        F.col("step_idx").cast("int").alias("step_idx"),
+        F.col("entities_reached").cast("long").alias("entities_reached"),
+        E.r6(
+            F.try_divide(
+                F.col("entities_reached"),
+                F.max(F.when(F.col("step_idx") == 1, F.col("entities_reached"))).over(first),
+            )
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: entities are cohorted by the ISO week of
+    their first event; for each (cohort, age-in-weeks) cell, count the
+    distinct entities active that week and normalize by the cohort's
+    age-0 size.
+
+    Returns (cohort, age_weeks, n_active, retention).
+    """
+    w = Window.partitionBy(entity_col)
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    activity = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            week.alias("week"),
+            F.min(week).over(w).alias("cohort"),
+        )
+        .distinct()
+    )
+    cells = (
+        activity.groupBy(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("int").alias("age_weeks"),
+        )
+        .agg(F.count_distinct("__e").alias("n_active"))
+    )
+    per_cohort = Window.partitionBy("cohort")
+    return cells.select(
+        "cohort",
+        "age_weeks",
+        "n_active",
+        E.r6(
+            F.col("n_active")
+            / F.max(F.when(F.col("age_weeks") == 0, F.col("n_active"))).over(per_cohort)
+        ).alias("retention"),
+    )

@@ -1,0 +1,99 @@
+"""Event-sequence analytics: semantic edge cases + plan shape.
+
+Oracle parity for the three queries() entries is covered by
+test_oracle_parity; these tests pin the semantics the SQL twin can't
+express as sharply (strict funnel ordering, probability normalization)
+and the single-exchange scale contract.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import events
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, d, h), u, t, 1.0) for i, (u, d, h, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_transition_probabilities_sum_to_one_per_prev(spark):
+    df = _ev(
+        spark,
+        [(1, 1, 0, "a"), (1, 1, 1, "b"), (1, 1, 2, "a"), (2, 1, 0, "a"), (2, 1, 1, "a")],
+    )
+    out = events.transition_matrix(df, "user_id", "ts", "event_type", "event_id")
+    sums = out.groupBy("prev_type").agg(F.sum("p").alias("s")).collect()
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9
+    # user 1: a->b, b->a; user 2: a->a
+    m = {(r.prev_type, r.next_type): r.n for r in out.collect()}
+    assert m == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_funnel_requires_strict_order(spark):
+    # u1 completes signup->click->purchase in order; u2 purchases BEFORE
+    # signup (purchase must not count); u3 signs up only.
+    df = _ev(
+        spark,
+        [
+            (1, 1, 0, "signup"), (1, 1, 1, "click"), (1, 1, 2, "purchase"),
+            (2, 1, 0, "purchase"), (2, 1, 1, "signup"), (2, 1, 2, "click"),
+            (3, 1, 0, "signup"),
+        ],
+    )
+    out = events.funnel(df, ["signup", "click", "purchase"])
+    got = {r.step: (r.entities_reached, r.conversion) for r in out.collect()}
+    assert got["signup"] == (3, 1.0)
+    assert got["click"] == (2, 0.666667)
+    assert got["purchase"] == (1, 0.333333)
+
+
+def test_funnel_entity_never_reaching_first_step(spark):
+    df = _ev(spark, [(1, 1, 0, "view"), (1, 1, 1, "purchase")])
+    out = events.funnel(df, ["signup", "purchase"])
+    got = {r.step: r.entities_reached for r in out.collect()}
+    assert got == {"signup": 0, "purchase": 0}
+
+
+def test_cohort_retention_age_zero_is_one(spark):
+    # u1 first active week 1, active weeks 1+2; u2 first active week 2 only.
+    df = _ev(
+        spark,
+        [(1, 1, 0, "view"), (1, 8, 0, "view"), (2, 8, 0, "view"), (2, 8, 1, "view")],
+    )
+    out = events.cohort_retention(df)
+    rows = {(str(r.cohort), r.age_weeks): (r.n_active, r.retention) for r in out.collect()}
+    assert rows[("2024-01-01", 0)] == (1, 1.0)
+    assert rows[("2024-01-01", 1)] == (1, 1.0)
+    assert rows[("2024-01-08", 0)] == (1, 1.0)
+
+
+def test_funnel_per_step_windows_share_one_exchange(spark, sf_dir):
+    """All K step windows + the per-entity rollup hash on the same key:
+    exactly ONE exchange over the event table (the tiny K-row tail may
+    repartition; only hashpartitioning exchanges are counted)."""
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = events.funnel(ev, ["signup", "click", "purchase"])
+    n = _plan(out).count("Exchange hashpartitioning")
+    assert n == 1, _plan(out)
+
+
+def test_transition_matrix_single_corpus_exchange(spark, sf_dir):
+    """One exchange on user for the lag; the (prev,next) agg shuffles
+    only |types|² partial rows (map-side combine present)."""
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = events.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+    plan = _plan(out)
+    assert "partial_count" in plan or "HashAggregate" in plan
