@@ -3599,6 +3599,88 @@ FROM c
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 docs for a 3-term query: query-term filter lands
+    on the exploded stream before any agg; (df, idf) broadcast;
+    TakeOrdered top-n."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bm25_search(docs, ["spark", "join", "window"], n=10)
+    return out.select(
+        "doc_id",
+        E.r6("score").alias("score"),
+        F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+    )
+
+
+_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+filtered AS (SELECT * FROM toks WHERE length(term) > 0),
+doclen AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filtered
+  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        * (tf.tf * 2.2)
+        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))) AS score,
+    count(*)::BIGINT AS n_terms_matched
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000.0 AS score,
+       n_terms_matched
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+"""
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token-pair PMI (within-doc co-occurrence): distinct (doc,
+    term) self-join sharing one doc_id exchange; unigram dims broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.token_pmi(docs, min_pairs=5, top=50)
+    return out.select(
+        "term_a", "term_b", F.col("n_ab").cast("long").alias("n_ab"),
+        E.r6("pmi").alias("pmi"),
+    )
+
+
+_TOKEN_PMI_SQL = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  ) WHERE length(term) > 0
+),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+uni AS (SELECT term, count(*)::DOUBLE AS n_t FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 5
+)
+SELECT term_a, term_b, n_ab,
+  floor(pmi * 1000000 + 0.5) / 1000000.0 AS pmi
+FROM (
+  SELECT term_a, term_b, n_ab,
+    ln(n_ab * n.n_docs / (ua.n_t * ub.n_t)) AS pmi
+  FROM pairs
+  JOIN uni ua ON ua.term = pairs.term_a
+  JOIN uni ub ON ub.term = pairs.term_b
+  CROSS JOIN n
+  ORDER BY pmi DESC, term_a, term_b LIMIT 50
+)
+"""
+
+
 def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: ALL 14 behavioral columns (W1-W9) in one window
     projection — single exchange + sort."""
@@ -3783,6 +3865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        # lexical retrieval / collocation mining (beyond-reference)
+        "bm25_search": q_bm25_search,
+        "token_pmi": q_token_pmi,
     }
 
 
@@ -3885,6 +3970,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "funnel": _FUNNEL_SQL,
         "cohort_retention": _COHORT_SQL,
+        "bm25_search": _BM25_SQL,
+        "token_pmi": _TOKEN_PMI_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

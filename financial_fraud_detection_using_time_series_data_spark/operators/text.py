@@ -691,3 +691,122 @@ def mixture_sample(
         10,
     ).cast("long")
     return joined.filter((h % buckets) < (F.col("rate") * buckets).cast("long"))
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a small bag of query terms —
+    the standard lexical-search scorer (query-based corpus curation /
+    relevance filtering at training-data scale).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Robertson-Sparck Jones,
+    the +1 form that keeps idf positive).
+
+    Plan shape: one explode pass; the query-term filter lands directly on
+    the exploded stream BEFORE any aggregation, so the per-(doc, term)
+    tf agg only ever sees |query| terms' postings. Corpus-wide work is a
+    single doc-length agg (needed for avgdl and dl). (df, idf) is a
+    |query|-row broadcast; (N, avgdl) rides a 1-row broadcast cross-join.
+    Top-n resolves to TakeOrderedAndProject — no global sort.
+    """
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_len.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(n)
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pairs: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document (presence-based): pmi(a,b) = ln(n_ab·N / (n_a·n_b)).
+    Surfaces collocations / boilerplate signatures in a corpus.
+
+    Plan shape: distinct (doc, term) — one agg — then a self-equi-join on
+    doc_id with a.term < b.term to enumerate within-doc pairs. Both join
+    sides share the doc_id hash partitioning (one shuffle, reused), and
+    the pair agg map-side-combines to |vocab|² before its (tiny) shuffle.
+    Per-doc pair fan-out is O(u²) in the doc's DISTINCT token count u —
+    bounded by vocabulary, not doc length; for open-vocab web text, cap u
+    upstream (e.g. top-m terms per doc) before calling. Unigram doc
+    frequencies are a |vocab|-row broadcast; N rides a 1-row broadcast.
+    """
+    dt = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
+    uni = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    a = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_a"))
+    bb = dt.select(F.col(id_col).alias("__d"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(bb, "__d")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_t").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("n_docs")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.col("pmi").desc(), "term_a", "term_b").limit(top)
