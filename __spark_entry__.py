@@ -3599,6 +3599,36 @@ FROM c
 """
 
 
+def q_entity_link_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-ring linking: distinct users sharing each props.k value,
+    broadcast back onto every event (the corpus never shuffles)."""
+    ev = _events(spark, sf_dir)
+    attr = F.get_json_object("props", "$.k").cast("int")
+    out = events_ops.shared_attribute_degree(ev, attr)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("attr_value").alias("k_val"),
+        F.col("n_entities_sharing").cast("long").alias("n_users_sharing"),
+        "is_shared",
+    )
+
+
+_ENTITY_LINK_SQL = """
+WITH a AS (
+  SELECT event_id, user_id, (props->>'$.k')::INT AS k_val FROM events
+),
+d AS (
+  SELECT k_val, count(DISTINCT user_id)::BIGINT AS n_users_sharing
+  FROM a GROUP BY k_val
+)
+SELECT a.event_id, a.user_id, a.k_val,
+  coalesce(d.n_users_sharing, 0) AS n_users_sharing,
+  coalesce(d.n_users_sharing, 0) > 1 AS is_shared
+FROM a LEFT JOIN d USING (k_val)
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 docs for a 3-term query: query-term filter lands
     on the exploded stream before any agg; (df, idf) broadcast;
@@ -3868,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lexical retrieval / collocation mining (beyond-reference)
         "bm25_search": q_bm25_search,
         "token_pmi": q_token_pmi,
+        "entity_link_degree": q_entity_link_degree,
     }
 
 
@@ -3972,6 +4003,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "bm25_search": _BM25_SQL,
         "token_pmi": _TOKEN_PMI_SQL,
+        "entity_link_degree": _ENTITY_LINK_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

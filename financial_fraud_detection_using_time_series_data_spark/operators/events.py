@@ -165,3 +165,41 @@ def cohort_retention(
             / F.max(F.when(F.col("age_weeks") == 0, F.col("n_active"))).over(per_cohort)
         ).alias("retention"),
     )
+
+
+def shared_attribute_degree(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    id_col: str = "event_id",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fraud-ring linking signal: for each event, how many DISTINCT
+    entities share the event's attribute value (device id, card hash,
+    IP...). Degree ≫ 1 on an attribute that should be personal is the
+    classic shared-infrastructure flag.
+
+    Plan shape: distinct (attr, entity) — two-phase agg — collapses the
+    corpus to the linking graph's edge list before the degree count; the
+    (attr, degree) dim is |attr values| rows and broadcast back onto the
+    fact, so the full table is never shuffled. For an attribute with
+    unbounded cardinality drop ``broadcast_dim`` and let AQE pick the
+    join (the dim is still edge-list-sized, not corpus-sized).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col), F.col(entity_col), attr.alias("__attr"))
+    deg = (
+        base.select("__attr", entity_col)
+        .distinct()
+        .groupBy("__attr")
+        .agg(F.count(F.lit(1)).alias("n_entities_sharing"))
+    )
+    d = F.broadcast(deg) if broadcast_dim else deg
+    return base.join(d, "__attr", "left").select(
+        id_col,
+        entity_col,
+        F.col("__attr").alias("attr_value"),
+        F.coalesce("n_entities_sharing", F.lit(0)).alias("n_entities_sharing"),
+        (F.coalesce("n_entities_sharing", F.lit(0)) > F.lit(1)).alias("is_shared"),
+    )

@@ -97,3 +97,25 @@ def test_transition_matrix_single_corpus_exchange(spark, sf_dir):
     out = events.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
     plan = _plan(out)
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_shared_attribute_degree_counts_distinct_entities(spark):
+    df = spark.createDataFrame(
+        [(0, 1, "dev_a"), (1, 2, "dev_a"), (2, 1, "dev_a"), (3, 3, "dev_b")],
+        "event_id long, user_id long, device string",
+    )
+    out = events.shared_attribute_degree(df, F.col("device"))
+    got = {r.event_id: (r.n_entities_sharing, r.is_shared) for r in out.collect()}
+    # dev_a: users {1,2} → degree 2 (repeat events don't inflate); dev_b: 1
+    assert got[0] == (2, True) and got[1] == (2, True) and got[2] == (2, True)
+    assert got[3] == (1, False)
+
+
+def test_shared_attribute_degree_dim_is_broadcast(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = events.shared_attribute_degree(
+        ev, F.get_json_object("props", "$.k").cast("int")
+    )
+    assert "BroadcastHashJoin" in _plan(out)
