@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "feature_hash",
     "redact_pii",
     "dedup_clusters_lsh",
+    "event_transitions",
+    "funnel",
+    "cohort_retention",
+    "entity_link_degree",
+    "bm25_search",
+    "token_pmi",
 ]
 
 
