@@ -3629,6 +3629,48 @@ FROM a LEFT JOIN d USING (k_val)
 """
 
 
+def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring detection: users transitively linked by shared EXACT
+    transaction amounts (degree 2-10 — high-degree values are noise, not
+    rings) collapsed via the min-label connected-components engine. The
+    oracle twin walks the same star-edge graph with a recursive CTE."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.fraud_rings(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+    return out.select(
+        "user_id",
+        F.col("ring_id").cast("long").alias("ring_id"),
+        F.col("ring_size").cast("long").alias("ring_size"),
+    )
+
+
+_FRAUD_RINGS_SQL = """
+WITH RECURSIVE a AS (
+  SELECT DISTINCT value AS attr, user_id FROM events WHERE value IS NOT NULL
+),
+d AS (
+  SELECT attr, min(user_id) AS hub FROM a
+  GROUP BY attr HAVING count(*) BETWEEN 2 AND 10
+),
+p AS (
+  SELECT DISTINCT d.hub AS id_a, a.user_id AS id_b
+  FROM d JOIN a USING (attr) WHERE a.user_id <> d.hub
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT src AS v FROM ed),
+reach AS (
+  SELECT v AS src, v AS dst FROM n
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src
+),
+c AS (SELECT src AS user_id, min(dst) AS ring_id FROM reach GROUP BY src)
+SELECT user_id, ring_id,
+  count(*) OVER (PARTITION BY ring_id)::BIGINT AS ring_size
+FROM c
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 docs for a 3-term query: query-term filter lands
     on the exploded stream before any agg; (df, idf) broadcast;
@@ -3899,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "token_pmi": q_token_pmi,
         "entity_link_degree": q_entity_link_degree,
+        "fraud_rings": q_fraud_rings,
     }
 
 
@@ -4004,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_SQL,
         "token_pmi": _TOKEN_PMI_SQL,
         "entity_link_degree": _ENTITY_LINK_SQL,
+        "fraud_rings": _FRAUD_RINGS_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -203,3 +203,59 @@ def shared_attribute_degree(
         F.coalesce("n_entities_sharing", F.lit(0)).alias("n_entities_sharing"),
         (F.coalesce("n_entities_sharing", F.lit(0)) > F.lit(1)).alias("is_shared"),
     )
+
+
+def fraud_rings(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    min_degree: int = 2,
+    max_degree: int = 10,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fraud-ring detection: entities transitively linked through shared
+    attribute values (same card hash, device id, or — here — the same
+    exact transaction amounts) are collapsed into rings via connected
+    components. Returns (entity, ring_id, ring_size); singletons are
+    excluded (they're not rings).
+
+    ``[min_degree, max_degree]`` bounds which attribute values LINK:
+    degree 1 links nothing, and a high-degree value (a default amount, a
+    shared office IP) is noise, not a ring — dropping it also removes the
+    quadratic-edge hazard, the same degenerate-bucket discipline as the
+    LSH dedup caps. Each linking value emits STAR edges to its min
+    entity (degree-1 fan-out, never u² pairs).
+
+    Plan shape: distinct (attr, entity) collapses the corpus first; the
+    degree/hub dim is |linking values| rows; edges are edge-list-sized.
+    Components run on the existing min-label + pointer-jumping engine
+    (`dedup.connected_components` — O(log diameter) rounds, checkpointed
+    lineage); ring size is one window over the (entity, ring) result.
+    """
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    a = (
+        df.select(attr.alias("__attr"), F.col(entity_col))
+        .where(F.col("__attr").isNotNull())
+        .distinct()
+    )
+    d = (
+        a.groupBy("__attr")
+        .agg(F.count(F.lit(1)).alias("deg"), F.min(entity_col).alias("hub"))
+        .where((F.col("deg") >= min_degree) & (F.col("deg") <= max_degree))
+    )
+    edges = (
+        a.join(d, "__attr")
+        .where(F.col(entity_col) != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col(entity_col).alias("id_b"))
+        .distinct()
+    )
+    cc = dedup.connected_components(edges, "id_a", "id_b", max_iter=max_iter)
+    ring = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias(entity_col),
+        F.col("component").alias("ring_id"),
+        F.count(F.lit(1)).over(ring).alias("ring_size"),
+    )

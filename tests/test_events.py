@@ -119,3 +119,19 @@ def test_shared_attribute_degree_dim_is_broadcast(spark, sf_dir):
         ev, F.get_json_object("props", "$.k").cast("int")
     )
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_fraud_rings_transitive_linking_and_caps(spark):
+    # amounts: 10.0 links users 1,2; 20.0 links users 2,3 (chain → one
+    # ring {1,2,3}); 30.0 is shared by 5 users > max_degree=4 → no link;
+    # user 9's 99.0 is unshared → singleton, excluded.
+    rows = [
+        (0, 1, 10.0), (1, 2, 10.0), (2, 2, 20.0), (3, 3, 20.0),
+        (4, 4, 30.0), (5, 5, 30.0), (6, 6, 30.0), (7, 7, 30.0), (8, 8, 30.0),
+        (9, 9, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = events.fraud_rings(df, F.col("value"), min_degree=2, max_degree=4)
+    got = {r.user_id: (r.ring_id, r.ring_size) for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
