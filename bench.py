@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "funnel",
     "cohort_retention",
     "entity_link_degree",
+    "fraud_rings",
     "bm25_search",
     "token_pmi",
 ]
