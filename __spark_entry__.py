@@ -3629,6 +3629,34 @@ FROM a LEFT JOIN d USING (k_val)
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user signup→purchase latency in exact integer microseconds,
+    right-censored (non-converters kept with NULL latency)."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.conversion_latency(ev, "signup", "purchase")
+    return out.select("user_id", "converted", "latency_us")
+
+
+_CONVERSION_LATENCY_SQL = """
+WITH t1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id) AS t0
+  FROM events
+), t2 AS (
+  SELECT user_id, t0,
+    min(CASE WHEN event_type = 'purchase' AND ts > t0 THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM t1
+), u AS (
+  SELECT user_id, max(t0) AS t0, max(t1) AS t1 FROM t2 GROUP BY user_id
+)
+SELECT user_id, t1 IS NOT NULL AS converted,
+  epoch_us(t1) - epoch_us(t0) AS latency_us
+FROM u WHERE t0 IS NOT NULL
+"""
+
+
 def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ring detection: users transitively linked by shared EXACT
     transaction amounts (degree 2-10 — high-degree values are noise, not
@@ -3942,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": q_token_pmi,
         "entity_link_degree": q_entity_link_degree,
         "fraud_rings": q_fraud_rings,
+        "conversion_latency": q_conversion_latency,
     }
 
 
@@ -4048,6 +4077,7 @@ def oracle_sql() -> dict[str, str]:
         "token_pmi": _TOKEN_PMI_SQL,
         "entity_link_degree": _ENTITY_LINK_SQL,
         "fraud_rings": _FRAUD_RINGS_SQL,
+        "conversion_latency": _CONVERSION_LATENCY_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

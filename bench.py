@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "entity_link_degree",
     "fraud_rings",
+    "conversion_latency",
     "bm25_search",
     "token_pmi",
 ]

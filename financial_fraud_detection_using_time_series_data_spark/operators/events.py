@@ -259,3 +259,51 @@ def fraud_rings(
         F.col("component").alias("ring_id"),
         F.count(F.lit(1)).over(ring).alias("ring_size"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_step: str,
+    to_step: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-entity conversion latency: time from the FIRST ``from_step``
+    to the FIRST ``to_step`` at a strictly later timestamp. Entities
+    that never reach ``from_step`` are excluded; entities that reach it
+    but never convert stay with NULL latency (right-censored — dropping
+    them would bias any downstream survival/latency statistic).
+
+    Returns (entity, converted, latency_us). Latency is exact integer
+    microseconds — no float rounding to reconcile across engines.
+
+    Plan shape: two unordered min-over-partition windows + the
+    per-entity rollup, all hashed on the entity key — one exchange over
+    the event table, same contract as `funnel` (it IS the two-step
+    funnel, keeping the per-entity rows instead of the K-row summary).
+    """
+    w = Window.partitionBy(entity_col)
+    t0 = F.min(
+        F.when(F.col(type_col) == F.lit(from_step), F.col(ts_col))
+    ).over(w)
+    step2 = (
+        (F.col(type_col) == F.lit(to_step))
+        & F.col("__t0").isNotNull()
+        & (F.col(ts_col) > F.col("__t0"))
+    )
+    cur = (
+        df.select(entity_col, ts_col, type_col)
+        .withColumn("__t0", t0)
+        .withColumn("__t1", F.min(F.when(step2, F.col(ts_col))).over(w))
+    )
+    per_entity = (
+        cur.groupBy(entity_col)
+        .agg(F.max("__t0").alias("__t0"), F.max("__t1").alias("__t1"))
+        .where(F.col("__t0").isNotNull())
+    )
+    return per_entity.select(
+        entity_col,
+        F.col("__t1").isNotNull().alias("converted"),
+        (E.epoch_us(F.col("__t1")) - E.epoch_us(F.col("__t0"))).alias("latency_us"),
+    )

@@ -135,3 +135,26 @@ def test_fraud_rings_transitive_linking_and_caps(spark):
     got = {r.user_id: (r.ring_id, r.ring_size) for r in out.collect()}
     assert set(got) == {1, 2, 3}
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+
+
+def test_conversion_latency_censoring_and_order(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        # u1 converts 2h after signup; an earlier purchase must not count
+        (0, dt(2024, 1, 1, 0), 1, "purchase"),
+        (1, dt(2024, 1, 1, 1), 1, "signup"),
+        (2, dt(2024, 1, 1, 3), 1, "purchase"),
+        # u2 signs up, never purchases → censored NULL
+        (3, dt(2024, 1, 1, 0), 2, "signup"),
+        # u3 never signs up → excluded
+        (4, dt(2024, 1, 1, 0), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = events.conversion_latency(df, "signup", "purchase")
+    got = {r.user_id: (r.converted, r.latency_us) for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == (True, 2 * 3600 * 1_000_000)
+    assert got[2] == (False, None)
