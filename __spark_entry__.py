@@ -1111,6 +1111,163 @@ JOIN devu USING (card1)
 """
 
 
+def q_fraud_pipeline_split_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-EXACT per-split recomputation (train_pipeline.py:124-132;
+    SURVEY §3.1 compat flag): the chronological 70/15/15 split is
+    assigned FIRST, then the full feature chain runs with every window
+    partition key prefixed by the split id — val/test rows see only
+    split-internal history, exactly as the reference's three separate
+    `fit_transform(split_df, train_df=train_df)` calls — while
+    target-encoding rates are fit on the TRAIN split only (unseen keys →
+    default) and amount z-stats per scoring frame. Same 33-column slice
+    as `fraud_feature_pipeline`, plus the split id."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import (
+        FraudPipelineConfig,
+        engineer_features_split_compat,
+        preprocess,
+    )
+
+    txns = _pipeline_txns(spark, sf_dir)
+    cfg = FraudPipelineConfig()
+    out = engineer_features_split_compat(preprocess(txns, cfg), cfg)
+    return out.select(
+        F.col("TransactionID").cast("long").alias("txn_id"),
+        F.col("split"),
+        F.col("hour").cast("int").alias("hour"),
+        E.r6("amount_zscore").alias("amount_zscore"),
+        E.r6("amount_percentile_user").alias("amount_percentile_user"),
+        F.col("user_txn_count_1d").cast("long").alias("user_txn_count_1d"),
+        E.r6("user_total_amount_1d").alias("user_total_amount_1d"),
+        E.r6("user_avg_amount_1d").alias("user_avg_amount_1d"),
+        E.r6("user_std_amount_1d").alias("user_std_amount_1d"),
+        E.r6("amount_deviation").alias("amount_deviation"),
+        E.r6("time_since_last_txn").alias("time_since_last_txn"),
+        F.col("is_first_txn").cast("int").alias("is_first_txn"),
+        E.r6("amount_velocity").alias("amount_velocity"),
+        E.r6("spending_rate").alias("spending_rate"),
+        E.r6("spending_acceleration").alias("spending_acceleration"),
+        E.r6("merchant_fraud_rate").alias("merchant_fraud_rate"),
+        E.r6("product_fraud_rate").alias("product_fraud_rate"),
+        E.r6("card_fraud_rate").alias("card_fraud_rate"),
+        E.r6("user_merchant_avg_amount").alias("user_merchant_avg_amount"),
+        F.col("is_first_txn_merchant").cast("int").alias("is_first_txn_merchant"),
+        F.col("is_new_device").cast("int").alias("is_new_device"),
+        F.col("users_per_device").cast("long").alias("users_per_device"),
+        F.col("devices_per_user").cast("long").alias("devices_per_user"),
+    )
+
+
+_FRAUD_SPLIT_COMPAT_SQL = """
+WITH txn AS (
+  SELECT event_id AS tid,
+    user_id AS card1,
+    user_id % 37 AS card2,
+    CASE WHEN user_id % 7 = 0 THEN 'missing'
+         ELSE 'dev_' || (user_id % 11)::VARCHAR END AS device,
+    event_type AS product,
+    CASE user_id % 4 WHEN 0 THEN 'visa' WHEN 1 THEN 'mastercard'
+         WHEN 2 THEN 'amex' ELSE 'discover' END AS card4,
+    epoch_us(ts) // 1000000 AS sec,
+    date_trunc('second', ts) AS ts2,
+    coalesce(value, -999.0) AS amt,
+    (event_id % 29 = 0)::INT AS fraud
+  FROM events
+),
+s AS (
+  SELECT * EXCLUDE (__rn, __n),
+    CASE WHEN __rn <= floor(__n * 0.7) THEN 'train'
+         WHEN __rn <= floor(__n * 0.85) THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT txn.*,
+      row_number() OVER (ORDER BY sec, tid) AS __rn,
+      count(*) OVER () AS __n
+    FROM txn
+  )
+),
+stats AS (
+  SELECT split, sum(amt::DECIMAL(25,2))::DOUBLE / count(*) AS mu,
+         stddev_samp(amt) AS sigma
+  FROM s GROUP BY split
+),
+mrate AS (SELECT card2, avg(fraud) AS r FROM s WHERE split = 'train' GROUP BY card2),
+prate AS (SELECT product, avg(fraud) AS r FROM s WHERE split = 'train' GROUP BY product),
+crate AS (SELECT card4, avg(fraud) AS r FROM s WHERE split = 'train' GROUP BY card4),
+udev AS (SELECT split, device, count(DISTINCT card1) AS users_per_device
+         FROM s GROUP BY split, device),
+devu AS (SELECT split, card1, count(DISTINCT device) AS devices_per_user
+         FROM s GROUP BY split, card1),
+w AS (
+  SELECT t.*,
+    row_number() OVER win - 1 AS txn_count,
+    (sum(amt::DECIMAL(25,2)) OVER winf)::DOUBLE AS exp_sum,
+    count(*) OVER winf AS exp_cnt,
+    stddev_samp(amt) OVER winf AS exp_std,
+    row_number() OVER win AS rn,
+    coalesce(sec - lag(sec) OVER win, 0.0) AS td,
+    (rank() OVER (PARTITION BY split, card1 ORDER BY amt)
+      + (count(*) OVER (PARTITION BY split, card1, amt) - 1) / 2.0)
+      / count(*) OVER (PARTITION BY split, card1) AS pct_user,
+    (sum(amt::DECIMAL(25,2)) OVER winp)::DOUBLE / (count(*) OVER winp)
+      AS pair_avg,
+    (row_number() OVER winpo = 1)::INT AS first_merchant,
+    (row_number() OVER wind = 1)::INT AS first_device
+  FROM s t
+  WINDOW win AS (PARTITION BY split, card1 ORDER BY sec, tid),
+    winf AS (PARTITION BY split, card1 ORDER BY sec, tid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    winp AS (PARTITION BY split, card1, card2 ORDER BY sec, tid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    winpo AS (PARTITION BY split, card1, card2 ORDER BY sec, tid),
+    wind AS (PARTITION BY split, card1, device ORDER BY sec, tid)
+),
+v AS (
+  SELECT w.*,
+    exp_sum / exp_cnt AS exp_avg,
+    amt / (CASE WHEN td = 0 THEN 1.0 ELSE td END + 1.0) AS sr
+  FROM w
+),
+v2 AS (
+  SELECT v.*,
+    coalesce(
+      sr - lag(sr) OVER (PARTITION BY split, card1 ORDER BY sec, tid), 0.0
+    ) AS sacc
+  FROM v
+)
+SELECT tid AS txn_id,
+  split,
+  hour(ts2)::INT AS hour,
+  floor(((amt - stats.mu) / (stats.sigma + 1.0)) * 1000000 + 0.5) / 1000000.0 AS amount_zscore,
+  floor((pct_user) * 1000000 + 0.5) / 1000000.0 AS amount_percentile_user,
+  txn_count::BIGINT AS user_txn_count_1d,
+  floor((exp_sum) * 1000000 + 0.5) / 1000000.0 AS user_total_amount_1d,
+  floor((exp_avg) * 1000000 + 0.5) / 1000000.0 AS user_avg_amount_1d,
+  floor((coalesce(exp_std, -999.0)) * 1000000 + 0.5) / 1000000.0 AS user_std_amount_1d,
+  floor(((amt - exp_avg) / (coalesce(exp_std, 1.0) + 1.0)) * 1000000 + 0.5) / 1000000.0
+    AS amount_deviation,
+  floor((td) * 1000000 + 0.5) / 1000000.0 AS time_since_last_txn,
+  (rn = 1)::INT AS is_first_txn,
+  floor((exp_sum / rn) * 1000000 + 0.5) / 1000000.0 AS amount_velocity,
+  floor((sr) * 1000000 + 0.5) / 1000000.0 AS spending_rate,
+  floor((sacc) * 1000000 + 0.5) / 1000000.0 AS spending_acceleration,
+  floor((coalesce(mrate.r, 0.035)) * 1000000 + 0.5) / 1000000.0 AS merchant_fraud_rate,
+  floor((coalesce(prate.r, 0.035)) * 1000000 + 0.5) / 1000000.0 AS product_fraud_rate,
+  floor((coalesce(crate.r, 0.035)) * 1000000 + 0.5) / 1000000.0 AS card_fraud_rate,
+  floor((pair_avg) * 1000000 + 0.5) / 1000000.0 AS user_merchant_avg_amount,
+  first_merchant AS is_first_txn_merchant,
+  first_device AS is_new_device,
+  udev.users_per_device::BIGINT AS users_per_device,
+  devu.devices_per_user::BIGINT AS devices_per_user
+FROM v2
+JOIN stats USING (split)
+LEFT JOIN mrate USING (card2)
+LEFT JOIN prate USING (product)
+LEFT JOIN crate USING (card4)
+JOIN udev USING (split, device)
+JOIN devu USING (split, card1)
+"""
+
+
 # ---------------------------------------------------------------------------
 # M8: text / dedup / similarity
 
@@ -3085,7 +3242,7 @@ SELECT t.doc_id, t.source, t.n_tokens,
   floor(r.rate * 1000000 + 0.5) / 1000000.0 AS rate
 FROM toks t JOIN rates r USING (source)
 WHERE (('0x' || substring(md5('mix:' || t.doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
-      < (r.rate * 10000)::BIGINT
+      < floor(r.rate * 10000)::BIGINT
 """
 
 
@@ -3971,6 +4128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_degree": q_entity_link_degree,
         "fraud_rings": q_fraud_rings,
         "conversion_latency": q_conversion_latency,
+        # reference-exact per-split truncation compat (SURVEY §3.1)
+        "fraud_pipeline_split_compat": q_fraud_pipeline_split_compat,
     }
 
 
@@ -4078,6 +4237,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_degree": _ENTITY_LINK_SQL,
         "fraud_rings": _FRAUD_RINGS_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
+        "fraud_pipeline_split_compat": _FRAUD_SPLIT_COMPAT_SQL,
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -106,13 +106,19 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # full untimed warm-up sweep: execute EVERY headline query once before
+    # any timing starts. Per-query min-of-2 alone still bills session-level
+    # HotSpot/codegen warm-up to whichever queries run early; a whole-suite
+    # pass first means the timed passes below measure steady-state plan
+    # cost, which is what matters for capacity planning at scale.
+    for name in BENCH_QUERIES:
+        queries[name](spark, sf_dir).selectExpr("sum(hash(*)) as h").collect()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = float("inf")
-        # min of 2 runs: the first window/agg/python-udf query of a JVM
-        # pays one-time codegen + interpreter warm-up that would otherwise
-        # be billed to whichever query happens to run first
+        # min of 2 timed runs on top of the warm sweep
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

@@ -133,7 +133,9 @@ def reliability_table(
             F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(n_bins - 1)
         ),
     )
-    dec_sum = F.sum(F.col(prob_col).cast("decimal(28,18)")).cast("double")
+    # decimal(38,18): 20 integer digits of headroom (~1e20 rows/bin) —
+    # decimal(28,18) would overflow the sum past ~1e10 rows per bin
+    dec_sum = F.sum(F.col(prob_col).cast("decimal(38,18)")).cast("double")
     return (
         binned.groupBy("bin")
         .agg(

@@ -618,7 +618,12 @@ def connected_components(
     graphs rarely need it.
 
     Convergence is detected distributed (count of changed labels — an
-    agg, not a collect of labels).
+    agg, not a collect of labels) and only every SECOND round: pointer
+    jumping makes the round count logarithmic, so the per-round
+    convergence job — a join + count, a full Spark job on its own — was
+    costing as much as the propagation it guarded. Checking on odd
+    rounds halves the action count; the worst case is one extra
+    (idempotent) propagation round after the fixpoint.
     """
     # materialize the edge list ONCE — it is joined every round, and
     # without the lineage break each iteration would re-execute the whole
@@ -632,7 +637,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     ).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -662,15 +667,20 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        prev = labels
         labels = new
-        if changed == 0:
-            break
+        # convergence check every 2nd round (and on the last): the check
+        # is itself a full job, and with pointer jumping the round count
+        # is small enough that halving the checks beats early exit
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new.alias("n")
+                .join(prev.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if changed == 0:
+                break
     return labels
 
 

@@ -228,10 +228,14 @@ def chi2_drift(
     windows?
 
     chi² = Σ_cells (obs − exp)² / exp with exp = row·col totals / N over
-    the 2×k contingency table. Integer counts + one broadcast of the
-    (k ≤ cardinality)-row table: two hash aggs, a full outer join on the
-    category key, and a one-row result — no full-data shuffle beyond the
-    group counts. Returns (chi2, dof, n_categories)."""
+    the 2×k contingency table. `eps` is an expected-count smoothing
+    floor: expected counts below eps are raised to eps before dividing
+    (guards the statistic against blow-up on near-empty cells); the
+    default 0.0 leaves the classical statistic unchanged. Integer counts
+    + one broadcast of the (k ≤ cardinality)-row table: two hash aggs, a
+    full outer join on the category key, and a one-row result — no
+    full-data shuffle beyond the group counts. Returns
+    (chi2, dof, n_categories)."""
     rc = ref.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("n_ref"))
     cc = cur.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("n_cur"))
     cells = (
@@ -250,9 +254,11 @@ def chi2_drift(
     rowt = (F.col("n_ref") + F.col("n_cur")).cast("double")
     e_ref = rowt * F.col("__tr") / n
     e_cur = rowt * F.col("__tc") / n
+    d_ref = F.nullif(F.greatest(e_ref, F.lit(float(eps))), F.lit(0.0))
+    d_cur = F.nullif(F.greatest(e_cur, F.lit(float(eps))), F.lit(0.0))
     term = (
-        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / F.nullif(e_ref, F.lit(0.0))
-        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / F.nullif(e_cur, F.lit(0.0))
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / d_ref
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / d_cur
     )
     from ..functions.exprs import r6
 

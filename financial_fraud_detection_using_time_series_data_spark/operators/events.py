@@ -102,8 +102,10 @@ def funnel(
     totals = per_entity.agg(
         *[F.count(t).alias(f"__c{i}") for i, t in enumerate(t_cols)]
     )
+    # escape single quotes in step names — they are interpolated into a
+    # stack() SQL string and would otherwise parse-error / inject
     stack_args = ", ".join(
-        f"'{s}', {i + 1}, __c{i}" for i, s in enumerate(steps)
+        f"""'{s.replace("'", "''")}', {i + 1}, __c{i}""" for i, s in enumerate(steps)
     )
     rows = totals.select(
         F.expr(

@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,15 +68,36 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            contents = pdf["content"].tolist()
+            n = len(contents)
+            # ONE md5 per row (the digest feeds both content_hash and the
+            # stub feature); everything else is vectorized numpy. Null
+            # content maps to a zero digest → zero feature, null hash —
+            # identical to decode_stub's null contract.
+            digests = [
+                hashlib.md5(b).digest() if b is not None else b"\x00" * 16
+                for b in contents
+            ]
+            n_bytes = np.fromiter(
+                (len(b) if b is not None else 0 for b in contents),
+                dtype=np.int64,
+                count=n,
+            )
+            if n:
+                raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, 16)
+                feats = (raw[:, :dim] / 255.0).tolist()
+            else:
+                feats = []
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "content_hash": pdf["content"].map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-                    ),
-                    "feature": pdf["content"].map(lambda b: decode_stub(b, dim)),
+                    "n_bytes": n_bytes,
+                    "content_hash": [
+                        d.hex() if b is not None else None
+                        for d, b in zip(digests, contents)
+                    ],
+                    "feature": feats,
                 }
             )
             yield out

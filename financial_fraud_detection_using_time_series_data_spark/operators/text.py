@@ -690,7 +690,11 @@ def mixture_sample(
         16,
         10,
     ).cast("long")
-    return joined.filter((h % buckets) < (F.col("rate") * buckets).cast("long"))
+    # explicit floor on the threshold: long-cast truncation happens to
+    # floor for positive rates, but the oracle twin must use floor() too
+    # (DuckDB's ::BIGINT rounds half away from zero) — the membership
+    # rule must be IDENTICAL on both engines
+    return joined.filter((h % buckets) < F.floor(F.col("rate") * buckets))
 
 
 def bm25_search(

@@ -88,15 +88,19 @@ def first_row_flag(w: WindowSpec) -> Column:
     return (F.row_number().over(w) == 1).cast("int")
 
 
-def pct_rank_pandas(value: Column, user_col: str) -> Column:
+def pct_rank_pandas(value: Column, user_col) -> Column:
     """W8 (engineer.py:243): pandas rank(pct=True) = average-rank / count.
 
     For ties, pandas assigns the average of the positions, i.e.
     min_rank + (n_ties - 1)/2, then divides by the group size. cume_dist /
-    percent_rank have different tie semantics, so compose exactly."""
-    w_val = Window.partitionBy(user_col).orderBy(value)
-    w_grp = Window.partitionBy(user_col)
-    w_tie = Window.partitionBy(user_col, value)
+    percent_rank have different tie semantics, so compose exactly.
+
+    ``user_col`` may be a single column name or a list (composite key,
+    e.g. split-compat mode prefixes the split id)."""
+    keys = user_col if isinstance(user_col, list) else [user_col]
+    w_val = Window.partitionBy(*keys).orderBy(value)
+    w_grp = Window.partitionBy(*keys)
+    w_tie = Window.partitionBy(*keys, value)
     min_rank = F.rank().over(w_val)
     ties = F.count(F.lit(1)).over(w_tie)
     cnt = F.count(F.lit(1)).over(w_grp)

@@ -1,8 +1,14 @@
-from .fraud_pipeline import engineer_features, preprocess, FraudPipelineConfig
+from .fraud_pipeline import (
+    FraudPipelineConfig,
+    engineer_features,
+    engineer_features_split_compat,
+    preprocess,
+)
 from .train import TrainResult, run_training_pipeline
 
 __all__ = [
     "engineer_features",
+    "engineer_features_split_compat",
     "preprocess",
     "FraudPipelineConfig",
     "TrainResult",

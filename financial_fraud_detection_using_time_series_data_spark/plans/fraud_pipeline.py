@@ -19,11 +19,21 @@ val/test rows truncated histories; we compute windows ONCE over the full
 table then split — cheaper and leak-free. ``reference_mode=True``
 restores the reference's expanding-only semantics (its `lookback_windows`
 config is dead code — see SURVEY §2.5 trap).
+
+``engineer_features_split_compat`` restores the reference's PER-SPLIT
+recomputation exactly (SURVEY §3.1 compat flag): the chronological
+70/15/15 split is assigned FIRST, then every window partition key is
+prefixed with the split id — so val/test rows see only split-internal
+history, matching `fit_transform(val_df, train_df=train_df)` — while
+target-encoding rates are still fit on the train split only and amount
+z-stats per scoring frame (the reference's own leakage, preserved
+deliberately for parity). Still ONE Spark job: the per-split restart is
+a partition-key change, not three pipeline runs.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,6 +55,14 @@ class FraudPipelineConfig:
     reference_mode: bool = True          # expanding-only (reference-exact)
     target_encode_default: float = 0.035
     sentinel: float = -999.0
+    # when set, every window partition key is prefixed with this column —
+    # the reference-exact per-split truncation (train_pipeline.py:124-132)
+    split_col: str | None = None
+
+
+def _pk(cfg: FraudPipelineConfig, *cols: str) -> list[str]:
+    """Window partition key, split-prefixed in compat mode."""
+    return ([cfg.split_col] if cfg.split_col else []) + list(cols)
 
 
 def preprocess(df: DataFrame, cfg: FraudPipelineConfig = FraudPipelineConfig()) -> DataFrame:
@@ -112,12 +130,19 @@ def amount_features(df: DataFrame, cfg: FraudPipelineConfig, train: DataFrame | 
     (corrected mode), or None to reproduce reference-exact behavior.
     """
     amt = F.col(cfg.amt_col)
-    stats_src = train if train is not None else df
-    stats = stats_src.agg(
+    mu_sigma = [
         (E.dsum(cfg.amt_col).cast("double") / F.count(F.lit(1))).alias("__amt_mu"),
         F.stddev_samp(cfg.amt_col).alias("__amt_sigma"),
-    )
-    out = df.crossJoin(F.broadcast(stats))
+    ]
+    if cfg.split_col:
+        # split-compat: the reference fits z-stats on each SCORING frame
+        # (engineer.py:246-248 — its own leakage, preserved for parity),
+        # so per-split stats: a 3-row broadcast join instead of crossJoin
+        stats = df.groupBy(cfg.split_col).agg(*mu_sigma)
+        out = df.join(F.broadcast(stats), cfg.split_col)
+    else:
+        stats_src = train if train is not None else df
+        out = df.crossJoin(F.broadcast(stats_src.agg(*mu_sigma)))
     return out.select(
         "*",
         F.log1p(amt).alias("amount_log"),
@@ -127,7 +152,9 @@ def amount_features(df: DataFrame, cfg: FraudPipelineConfig, train: DataFrame | 
         E.is_round_number(amt, 100).alias("is_round_100"),
         E.zscore(amt, F.col("__amt_mu"), F.col("__amt_sigma")).alias("amount_zscore"),
         E.amount_bin(amt).alias("amount_bin"),
-        windows.pct_rank_pandas(amt, cfg.user_col).alias("amount_percentile_user"),
+        windows.pct_rank_pandas(amt, _pk(cfg, cfg.user_col)).alias(
+            "amount_percentile_user"
+        ),
     ).drop("__amt_mu", "__amt_sigma")
 
 
@@ -135,7 +162,7 @@ def user_behavior_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame
     """engineer.py:60-118 (W1-W7, W9). In reference mode the three
     lookback windows are identical expanding copies; corrected mode uses
     real rangeBetween time bounds."""
-    w = windows.user_window(cfg.user_col, cfg.ts_col, cfg.id_col)
+    w = windows.user_window(_pk(cfg, cfg.user_col), cfg.ts_col, cfg.id_col)
     frame = windows.expanding_frame(w)
     amt = F.col(cfg.amt_col)
     exp_sum = F.sum(amt.cast("decimal(25,2)")).over(frame).cast("double")
@@ -156,7 +183,7 @@ def user_behavior_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame
             ]
     else:
         for d in cfg.lookback_days:
-            wb = windows.time_bounded_frame(cfg.user_col, ts_num, d)
+            wb = windows.time_bounded_frame(_pk(cfg, cfg.user_col), ts_num, d)
             dsum = F.sum(amt.cast("decimal(25,2)")).over(wb).cast("double")
             dcnt = F.count(F.lit(1)).over(wb)
             cols += [
@@ -177,7 +204,7 @@ def user_behavior_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame
 
 def velocity_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame:
     """engineer.py:120-152: velocity/rate/acceleration block."""
-    w = windows.user_window(cfg.user_col, cfg.ts_col, cfg.id_col)
+    w = windows.user_window(_pk(cfg, cfg.user_col), cfg.ts_col, cfg.id_col)
     amt = F.col(cfg.amt_col)
     ts_num = F.col(cfg.ts_col)
     td = F.coalesce(ts_num - F.lag(ts_num, 1).over(w), F.lit(0.0))
@@ -191,7 +218,7 @@ def velocity_features(df: DataFrame, cfg: FraudPipelineConfig) -> DataFrame:
         td.alias("time_diff"),
         (amt / (td_repl + F.lit(1.0))).alias("spending_rate"),
     )
-    w2 = windows.user_window(cfg.user_col, cfg.ts_col, cfg.id_col)
+    w2 = windows.user_window(_pk(cfg, cfg.user_col), cfg.ts_col, cfg.id_col)
     return out.withColumn(
         "spending_acceleration",
         F.coalesce(
@@ -213,7 +240,9 @@ def merchant_features(df: DataFrame, cfg: FraudPipelineConfig, train: DataFrame)
             out = relational.target_encode(
                 out, train, key, cfg.label_col, out_col, cfg.target_encode_default
             )
-    wp = Window.partitionBy(cfg.user_col, cfg.merchant_col).orderBy(cfg.ts_col, cfg.id_col)
+    wp = Window.partitionBy(_pk(cfg, cfg.user_col, cfg.merchant_col)).orderBy(
+        cfg.ts_col, cfg.id_col
+    )
     amt = F.col(cfg.amt_col)
     pair_avg = (
         F.sum(amt.cast("decimal(25,2)"))
@@ -239,7 +268,9 @@ def device_features(
     its (user, device) pairs, so aggregating it instead of the engineered
     tail avoids re-running the whole upstream join/window chain twice
     (the joins upstream survive column pruning)."""
-    wd = Window.partitionBy(cfg.user_col, cfg.device_col).orderBy(cfg.ts_col, cfg.id_col)
+    wd = Window.partitionBy(_pk(cfg, cfg.user_col, cfg.device_col)).orderBy(
+        cfg.ts_col, cfg.id_col
+    )
     out = df.withColumn(
         "is_new_device", (F.row_number().over(wd) == 1).cast("int")
     )
@@ -248,15 +279,17 @@ def device_features(
             "is_mobile", (F.col("DeviceType") == "mobile").cast("int")
         )
     narrow = (
-        agg_source.select(cfg.user_col, cfg.device_col)
+        agg_source.select(*_pk(cfg, cfg.user_col, cfg.device_col))
         if agg_source is not None
         else None
     )
     out = relational.distinct_count_per_group(
-        out, cfg.device_col, cfg.user_col, "users_per_device", agg_source=narrow
+        out, _pk(cfg, cfg.device_col), cfg.user_col, "users_per_device",
+        agg_source=narrow,
     )
     out = relational.distinct_count_per_group(
-        out, cfg.user_col, cfg.device_col, "devices_per_user", agg_source=narrow
+        out, _pk(cfg, cfg.user_col), cfg.device_col, "devices_per_user",
+        agg_source=narrow,
     )
     return out
 
@@ -281,3 +314,30 @@ def engineer_features(
         if t in ("double", "float") and c not in (cfg.label_col,)
     ]
     return out.na.fill(cfg.sentinel, subset=num_cols)
+
+
+def engineer_features_split_compat(
+    df: DataFrame,
+    cfg: FraudPipelineConfig = FraudPipelineConfig(),
+    fracs: tuple[float, float, float] = (0.7, 0.15, 0.15),
+) -> DataFrame:
+    """Reference-EXACT per-split feature engineering
+    (train_pipeline.py:124-132): assign the chronological 70/15/15 split
+    FIRST, then run the full chain with every window partition key
+    prefixed by the split id — so each split's expanding windows,
+    percentile ranks, pair averages, first-row flags and distinct counts
+    restart at its boundary, exactly as the reference's three separate
+    `fit_transform` calls produce — while target-encoding rates are fit
+    on the TRAIN split only (`train_df=train_df`) and applied to all
+    three with the unseen-key default.
+
+    Scale shape: identical to `engineer_features` — the split prefix
+    only changes shuffle keys (finer partitions, never coarser), and the
+    whole thing stays ONE lazy plan instead of three pipeline runs over
+    three frames. The output carries the `split` column."""
+    tagged = relational.time_split(
+        df, cfg.ts_col, fracs, tiebreak=cfg.id_col, split_col="split"
+    )
+    cfg2 = replace(cfg, split_col="split")
+    train = tagged.filter(F.col("split") == "train")
+    return engineer_features(tagged, cfg2, train=train)

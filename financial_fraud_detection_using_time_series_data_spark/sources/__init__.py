@@ -1,9 +1,16 @@
-from .tables import TABLES, load_table, load_tables, normalize_scan_types
+from .tables import (
+    TABLES,
+    load_stream_table,
+    load_table,
+    load_tables,
+    normalize_scan_types,
+)
 from .synthetic import generate_transactions
 from .profiler import check_expectations, kfold_assign, null_profile, profile
 
 __all__ = [
     "TABLES",
+    "load_stream_table",
     "load_table",
     "load_tables",
     "normalize_scan_types",

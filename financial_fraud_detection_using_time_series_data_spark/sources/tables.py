@@ -72,6 +72,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def load_stream_table(
+    spark: SparkSession, path: str, schema, nano_cols=()
+) -> DataFrame:
+    """Streaming counterpart of `load_table`: a file-source readStream
+    with the SAME `normalize_scan_types` pass applied, so streaming
+    operators see the identical timestamp flavor as batch. Streaming
+    parquet sources require an explicit schema (no inference on an
+    unbounded source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(schema).parquet(path)
+    return normalize_scan_types(df, nano_cols)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None, infer: bool = True) -> DataFrame:
     """CSV scan (reference: ``loader.py:41,46`` pd.read_csv with inference).
 

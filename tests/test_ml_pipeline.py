@@ -62,6 +62,44 @@ def test_fraud_plan_no_leaked_nulls(engineered):
     assert all(v == 0 for v in null_counts)
 
 
+def test_split_compat_truncates_histories(spark, txns):
+    """Reference-exact per-split recomputation (train_pipeline.py:124-132):
+    expanding windows must RESTART at each split boundary — every user's
+    first row inside each split is flagged first with zero prior count,
+    so a user spanning train+val has (up to) one first-flag per split,
+    unlike the compute-once pipeline where only the global first row is."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import (
+        engineer_features_split_compat,
+    )
+
+    cfg = FraudPipelineConfig()
+    out = engineer_features_split_compat(preprocess(txns, cfg), cfg).cache()
+    try:
+        assert out.count() == txns.count()
+        # split proportions: chronological 70/15/15
+        sizes = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        n = txns.count()
+        assert sizes["train"] == int(n * 0.7)
+        assert sizes["train"] + sizes["val"] == int(n * 0.85)
+        # windows restart per split: #first-flags == #(split,user) pairs,
+        # and every first row has zero prior txns
+        firsts = out.filter(F.col("is_first_txn") == 1)
+        pairs = out.select("split", cfg.user_col).distinct().count()
+        assert firsts.count() == pairs
+        assert firsts.filter(F.col("user_txn_count_1d") != 0).count() == 0
+        # a user crossing the train/val boundary must be re-flagged in val
+        multi = (
+            out.groupBy(cfg.user_col)
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter(F.col("ns") >= 2)
+            .count()
+        )
+        assert multi > 0, "fixture must have users spanning splits"
+    finally:
+        out.unpersist()
+
+
 def test_gbt_early_stop_selection(spark, engineered):
     """Validation-driven maxIter selection (the MLlib early-stopping
     analog): TrainValidationSplit must produce one AUC per grid entry and
