@@ -1856,6 +1856,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=2)
 
 
+_SIG_INDEX_CACHE: dict = {}
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: delta-vs-corpus dedup — the daily-ingestion shape: MinHash
+    only the new batch (doc_id % 5 == 0 here), join its band buckets
+    against the PERSISTED signature index of the historical corpus; the
+    corpus text column is never re-read (plan-asserted in
+    test_dedup_composition.py). The signature index is materialized once
+    per sf_dir (parquet, like a real pipeline's index table), so the
+    benched cost is the steady-state incremental run. Rows-only check
+    (xxhash64 bucket keys are Spark-native); exactness vs a full-union
+    rerun is pinned by test."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = _SIG_INDEX_CACHE.get(sf_dir)
+    if idx_path is None:
+        idx_path = tempfile.mkdtemp(prefix="sig_index_") + "/sigs"
+        dedup.minhash_signature(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            num_hashes=16,
+            shingle_k=5,
+            fast=True,
+        ).write.mode("overwrite").parquet(idx_path)
+        _SIG_INDEX_CACHE[sf_dir] = idx_path
+    index = spark.read.parquet(idx_path)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = dedup.dedup_incremental(batch, index, fast=True)
+    return out.select("id_a", "id_b")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: token-bounded document chunking (map-only splitter every
     training-data pipeline runs before packing)."""
@@ -3651,6 +3683,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×PQ ANN (rows-only: cell pruning × quantization
+    distortion make recall < 1 by design; the floor is pinned in
+    test_pq.py) — the production shape: probe nprobe cells, ADC-score
+    only the probed members' m-int codes. Reuses the memoized trained
+    centroids and codebooks (train once, search many)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cents = _IVF_CENTROID_CACHE.get(sf_dir)
+    if cents is None:
+        cents = similarity.kmeans_centroids(emb, nlist=16, n_iter=3)
+        _IVF_CENTROID_CACHE[sf_dir] = cents
+    books = _PQ_BOOKS_CACHE.get(sf_dir)
+    if books is None:
+        books = similarity.pq_train(emb, dim=64, m=8, ksub=16, n_iter=2)
+        _PQ_BOOKS_CACHE[sf_dir] = books
+    out = similarity.ivf_pq_topk(emb, queries_df, cents, books, nprobe=4, k=5)
+    return out.select(
+        "qid", "vec_id", "cos_approx", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -4130,6 +4186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         # reference-exact per-split truncation compat (SURVEY §3.1)
         "fraud_pipeline_split_compat": q_fraud_pipeline_split_compat,
+        # composed IVF×PQ ANN (rows-only: recall < 1 by design)
+        "ivf_pq_topk": q_ivf_pq_topk,
+        # delta-vs-corpus dedup against a persisted signature index
+        "dedup_incremental": q_dedup_incremental,
     }
 
 

@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "conversion_latency",
     "bm25_search",
     "token_pmi",
+    "fraud_pipeline_split_compat",
+    "ivf_pq_topk",
+    "dedup_incremental",
 ]
 
 

@@ -133,13 +133,23 @@ def minhash_lsh_pairs(
     positives the hub introduces. Pair-level recall inside oversized
     buckets is intentionally traded for the bound; audit the trade with
     :func:`lsh_bucket_stats`."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, fast=fast)
+    banded = _band_buckets(sigs, id_col, num_hashes, bands, fast)
+    return _bucket_pairs(banded, id_col, max_bucket_size)
+
+
+def _band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, fast: bool
+) -> DataFrame:
+    """Explode a signature frame into (id, band, bucket) rows — map-only;
+    shared by the batch LSH path and the incremental (signature-index)
+    path, which bands persisted signatures WITHOUT touching text."""
+    rows_per_band = num_hashes // bands
     bucket = (
         F.xxhash64("band_sig") if fast
         else F.md5(F.concat_ws(",", "band_sig"))
     )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -150,6 +160,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     ).select(id_col, "band", bucket.alias("bucket"))
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str, max_bucket_size: int) -> DataFrame:
+    """Degenerate-capped within-bucket pair emission (see
+    `minhash_lsh_pairs` for the cap rationale)."""
     # one extra window pass on the SAME (band,bucket) shuffle key ranks
     # members and sizes buckets without a second exchange
     w = Window.partitionBy("band", "bucket").orderBy(id_col)
@@ -181,6 +196,61 @@ def minhash_lsh_pairs(
         .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return exact_pairs.unionByName(star_pairs).distinct()
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 2,
+    shingle_k: int = 5,
+    fast: bool = True,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup pairs — what a daily 100 TB ingestion
+    actually runs: shingle and minhash ONLY the new batch, then join its
+    band buckets against the persisted signature ``index`` (the
+    `minhash_signature` output materialized as a table, id + signature).
+    The historical corpus' TEXT is never re-read — its signatures are
+    ~num_hashes longs/doc, a ~1000× smaller scan.
+
+    Emits exactly the pairs a full `minhash_lsh_pairs` rerun over
+    (corpus ∪ batch) would emit that TOUCH the batch: bucket membership,
+    ranking, and the degenerate-bucket star cap are evaluated over the
+    union of signatures restricted to buckets containing ≥1 batch doc
+    (any union bucket with a batch member is such a bucket, so nothing
+    is missed; pure corpus-corpus pairs are yesterday's output and are
+    not re-emitted).
+
+    Plan shape: batch shingling is map-only over the (small) delta; the
+    index side is one scan of the signature table + a semi-join on the
+    hot (band, bucket) keys; then the same capped within-bucket join as
+    the batch path. No full-corpus shuffle anywhere."""
+    batch_sigs = minhash_signature(
+        batch, text_col, id_col, num_hashes, shingle_k, fast=fast
+    )
+    all_sigs = index.select(id_col, "signature").unionByName(batch_sigs)
+    banded_all = _band_buckets(all_sigs, id_col, num_hashes, bands, fast)
+    hot = (
+        _band_buckets(batch_sigs, id_col, num_hashes, bands, fast)
+        .select("band", "bucket")
+        .distinct()
+    )
+    members = banded_all.join(hot, ["band", "bucket"], "left_semi")
+    pairs = _bucket_pairs(members, id_col, max_bucket_size)
+    # keep pairs touching the batch: two broadcastable equi-joins on the
+    # (small) delta id set — an OR-condition semi-join would degrade to a
+    # nested-loop join
+    ba = batch.select(F.col(id_col).alias("id_a"), F.lit(1).alias("__ia")).distinct()
+    bb = batch.select(F.col(id_col).alias("id_b"), F.lit(1).alias("__ib")).distinct()
+    return (
+        pairs.join(F.broadcast(ba), "id_a", "left")
+        .join(F.broadcast(bb), "id_b", "left")
+        .filter(F.col("__ia").isNotNull() | F.col("__ib").isNotNull())
+        .select("id_a", "id_b")
+    )
 
 
 def lsh_bucket_stats(

@@ -286,35 +286,7 @@ def ivf_topk(
         assigned = assign_cells(corpus, centroids, vec_col).select(
             id_col, vec_col, "cell_id"
         )
-        # probe: top-nprobe cells per query, map-only — rank the sims
-        # array itself (sort structs of (-sim, idx): desc sim, asc cell
-        # on ties, matching the window path's tie-break)
-        q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
-        sims = F.transform(
-            _matrix_literal(centroids), lambda c: cosine(F.col("qvec"), c)
-        )
-        probes = (
-            q.withColumn("__sims", sims)
-            .withColumn(
-                "__top",
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("__sims"),
-                            lambda s, i: F.struct((-s).alias("n"), i.alias("i")),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                ),
-            )
-            .select(
-                qid_col,
-                "qvec",
-                F.explode(F.col("__top")).alias("__t"),
-            )
-            .select(qid_col, "qvec", F.col("__t.i").cast("int").alias("cell_id"))
-        )
+        probes = _probe_cells(queries, centroids, nprobe, qid_col, vec_col)
         return _ivf_rerank(
             assigned, probes, k, id_col, vec_col, qid_col, exclude_self
         )
@@ -349,6 +321,44 @@ def ivf_topk(
     )
     # search only within probed cells
     return _ivf_rerank(assigned, probes, k, id_col, vec_col, qid_col, exclude_self)
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    qid_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Top-nprobe cells per query, MAP-ONLY — rank the sims array itself
+    (sort structs of (-sim, idx): desc sim, asc cell on ties, matching
+    the window path's tie-break). Output: (qid, qvec, cell_id)."""
+    q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
+    sims = F.transform(
+        _matrix_literal(centroids), lambda c: cosine(F.col("qvec"), c)
+    )
+    return (
+        q.withColumn("__sims", sims)
+        .withColumn(
+            "__top",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("__sims"),
+                        lambda s, i: F.struct((-s).alias("n"), i.alias("i")),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(
+            qid_col,
+            "qvec",
+            F.explode(F.col("__top")).alias("__t"),
+        )
+        .select(qid_col, "qvec", F.col("__t.i").cast("int").alias("cell_id"))
+    )
 
 
 def _ivf_rerank(
@@ -462,21 +472,26 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as m codeword indices — the 100 TB compression
     step: the search scan then reads m small ints per row instead of dim
     floats (8 codes vs 64 floats = 32× less IO at the defaults), and the
     codes column is what you'd materialize next to (or instead of) the
     raw embeddings. Map-only: one argmin-L2 projection per subspace over
-    a foldable codebook literal; no shuffle, no Python."""
+    a foldable codebook literal; no shuffle, no Python.
+
+    ``keep``: extra columns carried through unchanged (e.g. the IVF
+    ``cell_id`` when building a composed IVF×PQ index)."""
     dsub = len(codebooks[0][0])
-    row = corpus.select(id_col, _normalized(vec_col).alias("__v"))
+    row = corpus.select(id_col, *keep, _normalized(vec_col).alias("__v"))
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("__v"), j * dsub + 1, dsub)
         dists = _subdists(sub, book)
         row = row.withColumn(f"__c{j}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return row.select(
         id_col,
+        *keep,
         F.array(*[F.col(f"__c{j}") for j in range(len(codebooks))]).alias("codes"),
     )
 
@@ -505,9 +520,24 @@ def pq_topk(
     checked with a recall-floor test."""
     if codes is None:
         codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    dsub = len(codebooks[0][0])
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
     joined = codes.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid_col))
+    scored = joined.select(
+        qid_col,
+        id_col,
+        r6(_adc_cosine(codebooks)).alias("cos_approx"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_approx").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _adc_cosine(codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance cosine over a (qvec, codes) row:
+    approx cos(q, x) = Σ_j dot(q_j, codebook_j[code_j]) / ‖q‖ — the
+    query stays full-precision, the corpus vector is reconstructed
+    codeword-by-codeword inside the expression (codebooks are foldable
+    literals)."""
+    dsub = len(codebooks[0][0])
     approx = None
     for j, book in enumerate(codebooks):
         qslice = F.slice(F.col("qvec"), j * dsub + 1, dsub)
@@ -515,10 +545,48 @@ def pq_topk(
         d = dot(qslice, cent)
         approx = d if approx is None else approx + d
     qnorm = F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    return approx / F.nullif(qnorm, F.lit(0.0))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    exclude_self: bool = True,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF×PQ composed ANN — the production shape (FAISS IVFPQ analog):
+    probe the ``nprobe`` cells nearest each query, then ADC-score ONLY
+    the PQ codes of the probed cells' members. Search IO per query is
+    nprobe/nlist of the corpus × m bytes of codes per row — both the
+    candidate-set bound (IVF) and the per-row bound (PQ) compose.
+
+    Plan shape: the (id, cell_id, codes) index scans WITHOUT the raw
+    embedding column; probes (|Q|·nprobe rows, map-only over the literal
+    centroid matrix) broadcast into the single cell_id join; no
+    crossJoin anywhere; per-query window resolves top-k. Pass a
+    pre-materialized ``index`` (from
+    ``pq_encode(assign_cells(...), keep=("cell_id",))``, typically
+    persisted parquet) to skip re-encoding — then the search job never
+    reads embeddings at all. Recall < 1 by design (cell pruning ×
+    quantization distortion): rows-only + recall-floor checked."""
+    if index is None:
+        assigned = assign_cells(corpus, centroids, vec_col)
+        index = pq_encode(assigned, codebooks, id_col, vec_col, keep=("cell_id",))
+    probes = _probe_cells(queries, centroids, nprobe, qid_col, vec_col)
+    joined = index.join(F.broadcast(probes), "cell_id")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col,
         id_col,
-        r6(approx / F.nullif(qnorm, F.lit(0.0))).alias("cos_approx"),
+        r6(_adc_cosine(codebooks)).alias("cos_approx"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_approx").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

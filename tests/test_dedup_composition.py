@@ -80,3 +80,52 @@ def test_dedup_keep_best_quality_argmax(spark):
     assert got[1] == (2, 3, 0.9)
     # singleton 9 survives as its own component
     assert got[9] == (9, 1, 0.4)
+
+
+def test_dedup_incremental_matches_full_rerun(spark, sf_dir, tmp_path):
+    """Incremental (delta-vs-signature-index) dedup must emit exactly the
+    pairs a full LSH rerun over corpus ∪ batch emits that touch the
+    batch — and must never re-read the corpus text column."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # materialize the batch to its own parquet so the plan check below
+    # can tell batch-text scans (legitimate) from corpus-text scans
+    batch_path = str(tmp_path / "batch_docs")
+    docs.filter(F.col("doc_id") % 5 == 0).write.mode("overwrite").parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+
+    # persist the signature index (what yesterday's run materialized)
+    idx_path = str(tmp_path / "sig_index")
+    dedup.minhash_signature(
+        corpus, num_hashes=16, shingle_k=5, fast=True
+    ).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = dedup.dedup_incremental(batch, index, fast=True)
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+
+    full = dedup.minhash_lsh_pairs(docs, fast=True)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    expected = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
+    assert expected, "fixture must produce batch-touching pairs"
+
+    # the CORPUS text is never scanned: any FileScan whose ReadSchema
+    # includes text must be the batch's own parquet, and the index scan
+    # reads signatures only
+    import re
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    sig_scans = [s for s in scans if "signature" in s.split("ReadSchema:")[-1]]
+    assert sig_scans, plan
+    for s in scans:
+        if "text" in s.split("ReadSchema:")[-1]:
+            # Location paths are truncated in toString; the corpus table
+            # would show as .../documents.parquet — assert it is absent
+            assert "documents" not in s, s

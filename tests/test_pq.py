@@ -58,3 +58,55 @@ def test_pq_encode_plan_is_map_only(spark, sf_dir):
     books = similarity.pq_train(emb, dim=64, m=4, ksub=8, n_iter=1)
     plan = similarity.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_pq_recall_floor_and_no_crossjoin(spark, sf_dir):
+    """Composed IVF×PQ must hold at least the plain-PQ recall floor on
+    the test corpus (nprobe=8 of nlist=16 probes half the cells; the
+    true neighbors of these queries land in probed cells) and must never
+    materialize a cartesian candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r.qid, r.vec_id)
+        for r in similarity.brute_force_topk(emb, qs, k=5).collect()
+    }
+    cents = similarity.kmeans_centroids(emb, nlist=16, n_iter=2)
+    books = similarity.pq_train(emb, dim=64, m=16, ksub=32, n_iter=2)
+    out = similarity.ivf_pq_topk(emb, qs, cents, books, nprobe=8, k=5)
+    got = {(r.qid, r.vec_id) for r in out.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_pq_search_reads_codes_only(spark, sf_dir, tmp_path):
+    """With a pre-materialized (id, cell_id, codes) index, the search job
+    must scan the index parquet WITHOUT the raw embedding column — the
+    32x-IO win is the point of the composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, nlist=8, n_iter=1)
+    books = similarity.pq_train(emb, dim=64, m=8, ksub=16, n_iter=1)
+    idx_path = str(tmp_path / "ivfpq_index")
+    similarity.pq_encode(
+        similarity.assign_cells(emb, cents), books, keep=("cell_id",)
+    ).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = similarity.ivf_pq_topk(
+        emb, qs, cents, books, nprobe=2, k=3, index=index
+    )
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index FileScan must project only id/cell/codes
+    import re
+    scans = re.findall(r"FileScan parquet[^\n]*ReadSchema: ([^\n]*)", plan)
+    idx_scans = [s for s in scans if "codes" in s]
+    assert idx_scans, plan
+    assert all("embedding" not in s for s in idx_scans), idx_scans
