@@ -232,10 +232,30 @@ def stateful_user_features_tws(
     ``transformWithStateInPandas`` API. Requires the RocksDB state store
     provider (set ``spark.sql.streaming.stateStore.providerClass`` to
     RocksDBStateStoreProvider before starting the query) and the
-    ``protobuf`` package (the TWS state-server wire protocol); gated
-    behind importorskip in tests for containers without it."""
+    ``protobuf`` package (the TWS state-server wire protocol).
+
+    When ``protobuf`` is unavailable in the runtime (the TWS Python
+    worker cannot start its state server without it), this falls back
+    CLEANLY to the :func:`stateful_user_features` implementation — the
+    same state machine on the older ``applyInPandasWithState`` API with
+    an identical output schema and row contract — instead of failing
+    mid-stream, and warns so operators know which engine ran."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401 (API check)
+
+    try:
+        import google.protobuf  # noqa: F401 (TWS wire-protocol dependency)
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+    except ImportError:
+        import warnings
+
+        warnings.warn(
+            "transformWithStateInPandas needs the protobuf package; "
+            "falling back to the applyInPandasWithState implementation "
+            "(identical output contract)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return stateful_user_features(stream, user_col, ts_col, amount_col, id_col)
 
     prepped = stream.select(
         F.col(user_col).cast("long").alias("user_id"),

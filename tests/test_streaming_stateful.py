@@ -146,13 +146,11 @@ def test_tws_stream_matches_batch_windows(spark, sf_dir, tmp_path):
     batch window engine row-for-row (same contract as the
     applyInPandasWithState path, Spark 4 API + RocksDB state store).
 
-    Skipped when google.protobuf is unavailable: the TWS state-server
-    protocol is protobuf-based (pyspark/sql/streaming/proto/) and this
-    container does not ship protobuf; the applyInPandasWithState parity
-    test above covers the same state machine unconditionally."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    When google.protobuf is unavailable (the TWS state-server protocol
+    is protobuf-based and this container does not ship it), the library
+    falls back cleanly to the applyInPandasWithState implementation with
+    the identical output contract — this test then pins the fallback's
+    parity and, on a protobuf-equipped cluster, exercises real TWS."""
     from financial_fraud_detection_using_time_series_data_spark.streaming import (
         stateful_user_features_tws,
     )
