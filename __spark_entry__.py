@@ -2598,6 +2598,44 @@ def q_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", E.r6("seq_score").alias("seq_score"))
 
 
+_SEQ_CONVNET_CACHE: dict = {}
+
+
+def q_sequence_score_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4, TRAINED: the distributed-SGD 1-D conv sequence classifier
+    (ml/sequence_model.py — the BiLSTM-role model actually FIT on data:
+    per-epoch Arrow gradient passes, partition-ordered deterministic
+    reduce) trained on the W10 sliding windows of `events` against the
+    deterministic fraud flag, then hosted through the same mapInPandas
+    forward pass. Rows-only: the forward pass is a numpy net with no SQL
+    twin; learning quality is pinned by the planted-signal AUC gate in
+    test_ml_pipeline.py. Weights are memoized per sf_dir (train once,
+    score many — deterministic, so the cache cannot change results)."""
+    from financial_fraud_detection_using_time_series_data_spark.ml import (
+        sequence_model as _sm,
+    )
+
+    ev = _events(spark, sf_dir)
+    w = windows.user_window("user_id", "ts", "event_id")
+    seq = windows.sliding_sequence(F.col("value"), w, seq_len=5)
+    seqs = ev.select(
+        "event_id",
+        "user_id",
+        seq.alias("seq"),
+        (F.col("event_id") % 29 == 0).cast("long").alias("label"),
+    ).filter(F.size("seq") == 5)
+    params = _SEQ_CONVNET_CACHE.get(sf_dir)
+    if params is None:
+        cached = seqs.cache()
+        params, _hist = _sm.train_sequence_convnet(
+            cached, epochs=8, lr=0.5, n_filters=4, width=3, seed=7, seq_len=5
+        )
+        cached.unpersist()
+        _SEQ_CONVNET_CACHE[sf_dir] = params
+    out = _sm.score_sequences_convnet(seqs, params)
+    return out.select("event_id", "user_id", E.r6("seq_score").alias("seq_score"))
+
+
 _SEQUENCE_SCORE_SQL = """
 SELECT event_id, user_id,
   floor((1.0 / (1.0 + exp(-(0.01 * list_avg(seq) - 5.0)))) * 1000000 + 0.5) / 1000000.0
@@ -4190,6 +4228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         # delta-vs-corpus dedup against a persisted signature index
         "dedup_incremental": q_dedup_incremental,
+        # trained sequence conv net (distributed SGD; rows-only)
+        "sequence_score_nn": q_sequence_score_nn,
     }
 
 

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "fraud_pipeline_split_compat",
     "ivf_pq_topk",
     "dedup_incremental",
+    "sequence_score_nn",
 ]
 
 

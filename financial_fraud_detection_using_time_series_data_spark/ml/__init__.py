@@ -7,8 +7,14 @@ from .pipeline import (
     train_stacking_ensemble,
     weighted_average_scores,
 )
+from .sequence_model import (
+    score_sequences_convnet,
+    train_sequence_convnet,
+)
 
 __all__ = [
+    "score_sequences_convnet",
+    "train_sequence_convnet",
     "FraudModelConfig",
     "add_class_weights",
     "build_feature_pipeline",
