@@ -45,9 +45,10 @@ class FraudModelConfig:
 def add_class_weights(df: DataFrame, label_col: str = "isFraud", weight_col: str = "weight") -> DataFrame:
     """A9 (helpers.py:151-181): balanced weights total/(2*count_c),
     computed distributed and broadcast back — no driver Counter."""
-    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
-    total = df.count()
-    wmap = {r[label_col]: total / (2.0 * r["__n"]) for r in counts.collect()}
+    # ONE job: the label-cardinality group counts also yield the total
+    rows = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    total = sum(r["__n"] for r in rows)
+    wmap = {r[label_col]: total / (2.0 * r["__n"]) for r in rows}
     expr = F.when(F.col(label_col) == 1, F.lit(wmap.get(1, 1.0))).otherwise(
         F.lit(wmap.get(0, 1.0))
     )

@@ -665,11 +665,45 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+    """Small-graph connected components: union-find (union-by-min root +
+    path halving) over a collected edge list. Invariant preserved from
+    the distributed path: a tree's root is always the minimum id in its
+    component (union attaches the larger root under the smaller), so
+    ``component = min reachable id`` exactly. Returns (node, component)
+    with the input id type."""
+    import pandas as pd
+
+    id_type = edges.schema["src"].dataType.simpleString()
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])  # path halving
+            x = parent[x]
+        return x
+
+    for s, t in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(s), find(t)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    nodes = pd.unique(pd.concat([pdf["src"], pdf["dst"]], ignore_index=True))
+    out = pd.DataFrame({"node": nodes})
+    out["component"] = [find(n) for n in out["node"]]
+    return spark.createDataFrame(out, schema=f"node {id_type}, component {id_type}")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate CLUSTERS: (node, component)
     where component = min node id reachable through the pair graph — the
@@ -687,13 +721,23 @@ def connected_components(
     rewriting (Kiveris et al.) also shrinks the EDGE set per round; dedup
     graphs rarely need it.
 
-    Convergence is detected distributed (count of changed labels — an
-    agg, not a collect of labels) and only every SECOND round: pointer
-    jumping makes the round count logarithmic, so the per-round
-    convergence job — a join + count, a full Spark job on its own — was
-    costing as much as the propagation it guarded. Checking on odd
-    rounds halves the action count; the worst case is one extra
-    (idempotent) propagation round after the fixpoint.
+    Convergence detection exploits monotonicity: every node's label is
+    non-increasing across rounds (least of own/neighbors, then the jump
+    target's label ≤ the label itself), so Σ labels strictly decreases
+    until the fixpoint — one tiny sum-aggregate per round on the
+    already-checkpointed frame (decimal(38,0): no int64 overflow at any
+    node count) replaces the join+count convergence job the earlier
+    version paid, which cost as much as the propagation it guarded.
+
+    HYBRID small-graph path: upstream pair emission (LSH bucket caps,
+    ring degree caps) bounds the edge list far below the corpus size; if
+    the deduped edge count is ≤ ``driver_threshold`` (~2M edges ≈ tens
+    of MB), a driver union-find with path halving replaces the whole
+    iterative phase — ~10 Spark jobs become 1 collect. The edge count is
+    read off the already-checkpointed edge list, so the check costs one
+    cheap job; graphs above the threshold take the distributed rounds
+    unchanged. This is the standard production hybrid (small-graph
+    solve-local, big-graph iterate) — not a local[32]-only shortcut.
     """
     # materialize the edge list ONCE — it is joined every round, and
     # without the lineage break each iteration would re-execute the whole
@@ -704,9 +748,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_threshold:
+        return _cc_driver(pairs.sparkSession, edges)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     ).localCheckpoint()
+    prev_sum = None
     for it in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -737,20 +784,16 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        prev = labels
         labels = new
-        # convergence check every 2nd round (and on the last): the check
-        # is itself a full job, and with pointer jumping the round count
-        # is small enough that halving the checks beats early exit
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (
-                new.alias("n")
-                .join(prev.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            if changed == 0:
-                break
+        # monotone-sum convergence check: Σ labels decreases strictly
+        # until the fixpoint, so an unchanged sum ⟺ no label changed —
+        # a scalar agg over the checkpointed frame, no join
+        cur_sum = new.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 

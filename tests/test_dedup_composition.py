@@ -42,6 +42,14 @@ def test_connected_components_chain_and_islands(spark):
 
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    # both engine paths must agree: driver union-find (default here, the
+    # edge list is tiny) and the distributed min-label iterations
+    # (forced via driver_threshold=0)
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == got
 
 
 def test_lsh_dedup_single_shuffle_shape(spark, sf_dir):
