@@ -28,6 +28,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
 from financial_fraud_detection_using_time_series_data_spark.operators import (
     events as events_ops,
 )
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    sketches,
+)
 from financial_fraud_detection_using_time_series_data_spark.sources import (
     check_expectations,
     generate_transactions,
@@ -4067,6 +4070,185 @@ FROM e JOIN v USING (event_id, user_id)
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 builder: collapse each user's event_type timeline into
+    versioned validity intervals (valid_from/valid_to/version/is_current).
+    One entity-key exchange; the change filter shrinks the frame before
+    the second window pass reuses the same partitioning."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.scd2_history(ev)
+    return out.select(
+        "user_id",
+        "attr_value",
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("long").alias("version"),
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN row_number() OVER w = 1 THEN TRUE
+         WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN TRUE
+         ELSE FALSE END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (SELECT * FROM m WHERE chg)
+SELECT user_id, event_type AS attr_value, ts AS valid_from,
+  lead(ts) OVER w2 AS valid_to,
+  row_number() OVER w2 AS version,
+  lead(ts) OVER w2 IS NULL AS is_current
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrent sessions per hour: gap-sessionize,
+    reduce to (start, end) intervals, then the two-level prefix-sum
+    sweep — no interval-overlap cross join, and the only unpartitioned
+    pass runs over |hours| rows."""
+    ev = _events(spark, sf_dir)
+    s = windows.sessionize(ev, gap_s=1800)
+    iv = s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    out = events_ops.peak_concurrency(iv, bucket="hour")
+    return out.select(
+        F.col("bucket").alias("hour"),
+        F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts,
+      CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+),
+iv AS (
+  SELECT user_id, session_idx, min(ts) AS s_ts, max(ts) AS e_ts
+  FROM s GROUP BY user_id, session_idx
+),
+d AS (
+  SELECT s_ts AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e_ts AS t, -1 AS d FROM iv
+),
+r AS (
+  SELECT date_trunc('hour', t) AS hour,
+    sum(d) OVER (ORDER BY t, d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM d
+)
+SELECT hour, max(c)::BIGINT AS peak_concurrency FROM r GROUP BY hour
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the shared-exact-amount user graph (degree
+    2-10 values only): degree-ordered orientation bounds the wedge join;
+    the count is orientation-invariant so the oracle uses id-ordering."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.triangle_count(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+    return out.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+_TRIANGLE_SQL = """
+WITH a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+nn AS (
+  SELECT count(*)::BIGINT AS n_nodes
+  FROM (SELECT u AS x FROM e UNION SELECT v FROM e)
+),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over props.k: one map-side-combined groupBy;
+    total/support/rank computed on the aggregate frame only."""
+    ev = _events(spark, sf_dir)
+    kv = ev.where(
+        F.get_json_object("props", "$.k").isNotNull()
+    ).withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+    out = sketches.heavy_hitters(kv, "k_val", min_frac=0.005, k=20)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("value").cast("long").alias("value"),
+        "n",
+        E.r6("frac").alias("frac"),
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH c AS (
+  SELECT (props->>'$.k')::BIGINT AS value, count(*)::BIGINT AS n
+  FROM events WHERE (props->>'$.k') IS NOT NULL GROUP BY 1
+),
+f AS (
+  SELECT value, n,
+    n::DOUBLE / sum(n) OVER () AS frac
+  FROM c
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY n DESC, value) AS rank, value, n, frac
+  FROM f WHERE frac >= 0.005
+)
+SELECT rank, value, n,
+  floor(frac * 1000000 + 0.5) / 1000000.0 AS frac
+FROM r WHERE rank <= 20
+"""
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of user_id merged to
+    weekly distinct estimates — the raw events are scanned once for the
+    partials; the weekly merge touches only |days| sketch rows.
+    Rows-only: the DataSketches binary/estimate is engine-specific."""
+    ev = _events(spark, sf_dir)
+    fine = ev.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    parts = sketches.hll_partial(fine, ("week", "day"), "user_id", lgk=12)
+    out = sketches.hll_merge_estimate(parts, ("week",))
+    return out.select("week", F.col("approx_distinct").cast("long").alias("approx_users"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4230,6 +4412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         # trained sequence conv net (distributed SGD; rows-only)
         "sequence_score_nn": q_sequence_score_nn,
+        # SCD2 / sweep-line / graph-census / sketch family (round 6)
+        "scd2_history": q_scd2_history,
+        "peak_concurrency": q_peak_concurrency,
+        "triangle_count": q_triangle_count,
+        "heavy_hitters": q_heavy_hitters,
+        # rows-only: DataSketches HLL binary is engine-specific
+        "hll_rollup": q_hll_rollup,
     }
 
 
@@ -4354,4 +4543,9 @@ def oracle_sql() -> dict[str, str]:
         "sequence_score": _SEQUENCE_SCORE_SQL,
         "chunked_expanding_sum": _CHUNKED_EXPANDING_SQL,
         "resample_ffill": _RESAMPLE_SQL,
+        "scd2_history": _SCD2_SQL,
+        "peak_concurrency": _PEAK_CONCURRENCY_SQL,
+        "triangle_count": _TRIANGLE_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
+        # hll_rollup: rows-only (DataSketches binary is engine-specific)
     }

@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "ivf_pq_topk",
     "dedup_incremental",
     "sequence_score_nn",
+    "scd2_history",
+    "peak_concurrency",
+    "triangle_count",
+    "heavy_hitters",
+    "hll_rollup",
 ]
 
 

@@ -309,3 +309,172 @@ def conversion_latency(
         F.col("__t1").isNotNull().alias("converted"),
         (E.epoch_us(F.col("__t1")) - E.epoch_us(F.col("__t0"))).alias("latency_us"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 builder: collapse each entity's
+    attribute timeline into versioned validity intervals.
+
+    Emits one row per *change* of ``attr_col`` (consecutive duplicates
+    collapsed) with ``valid_from`` / ``valid_to`` (NULL = current),
+    ``version`` (1-based per entity) and ``is_current``. This is the
+    standard warehouse pattern the reference's eager pipeline has no
+    analog for — it re-derives state by rescanning history
+    (``src/features/engineer.py:72-141``); a 100 TB pipeline maintains
+    the SCD2 table instead and joins it as a dimension.
+
+    Scale: one exchange on the entity key; the change filter collapses
+    the frame to |changes| rows BEFORE the second window, which reuses
+    the same partitioning (no new shuffle — plan-asserted in tests).
+    NULL attribute values are legal and compared null-safely.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    marked = df.select(
+        entity_col, ts_col, id_col, F.col(attr_col).alias("attr_value")
+    ).withColumn(
+        "__chg",
+        (F.row_number().over(w) == 1)
+        | ~F.lag("attr_value").over(w).eqNullSafe(F.col("attr_value")),
+    )
+    changes = marked.where("__chg").drop("__chg")
+    w2 = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    return changes.select(
+        entity_col,
+        "attr_value",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Sweep-line peak concurrency per time bucket — how many intervals
+    (sessions, loans, rentals) are simultaneously active, without the
+    interval-overlap cross join.
+
+    Classic two-level prefix-sum: every interval contributes (+1 at
+    start, -1 at end, end-inclusive); deltas are partitioned by the time
+    bucket and running-summed inside each bucket; the cross-bucket
+    carry-in is a cumulative sum over the per-bucket totals (an
+    aggregate-sized frame — |buckets| rows) broadcast back. Peak per
+    bucket = max(carry_in + local running sum).
+
+    Scale: the corpus shuffles once (hash by bucket); the only ordered
+    single-partition pass runs over |buckets| rows, never events — the
+    same trick as a parallel prefix sum. At equal timestamps +1 sorts
+    before -1 (inclusive ends), and within a tie group the max is
+    permutation-invariant, so the per-bucket peak is deterministic.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    deltas = starts.unionAll(ends).withColumn(
+        "bucket", F.date_trunc(bucket, F.col("t"))
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("local_run", F.sum("d").over(wloc))
+    totals = deltas.groupBy("bucket").agg(F.sum("d").alias("tot"))
+    # |buckets|-row frame: the unpartitioned window is aggregate-sized
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = totals.withColumn(
+        "carry_in", F.coalesce(F.sum("tot").over(wcum), F.lit(0))
+    ).select("bucket", "carry_in")
+    return (
+        local.join(F.broadcast(carry), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.max(F.col("carry_in") + F.col("local_run")).alias(
+                "peak_concurrency"
+            )
+        )
+    )
+
+
+def triangle_count(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    min_degree: int = 2,
+    max_degree: int = 10,
+) -> DataFrame:
+    """Global triangle census over the shared-attribute entity graph —
+    the density signal that separates organized rings (cliques) from
+    coincidental links (stars have zero triangles).
+
+    Graph: entities are adjacent when they share an ``attr`` value held
+    by 2..``max_degree`` distinct entities (same degree-cap discipline as
+    ``fraud_rings`` — popular values are noise, and the cap bounds
+    per-value pair emission at C(max_degree, 2)). Counting uses the
+    degree-ordered orientation (each edge directed from its
+    lower-(degree, id) endpoint), which bounds every out-neighborhood by
+    O(sqrt(|E|)) — the standard guarantee that the wedge join cannot
+    quadratically explode on hub nodes at 100 TB. Each triangle is
+    counted exactly once; the count is orientation-invariant, so the
+    DuckDB oracle can use plain id-ordering.
+
+    Returns a single row (n_nodes, n_edges, n_triangles).
+    """
+    a = df.select(
+        attr.alias("attr"), F.col(entity_col).alias("u")
+    ).where(F.col("attr").isNotNull()).distinct()
+    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
+    keep = deg.where(
+        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
+    ).select("attr")
+    members = a.join(keep, "attr")
+    m2 = members.select("attr", F.col("u").alias("v"))
+    edges = (
+        members.join(m2, "attr")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    both = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ndeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(ndeg.withColumnRenamed("u", "u_").withColumnRenamed("deg", "deg_u"),
+                   F.col("u") == F.col("u_")).drop("u_")
+        .join(ndeg.withColumnRenamed("u", "v_").withColumnRenamed("deg", "deg_v"),
+              F.col("v") == F.col("v_")).drop("v_")
+    )
+    # orient: src = endpoint with smaller (deg, id)
+    fwd = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    directed = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+        F.when(fwd, F.struct("deg_v", "v")).otherwise(F.struct(F.col("deg_u").alias("deg_v"), F.col("u").alias("v"))).alias("__ord_dst"),
+    ).select("src", "dst", "__ord_dst")
+    d1 = directed.select("src", F.col("dst").alias("b"), F.col("__ord_dst").alias("ob"))
+    d2 = directed.select("src", F.col("dst").alias("c"), F.col("__ord_dst").alias("oc"))
+    wedges = d1.join(d2, "src").where(F.col("ob") < F.col("oc")).select("b", "c")
+    closing = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nn = both.select("u").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nn.crossJoin(ne).crossJoin(tris).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

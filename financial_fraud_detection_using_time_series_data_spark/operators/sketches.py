@@ -1,0 +1,133 @@
+"""Mergeable-sketch aggregation (beyond-reference): HLL distinct-count
+rollups and heavy-hitter mining.
+
+The reference profiles cardinality eagerly (``src/data/loader.py:197-207``
+counts uniques in memory); at 100 TB the only viable shape is a
+*mergeable sketch*: pre-aggregate a small binary summary per fine-grained
+key (per day, per shard), persist it, and answer any coarser rollup by
+merging sketches — never re-scanning the raw data. Spark ships Apache
+DataSketches HLL natively (`hll_sketch_agg` / `hll_union_agg` /
+`hll_sketch_estimate`), so the whole family stays JVM-side with map-side
+partial aggregation.
+
+Scale notes (100 TB):
+- ``hll_partial``: one exchange on the fine keys; the shuffled payload is
+  the fixed-size sketch (≈ 2^lgk bytes worst-case), not the values —
+  map-side combine collapses each partition to |groups| sketches first.
+- ``hll_merge_estimate``: runs over the *sketch table* (|fine groups|
+  rows), never the corpus. A year of daily sketches is 365 rows; every
+  ad-hoc date-range distinct-count is a metadata-scale job.
+- ``heavy_hitters``: groupBy on the tracked column with map-side combine;
+  the support filter and ranking run on the aggregated frame (bounded by
+  column cardinality). For columns whose cardinality itself explodes,
+  ``heavy_hitters_approx`` (Spark's frequent-items sketch) keeps the
+  driver result bounded by 1/support regardless of cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hll_partial(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    lgk: int = 12,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Per-group HLL sketch of ``value_col`` as a binary column.
+
+    The output is a *persistable index*: write it partitioned by the
+    fine keys and any coarser distinct-count becomes a merge over it
+    (see ``hll_merge_estimate``). ``lgk`` trades size for accuracy
+    (relative error ≈ 1.04 / sqrt(2^lgk); lgk=12 → ~1.6%).
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def hll_merge_estimate(
+    partials: DataFrame,
+    rollup_cols: tuple[str, ...],
+    sketch_col: str = "hll_sketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Merge per-fine-key sketches up to ``rollup_cols`` and estimate.
+
+    Runs entirely over the sketch table — the raw data is never touched,
+    which is the point: distinct counts lose their one-pass obstacle once
+    the partial is a mergeable summary instead of an exact set.
+    """
+    return partials.groupBy(*rollup_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    )
+
+
+def approx_distinct_rollup(
+    df: DataFrame,
+    fine_keys: tuple[str, ...],
+    rollup_keys: tuple[str, ...],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Composition: fine-grained sketch partials → merged rollup estimate.
+
+    ``rollup_keys`` must be a subset of ``fine_keys``; the second
+    aggregation's input is |fine groups| rows, so the rollup shuffle is
+    metadata-sized.
+    """
+    return hll_merge_estimate(
+        hll_partial(df, fine_keys, value_col, lgk), rollup_keys
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_frac: float = 0.01,
+    k: int = 20,
+) -> DataFrame:
+    """Exact heavy hitters: values of ``col`` whose frequency is at least
+    ``min_frac`` of all rows, top-``k`` by count (ties broken by value for
+    determinism). One corpus exchange (map-side combined groupBy); the
+    total, support filter, and ranking all run on the aggregated frame —
+    the single-partition window below sees |distinct values| rows, never
+    the corpus.
+    """
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # window over the AGGREGATE frame (cardinality-bounded, not corpus)
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("total", F.sum("n").over(wall))
+        .withColumn("frac", F.col("n") / F.col("total"))
+        .where(F.col("frac") >= min_frac)
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select("rank", "value", "n", "frac")
+    )
+
+
+def heavy_hitters_approx(
+    df: DataFrame,
+    col: str,
+    support: float = 0.01,
+) -> DataFrame:
+    """Approximate frequent items via Spark's false-positive-permitting
+    frequent-items sketch (`DataFrame.stat.freqItems`, Karp et al.): one
+    pass, driver result bounded by ~1/support items regardless of column
+    cardinality. Superset guarantee: every value with frequency >
+    ``support`` appears; some below-threshold values may too. Returns one
+    row per candidate item (exploded, sorted for determinism).
+    """
+    freq = df.stat.freqItems([col], support)
+    item_col = f"{col}_freqItems"
+    return (
+        freq.select(F.explode(F.col(item_col)).alias("value"))
+        .orderBy("value")
+    )

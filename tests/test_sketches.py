@@ -1,0 +1,231 @@
+"""Sketch family (sketches.py) + round-6 event operators: HLL rollups,
+heavy hitters, SCD2, sweep-line concurrency, triangle census."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    events as events_ops,
+)
+from financial_fraud_detection_using_time_series_data_spark.operators import sketches
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_rollup_close_to_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    fine = ev.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    parts = sketches.hll_partial(fine, ("week", "day"), "user_id", lgk=12)
+    est = {
+        r["week"]: r["approx_distinct"]
+        for r in sketches.hll_merge_estimate(parts, ("week",)).collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in fine.groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for w, n in exact.items():
+        # lgk=12 -> ~1.6% relative standard error; allow 5%
+        assert abs(est[w] - n) <= max(1, 0.05 * n)
+
+
+def test_hll_merge_matches_direct_sketch(spark):
+    """Merging per-part sketches must estimate like sketching the union:
+    the mergeability contract that makes the persisted index valid."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).alias("part"), (F.col("id") % 5000).alias("v")
+    )
+    parts = sketches.hll_partial(df, ("part",), "v", lgk=12)
+    merged = sketches.hll_merge_estimate(
+        parts.withColumn("g", F.lit(1)), ("g",)
+    ).collect()[0]["approx_distinct"]
+    direct = sketches.hll_partial(
+        df.withColumn("g", F.lit(1)), ("g",), "v", lgk=12
+    )
+    direct_est = sketches.hll_merge_estimate(direct, ("g",)).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(merged - 5000) <= 0.05 * 5000
+    assert abs(merged - direct_est) <= 0.02 * 5000
+
+
+def test_hll_partial_sketch_is_compact_binary(spark):
+    df = spark.range(0, 10000).select(
+        F.lit(1).alias("g"), F.col("id").alias("v")
+    )
+    row = sketches.hll_partial(df, ("g",), "v", lgk=12).collect()[0]
+    assert isinstance(row["hll_sketch"], (bytes, bytearray))
+    # lgk=12 -> at most ~2^12 bytes + header; the shuffle payload is tiny
+    assert len(row["hll_sketch"]) < 8192
+
+
+# ------------------------------------------------------ heavy hitters
+
+
+def test_heavy_hitters_exact_brute_force(spark):
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 4 + ["e"] * 1
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = sketches.heavy_hitters(df, "x", min_frac=0.05, k=10).collect()
+    assert [(r["rank"], r["value"], r["n"]) for r in out] == [
+        (1, "a", 50),
+        (2, "b", 30),
+        (3, "c", 15),
+    ]
+    assert out[0]["frac"] == 0.5
+
+
+def test_heavy_hitters_tie_break_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",), ("a",)], ["x"])
+    out = sketches.heavy_hitters(df, "x", min_frac=0.1, k=10).collect()
+    assert [(r["rank"], r["value"]) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_heavy_hitters_approx_superset(spark):
+    vals = ["hot"] * 400 + [f"cold{i}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {
+        r["value"]
+        for r in sketches.heavy_hitters_approx(df, "x", support=0.5).collect()
+    }
+    # every value above support must appear (false positives allowed)
+    assert "hot" in got
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_collapses_consecutive_and_versions(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "A"),
+        (1, _ts("2024-01-01T01:00:00"), 2, "A"),
+        (1, _ts("2024-01-01T02:00:00"), 3, "B"),
+        (1, _ts("2024-01-01T03:00:00"), 4, "B"),
+        (1, _ts("2024-01-01T04:00:00"), 5, "A"),
+        (2, _ts("2024-01-01T00:30:00"), 6, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = events_ops.scd2_history(df).orderBy("user_id", "version").collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["version"], r["attr_value"]) for r in u1] == [
+        (1, "A"),
+        (2, "B"),
+        (3, "A"),
+    ]
+    assert u1[0]["valid_from"] == _ts("2024-01-01T00:00:00")
+    assert u1[0]["valid_to"] == _ts("2024-01-01T02:00:00")
+    assert not u1[0]["is_current"] and u1[2]["is_current"]
+    assert u1[2]["valid_to"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_scd2_null_attr_null_safe(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, None),
+        (1, _ts("2024-01-01T01:00:00"), 2, None),
+        (1, _ts("2024-01-01T02:00:00"), 3, "A"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = events_ops.scd2_history(df).orderBy("version").collect()
+    # two consecutive NULLs collapse into one version
+    assert [(r["version"], r["attr_value"]) for r in out] == [(1, None), (2, "A")]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = events_ops.scd2_history(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------- peak concurrency
+
+
+def test_peak_concurrency_brute_force(spark):
+    # three overlapping intervals inside one hour + one lone later
+    iv = [
+        (_ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:30:00")),
+        (_ts("2024-01-01T10:10:00"), _ts("2024-01-01T10:20:00")),
+        (_ts("2024-01-01T10:15:00"), _ts("2024-01-01T10:45:00")),
+        (_ts("2024-01-01T12:00:00"), _ts("2024-01-01T12:05:00")),
+    ]
+    df = spark.createDataFrame(iv, ["start_ts", "end_ts"])
+    out = {
+        r["bucket"]: r["peak_concurrency"]
+        for r in events_ops.peak_concurrency(df).collect()
+    }
+    assert out[_ts("2024-01-01T10:00:00")] == 3
+    assert out[_ts("2024-01-01T12:00:00")] == 1
+
+
+def test_peak_concurrency_carry_across_buckets(spark):
+    """An interval that spans hours must carry +1 into later buckets'
+    baselines (the two-level prefix sum, not a per-bucket reset)."""
+    iv = [
+        (_ts("2024-01-01T09:50:00"), _ts("2024-01-01T11:10:00")),  # spans 3 buckets
+        (_ts("2024-01-01T11:00:30"), _ts("2024-01-01T11:01:00")),
+    ]
+    df = spark.createDataFrame(iv, ["start_ts", "end_ts"])
+    out = {
+        r["bucket"]: r["peak_concurrency"]
+        for r in events_ops.peak_concurrency(df).collect()
+    }
+    # 11:00 bucket: long interval still open (+1 carried) + short one = 2
+    assert out[_ts("2024-01-01T11:00:00")] == 2
+    assert out[_ts("2024-01-01T09:00:00")] == 1
+
+
+def test_peak_concurrency_inclusive_end_zero_length(spark):
+    # zero-length interval counts as momentarily active (end-inclusive)
+    iv = [(_ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:00:00"))]
+    df = spark.createDataFrame(iv, ["start_ts", "end_ts"])
+    out = events_ops.peak_concurrency(df).collect()
+    assert out[0]["peak_concurrency"] == 1
+
+
+# ------------------------------------------------------ triangle count
+
+
+def test_triangle_count_planted_clique_and_star(spark):
+    """Value 1.0 shared by users {1,2,3} -> one triangle; value 2.0 shared
+    by {10,11} -> an edge, no triangle; value 3.0 shared by 12 users ->
+    degree-capped out entirely."""
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        rows.append((eid, u, 1.0)); eid += 1
+    for u in (10, 11):
+        rows.append((eid, u, 2.0)); eid += 1
+    for u in range(20, 32):  # 12 sharers > max_degree=10
+        rows.append((eid, u, 3.0)); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    out = events_ops.triangle_count(
+        df, F.col("value"), min_degree=2, max_degree=10
+    ).collect()[0]
+    assert out["n_nodes"] == 5
+    assert out["n_edges"] == 4  # C(3,2) + 1
+    assert out["n_triangles"] == 1
+
+
+def test_triangle_count_two_overlapping_cliques(spark):
+    """K4 via two attr values: {1,2,3,4} share v=1 -> C(4,3)=4 triangles."""
+    rows = [(i, u, 1.0) for i, u in enumerate((1, 2, 3, 4))]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    out = events_ops.triangle_count(df, F.col("value")).collect()[0]
+    assert out["n_triangles"] == 4
+    assert out["n_edges"] == 6
