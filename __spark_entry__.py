@@ -4201,9 +4201,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over props.k: one map-side-combined groupBy;
     total/support/rank computed on the aggregate frame only."""
     ev = _events(spark, sf_dir)
-    kv = ev.where(
-        F.get_json_object("props", "$.k").isNotNull()
-    ).withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+    # parse the JSON once: extract first, then null-filter the extracted col
+    kv = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    ).where(F.col("k_val").isNotNull())
     out = sketches.heavy_hitters(kv, "k_val", min_frac=0.005, k=20)
     return out.select(
         F.col("rank").cast("long").alias("rank"),
@@ -4247,6 +4248,106 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = sketches.hll_partial(fine, ("week", "day"), "user_id", lgk=12)
     out = sketches.hll_merge_estimate(parts, ("week",))
     return out.select("week", F.col("approx_distinct").cast("long").alias("approx_users"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic derivations of events
+    (disjoint removals + planted value changes): output is bounded by
+    churn — added/removed/changed keys only."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    old = ev.where(F.col("event_id") % 97 != 0)
+    new = ev.where(F.col("event_id") % 89 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 50 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    out = relational.snapshot_diff(
+        old, new, ["event_id"], ["event_type", "value"]
+    )
+    return out.select(
+        "event_id", "change_type",
+        "event_type_old", "event_type_new", "value_old", "value_new",
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 97 <> 0
+),
+n AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 50 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id % 89 <> 0
+),
+j AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+    o.event_id IS NOT NULL AS in_old, n.event_id IS NOT NULL AS in_new,
+    o.event_type AS event_type_old, n.event_type AS event_type_new,
+    o.value AS value_old, n.value AS value_new
+  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+)
+SELECT event_id,
+  CASE WHEN NOT in_old THEN 'added'
+       WHEN NOT in_new THEN 'removed'
+       WHEN event_type_old IS DISTINCT FROM event_type_new
+         OR value_old IS DISTINCT FROM value_new THEN 'changed'
+  END AS change_type,
+  event_type_old, event_type_new, value_old, value_new
+FROM j
+WHERE CASE WHEN NOT in_old THEN 'added'
+           WHEN NOT in_new THEN 'removed'
+           WHEN event_type_old IS DISTINCT FROM event_type_new
+             OR value_old IS DISTINCT FROM value_new THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE: apply a synthetic CDC log (upserts seq=1,
+    overlapping deletes seq=2 — latest wins) to a snapshot; untouched
+    rows pass through an anti-join against the deduped touched-key dim."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    snap = ev.where(F.col("event_id") % 97 != 0)
+    c1 = (
+        ev.where(F.col("event_id") % 40 == 0)
+        .withColumn("value", F.col("value") + 1)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    c2 = (
+        ev.where(F.col("event_id") % 80 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    out = relational.apply_cdc(snap, c1.unionByName(c2), ["event_id"])
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+_APPLY_CDC_SQL = """
+WITH snap AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_id % 97 <> 0
+),
+ch AS (
+  SELECT event_id, user_id, event_type, value + 1 AS value, 'U' AS op, 1 AS seq
+  FROM events WHERE event_id % 40 = 0
+  UNION ALL
+  SELECT event_id, user_id, event_type, value, 'D' AS op, 2 AS seq
+  FROM events WHERE event_id % 80 = 0
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY seq DESC, op DESC) AS rn
+  FROM ch
+),
+l AS (SELECT event_id, user_id, event_type, value, op FROM latest WHERE rn = 1)
+SELECT s.event_id, s.user_id, s.event_type, s.value FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.event_id = s.event_id)
+UNION ALL
+SELECT event_id, user_id, event_type, value FROM l WHERE op <> 'D'
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4419,6 +4520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         # rows-only: DataSketches HLL binary is engine-specific
         "hll_rollup": q_hll_rollup,
+        # incremental-pipeline primitives (round 6)
+        "snapshot_diff": q_snapshot_diff,
+        "apply_cdc": q_apply_cdc,
     }
 
 
@@ -4548,4 +4652,6 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRIANGLE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         # hll_rollup: rows-only (DataSketches binary is engine-specific)
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "apply_cdc": _APPLY_CDC_SQL,
     }

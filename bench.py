@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "triangle_count",
     "heavy_hitters",
     "hll_rollup",
+    "snapshot_diff",
+    "apply_cdc",
 ]
 
 

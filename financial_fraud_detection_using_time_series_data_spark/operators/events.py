@@ -448,6 +448,10 @@ def triangle_count(
         .select("u", "v")
         .distinct()
     )
+    # the edge list feeds four consumers (degree, orientation, closing
+    # probe, edge count); break lineage once so the pair-join runs once —
+    # the capped edge list is far smaller than the corpus
+    edges = edges.localCheckpoint(eager=False)
     both = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ndeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     e = (

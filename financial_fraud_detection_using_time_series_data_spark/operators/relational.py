@@ -613,3 +613,83 @@ def salted_agg(
         F.sum("__psum").cast("double").alias("total"),
         F.sum("__pcnt").alias("n"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: one row per key whose state
+    changed, with ``change_type`` in {'added', 'removed', 'changed'}
+    (unchanged keys are dropped — at 100 TB the diff is the small output,
+    the snapshots are the big inputs).
+
+    The incremental-pipeline primitive the reference lacks entirely (its
+    pipeline recomputes from scratch every run, ``train_pipeline.py:41-57``):
+    co-partitioned full-outer join on the key, null-safe column compare
+    (NULL == NULL is unchanged), values from both sides returned as
+    ``<col>_old`` / ``<col>_new``.
+
+    Scale: one shuffle per side on the key (bucketing both snapshots on
+    the key makes it shuffle-free); the compare is map-side after the
+    join; output is bounded by churn, not table size.
+    """
+    cmp_cols = compare_cols or [c for c in old.columns if c not in keys]
+    # presence must be tracked with explicit markers: the full outer join
+    # coalesces the key columns, so key nullness alone can't distinguish
+    # sides when compare columns are legitimately NULL
+    o = old.select(
+        *keys, *[F.col(c).alias(f"{c}_old") for c in cmp_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"{c}_new") for c in cmp_cols]
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    out_cols = [c for pair in ((f"{c}_old", f"{c}_new") for c in cmp_cols) for c in pair]
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", *out_cols)
+    )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture log to a snapshot (Delta-style MERGE
+    without a table format): for each key keep only the LATEST change by
+    ``seq_col`` (ties broken by ``op_col`` so a same-seq delete+upsert is
+    deterministic), then upserts ('I'/'U') replace the snapshot row,
+    deletes ('D') remove it, untouched snapshot rows pass through.
+
+    Scale: the change log is deduplicated to one row per key BEFORE it
+    meets the snapshot (a window over the log only — the log is the small
+    side); the snapshot anti-joins the touched-key dim (broadcastable
+    when churn is small) and never shuffles on anything but the key.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = latest.select(*keys)
+    kept = snapshot.join(touched, keys, "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").drop(op_col, seq_col)
+    return kept.unionByName(upserts)

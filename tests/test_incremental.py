@@ -1,0 +1,89 @@
+"""Incremental-pipeline primitives: snapshot_diff and apply_cdc."""
+
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (4, "D", 4.0), (5, "e", 5.0)],
+        ["k", "s", "v"],
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in relational.snapshot_diff(old, new, ["k"]).collect()
+    }
+    # k=1 unchanged -> absent; k=2 value changed; k=3 removed;
+    # k=4 string changed; k=5 added
+    assert out == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    out = {
+        r["k"]: r["change_type"]
+        for r in relational.snapshot_diff(old, new, ["k"]).collect()
+    }
+    # NULL == NULL is unchanged; NULL -> value is changed
+    assert out == {2: "changed"}
+
+
+def test_snapshot_diff_emits_both_sides(spark):
+    old = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    new = spark.createDataFrame([(1, 20.0)], ["k", "v"])
+    r = relational.snapshot_diff(old, new, ["k"]).collect()[0]
+    assert (r["v_old"], r["v_new"]) == (10.0, 20.0)
+
+
+def test_apply_cdc_upsert_delete_insert(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "U", 1),   # update existing
+            (3, None, "D", 1),  # delete existing
+            (4, "d", "I", 1),   # insert new key
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    out = {r["k"]: r["v"] for r in relational.apply_cdc(snap, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_cdc_latest_seq_wins(spark):
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, "first", "U", 1), (1, "second", "U", 2), (1, "stale", "U", 0)],
+        ["k", "v", "op", "seq"],
+    )
+    out = relational.apply_cdc(snap, changes, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "second")]
+
+
+def test_apply_cdc_same_seq_delete_upsert_deterministic(spark):
+    """At equal seq the op tiebreak (desc) puts 'U' above 'D' — an
+    upsert and delete in the same batch resolves to the upsert."""
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, None, "D", 5), (1, "kept", "U", 5)],
+        ["k", "v", "op", "seq"],
+    )
+    out = relational.apply_cdc(snap, changes, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "kept")]
+
+
+def test_apply_cdc_delete_then_reinsert_across_batches(spark):
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, None, "D", 1), (1, "back", "I", 2)],
+        ["k", "v", "op", "seq"],
+    )
+    out = relational.apply_cdc(snap, changes, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "back")]
