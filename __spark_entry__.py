@@ -4350,6 +4350,113 @@ SELECT event_id, user_id, event_type, value FROM l WHERE op <> 'D'
 """
 
 
+def q_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained-aggregate pattern: moment partials (n, mean, m2) on the
+    history slice and the delta slice merge via Chan's formula without
+    re-scanning raw rows — the oracle replicates the merge arithmetic
+    bit-for-bit (exact-decimal sums, then IEEE doubles)."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    hist = relational.group_moments(
+        ev.where(F.col("ts") < cutoff), ["event_type"], "value"
+    )
+    delta = relational.group_moments(
+        ev.where(F.col("ts") >= cutoff), ["event_type"], "value"
+    )
+    m = relational.merge_moments(hist, delta, ["event_type"])
+    return m.select(
+        "event_type",
+        "n",
+        E.r6("mean").alias("mean"),
+        E.r6(F.col("m2") / F.col("n")).alias("variance"),
+    )
+
+
+_INCREMENTAL_MOMENTS_SQL = """
+WITH h AS (
+  SELECT event_type, count(value) AS n,
+    sum(value::DECIMAL(18,2)) AS s,
+    sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS ss
+  FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY event_type
+),
+d AS (
+  SELECT event_type, count(value) AS n,
+    sum(value::DECIMAL(18,2)) AS s,
+    sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS ss
+  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' GROUP BY event_type
+),
+hm AS (
+  SELECT event_type, n, s::DOUBLE / n AS mean,
+    ss::DOUBLE - s::DOUBLE * s::DOUBLE / n AS m2
+  FROM h
+),
+dm AS (
+  SELECT event_type, n, s::DOUBLE / n AS mean,
+    ss::DOUBLE - s::DOUBLE * s::DOUBLE / n AS m2
+  FROM d
+),
+m AS (
+  SELECT coalesce(hm.event_type, dm.event_type) AS event_type,
+    coalesce(hm.n, 0) AS na, coalesce(dm.n, 0) AS nb,
+    hm.mean AS ma, dm.mean AS mb, hm.m2 AS m2a, dm.m2 AS m2b
+  FROM hm FULL OUTER JOIN dm ON hm.event_type = dm.event_type
+)
+SELECT event_type, (na + nb)::BIGINT AS n,
+  floor((CASE WHEN na = 0 THEN mb WHEN nb = 0 THEN ma
+              ELSE ma + (mb - ma) * nb / (na + nb) END) * 1000000 + 0.5)
+    / 1000000.0 AS mean,
+  floor(((CASE WHEN na = 0 THEN m2b WHEN nb = 0 THEN m2a
+               ELSE m2a + m2b + (mb - ma) * (mb - ma) * na * nb / (na + nb)
+          END) / (na + nb)) * 1000000 + 0.5) / 1000000.0 AS variance
+FROM m
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: JSON-lines sink → scan roundtrip under an explicit
+    schema — the interchange format LLM-corpus tooling expects. Oracle is
+    the source selection (lossless for long/string/2dp-double)."""
+    import tempfile
+
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_fraud_jsonl_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_jsonl(ev, path)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema=schema)
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 2000
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4523,6 +4630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental-pipeline primitives (round 6)
         "snapshot_diff": q_snapshot_diff,
         "apply_cdc": q_apply_cdc,
+        "incremental_moments": q_incremental_moments,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
     }
 
 
@@ -4654,4 +4763,6 @@ def oracle_sql() -> dict[str, str]:
         # hll_rollup: rows-only (DataSketches binary is engine-specific)
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "apply_cdc": _APPLY_CDC_SQL,
+        "incremental_moments": _INCREMENTAL_MOMENTS_SQL,
+        "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
     }

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "hll_rollup",
     "snapshot_diff",
     "apply_cdc",
+    "incremental_moments",
+    "jsonl_roundtrip",
 ]
 
 

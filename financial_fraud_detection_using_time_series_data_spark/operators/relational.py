@@ -693,3 +693,73 @@ def apply_cdc(
     kept = snapshot.join(touched, keys, "left_anti")
     upserts = latest.where(F.col(op_col) != "D").drop(op_col, seq_col)
     return kept.unionByName(upserts)
+
+
+def group_moments(
+    df: DataFrame, keys: list[str], value_col: str = "value"
+) -> DataFrame:
+    """Per-key first/second moments (n, mean, m2) as a MERGEABLE partial
+    — the maintained-aggregate analog of the sketch rollup: persist this
+    per day/shard and ``merge_moments`` folds a delta batch in without
+    re-scanning history.
+
+    Sums go through exact decimals (2dp input → exact 4dp squares) so the
+    partial is order-invariant bit-exact; the moment arithmetic then runs
+    in IEEE doubles identically on any engine.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.col(value_col)).alias("n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    return agg.select(
+        *keys,
+        "n",
+        (s / F.col("n")).alias("mean"),
+        (ss - s * s / F.col("n")).alias("m2"),
+    )
+
+
+def merge_moments(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Chan's parallel merge of two moment partials: exact composition of
+    (n, mean, m2) without touching raw rows. Keys present on one side
+    only pass through. The join runs over two aggregate-sized frames —
+    this is how a 100 TB pipeline maintains running stats: merge
+    yesterday's state with today's delta partial, O(|keys|) cost.
+
+    All cross terms promote to double before multiplying so 1e10-row
+    partials can't overflow the int64 product.
+    """
+    asel = a.select(
+        *keys,
+        F.col("n").alias("na"),
+        F.col("mean").alias("ma"),
+        F.col("m2").alias("m2a"),
+    )
+    bsel = b.select(
+        *keys,
+        F.col("n").alias("nb"),
+        F.col("mean").alias("mb"),
+        F.col("m2").alias("m2b"),
+    )
+    j = asel.join(bsel, keys, "full_outer")
+    na = F.coalesce(F.col("na"), F.lit(0))
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    n = (na + nb).alias("n")
+    delta = F.col("mb") - F.col("ma")
+    mean = (
+        F.when(na == 0, F.col("mb"))
+        .when(nb == 0, F.col("ma"))
+        .otherwise(F.col("ma") + delta * nb / (na + nb))
+    ).alias("mean")
+    m2 = (
+        F.when(na == 0, F.col("m2b"))
+        .when(nb == 0, F.col("m2a"))
+        .otherwise(
+            F.col("m2a") + F.col("m2b") + delta * delta * na * nb / (na + nb)
+        )
+    ).alias("m2")
+    return j.select(*keys, n, mean, m2)

@@ -215,3 +215,56 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan. With an explicit schema the reader is a single
+    streaming pass (no inference job) and unparseable rows land in
+    ``_corrupt_record``-free PERMISSIVE nulls; prefer explicit schemas at
+    scale for the same reason as CSV (inference double-scans)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format LLM-corpus tooling
+    expects (one doc per line). Compression and partitioning follow the
+    standard writer options."""
+    df.write.mode(mode).json(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and return the file
+    count. The streaming/CDC ingestion pattern produces thousands of
+    KB-sized files whose per-file open/footer cost dominates scans; the
+    fix is a periodic rewrite sized from the data, not a guessed
+    ``coalesce(n)``.
+
+    Uses repartition (full shuffle) rather than coalesce: coalesce would
+    collapse upstream parallelism into the few output tasks and can't
+    split large files. In-place compaction writes to a temp dir then
+    swaps, so readers never see a half-written directory.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    dest = out_path or (path.rstrip("/") + "__compact_tmp")
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    if out_path is None:
+        shutil.rmtree(path)
+        shutil.move(dest, path)
+    return n_files

@@ -87,3 +87,66 @@ def test_apply_cdc_delete_then_reinsert_across_batches(spark):
     )
     out = relational.apply_cdc(snap, changes, ["k"]).collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, "back")]
+
+
+def test_merge_moments_matches_direct(spark, sf_dir):
+    """Merging history+delta partials must reproduce the direct moments
+    over the union (up to float tolerance — the merge is algebraically
+    exact; doubles round differently along the two paths)."""
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    a = relational.group_moments(ev.where(F.col("ts") < cutoff), ["event_type"])
+    b = relational.group_moments(ev.where(F.col("ts") >= cutoff), ["event_type"])
+    merged = {
+        r["event_type"]: r
+        for r in relational.merge_moments(a, b, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r
+        for r in relational.group_moments(ev, ["event_type"]).collect()
+    }
+    assert merged.keys() == direct.keys()
+    for k in direct:
+        assert merged[k]["n"] == direct[k]["n"]
+        assert abs(merged[k]["mean"] - direct[k]["mean"]) < 1e-9
+        assert abs(merged[k]["m2"] - direct[k]["m2"]) < 1e-4 * max(1.0, direct[k]["m2"])
+
+
+def test_merge_moments_one_sided_keys_pass_through(spark):
+    a = spark.createDataFrame([("x", 10, 2.0, 5.0)], ["k", "n", "mean", "m2"])
+    b = spark.createDataFrame([("y", 4, 7.0, 1.0)], ["k", "n", "mean", "m2"])
+    out = {r["k"]: r for r in relational.merge_moments(a, b, ["k"]).collect()}
+    assert out["x"]["n"] == 10 and out["x"]["mean"] == 2.0 and out["x"]["m2"] == 5.0
+    assert out["y"]["n"] == 4 and out["y"]["mean"] == 7.0 and out["y"]["m2"] == 1.0
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "many")
+    spark.range(0, 10000).repartition(40).write.parquet(src)
+    import pathlib
+
+    n_before = len(list(pathlib.Path(src).glob("*.parquet")))
+    assert n_before >= 40
+    n = compact_files(spark, src, target_file_bytes=1 << 30)
+    n_after = len(list(pathlib.Path(src).glob("*.parquet")))
+    assert n == 1 and n_after == 1
+    assert spark.read.parquet(src).count() == 10000
+
+
+def test_compact_files_to_out_path_preserves_source(spark, tmp_path):
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 1000).repartition(8).write.parquet(src)
+    compact_files(spark, src, target_file_bytes=1 << 30, out_path=dst)
+    assert spark.read.parquet(dst).count() == 1000
+    assert spark.read.parquet(src).count() == 1000
