@@ -338,6 +338,12 @@ def engineer_features_split_compat(
     tagged = relational.time_split(
         df, cfg.ts_col, fracs, tiebreak=cfg.id_col, split_col="split"
     )
+    # every downstream window family AND the train-rates branch re-reads
+    # the tagged frame; without a lineage break Catalyst recomputes the
+    # whole global-order split machinery (~5 exchanges) once per branch
+    # (~8x at sf0.1). One executor-side materialization beats eight
+    # recomputes; at 100 TB persist the tagged table instead.
+    tagged = tagged.localCheckpoint(eager=False)
     cfg2 = replace(cfg, split_col="split")
     train = tagged.filter(F.col("split") == "train")
     return engineer_features(tagged, cfg2, train=train)
