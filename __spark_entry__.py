@@ -4457,6 +4457,97 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_time_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: per-user time-decayed value sum (half-life 1h, 50-event
+    truncation) — the gap-aware velocity feature. Linear recurrence over
+    irregular gaps folded JVM-side; DuckDB folds the identical (t, v)
+    struct frame with list_reduce."""
+    ev = _events(spark, sf_dir)
+    out = windows.time_decay_sum(ev, half_life_s=3600.0, lookback=50)
+    return out.select(
+        "event_id", "user_id", "value", E.r6("decay_sum").alias("decay_sum")
+    )
+
+
+_TIME_DECAY_K = __import__("math").log(2.0) / 3600.0
+
+_TIME_DECAY_SQL = f"""
+WITH f AS (
+  SELECT event_id, user_id, value::DOUBLE AS value,
+    list(struct_pack(t := epoch_us(ts) / 1000000.0, v := value::DOUBLE))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+)
+SELECT event_id, user_id, value,
+  floor(list_reduce(frame,
+          (acc, x) -> struct_pack(t := x.t,
+            v := x.v + exp((acc.t - x.t) * {_TIME_DECAY_K!r}) * acc.v)).v
+        * 1000000 + 0.5) / 1000000.0 AS decay_sum
+FROM f
+"""
+
+
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid resampling with linear interpolation across gaps:
+    per-bucket last agg, per-user dense grid, prev/next anchors over one
+    shared (user, bucket) ordering."""
+    ev = _events(spark, sf_dir)
+    out = windows.resample_interp(ev)
+    return out.select(
+        "user_id",
+        "bucket",
+        E.r6("value_interp").alias("value_interp"),
+        "has_data",
+    )
+
+
+_RESAMPLE_INTERP_SQL = """
+WITH pb AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+    -- (user_id, ts) is unique in the driver tables, so ts alone gives
+    -- the same order as Spark's (ts, id) tiebreak
+    max_by(value, ts) AS last_val
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+span AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+    date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+    unnest(generate_series(lo, hi, INTERVAL 3600 SECONDS)) AS bucket
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.bucket, pb.last_val,
+    epoch_us(g.bucket) / 1000000 / 3600 AS idx
+  FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+),
+s AS (
+  SELECT user_id, bucket, last_val, idx,
+    last_value(last_val IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN last_val IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER wb AS pi,
+    first_value(last_val IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN last_val IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER wf AS ni
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+  floor((CASE WHEN last_val IS NOT NULL THEN last_val
+              ELSE pv + (nv - pv) * (idx - pi) / (ni - pi) END)
+        * 1000000 + 0.5) / 1000000.0 AS value_interp,
+  (last_val IS NOT NULL)::INT AS has_data
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4632,6 +4723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_cdc": q_apply_cdc,
         "incremental_moments": q_incremental_moments,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "time_decay_sum": q_time_decay_sum,
+        "resample_interp": q_resample_interp,
     }
 
 
@@ -4765,4 +4858,6 @@ def oracle_sql() -> dict[str, str]:
         "apply_cdc": _APPLY_CDC_SQL,
         "incremental_moments": _INCREMENTAL_MOMENTS_SQL,
         "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
+        "time_decay_sum": _TIME_DECAY_SQL,
+        "resample_interp": _RESAMPLE_INTERP_SQL,
     }

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "apply_cdc",
     "incremental_moments",
     "jsonl_roundtrip",
+    "time_decay_sum",
+    "resample_interp",
 ]
 
 

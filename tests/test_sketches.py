@@ -229,3 +229,77 @@ def test_triangle_count_two_overlapping_cliques(spark):
     out = events_ops.triangle_count(df, F.col("value")).collect()[0]
     assert out["n_triangles"] == 4
     assert out["n_edges"] == 6
+
+
+# ----------------------------------------- time-decay / interpolation
+
+
+def test_time_decay_sum_matches_numpy(spark):
+    import math
+
+    rows = [
+        (1, 1, _ts("2024-01-01T00:00:00"), 10.0),
+        (2, 1, _ts("2024-01-01T00:30:00"), 5.0),
+        (3, 1, _ts("2024-01-01T02:00:00"), 2.0),
+        (4, 2, _ts("2024-01-01T00:00:00"), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+
+    out = {
+        r["event_id"]: r["decay_sum"]
+        for r in windows.time_decay_sum(df, half_life_s=3600.0).collect()
+    }
+    k = math.log(2.0) / 3600.0
+    s1 = 10.0
+    s2 = 5.0 + math.exp(-1800 * k) * s1       # 30-min gap: half-weight^0.5
+    s3 = 2.0 + math.exp(-5400 * k) * s2       # 90-min gap
+    assert abs(out[1] - s1) < 1e-9
+    assert abs(out[2] - s2) < 1e-9
+    assert abs(out[3] - s3) < 1e-9
+    assert abs(out[4] - 7.0) < 1e-12          # other user independent
+
+
+def test_time_decay_sum_single_exchange(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        windows.time_decay_sum(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_resample_interp_linear_midpoints(spark):
+    rows = [
+        (1, 1, _ts("2024-01-01T00:10:00"), 10.0),
+        (2, 1, _ts("2024-01-01T03:20:00"), 40.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+
+    out = {
+        r["bucket"]: (r["value_interp"], r["has_data"])
+        for r in windows.resample_interp(df).collect()
+    }
+    # known endpoints: hours 0 and 3; gaps at 1, 2 interpolate linearly
+    assert out[_ts("2024-01-01T00:00:00")] == (10.0, 1)
+    assert out[_ts("2024-01-01T03:00:00")] == (40.0, 1)
+    assert out[_ts("2024-01-01T01:00:00")] == (20.0, 0)
+    assert out[_ts("2024-01-01T02:00:00")] == (30.0, 0)
+
+
+def test_resample_interp_in_bucket_last_wins(spark):
+    rows = [
+        (1, 1, _ts("2024-01-01T00:05:00"), 1.0),
+        (2, 1, _ts("2024-01-01T00:55:00"), 9.0),  # later in same bucket
+        (3, 1, _ts("2024-01-01T01:30:00"), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows
+
+    out = {r["bucket"]: r["value_interp"] for r in windows.resample_interp(df).collect()}
+    assert out[_ts("2024-01-01T00:00:00")] == 9.0
