@@ -4548,6 +4548,87 @@ FROM s
 """
 
 
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile pattern with a DETERMINISTIC merge: per-(type,
+    day) fixed-bin histogram partials → per-type merge → interpolated
+    quantile estimates, all over the |groups|·n_bins partial table. The
+    exact-long bin counts make the rollup (and the oracle twin)
+    bit-reproducible, unlike percentile_approx sketch merges."""
+    ev = _events(spark, sf_dir)
+    fine = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    parts = sketches.histogram_partial(
+        fine, ("event_type", "day"), "value", lo=0.0, hi=200.0, n_bins=100
+    )
+    merged = sketches.histogram_merge(parts, ("event_type",))
+    out = sketches.quantiles_from_histogram(
+        merged, ("event_type",), (0.25, 0.5, 0.9, 0.99), lo=0.0, hi=200.0,
+        n_bins=100,
+    )
+    return out.select(
+        "event_type", "q", E.r6("quantile_est").alias("quantile_est")
+    )
+
+
+_QUANTILE_ROLLUP_SQL = """
+WITH p AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    least(greatest(floor((value::DOUBLE - 0.0) / 200.0 * 100)::INT, 0), 99)
+      AS bin,
+    count(*)::BIGINT AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts), bin
+),
+m AS (
+  SELECT event_type, bin, sum(n)::BIGINT AS n FROM p GROUP BY event_type, bin
+),
+s AS (
+  SELECT event_type, bin, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(n) OVER (PARTITION BY event_type) AS total
+  FROM m
+),
+e AS (
+  SELECT s.*, q.q FROM s
+  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) q
+)
+SELECT event_type, q,
+  floor((0.0 + (bin + (q * total - (cum - n)) / n) * 2.0) * 1000000 + 0.5)
+    / 1000000.0 AS quantile_est
+FROM e
+WHERE cum >= q * total AND (cum - n) < q * total
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: top-100
+    docs by ln(u)/n_chars with the engine-stable md5 uniform — the
+    corpus-mixing sampler, reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.weighted_sample(docs, "n_chars", k=100)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "lang", "n_chars"
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+    ln((('0x' || substring(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+       / 4294967296.0) / n_chars::DOUBLE AS key
+  FROM documents
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+    doc_id, lang, n_chars
+  FROM c
+)
+SELECT rank, doc_id, lang, n_chars FROM r WHERE rank <= 100
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4725,6 +4806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "time_decay_sum": q_time_decay_sum,
         "resample_interp": q_resample_interp,
+        "quantile_rollup": q_quantile_rollup,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4860,4 +4943,6 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
         "time_decay_sum": _TIME_DECAY_SQL,
         "resample_interp": _RESAMPLE_INTERP_SQL,
+        "quantile_rollup": _QUANTILE_ROLLUP_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     }

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",
     "time_decay_sum",
     "resample_interp",
+    "quantile_rollup",
+    "weighted_sample",
 ]
 
 

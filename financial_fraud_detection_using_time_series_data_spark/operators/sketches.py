@@ -131,3 +131,81 @@ def heavy_hitters_approx(
         freq.select(F.explode(F.col(item_col)).alias("value"))
         .orderBy("value")
     )
+
+
+def histogram_partial(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Fixed-bin histogram partial — the mergeable counterpart of a
+    quantile sketch with a DETERMINISTIC merge: bin counts are exact
+    longs, so rollups (and their oracle twins) are bit-reproducible,
+    unlike percentile_approx whose merged sketch is traversal-dependent.
+    Out-of-range values clamp into the edge bins. One map-side-combined
+    shuffle of |groups|·n_bins rows."""
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_merge(
+    partials: DataFrame, rollup_cols: tuple[str, ...]
+) -> DataFrame:
+    """Merge histogram partials up to coarser keys: a sum over the
+    |fine groups|·n_bins partial table — never the raw data."""
+    return partials.groupBy(*rollup_cols, "bin").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_cols: tuple[str, ...],
+    qs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates from a (merged) histogram: linear
+    interpolation inside the target bin, error bounded by bin width.
+    Runs entirely over the histogram frame (|groups|·n_bins rows): a
+    per-group cumulative window, a tiny literal q dim, and a one-row-per-
+    (group, q) bin pick. Requires 0 < q <= 1."""
+    width = (hi - lo) / n_bins
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    staged = hist.select(
+        *group_cols,
+        "bin",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    qdim = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    exploded = staged.select(*group_cols, "bin", "n", "cum", "total", qdim)
+    target = F.col("q") * F.col("total")
+    in_bin = (F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target)
+    est = F.lit(lo) + (
+        F.col("bin") + (target - (F.col("cum") - F.col("n"))) / F.col("n")
+    ) * F.lit(width)
+    return exploded.where(in_bin).select(
+        *group_cols, "q", est.alias("quantile_est")
+    )

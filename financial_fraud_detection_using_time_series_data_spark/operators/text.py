@@ -814,3 +814,42 @@ def token_pmi(
         )
     )
     return out.orderBy(F.col("pmi").desc(), "term_a", "term_b").limit(top)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws an engine-stable uniform u from the
+    md5 bucket of its id and ranks by ln(u)/w — the top-k ranks are a
+    weight-proportional sample. The corpus-mixing move when sources
+    should be sampled proportionally to quality/length weights, exactly
+    reproducible across runs AND engines (the oracle computes the same
+    md5-derived u, and ranking by ln(u)/w is the monotone-stable form of
+    u^(1/w) — no pow()).
+
+    Map-only scan + TakeOrdered top-k: no shuffle of the corpus, driver
+    holds k rows. Weights must be > 0.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    cand = df.withColumn("__key", key)
+    topk = cand.orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .drop("__key")
+    )

@@ -303,3 +303,68 @@ def test_resample_interp_in_bucket_last_wins(spark):
 
     out = {r["bucket"]: r["value_interp"] for r in windows.resample_interp(df).collect()}
     assert out[_ts("2024-01-01T00:00:00")] == 9.0
+
+
+# -------------------------------------- histogram quantiles / sampling
+
+
+def test_histogram_merge_equals_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    fine = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    parts = sketches.histogram_partial(
+        fine, ("event_type", "day"), "value", 0.0, 200.0, 50
+    )
+    merged = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in sketches.histogram_merge(parts, ("event_type",)).collect()
+    }
+    direct = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in sketches.histogram_partial(
+            fine, ("event_type",), "value", 0.0, 200.0, 50
+        ).collect()
+    }
+    assert merged == direct  # exact-long counts: merge is lossless
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketches.histogram_partial(
+        ev, ("event_type",), "value", 0.0, 200.0, 100
+    )
+    est = {
+        (r["event_type"], r["q"]): r["quantile_est"]
+        for r in sketches.quantiles_from_histogram(
+            hist, ("event_type",), (0.5, 0.9), 0.0, 200.0, 100
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    width = 200.0 / 100
+    for et, (p50, p90) in exact.items():
+        assert abs(est[(et, 0.5)] - p50) <= width
+        assert abs(est[(et, 0.9)] - p90) <= width
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+
+    rows = [(i, "heavy" if i < 50 else "light", 1000 if i < 50 else 1)
+            for i in range(1050)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    got1 = [r["doc_id"] for r in text.weighted_sample(df, "w", 40, "doc_id").collect()]
+    got2 = [r["doc_id"] for r in text.weighted_sample(df, "w", 40, "doc_id").collect()]
+    assert got1 == got2  # engine-stable determinism
+    heavy = sum(1 for d in got1 if d < 50)
+    # heavy weights hold 50000/51000 of total mass; expect domination
+    assert heavy >= 30
+    assert len(got1) == 40 and len(set(got1)) == 40  # without replacement
