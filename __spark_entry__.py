@@ -4629,6 +4629,48 @@ SELECT rank, doc_id, lang, n_chars FROM r WHERE rank <= 100
 """
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h rolling distinct users via hourly HLL partials merged over a
+    window frame — the corpus is scanned once; each output row unions
+    ≤24 fixed-size sketches. Rows-only (sketch estimates)."""
+    ev = _events(spark, sf_dir)
+    out = sketches.sliding_distinct(
+        ev, "ts", "user_id", bucket="hour", window_buckets=24
+    )
+    return out.select(
+        "bucket",
+        F.col("approx_distinct_window").cast("long").alias("approx_users_24h"),
+    )
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: per-type hourly actuals vs the same hour one
+    week earlier (seasonal-naive baseline), scored by MAE over buckets
+    with a predecessor."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.seasonal_naive_backtest(ev, season_lag=168)
+    return out.select("event_type", "n_eval", E.r6("mae").alias("mae"))
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    sum(value::DECIMAL(25,2))::DOUBLE AS actual
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+s AS (
+  SELECT cur.event_type, cur.actual, prev.actual AS forecast
+  FROM a cur
+  JOIN a prev ON prev.event_type = cur.event_type
+    AND prev.bucket + INTERVAL 168 HOURS = cur.bucket
+)
+SELECT event_type, count(*)::BIGINT AS n_eval,
+  floor(avg(abs(actual - forecast)) * 1000000 + 0.5) / 1000000.0 AS mae
+FROM s
+GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4808,6 +4850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "quantile_rollup": q_quantile_rollup,
         "weighted_sample": q_weighted_sample,
+        "seasonal_naive_backtest": q_seasonal_naive_backtest,
+        # rows-only: windowed HLL estimates
+        "sliding_distinct": q_sliding_distinct,
     }
 
 
@@ -4945,4 +4990,6 @@ def oracle_sql() -> dict[str, str]:
         "resample_interp": _RESAMPLE_INTERP_SQL,
         "quantile_rollup": _QUANTILE_ROLLUP_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
+        # sliding_distinct: rows-only (windowed HLL estimates)
     }

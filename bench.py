@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "resample_interp",
     "quantile_rollup",
     "weighted_sample",
+    "seasonal_naive_backtest",
+    "sliding_distinct",
 ]
 
 

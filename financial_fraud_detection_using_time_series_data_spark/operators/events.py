@@ -482,3 +482,49 @@ def triangle_count(
     return nn.crossJoin(ne).crossJoin(tris).select(
         "n_nodes", "n_edges", "n_triangles"
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    season_lag: int = 168,
+) -> DataFrame:
+    """Forecast-quality backtest for the seasonal-naive baseline
+    (ŷ_t = y_{t−season}): per-type hourly actuals vs the value one season
+    (default: 168 hours = 1 week) earlier, scored by MAE — the sanity
+    baseline every forecasting pipeline must beat before anything fancier
+    ships.
+
+    Two stages, both bounded: the corpus collapses to |types|·|buckets|
+    exact-decimal actuals (one map-side-combined shuffle), then the
+    seasonal match is a TIME-SHIFTED self-join on (type, bucket−season)
+    over the rollup frame — not a row lag, which silently misaligns when
+    buckets are sparse (a series with gaps would compare against the
+    168th prior *row*, not the same hour last week). Buckets without a
+    seasonal predecessor are excluded from the score (n_eval reports
+    coverage).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actuals = (
+        df.groupBy(type_col, b)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(25,2)"))
+            .cast("double")
+            .alias("actual")
+        )
+    )
+    prev = actuals.select(
+        type_col,
+        (F.col("bucket") + F.expr(f"INTERVAL {season_lag} HOURS")).alias(
+            "bucket"
+        ),
+        F.col("actual").alias("forecast"),
+    )
+    scored = actuals.join(prev, [type_col, "bucket"])
+    return scored.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg(F.abs(F.col("actual") - F.col("forecast"))).alias("mae"),
+    )

@@ -209,3 +209,41 @@ def quantiles_from_histogram(
     return exploded.where(in_bin).select(
         *group_cols, "q", est.alias("quantile_est")
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    bucket: str = "hour",
+    window_buckets: int = 24,
+    lgk: int = 12,
+) -> DataFrame:
+    """Sliding-window distinct counts (e.g. 24h rolling active users) via
+    per-bucket HLL partials merged over a window frame — the composition
+    that makes rolling COUNT(DISTINCT) tractable at 100 TB: an exact
+    windowed distinct needs per-frame sets (O(window·cardinality) state,
+    recomputed per row); here the corpus is touched ONCE for the hourly
+    partials and the slide is `hll_union_agg` over ≤``window_buckets``
+    fixed-size sketches per output row.
+
+    The ordered window runs unpartitioned, but over the |buckets|-row
+    sketch table (aggregate-sized, like the sweep-line carry frame). The
+    frame counts ROWS: densify the bucket spine first if the series can
+    have empty buckets.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    parts = df.groupBy(b).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("__sk")
+    )
+    # |buckets|-row frame: the unpartitioned window is aggregate-sized
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(-(window_buckets - 1), Window.currentRow)
+    )
+    return parts.select(
+        "bucket",
+        F.hll_sketch_estimate(F.hll_union_agg("__sk").over(w)).alias(
+            "approx_distinct_window"
+        ),
+    )

@@ -368,3 +368,46 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     # heavy weights hold 50000/51000 of total mass; expect domination
     assert heavy >= 30
     assert len(got1) == 40 and len(set(got1)) == 40  # without replacement
+
+
+def test_sliding_distinct_close_to_exact(spark, sf_dir):
+    """24h windowed HLL union vs brute-force windowed distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        r["bucket"]: r["approx_distinct_window"]
+        for r in sketches.sliding_distinct(
+            ev, "ts", "user_id", window_buckets=24
+        ).collect()
+    }
+    pdf = ev.select(
+        F.date_trunc("hour", "ts").alias("bucket"), "user_id"
+    ).toPandas()
+    buckets = sorted(pdf["bucket"].unique())
+    for i, b in enumerate(buckets):
+        lo = buckets[max(0, i - 23)]
+        exact = pdf[(pdf["bucket"] >= lo) & (pdf["bucket"] <= b)][
+            "user_id"
+        ].nunique()
+        assert abs(est[b] - exact) <= max(1, 0.05 * exact)
+
+
+def test_seasonal_naive_backtest_fixture(spark):
+    """Perfectly weekly-periodic series -> MAE 0; constant offset -> MAE
+    equals the offset."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for week in range(2):
+        for hour in (0, 5):
+            t = base + dt.timedelta(days=7 * week, hours=hour)
+            rows.append((eid, t, 1, "periodic", 10.0)); eid += 1
+            rows.append((eid, t, 2, "drifting", 10.0 + 3.0 * week)); eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {
+        r["event_type"]: (r["n_eval"], r["mae"])
+        for r in events_ops.seasonal_naive_backtest(df, season_lag=168).collect()
+    }
+    assert out["periodic"] == (2, 0.0)
+    assert out["drifting"] == (2, 3.0)
