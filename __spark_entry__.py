@@ -4671,6 +4671,76 @@ GROUP BY event_type
 """
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + cosine semantic top-20
+    fused by reciprocal-rank fusion (k=60). The fusion is a join of two
+    20-row frames; the corpus work is the two underlying retrievals."""
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = text.hybrid_search_rrf(
+        docs, embs, ["spark", "join", "window"], query_vec_id=0, n=10
+    )
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("sem_rank").cast("long").alias("sem_rank"),
+        E.r6("rrf_score").alias("rrf_score"),
+    )
+
+
+_HYBRID_RRF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+filtered AS (SELECT * FROM toks WHERE length(term) > 0),
+doclen AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filtered
+  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id,
+    sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        * (tf.tf * 2.2)
+        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))) AS score
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25 ORDER BY score DESC, doc_id LIMIT 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec, vec_id FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+    list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qvec, q.qvec)), 0) AS cs
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+  FROM cos ORDER BY cs DESC, doc_id LIMIT 20
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+    coalesce(1.0 / (60 + lex_rank), 0.0) + coalesce(1.0 / (60 + sem_rank), 0.0)
+      AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+  doc_id, lex_rank, sem_rank,
+  floor(rrf_score * 1000000 + 0.5) / 1000000.0 AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4851,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "weighted_sample": q_weighted_sample,
         "seasonal_naive_backtest": q_seasonal_naive_backtest,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         # rows-only: windowed HLL estimates
         "sliding_distinct": q_sliding_distinct,
     }
@@ -4991,5 +5062,6 @@ def oracle_sql() -> dict[str, str]:
         "quantile_rollup": _QUANTILE_ROLLUP_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
+        "hybrid_search_rrf": _HYBRID_RRF_SQL,
         # sliding_distinct: rows-only (windowed HLL estimates)
     }

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "seasonal_naive_backtest",
     "sliding_distinct",
+    "hybrid_search_rrf",
 ]
 
 

@@ -853,3 +853,52 @@ def weighted_sample(
         topk.withColumn("rank", F.row_number().over(w))
         .drop("__key")
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embs: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    n: int = 10,
+    k_rrf: int = 60,
+    n_each: int = 20,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking and the cosine
+    semantic ranking with reciprocal-rank fusion (score = Σ 1/(k +
+    rank_m)) — the standard RAG-stack fusion, rank-based so it needs no
+    score calibration between modalities.
+
+    Both candidate lists are top-``n_each`` (driver-scale frames); the
+    fusion is a full outer join of two ≤n_each-row frames + arithmetic —
+    the corpus-scale work is exactly the two underlying retrievals, each
+    already scale-shaped (BM25: pre-agg + broadcast idf; cosine:
+    broadcast query, one scan).
+    """
+    from . import similarity as _sim
+
+    lex = bm25_search(docs, query_terms, id_col=id_col, n=n_each)
+    wlex = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    lexr = lex.select(id_col, F.row_number().over(wlex).alias("lex_rank"))
+    qdf = embs.where(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_id_col).alias("qid"), "embedding"
+    )
+    sem = _sim.brute_force_topk(embs, qdf, k=n_each)
+    semr = sem.select(
+        F.col(vec_id_col).alias(id_col), F.col("rank").alias("sem_rank")
+    )
+    fused = lexr.join(semr, id_col, "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)
+    )
+    wout = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(wout))
+        .where(F.col("rank") <= n)
+        .select("rank", id_col, "lex_rank", "sem_rank", "rrf_score")
+    )

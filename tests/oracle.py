@@ -22,6 +22,14 @@ def run_oracle(sql: str, sf_dir: str):
 def _canon(v):
     if v is None:
         return None
+    try:
+        import pandas as pd
+
+        # null timestamps: Spark collects None, DuckDB fetchdf gives NaT
+        if v is pd.NaT or v is pd.NA:
+            return None
+    except ImportError:
+        pass
     if isinstance(v, float):
         if math.isnan(v):
             return None

@@ -70,3 +70,35 @@ def test_pmi_min_support_filters(spark):
     df = _docs(spark, texts)
     out = text.token_pmi(df, min_pairs=5, top=50).collect()
     assert ("p", "q") not in {(r.term_a, r.term_b) for r in out}
+
+
+def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = text.hybrid_search_rrf(
+        docs, embs, ["spark", "join", "window"], query_vec_id=0, n=10
+    ).collect()
+    assert len(out) == 10
+    # ranks are dense 1..10 and scores non-increasing
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    scores = [r["rrf_score"] for r in out]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # a doc present in BOTH lists must outrank one present in only one
+    # list at similar single-list rank (RRF additivity sanity)
+    both = [r for r in out if r["lex_rank"] and r["sem_rank"]]
+    for r in both:
+        assert r["rrf_score"] > 1.0 / (60 + max(r["lex_rank"], r["sem_rank"]))
+
+
+def test_hybrid_rrf_deterministic(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import text
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    a = text.hybrid_search_rrf(docs, embs, ["spark"], 0).collect()
+    b = text.hybrid_search_rrf(docs, embs, ["spark"], 0).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
