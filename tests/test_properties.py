@@ -329,3 +329,72 @@ def test_ewma_matches_pandas(spark, sf_dir):
     )
     diff = (got - want).abs().max()
     assert diff < 1e-9, f"max |spark - pandas| = {diff}"
+
+
+@given(
+    snap_keys=st.sets(st.integers(0, 20), max_size=12),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 20),                  # key
+            st.sampled_from(["U", "D", "I"]),    # op
+            st.integers(0, 5),                   # seq
+            st.integers(0, 999),                 # payload
+        ),
+        max_size=20,
+        # duplicate (key, op, seq) with different payloads would make the
+        # latest-wins tie arbitrary in BOTH implementations — exclude
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+)
+@settings(**_SETTINGS)
+def test_apply_cdc_matches_sequential_replay(spark, snap_keys, ops):
+    """apply_cdc (latest-per-key + anti-join) must equal naively replaying
+    the change log in (seq, op) order against a dict."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    snap = {k: f"base{k}" for k in snap_keys}
+    state = dict(snap)
+    # replay in the same total order apply_cdc resolves: per key, the
+    # (seq desc, op desc) winner is applied; replay ascending is identical
+    for k, op, seq, payload in sorted(ops, key=lambda t: (t[2], t[1])):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = f"v{payload}"
+    snap_df = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()] or [(None, None)],
+        "k int, v string",
+    ).where(F.col("k").isNotNull())
+    ch_df = spark.createDataFrame(
+        [(k, f"v{p}" if op != "D" else None, op, s) for k, op, s, p in ops]
+        or [(None, None, None, None)],
+        "k int, v string, op string, seq int",
+    ).where(F.col("k").isNotNull())
+    out = {
+        r["k"]: r["v"]
+        for r in relational.apply_cdc(snap_df, ch_df, ["k"]).collect()
+    }
+    assert out == state
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=2, max_size=40),
+    cut=st.integers(1, 39),
+)
+@settings(**_SETTINGS)
+def test_merge_moments_any_split_matches_direct(spark, vals, cut):
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    cut = min(cut, len(vals) - 1)
+    a_vals, b_vals = vals[:cut], vals[cut:]
+    mk = lambda vs: spark.createDataFrame(
+        [(1, round(v, 2)) for v in vs], "k int, value double"
+    )
+    a = relational.group_moments(mk(a_vals), ["k"])
+    b = relational.group_moments(mk(b_vals), ["k"])
+    merged = relational.merge_moments(a, b, ["k"]).collect()[0]
+    direct = relational.group_moments(mk(vals), ["k"]).collect()[0]
+    assert merged["n"] == direct["n"]
+    assert abs(merged["mean"] - direct["mean"]) < 1e-6 * max(1.0, abs(direct["mean"]))
+    scale = max(1.0, abs(direct["m2"]))
+    assert abs(merged["m2"] - direct["m2"]) < 1e-6 * scale
