@@ -274,3 +274,67 @@ def test_redact_pii_is_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(text.redact_pii(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_peak_concurrency_carry_is_broadcast(spark, sf_dir):
+    """The cross-bucket carry dim must broadcast back onto the deltas —
+    the corpus-side frame never re-shuffles for the carry join."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    plan = _plan(events_ops.peak_concurrency(iv))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_partial_has_partial_aggregation(spark, sf_dir):
+    """Sketch partials must map-side combine: HashAggregate appears in
+    partial+final pairs around one exchange."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import sketches
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    plan = _plan(sketches.hll_partial(df, ("day",), "user_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_apply_cdc_windows_only_the_change_log(spark, sf_dir):
+    """The latest-per-key window must run over the change log only; the
+    snapshot side contributes a join, never a window."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    snap = ev.where(F.col("event_id") % 3 != 0)
+    ch = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    plan = _plan(relational.apply_cdc(snap, ch, ["event_id"]))
+    # the latest-per-key window subtree appears once per consumer of the
+    # deduped log (touched-keys dim + upserts) — both over the LOG side;
+    # the snapshot branch contributes joins only
+    assert plan.count("+- Window ") <= 2
+    # rank-1 filter is pushed into WindowGroupLimit (no full per-key sort
+    # buffering — top-1 per key computed with running state)
+    assert "WindowGroupLimit" in plan
+
+
+def test_time_decay_and_interp_no_python(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import windows as W
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    for df in (W.time_decay_sum(ev), W.resample_interp(ev)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
