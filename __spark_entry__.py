@@ -4741,6 +4741,29 @@ ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
 
 
+def q_incremental_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest maintenance demo: fold the second half-month batch
+    into first-half state (moments + day HLL sketches + value counts),
+    then report from state alone — history is never re-read. Rows-only
+    (sketch binary in state)."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import (
+        incremental,
+    )
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    state = incremental.update_state(
+        incremental.init_state(ev.where(F.col("ts") < cutoff)),
+        ev.where(F.col("ts") >= cutoff),
+    )
+    out = incremental.state_report(state)
+    return out.select(
+        "n_rows",
+        F.col("approx_users").cast("long").alias("approx_users"),
+        "n_distinct_values",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4924,6 +4947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         # rows-only: windowed HLL estimates
         "sliding_distinct": q_sliding_distinct,
+        # rows-only: maintained-state demo (sketch binaries in state)
+        "incremental_state_report": q_incremental_state_report,
     }
 
 

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "seasonal_naive_backtest",
     "sliding_distinct",
     "hybrid_search_rrf",
+    "incremental_state_report",
 ]
 
 

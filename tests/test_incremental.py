@@ -150,3 +150,73 @@ def test_compact_files_to_out_path_preserves_source(spark, tmp_path):
     compact_files(spark, src, target_file_bytes=1 << 30, out_path=dst)
     assert spark.read.parquet(dst).count() == 1000
     assert spark.read.parquet(src).count() == 1000
+
+
+def test_incremental_state_matches_recompute(spark, sf_dir):
+    """Folding daily batches must equal recomputing from scratch: exact
+    for counts and day sketches (identical partials at a day-boundary
+    split), tolerance for the float moment formulas."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import incremental
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    day1 = ev.where(F.col("ts") < cutoff)
+    day2 = ev.where(F.col("ts") >= cutoff)
+
+    folded = incremental.update_state(incremental.init_state(day1), day2)
+    direct = incremental.init_state(ev)
+
+    fm = {r["event_type"]: r for r in folded["moments"].collect()}
+    dm = {r["event_type"]: r for r in direct["moments"].collect()}
+    assert fm.keys() == dm.keys()
+    for k in dm:
+        assert fm[k]["n"] == dm[k]["n"]
+        assert abs(fm[k]["mean"] - dm[k]["mean"]) < 1e-9
+
+    fc = {r["value"]: r["n"] for r in folded["value_counts"].collect()}
+    dc = {r["value"]: r["n"] for r in direct["value_counts"].collect()}
+    assert fc == dc
+
+    # day-boundary split -> identical per-day partials -> exact estimates
+    from financial_fraud_detection_using_time_series_data_spark.operators import sketches
+
+    fe = {
+        r["day"]: r["approx_distinct"]
+        for r in sketches.hll_merge_estimate(
+            folded["user_sketches"], ("day",)
+        ).collect()
+    }
+    de = {
+        r["day"]: r["approx_distinct"]
+        for r in sketches.hll_merge_estimate(
+            direct["user_sketches"], ("day",)
+        ).collect()
+    }
+    assert fe == de
+
+
+def test_incremental_state_report_no_raw_scan(spark, sf_dir):
+    """state_report must answer from state alone — its plan reads no
+    events parquet."""
+    from financial_fraud_detection_using_time_series_data_spark.plans import incremental
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    state = incremental.init_state(ev)
+    # persist state as parquet (what a daily run would do), reload, report
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="incr_state_")
+    for name, df in state.items():
+        df.write.mode("overwrite").parquet(os.path.join(d, name))
+    reloaded = {
+        name: spark.read.parquet(os.path.join(d, name)) for name in state
+    }
+    rep = incremental.state_report(reloaded)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in plan
+    row = rep.collect()[0]
+    assert row["n_rows"] == ev.count()
+    exact_users = ev.select("user_id").distinct().count()
+    assert abs(row["approx_users"] - exact_users) <= max(1, 0.05 * exact_users)
