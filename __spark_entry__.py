@@ -4764,6 +4764,66 @@ def q_incremental_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift scan per event type over hourly totals: exact-
+    decimal rollup, per-type cumulative deviation, argmax |S|."""
+    ev = _events(spark, sf_dir)
+    out = drift.cusum_changepoint(ev)
+    return out.select(
+        "event_type",
+        "changepoint_bucket",
+        E.r6("cusum_peak").alias("cusum_peak"),
+        "direction",
+    )
+
+
+_CUSUM_SQL = """
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS actual_dec
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+s AS (
+  SELECT event_type, bucket,
+    (sum(actual_dec) OVER (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+    - row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+      * ((sum(actual_dec) OVER (PARTITION BY event_type))::DOUBLE
+         / count(*) OVER (PARTITION BY event_type)) AS sv
+  FROM a
+),
+p AS (
+  SELECT event_type, bucket, sv,
+    row_number() OVER (PARTITION BY event_type ORDER BY abs(sv) DESC, bucket)
+      AS rn
+  FROM s
+)
+SELECT event_type, bucket AS changepoint_bucket,
+  floor(abs(sv) * 1000000 + 0.5) / 1000000.0 AS cusum_peak,
+  CASE WHEN sv > 0 THEN 'up' ELSE 'down' END AS direction
+FROM p WHERE rn = 1
+"""
+
+
+def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality probe: HLL inclusion-exclusion estimate of the
+    user-set overlap between purchase and error events — three sketch
+    aggs, no join of the inputs. Rows-only (sketch estimates)."""
+    ev = _events(spark, sf_dir)
+    out = sketches.hll_intersect_estimate(
+        ev.where(F.col("event_type") == "purchase").select("user_id"),
+        ev.where(F.col("event_type") == "error").select("user_id"),
+        "user_id",
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersect",
+        E.r6("jaccard_est").alias("jaccard_est"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -4949,6 +5009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": q_sliding_distinct,
         # rows-only: maintained-state demo (sketch binaries in state)
         "incremental_state_report": q_incremental_state_report,
+        "cusum_changepoint": q_cusum_changepoint,
+        # rows-only: HLL inclusion-exclusion estimates
+        "hll_set_overlap": q_hll_set_overlap,
     }
 
 
@@ -5088,5 +5151,6 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
-        # sliding_distinct: rows-only (windowed HLL estimates)
+        "cusum_changepoint": _CUSUM_SQL,
+        # sliding_distinct / hll_set_overlap: rows-only (sketch estimates)
     }

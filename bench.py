@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "sliding_distinct",
     "hybrid_search_rrf",
     "incremental_state_report",
+    "cusum_changepoint",
+    "hll_set_overlap",
 ]
 
 

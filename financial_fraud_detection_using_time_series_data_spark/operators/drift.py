@@ -270,3 +270,63 @@ def chi2_drift(
         (F.col("__k") - 1).cast("int").alias("dof"),
         F.col("__k").cast("int").alias("n_categories"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """CUSUM changepoint scan per series: cumulative sum of deviations
+    from the series mean over the time-bucket rollup; the bucket where
+    |S_t| peaks is the level-shift candidate, and the peak magnitude is
+    the shift evidence (0 for a flat series, grows linearly after a
+    sustained shift).
+
+    Scale shape: the corpus collapses to |types|·|buckets| exact-decimal
+    actuals in one map-side-combined shuffle; the mean, the cumulative
+    S_t, and the argmax all run per type over the rollup frame. Returns
+    (type, changepoint_bucket, cusum_peak, direction).
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    # keep the per-bucket totals DECIMAL through every sum: float window
+    # aggregates fold in partition-row order, which is nondeterministic
+    # for unordered frames — decimal sums are order-invariant bit-exact
+    actuals = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("actual_dec")
+    )
+    wt = Window.partitionBy(type_col)
+    word = Window.partitionBy(type_col).orderBy("bucket")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # divide AFTER the double cast: decimal-division result scales are
+    # engine-specific, double/long division is IEEE-identical everywhere
+    mean = F.sum("actual_dec").over(wt).cast("double") / F.count(
+        F.lit(1)
+    ).over(wt)
+    staged = actuals.select(
+        type_col,
+        "bucket",
+        (
+            F.sum("actual_dec").over(wcum).cast("double")
+            - F.row_number().over(word) * mean
+        ).alias("s"),
+    )
+    wpick = Window.partitionBy(type_col).orderBy(
+        F.abs(F.col("s")).desc(), F.col("bucket")
+    )
+    return (
+        staged.withColumn("__rn", F.row_number().over(wpick))
+        .where(F.col("__rn") == 1)
+        .select(
+            type_col,
+            F.col("bucket").alias("changepoint_bucket"),
+            F.abs(F.col("s")).alias("cusum_peak"),
+            F.when(F.col("s") > 0, F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+    )

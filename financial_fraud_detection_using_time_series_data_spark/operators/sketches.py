@@ -247,3 +247,40 @@ def sliding_distinct(
             "approx_distinct_window"
         ),
     )
+
+
+def hll_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Estimate |A|, |B|, |A∪B|, |A∩B| and the Jaccard of two key sets
+    by inclusion-exclusion over HLL sketches (∩ = |A|+|B|−|A∪B|) — the
+    join-cardinality probe a planner or a data-contract check runs
+    BEFORE committing to an expensive join: three sketch aggregations,
+    never a join of the inputs.
+
+    Inclusion-exclusion inherits both sketches' error, so small
+    intersections of large sets can read noisy (clamped at ≥ 0) — that is
+    inherent to HLL intersection and exactly the fidelity a cardinality
+    probe needs.
+    """
+    sa = a.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sk"))
+    sb = b.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sk"))
+    union_sk = sa.unionByName(sb).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_union")
+    )
+    na = sa.select(F.hll_sketch_estimate("sk").alias("n_a"))
+    nb = sb.select(F.hll_sketch_estimate("sk").alias("n_b"))
+    out = na.crossJoin(nb).crossJoin(union_sk)
+    inter = F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        inter.alias("n_intersect"),
+        (inter / F.col("n_union")).alias("jaccard_est"),
+    )

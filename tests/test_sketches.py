@@ -411,3 +411,46 @@ def test_seasonal_naive_backtest_fixture(spark):
     }
     assert out["periodic"] == (2, 0.0)
     assert out["drifting"] == (2, 3.0)
+
+
+# ----------------------------------------- cusum / set-overlap probes
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import drift
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(48):
+        # level shifts from 10 to 50 at hour 24
+        v = 10.0 if h < 24 else 50.0
+        rows.append((eid, base + dt.timedelta(hours=h), 1, "shifty", v))
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=h), 1, "flat", 7.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["event_type"]: r for r in drift.cusum_changepoint(df).collect()}
+    # |S| peaks at the last pre-shift bucket (hour 23): the mean is 30,
+    # so S drifts -20/hour for 24h then +20/hour back
+    assert out["shifty"]["changepoint_bucket"] == base + dt.timedelta(hours=23)
+    assert out["shifty"]["direction"] == "down"
+    assert abs(out["shifty"]["cusum_peak"] - 480.0) < 1e-6
+    assert out["flat"]["cusum_peak"] < 1e-9
+
+
+def test_hll_intersect_estimates(spark):
+    a = spark.range(0, 1000).select(F.col("id").alias("v"))
+    b = spark.range(500, 1500).select(F.col("id").alias("v"))
+    c = spark.range(5000, 6000).select(F.col("id").alias("v"))
+    ab = sketches.hll_intersect_estimate(a, b, "v").collect()[0]
+    assert abs(ab["n_intersect"] - 500) <= 0.1 * 500
+    assert abs(ab["n_union"] - 1500) <= 0.05 * 1500
+    ac = sketches.hll_intersect_estimate(a, c, "v").collect()[0]
+    assert ac["n_intersect"] <= 0.1 * 1000  # disjoint reads near zero
+    aa = sketches.hll_intersect_estimate(a, a, "v").collect()[0]
+    # even identical inputs re-estimate through the union gadget, so the
+    # self-jaccard carries sketch noise (~1.6% at lgk=12), not exactness
+    assert abs(aa["jaccard_est"] - 1.0) < 0.05
