@@ -277,3 +277,61 @@ def stream_stream_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def incremental_state_stream(
+    stream: DataFrame,
+    state_dir: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Continuous maintained-aggregate pipeline: every micro-batch folds
+    into the persisted state tables (moment partials, per-day user HLL
+    sketches, value counts) via the SAME `plans.incremental` merges the
+    batch path uses — streaming and batch maintenance are one code path,
+    so the daily-ingest invariant (fold == recompute) carries over.
+
+    State lives as parquet under ``state_dir`` (read → merge → rewrite
+    per micro-batch; each table is aggregate-sized, so the rewrite is
+    metadata-scale). Returns the started query; call
+    ``.processAllAvailable()`` in tests.
+    """
+    import os
+
+    from ..plans import incremental
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        names = ("moments", "user_sketches", "value_counts")
+        paths = {n: os.path.join(state_dir, n) for n in names}
+        delta_state = incremental.init_state(
+            batch_df, key_col, ts_col, user_col, value_col
+        )
+        if all(os.path.exists(p) for p in paths.values()):
+            prev = {n: spark.read.parquet(paths[n]) for n in names}
+            new_state = incremental.update_state(
+                prev, batch_df, key_col, ts_col, user_col, value_col
+            )
+        else:
+            new_state = delta_state
+        # two-phase write: state inputs are read lazily, so writing over
+        # the directory being read would corrupt — stage then swap
+        import shutil
+
+        for n in names:
+            tmp = paths[n] + "__tmp"
+            new_state[n].write.mode("overwrite").parquet(tmp)
+            if os.path.exists(paths[n]):
+                shutil.rmtree(paths[n])
+            shutil.move(tmp, paths[n])
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -288,3 +288,56 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
     assert n_got == n_want, f"stream={n_got} batch={n_want}"
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_incremental_state_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch maintenance over file micro-batches must end
+    in the same state as one batch init over the full data."""
+    import os
+
+    from financial_fraud_detection_using_time_series_data_spark.plans import incremental
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+    from financial_fraud_detection_using_time_series_data_spark.streaming.scoring import (
+        incremental_state_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "stream_src"
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state_dir = str(tmp_path / "state")
+    q = incremental_state_stream(stream, state_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    direct = incremental.init_state(ev)
+    got_m = {
+        r["event_type"]: r
+        for r in spark.read.parquet(os.path.join(state_dir, "moments")).collect()
+    }
+    want_m = {r["event_type"]: r for r in direct["moments"].collect()}
+    assert got_m.keys() == want_m.keys()
+    for k in want_m:
+        assert got_m[k]["n"] == want_m[k]["n"]
+        assert abs(got_m[k]["mean"] - want_m[k]["mean"]) < 1e-9
+    got_c = {
+        r["value"]: r["n"]
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "value_counts")
+        ).collect()
+    }
+    want_c = {r["value"]: r["n"] for r in direct["value_counts"].collect()}
+    assert got_c == want_c
