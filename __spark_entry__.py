@@ -2631,7 +2631,7 @@ def q_sequence_score_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     if params is None:
         cached = seqs.cache()
         params, _hist = _sm.train_sequence_convnet(
-            cached, epochs=8, lr=0.5, n_filters=4, width=3, seed=7, seq_len=5
+            cached, epochs=8, lr=0.5, n_filters=4, width=3, seed=7
         )
         cached.unpersist()
         _SEQ_CONVNET_CACHE[sf_dir] = params
@@ -4147,12 +4147,32 @@ d AS (
   UNION ALL
   SELECT e_ts AS t, -1 AS d FROM iv
 ),
-r AS (
-  SELECT date_trunc('hour', t) AS hour,
-    sum(d) OVER (ORDER BY t, d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+loc AS (
+  SELECT date_trunc('hour', t) AS bucket,
+    sum(d) OVER (PARTITION BY date_trunc('hour', t)
+                 ORDER BY t, d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS local_run,
+    d
   FROM d
+),
+pb AS (
+  SELECT bucket, max(local_run) AS mx, sum(d) AS tot FROM loc GROUP BY bucket
+),
+span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM pb),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 3600 SECONDS)) AS bucket
+  FROM span
+),
+base AS (
+  SELECT s.bucket, coalesce(pb.tot, 0) AS tot, coalesce(pb.mx, 0) AS mx
+  FROM spine s LEFT JOIN pb ON s.bucket = pb.bucket
 )
-SELECT hour, max(c)::BIGINT AS peak_concurrency FROM r GROUP BY hour
+SELECT bucket AS hour,
+  (coalesce(sum(tot) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+   + greatest(mx, 0))::BIGINT AS peak_concurrency
+FROM base
 """
 
 

@@ -44,10 +44,12 @@ __all__ = [
 
 
 def init_params(
-    seq_len: int, n_filters: int = 4, width: int = 3, seed: int = 7
+    n_filters: int = 4, width: int = 3, seed: int = 7
 ) -> dict[str, np.ndarray]:
     """Deterministic glorot-ish init; params are plain ndarrays so they
-    pickle into the task closure (broadcast-equivalent at this size)."""
+    pickle into the task closure (broadcast-equivalent at this size).
+    Shapes depend only on (n_filters, width) — the conv slides over any
+    sequence length, so seq_len is not a parameter."""
     rng = np.random.default_rng(seed)
     scale = np.sqrt(2.0 / (width + n_filters))
     return {
@@ -117,7 +119,6 @@ def train_sequence_convnet(
     epochs: int = 40,
     lr: float = 0.5,
     seed: int = 7,
-    seq_len: int | None = None,
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Distributed synchronous gradient descent. One Spark job per epoch:
     executors compute Arrow-batched partial gradients against the
@@ -128,10 +129,7 @@ def train_sequence_convnet(
     Returns (trained params, per-epoch mean-loss history)."""
     from pyspark import TaskContext
 
-    if seq_len is None:
-        first = df.select(seq_col).first()
-        seq_len = len(first[0])
-    p = init_params(seq_len, n_filters, width, seed)
+    p = init_params(n_filters, width, seed)
     grad_schema = "pid int, grad array<double>, loss double, n long"
     history: list[float] = []
 

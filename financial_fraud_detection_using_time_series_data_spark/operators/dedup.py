@@ -231,6 +231,9 @@ def dedup_incremental(
     batch_sigs = minhash_signature(
         batch, text_col, id_col, num_hashes, shingle_k, fast=fast
     )
+    # two consumers (the union below and the hot-bucket probe): break
+    # lineage once so the delta is shingled+minhashed a single time
+    batch_sigs = batch_sigs.localCheckpoint(eager=False)
     all_sigs = index.select(id_col, "signature").unionByName(batch_sigs)
     banded_all = _band_buckets(all_sigs, id_col, num_hashes, bands, fast)
     hot = (

@@ -102,16 +102,23 @@ def funnel(
     totals = per_entity.agg(
         *[F.count(t).alias(f"__c{i}") for i, t in enumerate(t_cols)]
     )
-    # escape single quotes in step names — they are interpolated into a
-    # stack() SQL string and would otherwise parse-error / inject
-    stack_args = ", ".join(
-        f"""'{s.replace("'", "''")}', {i + 1}, __c{i}""" for i, s in enumerate(steps)
-    )
+    # build the K rows with explode(array(struct(...))) — step names pass
+    # through as literal VALUES, never through SQL text, so no quoting or
+    # backslash escaping can corrupt the plan
     rows = totals.select(
-        F.expr(
-            f"stack({len(steps)}, {stack_args}) AS (step, step_idx, entities_reached)"
-        )
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("step"),
+                        F.lit(i + 1).alias("step_idx"),
+                        F.col(f"__c{i}").alias("entities_reached"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("__r")
+    ).select("__r.step", "__r.step_idx", "__r.entities_reached")
     first = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -366,17 +373,23 @@ def peak_concurrency(
 
     Classic two-level prefix-sum: every interval contributes (+1 at
     start, -1 at end, end-inclusive); deltas are partitioned by the time
-    bucket and running-summed inside each bucket; the cross-bucket
-    carry-in is a cumulative sum over the per-bucket totals (an
-    aggregate-sized frame — |buckets| rows) broadcast back. Peak per
-    bucket = max(carry_in + local running sum).
+    bucket and running-summed inside each bucket; the per-bucket peaks
+    and totals collapse to |buckets| rows, and the cross-bucket carry-in
+    is a cumulative sum over that aggregate frame. The output is
+    DENSIFIED over the full [first, last] bucket span: a bucket an
+    interval covers without starting or ending in it still gets a row
+    (peak = carry_in — the concurrency is constant across it).
 
-    Scale: the corpus shuffles once (hash by bucket); the only ordered
-    single-partition pass runs over |buckets| rows, never events — the
-    same trick as a parallel prefix sum. At equal timestamps +1 sorts
-    before -1 (inclusive ends), and within a tie group the max is
-    permutation-invariant, so the per-bucket peak is deterministic.
+    Scale: the corpus shuffles once (hash by bucket) for the in-bucket
+    running sums; everything after the per-bucket groupBy — spine
+    generation, carry cumsum, final joins — runs over |buckets| rows.
+    At equal timestamps +1 sorts before -1 (inclusive ends), and within
+    a tie group the max is permutation-invariant, so peaks are
+    deterministic.
     """
+    step_s = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}[
+        bucket
+    ]
     starts = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("d")
     )
@@ -390,22 +403,35 @@ def peak_concurrency(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = deltas.withColumn("local_run", F.sum("d").over(wloc))
-    totals = deltas.groupBy("bucket").agg(F.sum("d").alias("tot"))
+    per_bucket = local.groupBy("bucket").agg(
+        F.max("local_run").alias("mx"), F.sum("d").alias("tot")
+    )
+    span = per_bucket.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {step_s} SECONDS"))
+        ).alias("bucket")
+    )
+    base = spine.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("tot"), F.lit(0)).alias("tot"),
+        F.coalesce(F.col("mx"), F.lit(0)).alias("mx"),
+    )
     # |buckets|-row frame: the unpartitioned window is aggregate-sized
     wcum = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    carry = totals.withColumn(
-        "carry_in", F.coalesce(F.sum("tot").over(wcum), F.lit(0))
-    ).select("bucket", "carry_in")
-    return (
-        local.join(F.broadcast(carry), "bucket")
-        .groupBy("bucket")
-        .agg(
-            F.max(F.col("carry_in") + F.col("local_run")).alias(
-                "peak_concurrency"
-            )
-        )
+    # the carried-in level holds from bucket start until the first delta,
+    # so it bounds the peak from below: a bucket containing only ends
+    # still peaked at carry_in before the first -1 landed
+    return base.select(
+        "bucket",
+        (
+            F.coalesce(F.sum("tot").over(wcum), F.lit(0))
+            + F.greatest(F.col("mx"), F.lit(0))
+        ).alias("peak_concurrency"),
     )
 
 
@@ -516,9 +542,24 @@ def seasonal_naive_backtest(
             .alias("actual")
         )
     )
+    # the seasonal shift is season_lag BUCKETS, so the interval unit must
+    # follow the bucket granularity (a day-bucketed series shifted by
+    # "168 HOURS" would never align with date_trunc('day') buckets)
+    units = {
+        "minute": "MINUTES",
+        "hour": "HOURS",
+        "day": "DAYS",
+        "week": "WEEKS",
+    }
+    try:
+        unit = units[bucket]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; one of {sorted(units)}"
+        ) from None
     prev = actuals.select(
         type_col,
-        (F.col("bucket") + F.expr(f"INTERVAL {season_lag} HOURS")).alias(
+        (F.col("bucket") + F.expr(f"INTERVAL {season_lag} {unit}")).alias(
             "bucket"
         ),
         F.col("actual").alias("forecast"),

@@ -266,14 +266,16 @@ def hll_intersect_estimate(
     inherent to HLL intersection and exactly the fidelity a cardinality
     probe needs.
     """
-    sa = a.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sk"))
-    sb = b.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sk"))
-    union_sk = sa.unionByName(sb).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_union")
+    # ONE aggregation per input: the union comes from the scalar
+    # hll_union over the two already-built sketches (re-aggregating the
+    # inputs for the union branch would double the corpus scans)
+    sa = a.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("ska"))
+    sb = b.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("skb"))
+    out = sa.crossJoin(sb).select(
+        F.hll_sketch_estimate("ska").alias("n_a"),
+        F.hll_sketch_estimate("skb").alias("n_b"),
+        F.hll_sketch_estimate(F.hll_union("ska", "skb")).alias("n_union"),
     )
-    na = sa.select(F.hll_sketch_estimate("sk").alias("n_a"))
-    nb = sb.select(F.hll_sketch_estimate("sk").alias("n_b"))
-    out = na.crossJoin(nb).crossJoin(union_sk)
     inter = F.greatest(
         F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)
     )

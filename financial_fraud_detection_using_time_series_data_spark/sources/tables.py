@@ -252,19 +252,25 @@ def compact_files(
     collapse upstream parallelism into the few output tasks and can't
     split large files. In-place compaction writes to a temp dir then
     swaps, so readers never see a half-written directory.
+
+    Sizing and the swap go through the Hadoop FileSystem API, so the
+    path may live on any supported filesystem (file://, hdfs://,
+    s3a://...) — a local-only pathlib walk would read 0 bytes for a
+    remote table and collapse it into a single file.
     """
     import math
-    import shutil
 
-    df = spark.read.parquet(path)
-    total = sum(
-        f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
-    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    total = fs.getContentSummary(src).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     dest = out_path or (path.rstrip("/") + "__compact_tmp")
+    df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(dest)
     if out_path is None:
-        shutil.rmtree(path)
-        shutil.move(dest, path)
+        dst = jvm.org.apache.hadoop.fs.Path(dest)
+        fs.delete(src, True)
+        fs.rename(dst, src)
     return n_files

@@ -293,45 +293,87 @@ def incremental_state_stream(
     batch path uses — streaming and batch maintenance are one code path,
     so the daily-ingest invariant (fold == recompute) carries over.
 
-    State lives as parquet under ``state_dir`` (read → merge → rewrite
-    per micro-batch; each table is aggregate-sized, so the rewrite is
-    metadata-scale). Returns the started query; call
-    ``.processAllAvailable()`` in tests.
+    The sink is IDEMPOTENT, as foreachBatch requires: each fold writes a
+    complete new state version under ``state_dir/v<batch_id>/`` while
+    reading from the version named by the ``CURRENT`` pointer, then
+    flips the pointer atomically (os.replace). A crash anywhere before
+    the flip leaves CURRENT on the old version, and the replayed batch
+    finds ``current_version >= batch_id`` only after a completed flip —
+    so a batch can never be folded twice, and readers never see a
+    half-written state. (On an object store, replace the pointer flip
+    with a conditional put.) Superseded versions are pruned best-effort
+    after the flip.
+
+    Returns the started query; call ``.processAllAvailable()`` in tests.
+    Resolve the live state with ``read_state(spark, state_dir)``.
     """
     import os
 
     from ..plans import incremental
 
+    names = ("moments", "user_sketches", "value_counts")
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        names = ("moments", "user_sketches", "value_counts")
-        paths = {n: os.path.join(state_dir, n) for n in names}
-        delta_state = incremental.init_state(
-            batch_df, key_col, ts_col, user_col, value_col
-        )
-        if all(os.path.exists(p) for p in paths.values()):
-            prev = {n: spark.read.parquet(paths[n]) for n in names}
+        cur_file = os.path.join(state_dir, "CURRENT")
+        prev_id = -1
+        if os.path.exists(cur_file):
+            with open(cur_file) as f:
+                prev_id = int(f.read().strip())
+        if prev_id >= batch_id:
+            return  # replay of an already-committed batch: no-op
+        if prev_id >= 0:
+            prev_dir = os.path.join(state_dir, f"v{prev_id}")
+            prev = {
+                n: spark.read.parquet(os.path.join(prev_dir, n))
+                for n in names
+            }
             new_state = incremental.update_state(
                 prev, batch_df, key_col, ts_col, user_col, value_col
             )
         else:
-            new_state = delta_state
-        # two-phase write: state inputs are read lazily, so writing over
-        # the directory being read would corrupt — stage then swap
-        import shutil
-
+            new_state = incremental.init_state(
+                batch_df, key_col, ts_col, user_col, value_col
+            )
+        vdir = os.path.join(state_dir, f"v{batch_id}")
         for n in names:
-            tmp = paths[n] + "__tmp"
-            new_state[n].write.mode("overwrite").parquet(tmp)
-            if os.path.exists(paths[n]):
-                shutil.rmtree(paths[n])
-            shutil.move(tmp, paths[n])
+            new_state[n].write.mode("overwrite").parquet(
+                os.path.join(vdir, n)
+            )
+        tmp = cur_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, cur_file)  # the commit point
+        if prev_id >= 0:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{prev_id}"), ignore_errors=True
+            )
+
+    import os as _os
 
     return (
         stream.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .option(
+            "checkpointLocation", _os.path.join(state_dir, "_checkpoint")
+        )
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_state(spark, state_dir: str) -> dict[str, DataFrame]:
+    """Resolve the live state version written by
+    `incremental_state_stream` (follows the CURRENT pointer)."""
+    import os
+
+    with open(os.path.join(state_dir, "CURRENT")) as f:
+        v = int(f.read().strip())
+    vdir = os.path.join(state_dir, f"v{v}")
+    return {
+        n: spark.read.parquet(os.path.join(vdir, n))
+        for n in ("moments", "user_sketches", "value_counts")
+    }

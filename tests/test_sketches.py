@@ -454,3 +454,52 @@ def test_hll_intersect_estimates(spark):
     # even identical inputs re-estimate through the union gadget, so the
     # self-jaccard carries sketch noise (~1.6% at lgk=12), not exactness
     assert abs(aa["jaccard_est"] - 1.0) < 0.05
+
+
+def test_peak_concurrency_densifies_covered_buckets(spark):
+    """A bucket an interval spans without any start/end in it must still
+    get a row; a bucket containing only an END still peaked at the
+    carried-in level before the -1 landed."""
+    iv = [(_ts("2024-01-01T10:05:00"), _ts("2024-01-01T13:10:00"))]
+    df = spark.createDataFrame(iv, ["start_ts", "end_ts"])
+    out = {
+        r["bucket"]: r["peak_concurrency"]
+        for r in events_ops.peak_concurrency(df).collect()
+    }
+    assert out == {
+        _ts("2024-01-01T10:00:00"): 1,
+        _ts("2024-01-01T11:00:00"): 1,  # covered, no deltas
+        _ts("2024-01-01T12:00:00"): 1,  # covered, no deltas
+        _ts("2024-01-01T13:00:00"): 1,  # only a -1, peak is carry-in
+    }
+
+
+def test_funnel_step_names_with_quotes_and_backslashes(spark):
+    """Step names are values, not SQL text — hostile names must work."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as ev_ops,
+    )
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "a'b"),
+        (1, _ts("2024-01-01T01:00:00"), "c\\d"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r["entities_reached"] for r in ev_ops.funnel(df, ["a'b", "c\\d"]).collect()}
+    assert out == {"a'b": 1, "c\\d": 1}
+
+
+def test_seasonal_naive_backtest_day_bucket_aligns(spark):
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(14):
+        rows.append((eid, base + dt.timedelta(days=day), 1, "t", 5.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = events_ops.seasonal_naive_backtest(
+        df, bucket="day", season_lag=7
+    ).collect()
+    assert len(out) == 1 and out[0]["n_eval"] == 7 and out[0]["mae"] == 0.0

@@ -323,21 +323,58 @@ def test_incremental_state_stream_matches_batch(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
+    from financial_fraud_detection_using_time_series_data_spark.streaming.scoring import (
+        read_state,
+    )
+
+    state = read_state(spark, state_dir)
     direct = incremental.init_state(ev)
-    got_m = {
-        r["event_type"]: r
-        for r in spark.read.parquet(os.path.join(state_dir, "moments")).collect()
-    }
+    got_m = {r["event_type"]: r for r in state["moments"].collect()}
     want_m = {r["event_type"]: r for r in direct["moments"].collect()}
     assert got_m.keys() == want_m.keys()
     for k in want_m:
         assert got_m[k]["n"] == want_m[k]["n"]
         assert abs(got_m[k]["mean"] - want_m[k]["mean"]) < 1e-9
-    got_c = {
-        r["value"]: r["n"]
-        for r in spark.read.parquet(
-            os.path.join(state_dir, "value_counts")
-        ).collect()
-    }
+    got_c = {r["value"]: r["n"] for r in state["value_counts"].collect()}
     want_c = {r["value"]: r["n"] for r in direct["value_counts"].collect()}
     assert got_c == want_c
+
+
+def test_incremental_state_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay safety: wiping the streaming checkpoint makes the
+    source replay batch ids from 0 — the version guard must turn those
+    replays into no-ops instead of double-folding the state."""
+    import shutil
+
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+    from financial_fraud_detection_using_time_series_data_spark.streaming.scoring import (
+        incremental_state_stream,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "replay_src"
+    ev.coalesce(1).write.parquet(str(src))
+    state_dir = str(tmp_path / "replay_state")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = incremental_state_stream(stream, state_dir)
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    first = {
+        r["event_type"]: r["n"]
+        for r in read_state(spark, state_dir)["moments"].collect()
+    }
+    # simulate the crash-replay: lose the checkpoint, keep the state
+    shutil.rmtree(str(tmp_path / "replay_state" / "_checkpoint"))
+    run()
+    second = {
+        r["event_type"]: r["n"]
+        for r in read_state(spark, state_dir)["moments"].collect()
+    }
+    assert first == second  # no double-fold
