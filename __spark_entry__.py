@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.functions import exprs as E
 from financial_fraud_detection_using_time_series_data_spark.operators import (
+    behavior,
     dedup,
     drift,
     evaluation,
@@ -4844,6 +4845,291 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# behavioral profiles / association / autocorrelation (beyond-reference)
+
+
+def q_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user category-mix profile: Shannon entropy, HHI, distinct
+    categories, top-category share — two chained prefix-key aggregates,
+    no windows, no second scan (log-sum identity)."""
+    ev = _events(spark, sf_dir)
+    out = behavior.category_entropy(ev, "user_id", "event_type")
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_categories",
+        E.r6("entropy").alias("entropy"),
+        E.r6("hhi").alias("hhi"),
+        E.r6("top_share").alias("top_share"),
+    )
+
+
+_CATEGORY_ENTROPY_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*)::DOUBLE AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+  sum(n)::BIGINT AS n_events,
+  count(*)::BIGINT AS n_categories,
+  {_R6.format("ln(sum(n)) - sum(n * ln(n)) / sum(n)")} AS entropy,
+  {_R6.format("sum(n * n) / (sum(n) * sum(n))")} AS hhi,
+  {_R6.format("max(n) / sum(n)")} AS top_share
+FROM c GROUP BY user_id
+"""
+
+
+def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation per user: recency vs the dataset's max
+    timestamp, frequency, exact-decimal monetary; ntile(5) per axis over
+    the |users|-sized profile frame, tie-broken by user id."""
+    ev = _events(spark, sf_dir)
+    out = behavior.rfm_segment(ev, "user_id", "ts", "value", n_tiles=5)
+    return out.select(
+        "user_id",
+        E.r6("recency_days").alias("recency_days"),
+        "frequency",
+        E.r6("monetary").alias("monetary"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        "rfm_score",
+    )
+
+
+_RFM_SQL = f"""
+WITH agg AS (
+  SELECT user_id,
+    max(epoch_us(ts)) AS last_us,
+    count(*)::BIGINT AS frequency,
+    sum(value::DECIMAL(25,2)) AS monetary_dec
+  FROM events GROUP BY user_id
+), prof AS (
+  SELECT user_id,
+    ((SELECT max(epoch_us(ts)) FROM events) // 1000000
+      - last_us // 1000000) / 86400.0 AS recency_days,
+    frequency,
+    monetary_dec
+  FROM agg
+), scored AS (
+  SELECT user_id, recency_days, frequency, monetary_dec::DOUBLE AS monetary,
+    ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+    ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+    ntile(5) OVER (ORDER BY monetary_dec ASC, user_id) AS m_score
+  FROM prof
+)
+SELECT user_id,
+  {_R6.format("recency_days")} AS recency_days,
+  frequency,
+  {_R6.format("monetary")} AS monetary,
+  r_score::INT AS r_score, f_score::INT AS f_score, m_score::INT AS m_score,
+  (r_score * 100 + f_score * 10 + m_score)::INT AS rfm_score
+FROM scored
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap profile + Goh–Barabási burstiness:
+    one exchange for the lag window, reused by the same-key groupBy."""
+    ev = _events(spark, sf_dir)
+    out = behavior.interarrival_stats(ev, "user_id", "ts", "event_id")
+    return out.select(
+        "user_id",
+        "n_gaps",
+        E.r6("mean_gap_s").alias("mean_gap_s"),
+        E.r6("std_gap_s").alias("std_gap_s"),
+        E.r6("min_gap_s").alias("min_gap_s"),
+        E.r6("max_gap_s").alias("max_gap_s"),
+        E.r6("cv").alias("cv"),
+        E.r6("burstiness").alias("burstiness"),
+    )
+
+
+_INTERARRIVAL_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts)/1000000.0
+      - lag(epoch_us(ts)/1000000.0)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), p AS (
+  SELECT user_id,
+    count(*)::BIGINT AS n_gaps,
+    avg(gap_s) AS mean_gap_s,
+    coalesce(stddev_samp(gap_s), 0.0) AS std_gap_s,
+    min(gap_s) AS min_gap_s,
+    max(gap_s) AS max_gap_s
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+  {_R6.format("mean_gap_s")} AS mean_gap_s,
+  {_R6.format("std_gap_s")} AS std_gap_s,
+  {_R6.format("min_gap_s")} AS min_gap_s,
+  {_R6.format("max_gap_s")} AS max_gap_s,
+  {_R6.format(
+    "CASE WHEN mean_gap_s != 0 THEN std_gap_s / mean_gap_s ELSE 0.0 END"
+  )} AS cv,
+  {_R6.format(
+    "CASE WHEN std_gap_s + mean_gap_s != 0 THEN "
+    "(std_gap_s - mean_gap_s) / (std_gap_s + mean_gap_s) ELSE 0.0 END"
+  )} AS burstiness
+FROM p
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and hour-of-day: one
+    contingency groupBy collapses the corpus; everything after runs on
+    the r×c cell frame. Single-row output."""
+    ev = _events(spark, sf_dir)
+    return drift.cramers_v(
+        ev.select("event_type", F.hour("ts").alias("hod")), "event_type", "hod"
+    )
+
+
+_CRAMERS_V_SQL = f"""
+WITH cells AS (
+  SELECT event_type AS a, extract(hour FROM ts)::INT AS b,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY a, b
+), m AS (
+  SELECT a, b, n,
+    sum(n) OVER (PARTITION BY a) AS ra,
+    sum(n) OVER (PARTITION BY b) AS cb,
+    sum(n) OVER () AS tot
+  FROM cells
+), s AS (
+  -- chi2 = sum o^2/e - n: zero cells (absent from the groupBy frame)
+  -- contribute 0 to the sum, so only nonzero cells are needed
+  SELECT
+    sum(n * n / (ra * cb / tot)) - max(tot) AS chi2,
+    max(tot) AS ntot,
+    count(DISTINCT a) AS r,
+    count(DISTINCT b) AS c
+  FROM m
+)
+SELECT
+  {_R6.format("sqrt(chi2 / (ntot * (least(r, c) - 1)))")} AS v,
+  {_R6.format("chi2")} AS chi2,
+  ((r - 1) * (c - 1))::INT AS dof,
+  ntot::BIGINT AS n
+FROM s
+"""
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of hourly value totals per event type at lags
+    1..6 — full-series-mean estimator, decimal-exact sums, one rollup
+    shuffle + one shared lag-window exchange."""
+    ev = _events(spark, sf_dir)
+    return drift.acf(ev, "ts", "event_type", "value", "hour", max_lag=6)
+
+
+_ACF_LAG_TERMS = ",\n    ".join(
+    f"lag(x_dec, {k}) OVER wo AS xl{k}" for k in range(1, 7)
+)
+_ACF_PAIR_SELECTS = "\n  UNION ALL\n  ".join(
+    f"SELECT event_type, dd, {k} AS lag, ((d0) * (xl{k}::DOUBLE - mean))"
+    f"::DECIMAL(38,10) AS num FROM s WHERE TRUE" for k in range(1, 7)
+)
+_ACF_SQL = f"""
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY event_type, bucket
+), s AS (
+  SELECT event_type,
+    (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt) AS mean,
+    x_dec::DOUBLE - (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt) AS d0,
+    ((x_dec::DOUBLE - (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt))
+     * (x_dec::DOUBLE - (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt))
+    )::DECIMAL(38,10) AS dd,
+    {_ACF_LAG_TERMS}
+  FROM a
+  WINDOW wt AS (PARTITION BY event_type),
+         wo AS (PARTITION BY event_type ORDER BY bucket)
+), pairs AS (
+  {_ACF_PAIR_SELECTS}
+)
+SELECT event_type, lag::INT AS lag,
+  {_R6.format("sum(num)::DOUBLE / sum(dd)::DOUBLE")} AS acf,
+  count(num)::BIGINT AS n_pairs
+FROM pairs GROUP BY event_type, lag
+"""
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-event Pearson correlation per user between value and
+    the inter-arrival gap — decimal-exact sufficient statistics over one
+    partitioned window exchange; NULL below 3 pairs / zero variance."""
+    ev = _events(spark, sf_dir)
+    out = windows.rolling_corr(
+        ev, "user_id", "ts", "event_id", "value", lookback=20, min_periods=3
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_pairs",
+        E.r6("roll_corr").alias("roll_corr"),
+    )
+
+
+_ROLLING_CORR_SQL = f"""
+WITH b AS (
+  SELECT event_id, user_id, ts, value::DOUBLE AS x,
+    epoch_us(ts)/1000000.0
+      - lag(epoch_us(ts)/1000000.0)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events
+), s AS (
+  SELECT event_id, user_id,
+    count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+      OVER w AS n,
+    (sum(CASE WHEN y IS NOT NULL THEN x::DECIMAL(25,6) END) OVER w)::DOUBLE
+      AS sx,
+    (sum(CASE WHEN x IS NOT NULL THEN y::DECIMAL(25,6) END) OVER w)::DOUBLE
+      AS sy,
+    (sum((CASE WHEN y IS NOT NULL THEN x::DECIMAL(25,6) END
+          * CASE WHEN x IS NOT NULL THEN y::DECIMAL(25,6) END)
+         ::DECIMAL(38,12)) OVER w)::DOUBLE AS sxy,
+    (sum((CASE WHEN y IS NOT NULL THEN x::DECIMAL(25,6) END
+          * CASE WHEN y IS NOT NULL THEN x::DECIMAL(25,6) END)
+         ::DECIMAL(38,12)) OVER w)::DOUBLE AS sxx,
+    (sum((CASE WHEN x IS NOT NULL THEN y::DECIMAL(25,6) END
+          * CASE WHEN x IS NOT NULL THEN y::DECIMAL(25,6) END)
+         ::DECIMAL(38,12)) OVER w)::DOUBLE AS syy
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n::BIGINT AS n_pairs,
+  {_R6.format(
+    "CASE WHEN n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN "
+    "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END"
+  )} AS roll_corr
+FROM s
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the shared-exact-amount user graph
+    (degree-capped 2..10, C(10,2)-bounded pair emission): 10 fixed
+    power-iteration rounds, no driver actions, final window
+    normalization. Rows-only: float ranks are summation-order sensitive
+    at ~1e-15, below any r6-able signal but above hash-exactness."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.pagerank(
+        ev, F.col("value"), min_degree=2, max_degree=10, n_iter=10
+    )
+    return out.select(
+        "user_id",
+        E.r6("rank").alias("rank"),
+        "rank_norm",
+        "out_degree",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -5032,6 +5318,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         # rows-only: HLL inclusion-exclusion estimates
         "hll_set_overlap": q_hll_set_overlap,
+        # behavioral profiles / association / autocorrelation
+        "category_entropy": q_category_entropy,
+        "rfm_segment": q_rfm_segment,
+        "interarrival_stats": q_interarrival_stats,
+        "cramers_v": q_cramers_v,
+        "acf": q_acf,
+        "rolling_corr": q_rolling_corr,
+        # rows-only: iterative float power method
+        "pagerank": q_pagerank,
     }
 
 
@@ -5173,4 +5468,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
         "cusum_changepoint": _CUSUM_SQL,
         # sliding_distinct / hll_set_overlap: rows-only (sketch estimates)
+        "category_entropy": _CATEGORY_ENTROPY_SQL,
+        "rfm_segment": _RFM_SQL,
+        "interarrival_stats": _INTERARRIVAL_SQL,
+        "cramers_v": _CRAMERS_V_SQL,
+        "acf": _ACF_SQL,
+        "rolling_corr": _ROLLING_CORR_SQL,
+        # pagerank: rows-only (iterative float power method)
     }

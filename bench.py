@@ -117,6 +117,13 @@ BENCH_QUERIES = [
     "incremental_state_report",
     "cusum_changepoint",
     "hll_set_overlap",
+    "category_entropy",
+    "rfm_segment",
+    "interarrival_stats",
+    "cramers_v",
+    "acf",
+    "rolling_corr",
+    "pagerank",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Per-entity behavioral profiles (beyond-reference): category-mix
+entropy/concentration, RFM segmentation, inter-arrival burstiness.
+
+The reference's engineered features are per-transaction (expanding
+windows over one user's history — ``src/features/engineer.py:72-141``);
+these operators summarize each entity's WHOLE behavior into one profile
+row — the classic account-level fraud/marketing feature set that sits
+next to the transaction-level features in a real scoring stack.
+
+Scale notes (100 TB):
+- ``category_entropy``: two chained hash aggregates on prefix keys
+  ((entity, cat) → entity). The first shuffle is the only corpus-sized
+  one and is map-side combined; the second operates on the distinct
+  (entity, cat) frame, bounded by |entities|·|cats|, shuffling on a
+  strict prefix of the first key. Entropy/HHI/top-share come from the
+  log-sum identity H = ln(N) − Σ n·ln(n)/N, so no per-entity window or
+  second pass over raw rows is ever needed.
+- ``rfm_segment``: one corpus-sized groupBy(entity); the three ntile
+  windows run over the per-entity AGGREGATE (|entities| rows), each a
+  single global sort of that reduced frame — acceptable because the
+  profile frame is orders of magnitude smaller than the corpus. For
+  |entities| too big for one sort, swap ntile for approx-quantile cut
+  points (``group_quantiles`` family) — same output contract.
+- ``interarrival_stats``: one exchange on entity for the lag window;
+  the follow-up groupBy(entity) hashes on the same key so the exchange
+  is reused (plan-pinned in tests). Output is |entities| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def category_entropy(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Category-mix concentration per entity: Shannon entropy (nats),
+    Herfindahl–Hirschman index, distinct-category count, and top-category
+    share of each entity's categorical activity distribution.
+
+    A stolen account shifts its merchant/event mix: entropy spikes when
+    activity diversifies, HHI → 1 when a fraud script hammers one
+    action. Uses H = ln(N) − (Σ n·ln n)/N so both stats fold in ONE
+    aggregation over the (entity, cat) counts — no windows, no second
+    scan.
+    """
+    counts = df.groupBy(entity_col, cat_col).agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    prof = counts.groupBy(entity_col).agg(
+        F.sum("n").alias("__tot"),
+        F.sum(n * F.log(n)).alias("__nlogn"),
+        F.sum(n * n).alias("__nsq"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.max("n").alias("__maxn"),
+    )
+    tot = F.col("__tot").cast("double")
+    return prof.select(
+        entity_col,
+        F.col("__tot").cast("long").alias("n_events"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        (F.log(tot) - F.col("__nlogn") / tot).alias("entropy"),
+        (F.col("__nsq") / (tot * tot)).alias("hhi"),
+        (F.col("__maxn").cast("double") / tot).alias("top_share"),
+    )
+
+
+def rfm_segment(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """Recency/Frequency/Monetary profile + quintile scores per entity.
+
+    Recency = days between the entity's last event and the dataset's
+    max timestamp (computed inside, broadcast as a 1-row dim, so the
+    operator is deterministic for an immutable snapshot); frequency =
+    event count; monetary = value sum. Each axis gets an ntile score
+    (1..n_tiles, 5=best: most recent, most frequent, highest spend),
+    tie-broken by entity id so the segmentation is total-order
+    deterministic. ``rfm_score`` concatenates the three digits.
+    """
+    # decimal monetary: order-invariant exact sum, so the m_score ntile
+    # sort order is deterministic even when two entities' sums tie
+    agg = df.groupBy(entity_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("monetary_dec"),
+    )
+    asof = df.agg(F.max(ts_col).alias("__asof"))
+    prof = agg.join(F.broadcast(asof)).select(
+        entity_col,
+        (
+            (F.col("__asof").cast("long") - F.col("last_ts").cast("long"))
+            / F.lit(86400.0)
+        ).alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_dec",
+    )
+    # 5 = best on every axis: most recent (smallest recency), most
+    # frequent, highest spend. Entity id breaks ties → deterministic.
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col(entity_col))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col(entity_col))
+    w_m = Window.orderBy(F.col("monetary_dec").asc(), F.col(entity_col))
+    scored = prof.select(
+        entity_col,
+        "recency_days",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_score",
+        (
+            F.col("r_score") * F.lit(100)
+            + F.col("f_score") * F.lit(10)
+            + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    *tiebreak: str,
+) -> DataFrame:
+    """Inter-arrival-time profile per entity: mean/std/min/max gap in
+    seconds plus two dimensionless regularity stats — the coefficient of
+    variation (σ/μ; 1 for a Poisson process) and the burstiness measure
+    B = (σ−μ)/(σ+μ) of Goh & Barabási (EPL 81, 2008): −1 for a perfectly
+    periodic stream, 0 for Poisson, → 1 for extreme burst-silence
+    alternation. Card-testing scripts are near-periodic (B ≪ 0); human
+    activity is bursty (B > 0) — the gap profile separates them.
+
+    Entities with fewer than 2 events have no gaps and are excluded.
+    Sample (n−1) std; single-gap entities get std 0 via coalesce so the
+    ratio stats stay defined.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *tiebreak)
+    gaps = df.select(
+        F.col(entity_col),
+        (
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    prof = gaps.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap_s"),
+        F.coalesce(F.stddev_samp("gap_s"), F.lit(0.0)).alias("std_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    mu, sd = F.col("mean_gap_s"), F.col("std_gap_s")
+    return prof.select(
+        entity_col,
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        "mean_gap_s",
+        "std_gap_s",
+        "min_gap_s",
+        "max_gap_s",
+        F.when(mu != 0.0, sd / mu).otherwise(F.lit(0.0)).alias("cv"),
+        F.when((sd + mu) != 0.0, (sd - mu) / (sd + mu))
+        .otherwise(F.lit(0.0))
+        .alias("burstiness"),
+    )

@@ -330,3 +330,135 @@ def cusum_changepoint(
             .alias("direction"),
         )
     )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns: the
+    chi-square statistic of the r×c contingency table normalized to
+    [0, 1] — V = sqrt(chi² / (n·(min(r,c)−1))). 0 = independent,
+    1 = one column determines the other. The drift family's
+    within-snapshot counterpart: `chi2_drift` compares two windows of
+    ONE column; this measures dependence BETWEEN two columns (is
+    event mix a function of hour-of-day?).
+
+    Scale shape: one map-side-combined groupBy(a, b) collapses the
+    corpus to the r·c contingency cells; marginals, the total, chi²,
+    and V all run as windows/aggregates over that tiny frame. Output
+    is a single row (v, chi2, dof, n).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exprs import r6
+
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    n_tot = F.sum("n").over(wall).cast("double")
+    e = F.sum("n").over(wa).cast("double") * F.sum("n").over(wb) / n_tot
+    # zero cells are absent from the groupBy frame; the identity
+    # chi² = Σ o²/e − n needs only NONZERO cells (o = 0 ⇒ o²/e = 0),
+    # so the empty-cell expected mass is folded in exactly without
+    # densifying the r×c grid
+    staged = cells.select(
+        "__a",
+        "__b",
+        "n",
+        (F.col("n").cast("double") * F.col("n") / e).alias("__term"),
+        n_tot.alias("__n"),
+    )
+    agg = staged.agg(
+        (F.sum("__term") - F.max("__n")).alias("__chi2"),
+        F.max("__n").alias("__ntot"),
+        F.count_distinct("__a").alias("__r"),
+        F.count_distinct("__b").alias("__c"),
+    )
+    dof_min = F.least(F.col("__r"), F.col("__c")) - F.lit(1)
+    return agg.select(
+        r6(
+            F.sqrt(F.col("__chi2") / (F.col("__ntot") * dof_min))
+        ).alias("v"),
+        r6(F.col("__chi2")).alias("chi2"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("int").alias("dof"),
+        F.col("__ntot").cast("long").alias("n"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Autocorrelation function per series: Pearson autocorrelation of
+    the time-bucketed value totals at lags 1..max_lag, the standard
+    seasonality/persistence diagnostic (a daily cycle shows as a peak at
+    lag 24 on hourly buckets; card-testing bursts as high lag-1).
+
+    Uses the classical estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+    with the FULL-series mean/variance in the denominator (not the
+    pairwise-complete variant), so r_0 ≡ 1 and |r_k| ≤ 1.
+
+    Scale shape: the corpus collapses to |types|·|buckets| decimal-exact
+    actuals in one map-side-combined shuffle; the K lag columns share
+    ONE window exchange (same partitioning), the deviation products are
+    cast to decimal BEFORE the final per-(type, lag) sum so the result
+    is summation-order invariant, and the output is |types|·K rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exprs import r6
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actuals = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    wt = Window.partitionBy(type_col)
+    word = Window.partitionBy(type_col).orderBy("bucket")
+    x = F.col("x_dec").cast("double")
+    mean = F.sum("x_dec").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    staged = actuals.select(
+        type_col,
+        (x - mean).alias("d0"),
+        *[
+            (F.lag("x_dec", k).over(word).cast("double") - mean).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    # unpivot the K lag products; decimal casts make the sums
+    # order-invariant (hash-agg fold order is nondeterministic)
+    dev_sq = (F.col("d0") * F.col("d0")).cast("decimal(38,10)")
+    pairs = staged.select(
+        type_col,
+        dev_sq.alias("dd"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("d0") * F.col(f"d{k}"))
+                        .cast("decimal(38,10)")
+                        .alias("num"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("kv"),
+    ).select(type_col, "dd", F.col("kv.lag").alias("lag"), F.col("kv.num").alias("num"))
+    out = pairs.groupBy(type_col, "lag").agg(
+        F.sum("num").alias("__num"),
+        F.sum("dd").alias("__den"),
+        F.count("num").alias("__npairs"),
+    )
+    return out.select(
+        type_col,
+        F.col("lag").cast("int").alias("lag"),
+        r6(
+            F.col("__num").cast("double") / F.col("__den").cast("double")
+        ).alias("acf"),
+        (F.col("__npairs")).cast("long").alias("n_pairs"),
+    )

@@ -683,3 +683,85 @@ def resample_interp(
         interp.alias("value_interp"),
         F.col("__v").isNotNull().cast("int").alias("has_data"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "value",
+    y_col=None,
+    lookback: int = 20,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Rolling Pearson correlation per user between two series over the
+    last ``lookback`` events — by default between the transaction value
+    and the inter-arrival gap (is this account's spend coupled to its
+    pacing? scripts are; humans mostly aren't). Pass ``y_col`` to
+    correlate any other column instead of the derived gap.
+
+    Bit-deterministic by construction: rather than the engine's
+    incremental `corr` window aggregate (whose internal co-moment
+    update order differs between engines and between sliding-window
+    strategies), the six sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are summed as DECIMALS over the rows-bounded frame —
+    order-invariant exact arithmetic — and the correlation is assembled
+    in one double-precision expression, identical in Spark and DuckDB.
+    Frames with fewer than ``min_periods`` points or zero variance in
+    either series yield NULL. One partitioned window exchange (the
+    derived-gap lag shares it); O(1) state per row beyond the frame.
+    """
+    gap = (
+        F.col(ts_col).cast("double")
+        - F.lag(F.col(ts_col).cast("double")).over(
+            Window.partitionBy(user_col).orderBy(ts_col, id_col)
+        )
+    ).alias("__y")
+    y = F.col(y_col).cast("double").alias("__y") if y_col else gap
+    base = df.select(
+        id_col,
+        user_col,
+        ts_col,
+        F.col(x_col).cast("double").alias("__x"),
+        y,
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    xd = F.col("__x").cast("decimal(25,6)")
+    yd = F.col("__y").cast("decimal(25,6)")
+    pair_n = F.count(
+        F.when(F.col("__x").isNotNull() & F.col("__y").isNotNull(), 1)
+    ).over(w)
+    # pairwise-complete: mask each element of every sum on BOTH columns
+    # being present so all six stats describe the same point set
+    xm = F.when(F.col("__y").isNotNull(), xd)
+    ym = F.when(F.col("__x").isNotNull(), yd)
+    stats = base.select(
+        id_col,
+        user_col,
+        F.col("__x").alias(x_col if x_col != id_col else "__x"),
+        pair_n.alias("__n"),
+        F.sum(xm).over(w).cast("double").alias("__sx"),
+        F.sum(ym).over(w).cast("double").alias("__sy"),
+        F.sum((xm * ym).cast("decimal(38,12)")).over(w).cast("double").alias("__sxy"),
+        F.sum((xm * xm).cast("decimal(38,12)")).over(w).cast("double").alias("__sxx"),
+        F.sum((ym * ym).cast("decimal(38,12)")).over(w).cast("double").alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when(
+        (F.col("__n") >= F.lit(min_periods)) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return stats.select(
+        id_col,
+        user_col,
+        F.col("__n").cast("long").alias("n_pairs"),
+        corr.alias("roll_corr"),
+    )

@@ -1,0 +1,234 @@
+"""Behavioral profiles, association, autocorrelation, rolling
+correlation, PageRank: semantic edge cases the SQL twins can't pin as
+sharply, plus scale-contract checks (oracle parity for the six
+oracle-backed entries lives in the attestation sweep).
+"""
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    behavior,
+    drift,
+    events,
+    windows,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ev(spark, rows):
+    """rows: (user, second_offset, event_type, value)"""
+    t0 = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=s), u, t, v)
+            for i, (u, s, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+# --- category_entropy ------------------------------------------------------
+
+
+def test_entropy_uniform_and_degenerate(spark):
+    df = _ev(
+        spark,
+        [(1, 0, "a", 1.0), (1, 1, "b", 1.0), (1, 2, "c", 1.0), (1, 3, "d", 1.0)]
+        + [(2, 0, "a", 1.0), (2, 1, "a", 1.0)],
+    )
+    out = {r.user_id: r for r in behavior.category_entropy(df).collect()}
+    # uniform over 4 cats: H = ln 4, HHI = 1/4, top share = 1/4
+    assert abs(out[1].entropy - math.log(4)) < 1e-12
+    assert abs(out[1].hhi - 0.25) < 1e-12
+    assert abs(out[1].top_share - 0.25) < 1e-12
+    assert out[1].n_categories == 4
+    # single category: H = 0, HHI = 1, top share = 1
+    assert abs(out[2].entropy - 0.0) < 1e-12
+    assert abs(out[2].hhi - 1.0) < 1e-12
+    assert out[2].top_share == 1.0
+
+
+def test_entropy_no_window_single_agg_chain(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    plan = _plan(behavior.category_entropy(load_table(spark, sf_dir, "events")))
+    assert "Window" not in plan  # log-sum identity, not a per-entity window
+
+
+# --- rfm_segment -----------------------------------------------------------
+
+
+def test_rfm_axes(spark):
+    # user 1: recent + frequent + big spender; user 2: stale singleton
+    rows = [(1, 86400 * i, "a", 100.0) for i in range(10)] + [(2, 0, "a", 1.0)]
+    out = {r.user_id: r for r in behavior.rfm_segment(_ev(spark, rows), n_tiles=2).collect()}
+    assert out[1].recency_days == 0.0
+    assert out[2].recency_days == 9.0
+    assert out[1].frequency == 10 and out[2].frequency == 1
+    assert out[1].monetary == 1000.0 and out[2].monetary == 1.0
+    assert out[1].rfm_score == 222 and out[2].rfm_score == 111
+
+
+# --- interarrival_stats ----------------------------------------------------
+
+
+def test_burstiness_periodic_vs_single_gap(spark):
+    # user 1: perfectly periodic (std 0) -> cv 0, burstiness -1
+    # user 2: one gap -> std coalesced to 0; user 3: one event -> excluded
+    rows = (
+        [(1, 10 * i, "a", 1.0) for i in range(5)]
+        + [(2, 0, "a", 1.0), (2, 7, "a", 1.0)]
+        + [(3, 0, "a", 1.0)]
+    )
+    out = {r.user_id: r for r in behavior.interarrival_stats(_ev(spark, rows)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_gaps == 4 and out[1].mean_gap_s == 10.0
+    assert out[1].std_gap_s == 0.0 and out[1].cv == 0.0
+    assert out[1].burstiness == -1.0
+    assert out[2].mean_gap_s == 7.0 and out[2].std_gap_s == 0.0
+
+
+def test_interarrival_single_exchange(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    plan = _plan(behavior.interarrival_stats(load_table(spark, sf_dir, "events")))
+    # lag window and the same-key groupBy must share one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- cramers_v -------------------------------------------------------------
+
+
+def test_cramers_v_bounds(spark):
+    # perfect association: b == a  -> V = 1
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")] * 4, "a string, b string"
+    )
+    r = drift.cramers_v(perfect, "a", "b").collect()[0]
+    assert abs(r.v - 1.0) < 1e-9
+    assert r.n == 12 and r.dof == 4
+    # independence: every (a, b) cell equally filled -> chi2 = 0, V = 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    r2 = drift.cramers_v(indep, "a", "b").collect()[0]
+    assert abs(r2.v) < 1e-9 and abs(r2.chi2) < 1e-9
+
+
+# --- acf -------------------------------------------------------------------
+
+
+def test_acf_alternating_series(spark):
+    # one event per hour, value alternating 0/10 -> acf(1) ~ -1, acf(2) ~ +1
+    rows = [(1, 3600 * i, "a", float(10 * (i % 2))) for i in range(48)]
+    out = {r.lag: r.acf for r in drift.acf(_ev(spark, rows), max_lag=3).collect()}
+    # every product is ±25, mean exactly 5: r_k = (-1)^k (48-k)/48 exactly
+    assert out[1] == pytest.approx(-47 / 48, abs=1e-6)
+    assert out[2] == pytest.approx(46 / 48, abs=1e-6)
+    assert out[3] == pytest.approx(-45 / 48, abs=1e-6)
+
+
+def test_acf_r0_normalization_bound(spark):
+    # |r_k| <= 1 for the full-series-mean estimator on any series
+    rows = [(1, 3600 * i, "a", float((i * 37) % 11)) for i in range(100)]
+    for r in drift.acf(_ev(spark, rows), max_lag=6).collect():
+        assert abs(r.acf) <= 1.0 + 1e-9
+        assert r.n_pairs == 100 - r.lag
+
+
+# --- rolling_corr ----------------------------------------------------------
+
+
+def test_rolling_corr_perfect_linear(spark):
+    # gap grows linearly and value = 2*gap -> corr exactly 1 once 3 pairs
+    rows, t = [], 0
+    for i in range(8):
+        t += 10 * (i + 1)
+        rows.append((1, t, "a", float(20 * (i + 1))))
+    out = sorted(
+        windows.rolling_corr(_ev(spark, rows), min_periods=3).collect(),
+        key=lambda r: r.event_id,
+    )
+    assert out[0].roll_corr is None and out[1].roll_corr is None
+    assert out[2].roll_corr is None  # only 2 pairs (first row has no gap)
+    for r in out[3:]:
+        assert r.roll_corr == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rolling_corr_null_on_zero_variance(spark):
+    # constant value -> zero x-variance -> NULL, never NaN/div-by-zero
+    rows = [(1, 10 * i, "a", 5.0) for i in range(6)]
+    for r in windows.rolling_corr(_ev(spark, rows), min_periods=2).collect():
+        assert r.roll_corr is None
+
+
+def test_rolling_corr_single_exchange(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    plan = _plan(windows.rolling_corr(load_table(spark, sf_dir, "events")))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+# --- pagerank --------------------------------------------------------------
+
+
+def test_pagerank_star_center_dominates(spark):
+    # attr v shared by center-and-leaf pairs: build a star via distinct
+    # shared values (center, leaf_i) so center degree = 4, leaves 1
+    rows = []
+    for i, leaf in enumerate([2, 3, 4, 5]):
+        rows.append((1, i, f"v{i}", float(i)))      # center holds attr i
+        rows.append((leaf, 100 + i, f"v{i}", float(i)))  # leaf shares it
+    df = _ev(spark, rows)
+    out = {
+        r.user_id: r
+        for r in events.pagerank(
+            df, F.col("event_type"), min_degree=2, max_degree=10, n_iter=10
+        ).collect()
+    }
+    assert out[1].out_degree == 4
+    # center outranks every leaf; ranks normalize to 1
+    for leaf in [2, 3, 4, 5]:
+        assert out[1].rank > out[leaf].rank
+    assert sum(r.rank_norm for r in out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_symmetric_pair_equal_ranks(spark):
+    df = _ev(spark, [(1, 0, "v", 1.0), (2, 1, "v", 2.0)])
+    out = events.pagerank(df, F.col("event_type"), n_iter=5).collect()
+    assert len(out) == 2
+    assert out[0].rank == pytest.approx(out[1].rank, rel=1e-12)
+    assert out[0].rank == pytest.approx(1.0, rel=1e-9)  # regular graph fixpoint
+
+
+def test_pagerank_checkpoint_cadence_invariant(spark):
+    # lineage checkpoints are a pure execution concern: ranks with the
+    # default 3-round cadence and with checkpointing disabled must be
+    # bit-identical (same plan arithmetic, same fold shapes)
+    rows = []
+    for i, leaf in enumerate([2, 3, 4, 5]):
+        rows.append((1, i, f"v{i}", float(i)))
+        rows.append((leaf, 100 + i, f"v{i}", float(i)))
+    df = _ev(spark, rows)
+    with_ckpt = {
+        r.user_id: r.rank
+        for r in events.pagerank(
+            df, F.col("event_type"), n_iter=7, checkpoint_every=3
+        ).collect()
+    }
+    no_ckpt = {
+        r.user_id: r.rank
+        for r in events.pagerank(
+            df, F.col("event_type"), n_iter=7, checkpoint_every=0
+        ).collect()
+    }
+    assert with_ckpt == no_ckpt
