@@ -5112,6 +5112,92 @@ FROM s
 """
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of transaction value within each event type:
+    rank-formula G over decimal-exact Σrx/Σx, one window exchange reused
+    by the same-key groupBy. |types| output rows."""
+    ev = _events(spark, sf_dir)
+    out = behavior.gini(ev, "event_type", "value", "event_id")
+    return out.select(
+        "event_type",
+        "n",
+        E.r6("total").alias("total"),
+        E.r6("gini").alias("gini"),
+    )
+
+
+_GINI_SQL = f"""
+WITH r AS (
+  SELECT event_type, value::DECIMAL(25,6) AS x,
+    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id)
+      AS rk
+  FROM events WHERE value >= 0
+), a AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(x) AS sx,
+    sum((rk * x)::DECIMAL(38,8)) AS srx
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n,
+  {_R6.format("sx::DOUBLE")} AS total,
+  {_R6.format(
+    "CASE WHEN sx > 0 THEN "
+    "2.0 * srx::DOUBLE / (n::DOUBLE * sx::DOUBLE) - (n + 1) / n::DOUBLE END"
+  )} AS gini
+FROM a
+"""
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention over user lifetimes (7-day churn gap,
+    right-censored at the observation boundary): corpus collapses to
+    per-user lifetimes in one groupBy; everything else is windows over
+    the ≤|days| ordered frame."""
+    ev = _events(spark, sf_dir)
+    out = behavior.survival_curve(ev, "user_id", "ts", churn_gap_days=7.0)
+    return out.select(
+        "day",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        E.r6("survival").alias("survival"),
+    )
+
+
+_SURVIVAL_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+    min(epoch_us(ts)) // 1000000 AS f_s,
+    max(epoch_us(ts)) // 1000000 AS l_s
+  FROM events GROUP BY user_id
+), life AS (
+  SELECT floor((l_s - f_s) / 86400.0) AS day,
+    CASE WHEN ((SELECT max(epoch_us(ts)) FROM events) // 1000000 - l_s)
+              > 7.0 * 86400.0
+         THEN 1 ELSE 0 END AS churned
+  FROM per
+), daily AS (
+  SELECT day, sum(churned) AS n_events, sum(1 - churned) AS n_censored,
+         count(*) AS n_day
+  FROM life GROUP BY day
+), staged AS (
+  SELECT day, n_events, n_censored,
+    sum(n_day) OVER ()
+      - coalesce(sum(n_day) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM daily
+)
+SELECT day::BIGINT AS day, n_at_risk::BIGINT AS n_at_risk,
+  n_events::BIGINT AS n_events, n_censored::BIGINT AS n_censored,
+  {_R6.format(
+    "CASE WHEN n_events < n_at_risk THEN "
+    "exp(sum(ln(1 - n_events::DOUBLE / n_at_risk)) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) ELSE 0.0 END"
+  )} AS survival
+FROM staged
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the shared-exact-amount user graph
     (degree-capped 2..10, C(10,2)-bounded pair emission): 10 fixed
@@ -5325,6 +5411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "acf": q_acf,
         "rolling_corr": q_rolling_corr,
+        "gini": q_gini,
+        "survival_curve": q_survival_curve,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -5474,5 +5562,7 @@ def oracle_sql() -> dict[str, str]:
         "cramers_v": _CRAMERS_V_SQL,
         "acf": _ACF_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,
+        "gini": _GINI_SQL,
+        "survival_curve": _SURVIVAL_SQL,
         # pagerank: rows-only (iterative float power method)
     }

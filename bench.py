@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "cramers_v",
     "acf",
     "rolling_corr",
+    "gini",
+    "survival_curve",
     "pagerank",
 ]
 

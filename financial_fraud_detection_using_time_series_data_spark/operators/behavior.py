@@ -170,3 +170,122 @@ def interarrival_stats(
         .otherwise(F.lit(0.0))
         .alias("burstiness"),
     )
+
+
+def gini(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gini concentration coefficient of ``value_col`` within each group
+    — 0 when every member contributes equally, → 1 when one member holds
+    everything. The population-level concentration counterpart of the
+    per-entity HHI in `category_entropy` (is fraud loss concentrated in
+    a few accounts? is revenue concentrated in a few customers?).
+
+    Uses the rank formulation G = (2·Σ rᵢxᵢ)/(n·Σxᵢ) − (n+1)/n over
+    values sorted ascending (rᵢ = 1..n, ties broken by ``id_col`` —
+    the formula is tie-order invariant because equal x share any rank
+    permutation's sum). One exchange for the per-group rank window; the
+    same-key groupBy reuses it. Σ rᵢxᵢ and Σxᵢ are decimal-exact so the
+    statistic is reduction-order invariant. Negative values are invalid
+    for Gini and excluded; empty/zero-sum groups yield NULL.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col))
+    ranked = df.where(F.col(value_col) >= 0).select(
+        group_col,
+        F.col(value_col).cast("decimal(25,6)").alias("__x"),
+        F.row_number().over(w).alias("__r"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum((F.col("__r") * F.col("__x")).cast("decimal(38,8)")).alias("__srx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    srx = F.col("__srx").cast("double")
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        sx.alias("total"),
+        F.when(sx > 0, F.lit(2.0) * srx / (n * sx) - (n + 1) / n).alias("gini"),
+    )
+
+
+def survival_curve(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: float = 7.0,
+) -> DataFrame:
+    """Kaplan–Meier retention curve over entity lifetimes: S(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ), the standard estimator for "what fraction of accounts
+    survive past day t" under right censoring.
+
+    Lifetime = whole days between an entity's first and last event. An
+    entity is a CHURN EVENT if its last event precedes the dataset's max
+    timestamp by more than ``churn_gap_days`` (it had the chance to act
+    again and didn't); otherwise the lifetime is CENSORED — still alive
+    at the observation boundary, so it contributes to the at-risk count
+    but not to the hazard. Ignoring censoring (the naive "fraction still
+    active" curve) biases survival down; KM is the fix.
+
+    Scale shape: one groupBy(entity) collapses the corpus to per-entity
+    lifetimes; day-level aggregation reduces that to ≤|days| rows; the
+    at-risk suffix count, the hazard, and the cumulative product (as
+    exp Σ ln(1−d/n), since no engine has a product aggregate) are all
+    windows over that tiny ordered frame. Output: one row per distinct
+    lifetime day with (n_at_risk, n_events, n_censored, survival).
+    """
+    per = df.groupBy(entity_col).agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+    )
+    end = df.agg(F.max(ts_col).alias("__end"))
+    life = per.join(F.broadcast(end)).select(
+        F.floor(
+            (F.col("__last").cast("long") - F.col("__first").cast("long"))
+            / F.lit(86400.0)
+        ).alias("day"),
+        (
+            (F.col("__end").cast("long") - F.col("__last").cast("long"))
+            > F.lit(float(churn_gap_days) * 86400.0)
+        ).cast("int").alias("churned"),
+    )
+    daily = life.groupBy("day").agg(
+        F.sum("churned").alias("n_events"),
+        F.sum(F.lit(1) - F.col("churned")).alias("n_censored"),
+        F.count(F.lit(1)).alias("__n_day"),
+    )
+    w_all = Window.partitionBy()
+    w_before = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = daily.select(
+        "day",
+        "n_events",
+        "n_censored",
+        (
+            F.sum("__n_day").over(w_all)
+            - F.coalesce(F.sum("__n_day").over(w_before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    hazard_ln = F.log(
+        F.lit(1.0)
+        - F.col("n_events").cast("double") / F.col("n_at_risk").cast("double")
+    )
+    return staged.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.when(
+            F.col("n_events") < F.col("n_at_risk"),
+            F.exp(F.sum(hazard_ln).over(w_cum)),
+        ).otherwise(F.lit(0.0)).alias("survival"),
+    )

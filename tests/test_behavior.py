@@ -232,3 +232,117 @@ def test_pagerank_checkpoint_cadence_invariant(spark):
         ).collect()
     }
     assert with_ckpt == no_ckpt
+
+
+# --- gini ------------------------------------------------------------------
+
+
+def test_gini_equal_and_concentrated(spark):
+    # equal shares -> (n-1)/(2n)... no: rank formula gives exactly 0 for
+    # equal values? G = 2*sum(r*x)/(n*sum x) - (n+1)/n with x=c:
+    # 2*c*n(n+1)/2/(n*c*n) - (n+1)/n = (n+1)/n - (n+1)/n = 0.
+    eq = _ev(spark, [(1, i, "a", 10.0) for i in range(5)])
+    r = behavior.gini(eq).collect()[0]
+    assert r.gini == pytest.approx(0.0, abs=1e-12)
+    # one member holds everything: G = (n-1)/n
+    conc = _ev(spark, [(1, 0, "a", 100.0)] + [(1, i + 1, "a", 0.0) for i in range(4)])
+    r2 = behavior.gini(conc).collect()[0]
+    assert r2.gini == pytest.approx(4 / 5, abs=1e-12)
+
+
+def test_gini_matches_numpy(spark):
+    import numpy as np
+
+    vals = [float((i * 17) % 23 + 1) for i in range(40)]
+    df = _ev(spark, [(1, i, "a", v) for i, v in enumerate(vals)])
+    got = behavior.gini(df).collect()[0].gini
+    x = np.sort(np.array(vals))
+    n = len(x)
+    expected = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert got == pytest.approx(float(expected), abs=1e-9)
+
+
+# --- numpy cross-checks ----------------------------------------------------
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    vals = [float(((i * 31) % 17) - 8) + 20.0 for i in range(60)]
+    rows = [(1, 3600 * i, "a", v) for i, v in enumerate(vals)]
+    got = {r.lag: r.acf for r in drift.acf(_ev(spark, rows), max_lag=5).collect()}
+    x = np.array(vals)
+    d = x - x.mean()
+    den = float((d * d).sum())
+    for k in range(1, 6):
+        expected = float((d[k:] * d[:-k]).sum()) / den
+        assert got[k] == pytest.approx(expected, abs=1e-6)
+
+
+def test_entropy_matches_numpy(spark):
+    import numpy as np
+
+    cats = [chr(ord("a") + ((i * 7) % 5)) for i in range(50)]
+    df = _ev(spark, [(1, i, c, 1.0) for i, c in enumerate(cats)])
+    got = behavior.category_entropy(df).collect()[0]
+    _, counts = np.unique(np.array(cats), return_counts=True)
+    p = counts / counts.sum()
+    assert got.entropy == pytest.approx(float(-(p * np.log(p)).sum()), abs=1e-12)
+    assert got.hhi == pytest.approx(float((p * p).sum()), abs=1e-12)
+
+
+# --- survival_curve --------------------------------------------------------
+
+
+def test_survival_km_known_values(spark):
+    # dataset end = day 30 (one long-lived anchor user). Users:
+    #   u1: day-0 lifetime, last event day 0  -> churned (gap 30 > 7)
+    #   u2: day-0 lifetime, last event day 25 -> censored (gap 5 <= 7)
+    #   u3: 10-day lifetime ending day 10     -> churned (gap 20 > 7)
+    #   u4 (anchor): 30-day lifetime          -> censored (gap 0)
+    day = 86400
+    rows = [
+        (1, 0, "a", 1.0),
+        (2, 25 * day, "a", 1.0),
+        (3, 0, "a", 1.0), (3, 10 * day, "a", 1.0),
+        (4, 0, "a", 1.0), (4, 30 * day, "a", 1.0),
+    ]
+    out = {r.day: r for r in behavior.survival_curve(_ev(spark, rows)).collect()}
+    # day 0: 4 at risk, 1 churn (u1), 1 censored (u2) -> S = 3/4
+    assert out[0].n_at_risk == 4 and out[0].n_events == 1 and out[0].n_censored == 1
+    assert out[0].survival == pytest.approx(0.75, abs=1e-12)
+    # day 10: u3 + u4 still at risk, u3 churns -> S = 3/4 * 1/2
+    assert out[10].n_at_risk == 2 and out[10].n_events == 1
+    assert out[10].survival == pytest.approx(0.375, abs=1e-12)
+    # day 30: only u4, censored -> hazard 0, S unchanged
+    assert out[30].n_at_risk == 1 and out[30].n_events == 0 and out[30].n_censored == 1
+    assert out[30].survival == pytest.approx(0.375, abs=1e-12)
+
+
+def test_survival_monotone_nonincreasing(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    rows = sorted(
+        behavior.survival_curve(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows, "curve must be non-empty"
+    prev = 1.0 + 1e-12
+    for r in rows:
+        assert 0.0 <= r.survival <= prev
+        prev = r.survival
+    # at-risk counts strictly decrease and end with everyone accounted for
+    assert rows[0].n_at_risk == sum(r.n_events + r.n_censored for r in rows)
+
+
+def test_survival_all_churn_hits_zero(spark):
+    # anchor user active to day 100 makes every day-0 user churned
+    day = 86400
+    rows = [(9, 0, "a", 1.0), (9, 100 * day, "a", 1.0)] + [
+        (u, 0, "a", 1.0) for u in range(1, 4)
+    ]
+    out = {r.day: r for r in behavior.survival_curve(_ev(spark, rows)).collect()}
+    assert out[0].n_events == 3 and out[0].n_censored == 0
+    assert out[0].survival == pytest.approx(0.25, abs=1e-12)
+    # final day: the lone anchor is censored at the boundary -> d < n guard
+    assert out[100].survival == pytest.approx(0.25, abs=1e-12)
