@@ -30,6 +30,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
     events as events_ops,
 )
 from financial_fraud_detection_using_time_series_data_spark.operators import (
+    finance,
+)
+from financial_fraud_detection_using_time_series_data_spark.operators import (
     sketches,
 )
 from financial_fraud_detection_using_time_series_data_spark.sources import (
@@ -5202,6 +5205,138 @@ FROM staged
 """
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick→bar compression: hourly OHLC + count + decimal-exact total
+    per event type. One shuffle; min_by/max_by on the (ts, id) struct
+    partial-aggregate map-side."""
+    ev = _events(spark, sf_dir)
+    out = finance.ohlc_bars(ev, "ts", "event_type", "value", "event_id", "hour")
+    return out.select(
+        "event_type",
+        "bucket",
+        E.r6("open").alias("open"),
+        E.r6("high").alias("high"),
+        E.r6("low").alias("low"),
+        E.r6("close").alias("close"),
+        "n",
+        E.r6("total").alias("total"),
+    )
+
+
+_OHLC_SQL = f"""
+WITH w AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+    first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                             ORDER BY ts, event_id) AS open_v,
+    last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS close_v
+  FROM events
+)
+SELECT event_type, bucket,
+  {_R6.format("max(open_v)")} AS open,
+  {_R6.format("max(value)")} AS high,
+  {_R6.format("min(value)")} AS low,
+  {_R6.format("max(close_v)")} AS close,
+  count(*)::BIGINT AS n,
+  {_R6.format("sum(value::DECIMAL(25,2))::DOUBLE")} AS total
+FROM w GROUP BY event_type, bucket
+"""
+
+
+def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly log-returns per event type + trailing 24-bucket realized
+    volatility: decimal-exact rollup, lag + rolling-std windows on the
+    |types|·|buckets| frame."""
+    ev = _events(spark, sf_dir)
+    out = finance.realized_volatility(ev, "ts", "event_type", "value", "hour", 24)
+    return out.select(
+        "event_type",
+        "bucket",
+        E.r6("total").alias("total"),
+        E.r6("log_return").alias("log_return"),
+        E.r6("realized_vol").alias("realized_vol"),
+    )
+
+
+_REALIZED_VOL_SQL = f"""
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY event_type, bucket
+), s AS (
+  SELECT event_type, bucket, x_dec::DOUBLE AS total,
+    CASE WHEN x_dec::DOUBLE > 0
+          AND (lag(x_dec) OVER wo)::DOUBLE > 0
+         THEN ln(x_dec::DOUBLE / (lag(x_dec) OVER wo)::DOUBLE) END
+      AS log_return
+  FROM a WINDOW wo AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type, bucket,
+  {_R6.format("total")} AS total,
+  {_R6.format("log_return")} AS log_return,
+  {_R6.format(
+    "CASE WHEN count(log_return) OVER wr >= 2 "
+    "THEN stddev_samp(log_return) OVER wr END"
+  )} AS realized_vol
+FROM s
+WINDOW wr AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's cumulative value curve: running
+    peak over the decimal-exact equity series, argmax trough pick.
+    |types| output rows."""
+    ev = _events(spark, sf_dir)
+    out = finance.max_drawdown(ev, "ts", "event_type", "value", "hour")
+    return out.select(
+        "event_type",
+        E.r6("max_drawdown").alias("max_drawdown"),
+        "trough_bucket",
+        E.r6("peak_value").alias("peak_value"),
+        E.r6("final_value").alias("final_value"),
+    )
+
+
+_MAX_DRAWDOWN_SQL = f"""
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY event_type, bucket
+), e AS (
+  SELECT event_type, bucket,
+    sum(x_dec) OVER wc AS eq
+  FROM a WINDOW wc AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT event_type, bucket, eq,
+    max(eq) OVER wc AS pk
+  FROM e WINDOW wc AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT event_type, bucket, eq, pk,
+    CASE WHEN pk::DOUBLE > 0 THEN 1.0 - eq::DOUBLE / pk::DOUBLE
+         ELSE 0.0 END AS dd,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY (CASE WHEN pk::DOUBLE > 0
+                                      THEN 1.0 - eq::DOUBLE / pk::DOUBLE
+                                      ELSE 0.0 END) DESC, bucket) AS rn,
+    first_value(eq) OVER (PARTITION BY event_type ORDER BY bucket DESC)
+      AS final_eq
+  FROM p
+)
+SELECT event_type,
+  {_R6.format("dd")} AS max_drawdown,
+  bucket AS trough_bucket,
+  {_R6.format("pk::DOUBLE")} AS peak_value,
+  {_R6.format("final_eq::DOUBLE")} AS final_value
+FROM d WHERE rn = 1
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the shared-exact-amount user graph
     (degree-capped 2..10, C(10,2)-bounded pair emission): 10 fixed
@@ -5417,6 +5552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "gini": q_gini,
         "survival_curve": q_survival_curve,
+        # financial time-series primitives
+        "ohlc_bars": q_ohlc_bars,
+        "realized_volatility": q_realized_volatility,
+        "max_drawdown": q_max_drawdown,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -5568,5 +5707,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr": _ROLLING_CORR_SQL,
         "gini": _GINI_SQL,
         "survival_curve": _SURVIVAL_SQL,
+        "ohlc_bars": _OHLC_SQL,
+        "realized_volatility": _REALIZED_VOL_SQL,
+        "max_drawdown": _MAX_DRAWDOWN_SQL,
         # pagerank: rows-only (iterative float power method)
     }

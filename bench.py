@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "rolling_corr",
     "gini",
     "survival_curve",
+    "ohlc_bars",
+    "realized_volatility",
+    "max_drawdown",
     "pagerank",
 ]
 

@@ -1,0 +1,181 @@
+"""Financial time-series primitives (beyond-reference): OHLC bars,
+log-returns with realized volatility, maximum drawdown.
+
+The reference models fraud over transaction time series
+(``src/features/engineer.py``); these operators summarize the same
+streams the way a market-data stack would — bar aggregation, return
+series, and path-dependent risk stats. All three collapse the corpus to
+a |series|·|buckets| rollup in ONE map-side-combined shuffle and run
+every window on the rollup frame.
+
+Scale notes (100 TB):
+- ``ohlc_bars``: pure single groupBy — open/close are `min_by`/`max_by`
+  on the (ts, id) struct, which partial-aggregates map-side like any
+  min/max, so the shuffle payload is one candidate row per (series,
+  bucket) per map task, never the raw ticks.
+- ``realized_volatility``: lag + rolling std windows partitioned by
+  series over the bucket rollup — |buckets| rows per series, one
+  exchange after the rollup shuffle.
+- ``max_drawdown``: running-peak and argmax windows over the same
+  rollup; the equity curve is decimal-exact so peaks and troughs are
+  reduction-order invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close bars per series per time bucket, plus count
+    and decimal-exact total — the canonical tick→bar compression.
+
+    Open/close are the values at the first/last (ts, id) in the bucket
+    (`min_by`/`max_by` on the composite struct — deterministic under ts
+    ties, and partially aggregatable so the shuffle carries one candidate
+    per group per map task). One shuffle total; output is
+    |series|·|buckets| rows.
+    """
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    return (
+        df.groupBy(series_col, b)
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def realized_volatility(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    vol_window: int = 24,
+) -> DataFrame:
+    """Log-return series and trailing realized volatility per series:
+    r_t = ln(x_t / x_{t−1}) over the bucketed totals, and σ_t = sample
+    std of the last ``vol_window`` returns — the standard activity-burst
+    diagnostic (card-testing shows as a volatility regime shift even
+    when levels look plausible).
+
+    Buckets with a non-positive current or previous total yield NULL
+    return (log undefined) and are skipped by the std (count-based
+    guard keeps early buckets NULL until 2 returns exist). Decimal-exact
+    rollup; one corpus shuffle + one rollup-frame exchange.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actuals = df.groupBy(series_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    word = Window.partitionBy(series_col).orderBy("bucket")
+    x = F.col("x_dec").cast("double")
+    prev = F.lag("x_dec").over(word).cast("double")
+    ret = F.when((x > 0) & (prev > 0), F.log(x / prev))
+    staged = actuals.select(series_col, "bucket", x.alias("total"), ret.alias("log_return"))
+    wroll = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(-(vol_window - 1), Window.currentRow)
+    )
+    n_ret = F.count("log_return").over(wroll)
+    return staged.select(
+        series_col,
+        "bucket",
+        "total",
+        "log_return",
+        F.when(n_ret >= 2, F.stddev_samp("log_return").over(wroll)).alias(
+            "realized_vol"
+        ),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Maximum drawdown of the cumulative value curve per series: the
+    largest peak-to-trough fraction 1 − equity/peak, with the bucket
+    where the trough lands. The path-dependent collapse signal — a
+    refund/chargeback wave shows as a drawdown long before level stats
+    move.
+
+    The equity curve is the decimal-exact running sum of bucket totals;
+    running peak, per-bucket drawdown, and the argmax pick are windows
+    over the |series|·|buckets| rollup. Returns one row per series:
+    (max_drawdown, trough_bucket, peak_value, final_value), where
+    ``peak_value`` is the running peak AS OF the trough bucket (the
+    peak the drawdown fell from); ties on drawdown pick the earliest
+    bucket, so a flat/monotone curve reports its first bucket at dd 0.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actuals = df.groupBy(series_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    wcum = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = actuals.select(
+        series_col,
+        "bucket",
+        F.sum("x_dec").over(wcum).alias("__eq"),
+    ).select(
+        series_col,
+        "bucket",
+        "__eq",
+        F.max("__eq").over(wcum).alias("__peak"),
+    )
+    dd = F.when(
+        F.col("__peak").cast("double") > 0,
+        F.lit(1.0) - F.col("__eq").cast("double") / F.col("__peak").cast("double"),
+    ).otherwise(F.lit(0.0))
+    scored = staged.select(
+        series_col,
+        "bucket",
+        "__eq",
+        "__peak",
+        dd.alias("__dd"),
+    )
+    wpick = Window.partitionBy(series_col).orderBy(
+        F.col("__dd").desc(), F.col("bucket")
+    )
+    wlast = Window.partitionBy(series_col).orderBy(F.col("bucket").desc())
+    return (
+        scored.select(
+            series_col,
+            "bucket",
+            "__dd",
+            "__peak",
+            F.row_number().over(wpick).alias("__rn"),
+            F.first("__eq").over(wlast).alias("__final"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            series_col,
+            F.col("__dd").alias("max_drawdown"),
+            F.col("bucket").alias("trough_bucket"),
+            F.col("__peak").cast("double").alias("peak_value"),
+            F.col("__final").cast("double").alias("final_value"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Financial time-series primitives: bar semantics, return/volatility
+guards, drawdown path dependence (oracle parity lives in the
+attestation sweep)."""
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+from financial_fraud_detection_using_time_series_data_spark.operators import finance
+
+
+def _ev(spark, rows):
+    """rows: (event_id, second_offset, event_type, value)"""
+    t0 = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), 1, t, v) for i, s, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_ohlc_open_close_ordering(spark):
+    # same hour, ts ties broken by event_id: open = id 0's value, close = id 3's
+    rows = [
+        (0, 10, "a", 5.0),
+        (1, 10, "a", 9.0),   # ts tie with id 0 -> still after it
+        (2, 20, "a", 1.0),
+        (3, 30, "a", 7.0),
+    ]
+    r = finance.ohlc_bars(_ev(spark, rows)).collect()[0]
+    assert r.open == 5.0 and r.close == 7.0
+    assert r.high == 9.0 and r.low == 1.0
+    assert r.n == 4 and r.total == 22.0
+
+
+def test_ohlc_buckets_split(spark):
+    rows = [(0, 0, "a", 1.0), (1, 3600, "a", 2.0), (2, 7200, "a", 3.0)]
+    out = finance.ohlc_bars(_ev(spark, rows)).collect()
+    assert len(out) == 3
+    assert all(r.open == r.close == r.high == r.low for r in out)
+
+
+def test_realized_vol_constant_growth(spark):
+    # hourly totals double every hour: log_return = ln 2 exactly, vol = 0
+    rows = [(i, 3600 * i, "a", float(2**i)) for i in range(8)]
+    out = sorted(
+        finance.realized_volatility(_ev(spark, rows)).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert out[0].log_return is None and out[0].realized_vol is None
+    assert out[1].log_return == pytest.approx(math.log(2), abs=1e-12)
+    assert out[1].realized_vol is None  # only one return so far
+    for r in out[2:]:
+        assert r.log_return == pytest.approx(math.log(2), abs=1e-12)
+        assert r.realized_vol == pytest.approx(0.0, abs=1e-12)
+
+
+def test_realized_vol_nonpositive_guard(spark):
+    # a zero-total bucket yields NULL return on both sides of the gap
+    rows = [(0, 0, "a", 4.0), (1, 3600, "a", 0.0), (2, 7200, "a", 4.0)]
+    out = sorted(
+        finance.realized_volatility(_ev(spark, rows)).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert out[1].log_return is None  # current total 0
+    assert out[2].log_return is None  # previous total 0
+
+
+def test_max_drawdown_planted_collapse(spark):
+    # equity: 10, 30, 15, 40 -> peak 30 at t1, trough 15 -> dd = 0.5
+    vals = [10.0, 20.0, -15.0, 25.0]
+    rows = [(i, 3600 * i, "a", v) for i, v in enumerate(vals)]
+    r = finance.max_drawdown(_ev(spark, rows)).collect()[0]
+    assert r.max_drawdown == pytest.approx(0.5, abs=1e-12)
+    assert r.trough_bucket == datetime(2024, 1, 1, 2)
+    assert r.peak_value == 30.0 and r.final_value == 40.0
+
+
+def test_max_drawdown_monotone_is_zero(spark):
+    rows = [(i, 3600 * i, "a", 5.0) for i in range(5)]
+    r = finance.max_drawdown(_ev(spark, rows)).collect()[0]
+    assert r.max_drawdown == 0.0
+    # every bucket has dd=0; the earliest wins the tie, and peak_value is
+    # the running peak AT the trough bucket (first bucket -> 5)
+    assert r.trough_bucket == datetime(2024, 1, 1, 0)
+    assert r.peak_value == 5.0 and r.final_value == 25.0
