@@ -3,6 +3,7 @@ from .scoring import (
     score_batch,
     build_stream_scorer,
     streaming_dedup,
+    streaming_ohlc,
     streaming_session_agg,
     streaming_velocity,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "score_batch",
     "build_stream_scorer",
     "streaming_dedup",
+    "streaming_ohlc",
     "streaming_session_agg",
     "streaming_velocity",
     "stateful_user_features",

@@ -377,3 +377,52 @@ def read_state(spark, state_dir: str) -> dict[str, DataFrame]:
         n: spark.read.parquet(os.path.join(vdir, n))
         for n in ("moments", "user_sketches", "value_counts")
     }
+
+
+def streaming_ohlc(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_dur: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming counterpart of `operators.finance.ohlc_bars`: tumbling
+    event-time bars per series with late-data tolerance = ``watermark``.
+
+    Open/close ride min/max over the (ts, id, value) struct — struct
+    ordering is lexicographic, (ts, id) is unique, so the min/max struct
+    IS the earliest/latest row and its value field is the open/close.
+    Struct min/max partial-aggregates in streaming state exactly like
+    the batch min_by (one candidate per open window per series), so
+    state size is O(open windows × series), never O(events). In
+    append mode bars emit once their window falls behind the watermark;
+    batch==stream equality over a bounded replay is test-pinned.
+    """
+    first = F.min(F.struct(ts_col, id_col, value_col))
+    last = F.max(F.struct(ts_col, id_col, value_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur).alias("__win"), F.col(series_col))
+        .agg(
+            first[value_col].alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            last[value_col].alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            series_col,
+            F.col("__win.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "total",
+        )
+    )

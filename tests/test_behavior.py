@@ -360,3 +360,35 @@ def test_gini_chunked_equals_single_window(spark):
         assert many[k].n == one[k].n
         assert many[k].total == one[k].total
         assert many[k].gini == one[k].gini  # exact, not approx
+
+
+def test_rolling_corr_matches_pandas(spark):
+    # explicit y_col (no derived gap, no NaNs): must equal pandas
+    # rolling(20, min_periods=3).corr to 1e-9 on a mixed random walk
+    import pandas as pd
+
+    xs = [float(((i * 29) % 13) - 6 + 0.25 * i) for i in range(60)]
+    ys = [float(((i * 11) % 7) * 2 - (0.1 * i) ** 2) for i in range(60)]
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=10 * i), 1, "a", xs[i], ys[i])
+            for i in range(60)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, other double",
+    )
+    got = {
+        r.event_id: r.roll_corr
+        for r in windows.rolling_corr(
+            df, y_col="other", lookback=20, min_periods=3
+        ).collect()
+    }
+    exp = (
+        pd.Series(xs).rolling(20, min_periods=3).corr(pd.Series(ys)).tolist()
+    )
+    for i in range(60):
+        if i < 2:
+            assert got[i] is None  # fewer than 3 pairs
+        else:
+            assert got[i] == pytest.approx(exp[i], abs=1e-9)

@@ -84,3 +84,47 @@ def test_max_drawdown_monotone_is_zero(spark):
     # the running peak AT the trough bucket (first bucket -> 5)
     assert r.trough_bucket == datetime(2024, 1, 1, 0)
     assert r.peak_value == 5.0 and r.final_value == 25.0
+
+
+def test_streaming_ohlc_equals_batch(spark, sf_dir, tmp_path):
+    """Replaying the events table through the file micro-batch source and
+    aggregating with streaming_ohlc (complete mode) must reproduce the
+    batch ohlc_bars frame EXACTLY — the one-plan-three-planes contract."""
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+    from financial_fraud_detection_using_time_series_data_spark.streaming import (
+        streaming_ohlc,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bars = streaming_ohlc(stream, window_dur="1 hour", watermark="1 hour")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = {
+        (r.event_type, r.bucket): (r.open, r.high, r.low, r.close, r.n, r.total)
+        for r in spark.sql("select * from ohlc_stream").collect()
+    }
+    want = {
+        (r.event_type, r.bucket): (r.open, r.high, r.low, r.close, r.n, r.total)
+        for r in finance.ohlc_bars(ev, bucket="hour").collect()
+    }
+    assert got == want  # exact equality, floats included
