@@ -5205,6 +5205,42 @@ FROM staged
 """
 
 
+def q_behavior_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily per-entity profile mart: RFM ⋈ entropy ⋈ burstiness,
+    one row per user. Every branch reduces to |users| rows before any
+    join; single-event users keep NULL pacing columns (left join)."""
+    ev = _events(spark, sf_dir)
+    out = behavior.behavior_mart(ev, "user_id", "ts", "event_type", "value", "event_id")
+    return out.select(
+        "user_id",
+        E.r6("recency_days").alias("recency_days"),
+        "frequency",
+        E.r6("monetary").alias("monetary"),
+        "rfm_score",
+        "n_categories",
+        E.r6("entropy").alias("entropy"),
+        E.r6("hhi").alias("hhi"),
+        E.r6("top_share").alias("top_share"),
+        "n_gaps",
+        E.r6("mean_gap_s").alias("mean_gap_s"),
+        E.r6("cv").alias("cv"),
+        E.r6("burstiness").alias("burstiness"),
+    )
+
+
+_BEHAVIOR_MART_SQL = f"""
+WITH ent AS ({_CATEGORY_ENTROPY_SQL}),
+rfm AS ({_RFM_SQL}),
+ia AS ({_INTERARRIVAL_SQL})
+SELECT rfm.user_id, rfm.recency_days, rfm.frequency, rfm.monetary,
+  rfm.rfm_score, ent.n_categories, ent.entropy, ent.hhi, ent.top_share,
+  ia.n_gaps, ia.mean_gap_s, ia.cv, ia.burstiness
+FROM rfm
+JOIN ent USING (user_id)
+LEFT JOIN ia USING (user_id)
+"""
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick→bar compression: hourly OHLC + count + decimal-exact total
     per event type. One shuffle; min_by/max_by on the (ts, id) struct
@@ -5552,6 +5588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "gini": q_gini,
         "survival_curve": q_survival_curve,
+        "behavior_mart": q_behavior_mart,
         # financial time-series primitives
         "ohlc_bars": q_ohlc_bars,
         "realized_volatility": q_realized_volatility,
@@ -5707,6 +5744,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr": _ROLLING_CORR_SQL,
         "gini": _GINI_SQL,
         "survival_curve": _SURVIVAL_SQL,
+        "behavior_mart": _BEHAVIOR_MART_SQL,
         "ohlc_bars": _OHLC_SQL,
         "realized_volatility": _REALIZED_VOL_SQL,
         "max_drawdown": _MAX_DRAWDOWN_SQL,

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "rolling_corr",
     "gini",
     "survival_curve",
+    "behavior_mart",
     "ohlc_bars",
     "realized_volatility",
     "max_drawdown",

@@ -325,3 +325,51 @@ def survival_curve(
             F.exp(F.sum(hazard_ln).over(w_cum)),
         ).otherwise(F.lit(0.0)).alias("survival"),
     )
+
+
+def behavior_mart(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The daily per-entity profile mart: category entropy/HHI, RFM
+    segmentation, and inter-arrival burstiness joined into ONE row per
+    entity — what a scoring stack actually materializes each day.
+
+    Composition shape: all three branches aggregate the SAME scan down
+    to |entities|-sized frames before any join, so the joins move
+    profile rows, never events. The interarrival branch's lag-window
+    exchange and the RFM branch's groupBy hash on the same entity key;
+    the entropy branch prefixes it. Inner-join on RFM (every entity has
+    ≥1 event ⇒ RFM row always exists); interarrival is left-joined
+    because single-event entities have no gaps — their burstiness
+    columns stay NULL rather than fabricating a 0 gap.
+    """
+    ent = category_entropy(df, entity_col, cat_col)
+    rfm = rfm_segment(df, entity_col, ts_col, value_col)
+    inter = interarrival_stats(df, entity_col, ts_col, id_col)
+    return (
+        rfm.join(ent, entity_col, "inner")
+        .join(inter, entity_col, "left")
+        .select(
+            entity_col,
+            # RFM axes
+            "recency_days",
+            "frequency",
+            "monetary",
+            "rfm_score",
+            # category mix
+            "n_categories",
+            "entropy",
+            "hhi",
+            "top_share",
+            # pacing
+            "n_gaps",
+            "mean_gap_s",
+            "cv",
+            "burstiness",
+        )
+    )

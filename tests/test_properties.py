@@ -398,3 +398,86 @@ def test_merge_moments_any_split_matches_direct(spark, vals, cut):
     assert abs(merged["mean"] - direct["mean"]) < 1e-6 * max(1.0, abs(direct["mean"]))
     scale = max(1.0, abs(direct["m2"]))
     assert abs(merged["m2"] - direct["m2"]) < 1e-6 * scale
+
+
+# --- round-6 behavioral family ---------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-100, max_value=1000)
+        .map(lambda v: round(v, 2)),
+        min_size=1,
+        max_size=50,
+    ),
+    n_chunks=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_gini_matches_bruteforce_any_multiset(spark, vals, n_chunks):
+    """Chunked gini == brute-force rank formula on the non-negative
+    subset, for any value multiset (ties, negatives, zeros) and any
+    chunk count."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    pdf = pd.DataFrame(
+        {"event_type": "g", "value": vals, "event_id": range(len(vals))}
+    )
+    df = spark.createDataFrame(pdf)
+    out = behavior.gini(df, "event_type", "value", "event_id", n_chunks=n_chunks).collect()
+    keep = sorted(v for v in vals if v >= 0)
+    if not keep:
+        assert out == []
+        return
+    r = out[0]
+    assert r.n == len(keep)
+    sx = sum(keep)
+    if sx <= 0:
+        assert r.gini is None
+        return
+    srx = sum((i + 1) * x for i, x in enumerate(keep))
+    expected = 2.0 * srx / (len(keep) * sx) - (len(keep) + 1) / len(keep)
+    assert abs(r.gini - expected) < 1e-9
+    assert -1e-9 <= r.gini <= 1.0
+
+
+@given(
+    lifetimes=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 40)), min_size=1, max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_survival_matches_bruteforce_km(spark, lifetimes):
+    """survival_curve == a direct python Kaplan-Meier over the same
+    per-entity (first_day, last_day) lifetimes, any censoring mix."""
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, (start, dur) in enumerate(lifetimes):
+        for d in {start, start + dur}:
+            rows.append((eid, t0 + timedelta(days=d), u, "a", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r.day: r for r in behavior.survival_curve(df, churn_gap_days=7.0).collect()}
+
+    end = max(s + d for s, d in lifetimes)
+    per = [(d, 1 if (end - (s + d)) > 7 else 0) for s, d in lifetimes]
+    days = sorted({d for d, _ in per})
+    surv, prev = {}, 1.0
+    for day in days:
+        at_risk = sum(1 for d, _ in per if d >= day)
+        events_n = sum(c for d, c in per if d == day)
+        cens = sum(1 - c for d, c in per if d == day)
+        s = 0.0 if events_n >= at_risk else prev * (1 - events_n / at_risk)
+        surv[day] = (at_risk, events_n, cens, s)
+        prev = s
+    assert set(got) == set(surv)
+    for day, (at_risk, events_n, cens, s) in surv.items():
+        r = got[day]
+        assert (r.n_at_risk, r.n_events, r.n_censored) == (at_risk, events_n, cens)
+        assert abs(r.survival - s) < 1e-9
