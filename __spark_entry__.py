@@ -5322,6 +5322,49 @@ WINDOW wr AS (PARTITION BY event_type ORDER BY bucket
 """
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average value per event type: step-function
+    integration with bucket clipping — irregular sampling weighted by
+    holding time, not by tick count."""
+    ev = _events(spark, sf_dir)
+    out = finance.twap(ev, "ts", "event_type", "value", "event_id", "hour")
+    return out.select(
+        "event_type",
+        "bucket",
+        E.r6("twap").alias("twap"),
+        "covered_s",
+    )
+
+
+_TWAP_SQL = f"""
+WITH e AS (
+  SELECT event_type, value::DECIMAL(25,6) AS x,
+    epoch_us(ts) // 1000000 AS t0,
+    coalesce(
+      lead(epoch_us(ts) // 1000000)
+        OVER (PARTITION BY event_type ORDER BY ts, event_id),
+      (SELECT max(epoch_us(ts)) // 1000000 FROM events)) AS t1
+  FROM events
+), h AS (
+  SELECT * FROM e WHERE t1 > t0
+), g AS (
+  SELECT event_type, x, t0, t1,
+    unnest(generate_series(t0 - t0 % 3600, t1 - t1 % 3600, 3600)) AS b
+  FROM h
+), o AS (
+  SELECT event_type, b,
+    sum((x * greatest(least(t1, b + 3600) - greatest(t0, b), 0))
+        ::DECIMAL(38,6)) AS wx,
+    sum(greatest(least(t1, b + 3600) - greatest(t0, b), 0)) AS w
+  FROM g GROUP BY event_type, b
+)
+SELECT event_type, to_timestamp(b) AS bucket,
+  {_R6.format("wx::DOUBLE / w::DOUBLE")} AS twap,
+  w::BIGINT AS covered_s
+FROM o WHERE w > 0
+"""
+
+
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of each type's cumulative value curve: running
     peak over the decimal-exact equity series, argmax trough pick.
@@ -5593,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": q_ohlc_bars,
         "realized_volatility": q_realized_volatility,
         "max_drawdown": q_max_drawdown,
+        "twap": q_twap,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -5748,5 +5792,6 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": _OHLC_SQL,
         "realized_volatility": _REALIZED_VOL_SQL,
         "max_drawdown": _MAX_DRAWDOWN_SQL,
+        "twap": _TWAP_SQL,
         # pagerank: rows-only (iterative float power method)
     }

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "ohlc_bars",
     "realized_volatility",
     "max_drawdown",
+    "twap",
     "pagerank",
 ]
 

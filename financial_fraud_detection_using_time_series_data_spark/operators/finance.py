@@ -179,3 +179,77 @@ def max_drawdown(
             F.col("__final").cast("double").alias("final_value"),
         )
     )
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-weighted average value per series per bucket: each
+    observation HOLDS until the series' next observation (step
+    function), and the bucket's TWAP integrates the step function over
+    the bucket — the correct "average price/level" when sampling is
+    irregular (a plain avg() over-weights bursts, which is exactly when
+    fraud happens). The last observation of a series holds until the
+    dataset's max timestamp.
+
+    Plan shape: one exchange on the series for the lead() window, then
+    each holding interval EXPLODES into the buckets it overlaps
+    (`sequence()` on the truncated endpoints — map-side, no shuffle) and
+    a groupBy(series, bucket) folds overlap-weighted decimal products.
+    Row amplification = interval span / bucket width, the same
+    densification cost as any gap-filling resample: bounded by the
+    calendar span of the data, not by |events|². Weighted sums are
+    decimal-exact (value decimal × whole-second overlap), divided once
+    at the end. Buckets before a series' first event don't exist for it
+    (no carry-in of an unknown level).
+    """
+    end = df.agg(F.max(ts_col).alias("__end"))
+    held = (
+        df.join(F.broadcast(end))
+        .select(
+            series_col,
+            F.col(value_col).cast("decimal(25,6)").alias("__x"),
+            F.col(ts_col).cast("long").alias("__t0"),
+            F.coalesce(
+                F.lead(F.col(ts_col).cast("long")).over(
+                    Window.partitionBy(series_col).orderBy(ts_col, id_col)
+                ),
+                F.col("__end").cast("long"),
+            ).alias("__t1"),
+        )
+        .where(F.col("__t1") > F.col("__t0"))
+    )
+    step = {"hour": 3600, "day": 86400, "minute": 60}[bucket]
+    # integer floor to the bucket grid (no float division of epochs)
+    b0 = F.col("__t0") - F.col("__t0") % step
+    b1 = F.col("__t1") - F.col("__t1") % step
+    exploded = held.select(
+        series_col,
+        "__x",
+        "__t0",
+        "__t1",
+        F.explode(F.sequence(b0, b1, F.lit(step))).alias("__b"),
+    )
+    overlap = F.greatest(
+        F.least(F.col("__t1"), F.col("__b") + step) - F.greatest(F.col("__t0"), F.col("__b")),
+        F.lit(0),
+    )
+    agg = (
+        exploded.groupBy(series_col, "__b")
+        .agg(
+            F.sum((F.col("__x") * overlap).cast("decimal(38,6)")).alias("__wx"),
+            F.sum(overlap).alias("__w"),
+        )
+        .where(F.col("__w") > 0)
+    )
+    return agg.select(
+        series_col,
+        F.timestamp_seconds(F.col("__b")).alias("bucket"),
+        (F.col("__wx").cast("double") / F.col("__w").cast("double")).alias("twap"),
+        F.col("__w").cast("long").alias("covered_s"),
+    )

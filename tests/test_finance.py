@@ -128,3 +128,39 @@ def test_streaming_ohlc_equals_batch(spark, sf_dir, tmp_path):
         for r in finance.ohlc_bars(ev, bucket="hour").collect()
     }
     assert got == want  # exact equality, floats included
+
+
+def test_twap_holding_weights(spark):
+    # series: value 10 held 15 min, then 20 held to the hour boundary
+    # (end = next series' max ts). TWAP = (10*900 + 20*2700)/3600 = 17.5
+    rows = [
+        (0, 0, "a", 10.0),
+        (1, 900, "a", 20.0),
+        (2, 3600, "a", 30.0),  # anchors the hour boundary; holds 0 s after
+    ]
+    out = {r.bucket: r for r in finance.twap(_ev(spark, rows)).collect()}
+    bar = out[datetime(2024, 1, 1, 0)]
+    assert bar.twap == pytest.approx((10 * 900 + 20 * 2700) / 3600, abs=1e-9)
+    assert bar.covered_s == 3600
+
+
+def test_twap_interval_spanning_buckets(spark):
+    # one value held across 3 hours: each covered bucket gets that value
+    rows = [(0, 0, "a", 7.0), (1, 3 * 3600, "a", 9.0)]
+    out = sorted(finance.twap(_ev(spark, rows)).collect(), key=lambda r: r.bucket)
+    assert len(out) == 3
+    for r in out:
+        assert r.twap == pytest.approx(7.0, abs=1e-12)
+        assert r.covered_s == 3600
+
+
+def test_twap_vs_plain_avg_burst_bias(spark):
+    # a burst of ticks at one level must NOT dominate the bucket:
+    # value 100 held 1 s (100 ticks), value 0 held the rest of the hour
+    rows = [(i, i, "a", 100.0) for i in range(100)] + [
+        (100, 100, "a", 0.0),
+        (101, 3600, "a", 1.0),
+    ]
+    r = sorted(finance.twap(_ev(spark, rows)).collect(), key=lambda x: x.bucket)[0]
+    # held: 100.0 for 100s, 0.0 for 3500s
+    assert r.twap == pytest.approx(100 * 100 / 3600, abs=1e-9)
