@@ -5358,7 +5358,10 @@ WITH e AS (
     sum(greatest(least(t1, b + 3600) - greatest(t0, b), 0)) AS w
   FROM g GROUP BY event_type, b
 )
-SELECT event_type, to_timestamp(b) AS bucket,
+SELECT event_type,
+  -- make_timestamp(us) -> naive TIMESTAMP, matching Spark's UTC session
+  -- (to_timestamp would yield TIMESTAMPTZ and trip dtype-strict compares)
+  make_timestamp(b * 1000000) AS bucket,
   {_R6.format("wx::DOUBLE / w::DOUBLE")} AS twap,
   w::BIGINT AS covered_s
 FROM o WHERE w > 0
