@@ -5155,6 +5155,46 @@ FROM a
 """
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution per event type — the shape
+    whose area deficit is the Gini. Same parallel-rank machinery as
+    gini; decile = ceil(10·rank/n), engine-neutral by construction."""
+    ev = _events(spark, sf_dir)
+    out = behavior.lorenz_deciles(ev, "event_type", "value", "event_id")
+    return out.select(
+        "event_type",
+        "decile",
+        "n_members",
+        E.r6("decile_total").alias("decile_total"),
+        E.r6("cum_share").alias("cum_share"),
+    )
+
+
+_LORENZ_SQL = f"""
+WITH r AS (
+  SELECT event_type, value::DECIMAL(25,6) AS x,
+    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id)
+      AS rk,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value >= 0
+), d AS (
+  SELECT event_type, x, ceil(10.0 * rk / n)::INT AS decile FROM r
+), p AS (
+  SELECT event_type, decile, count(*)::BIGINT AS n_members, sum(x) AS sx
+  FROM d GROUP BY event_type, decile
+)
+SELECT event_type, decile, n_members,
+  {_R6.format("sx::DOUBLE")} AS decile_total,
+  {_R6.format(
+    "CASE WHEN (sum(sx) OVER (PARTITION BY event_type))::DOUBLE > 0 THEN "
+    "(sum(sx) OVER (PARTITION BY event_type ORDER BY decile "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE "
+    "/ (sum(sx) OVER (PARTITION BY event_type))::DOUBLE END"
+  )} AS cum_share
+FROM p
+"""
+
+
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier retention over user lifetimes (7-day churn gap,
     right-censored at the observation boundary): corpus collapses to
@@ -5633,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "rolling_corr": q_rolling_corr,
         "gini": q_gini,
+        "lorenz_deciles": q_lorenz_deciles,
         "survival_curve": q_survival_curve,
         "behavior_mart": q_behavior_mart,
         # financial time-series primitives
@@ -5790,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
         "acf": _ACF_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,
         "gini": _GINI_SQL,
+        "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,
         "ohlc_bars": _OHLC_SQL,

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "acf",
     "rolling_corr",
     "gini",
+    "lorenz_deciles",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

@@ -373,3 +373,81 @@ def behavior_mart(
             "burstiness",
         )
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Lorenz curve at decile resolution per group: cumulative share of
+    total value held by the bottom 10%, 20%, ... of members — the curve
+    whose area deficit IS the Gini (`gini` reports the scalar; this
+    reports the shape, which tells you WHERE the concentration lives:
+    one whale vs a heavy top quintile).
+
+    Deciles come from the same parallel-rank decomposition as `gini`
+    (value-range chunks + exact offset fold — no one-task-per-group
+    window): member i's decile is ⌈10·rᵢ/n⌉ over ascending value rank.
+    That formula (not ntile) keeps the decile boundary a pure function
+    of (rank, n), identical in any engine. Output: one row per (group,
+    decile) with exact-decimal share sums and the cumulative share.
+    """
+    from .chunked import range_chunk
+
+    base = df.where(F.col(value_col) >= 0).select(
+        group_col,
+        F.col(value_col).alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("decimal(25,6)").alias("__x"),
+    )
+    chunked = range_chunk(base, "__v", n_chunks=n_chunks)
+    w_local = Window.partitionBy(group_col, "__chunk").orderBy("__v", "__id")
+    ranked = chunked.withColumn("__lr", F.row_number().over(w_local))
+    per_gc = ranked.groupBy(group_col, "__chunk").agg(
+        F.count(F.lit(1)).alias("__n_gc")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_gc.select(
+        group_col,
+        "__chunk",
+        F.coalesce(F.sum("__n_gc").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    globaled = (
+        ranked.join(offs, [group_col, "__chunk"])
+        .join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            "__x",
+            F.ceil(
+                F.lit(10) * (F.col("__off") + F.col("__lr")) / F.col("__n")
+            ).cast("int").alias("decile"),
+        )
+    )
+    per_d = globaled.groupBy(group_col, "decile").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("__x").alias("__sx"),
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    tot = F.sum("__sx").over(w_all).cast("double")
+    return per_d.select(
+        group_col,
+        "decile",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("__sx").cast("double").alias("decile_total"),
+        F.when(
+            tot > 0, F.sum("__sx").over(w_cum).cast("double") / tot
+        ).alias("cum_share"),
+    )

@@ -392,3 +392,41 @@ def test_rolling_corr_matches_pandas(spark):
             assert got[i] is None  # fewer than 3 pairs
         else:
             assert got[i] == pytest.approx(exp[i], abs=1e-9)
+
+
+# --- lorenz_deciles --------------------------------------------------------
+
+
+def test_lorenz_monotone_and_ends_at_one(spark):
+    vals = [float((i * 31) % 97 + 1) for i in range(200)]
+    df = _ev(spark, [(1, i, "a", v) for i, v in enumerate(vals)])
+    rows = sorted(behavior.lorenz_deciles(df).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_members for r in rows) == 200
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(shares, shares[1:]))  # monotone
+    assert shares[-1] == pytest.approx(1.0, abs=1e-12)
+    # ascending-value deciles: bottom decile holds < 10% for a non-flat dist
+    assert shares[0] < 0.1
+
+
+def test_lorenz_uniform_is_diagonal(spark):
+    # equal values: cumulative share at decile d is exactly d/10
+    df = _ev(spark, [(1, i, "a", 5.0) for i in range(100)])
+    rows = sorted(behavior.lorenz_deciles(df).collect(), key=lambda r: r.decile)
+    for r in rows:
+        assert r.cum_share == pytest.approx(r.decile / 10, abs=1e-12)
+        assert r.n_members == 10
+
+
+def test_lorenz_consistent_with_gini(spark):
+    # trapezoid-rule area under the decile Lorenz curve ~ (1 - G)/2;
+    # with only decile resolution allow a coarse tolerance
+    vals = [float((i * 17) % 50 + 1) ** 2 for i in range(300)]
+    df = _ev(spark, [(1, i, "a", v) for i, v in enumerate(vals)])
+    rows = sorted(behavior.lorenz_deciles(df).collect(), key=lambda r: r.decile)
+    g = behavior.gini(df).collect()[0].gini
+    xs = [0.0] + [r.decile / 10 for r in rows]
+    ys = [0.0] + [r.cum_share for r in rows]
+    area = sum((x1 - x0) * (y0 + y1) / 2 for x0, x1, y0, y1 in zip(xs, xs[1:], ys, ys[1:]))
+    assert abs((1 - 2 * area) - g) < 0.02
