@@ -2428,6 +2428,58 @@ GROUP BY n_name
 """
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: full-scan single groupBy over
+    lineitem with the classic derived measures (disc price, charge,
+    averages) on a shipdate predicate. Pure map-side-combined agg — the
+    canonical columnar-scan benchmark shape; every money sum is decimal-
+    exact before the final double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum((price * (F.lit(1) - disc)).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+  sum((l_extendedprice::DECIMAL(18,2)
+       * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE
+    AS sum_disc_price,
+  sum((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+       * (1 + l_tax::DECIMAL(18,2)))::DECIMAL(38,6))::DOUBLE AS sum_charge,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*) AS avg_price,
+  sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric rangeBetween frame (value-domain window, not time): for
     each event, how many of the same user's events have value within
@@ -5545,6 +5597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "revenue_by_nation": q_revenue_by_nation,
+        "pricing_summary": q_pricing_summary,
         "semi_anti_join": q_semi_anti_join,
         "resample_ffill": q_resample_ffill,
         # M8: LLM-data-pipeline (oracle-backed picks)
@@ -5799,6 +5852,7 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_join": _FULL_OUTER_SQL,
         "ntile_deciles": _NTILE_SQL,
         "revenue_by_nation": _REVENUE_NATION_SQL,
+        "pricing_summary": _PRICING_SUMMARY_SQL,
         "value_range_window": _VALUE_RANGE_SQL,
         # approx_profile: rows-only (sketches are implementation-defined)
         "window_rank_suite": _WINDOW_RANK_SQL,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "dedup_keep_first",
     "revenue_by_nation",
+    "pricing_summary",
     "window_rank_suite",
     "sequence_score",
     "chunked_expanding_sum",
