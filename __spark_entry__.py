@@ -3879,6 +3879,38 @@ FROM s
 """
 
 
+def q_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite: every contiguous view→click→purchase run per user,
+    with its time span. K−1 lead() columns over ONE per-user window
+    exchange — no self-joins, O(K) state per row."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.match_pattern(
+        ev, ["view", "click", "purchase"], "user_id", "ts", "event_type", "event_id"
+    )
+    return out.select(
+        "user_id",
+        "start_id",
+        "start_ts",
+        "end_ts",
+        E.r6("span_s").alias("span_s"),
+    )
+
+
+_MATCH_PATTERN_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts AS t0, event_type AS s0,
+    lead(event_type, 1) OVER w AS s1,
+    lead(event_type, 2) OVER w AS s2,
+    lead(ts, 2) OVER w AS tend
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_id, t0 AS start_ts, tend AS end_ts,
+  {_R6.format("epoch_us(tend)/1000000.0 - epoch_us(t0)/1000000.0")} AS span_s
+FROM s WHERE s0 = 'view' AND s1 = 'click' AND s2 = 'purchase'
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream: cohort = ISO week
     of first event; per (cohort, age) distinct-active counts normalized
@@ -5678,6 +5710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-sequence analytics (beyond-reference)
         "event_transitions": q_event_transitions,
         "funnel": q_funnel,
+        "match_pattern": q_match_pattern,
         "cohort_retention": q_cohort_retention,
         # lexical retrieval / collocation mining (beyond-reference)
         "bm25_search": q_bm25_search,
@@ -5836,6 +5869,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
         "dtype_project": _DTYPE_PROJECT_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "match_pattern": _MATCH_PATTERN_SQL,
         "funnel": _FUNNEL_SQL,
         "cohort_retention": _COHORT_SQL,
         "bm25_search": _BM25_SQL,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "dedup_clusters_lsh",
     "event_transitions",
     "funnel",
+    "match_pattern",
     "cohort_retention",
     "entity_link_degree",
     "fraud_rings",

@@ -658,3 +658,54 @@ def pagerank(
             F.col("outdeg").cast("long").alias("out_degree"),
         )
     )
+
+
+def match_pattern(
+    df: DataFrame,
+    pattern,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_span_s: float | None = None,
+) -> DataFrame:
+    """Contiguous sequence-pattern matching (MATCH_RECOGNIZE-lite): find
+    every place an entity's stream runs EXACTLY the K event types of
+    ``pattern`` back-to-back, optionally within ``max_span_s`` seconds —
+    "login, then error, then purchase, consecutively and fast" is a
+    fraud playbook signature that per-event features can't see.
+
+    Implementation: K−1 lead() columns over one per-entity window
+    exchange — no self-joins, no explosion; each input row is tested
+    once, so cost is O(K) state per row however long the stream.
+    Contiguity is strict (an intervening event of another type breaks
+    the match); use `funnel` for the non-contiguous reach semantics.
+    Returns one row per match: (entity, start id/ts, end ts, span_s).
+    """
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    cols = [
+        df[c] for c in (entity_col, id_col)
+    ] + [
+        F.col(ts_col).alias("__t0"),
+        F.col(type_col).alias("__s0"),
+    ]
+    for i in range(1, k):
+        cols.append(F.lead(type_col, i).over(w).alias(f"__s{i}"))
+    cols.append(F.lead(F.col(ts_col), k - 1).over(w).alias("__tend"))
+    staged = df.select(*cols)
+    cond = F.lit(True)
+    for i, step in enumerate(pattern):
+        cond = cond & (F.col(f"__s{i}") == F.lit(step))
+    span = F.col("__tend").cast("double") - F.col("__t0").cast("double")
+    if max_span_s is not None:
+        cond = cond & (span <= F.lit(float(max_span_s)))
+    return staged.where(cond).select(
+        entity_col,
+        F.col(id_col).alias("start_id"),
+        F.col("__t0").alias("start_ts"),
+        F.col("__tend").alias("end_ts"),
+        span.alias("span_s"),
+    )

@@ -158,3 +158,49 @@ def test_conversion_latency_censoring_and_order(spark):
     assert set(got) == {1, 2}
     assert got[1] == (True, 2 * 3600 * 1_000_000)
     assert got[2] == (False, None)
+
+
+def test_match_pattern_contiguity_and_span(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # u1: a b c contiguous (match, span 20s)
+        (0, 0, 1, "a"), (1, 10, 1, "b"), (2, 20, 1, "c"),
+        # u2: a X b c — intervening X breaks contiguity (no match)
+        (3, 0, 2, "a"), (4, 5, 2, "x"), (5, 10, 2, "b"), (6, 15, 2, "c"),
+        # u3: two overlapping matches a b c with a b c again
+        (7, 0, 3, "a"), (8, 1, 3, "b"), (9, 2, 3, "c"),
+        (10, 3, 3, "a"), (11, 4, 3, "b"), (12, 5, 3, "c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), u, ty, 1.0) for i, s, u, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = sorted(
+        events.match_pattern(df, ["a", "b", "c"]).collect(),
+        key=lambda r: r.start_id,
+    )
+    assert [(r.user_id, r.start_id, r.span_s) for r in out] == [
+        (1, 0, 20.0), (3, 7, 2.0), (3, 10, 2.0),
+    ]
+
+
+def test_match_pattern_max_span_filter(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(0, 0, 1, "a"), (1, 10, 1, "b"), (2, 2000, 1, "c")]
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), u, ty, 1.0) for i, s, u, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert events.match_pattern(df, ["a", "b", "c"], max_span_s=60).count() == 0
+    assert events.match_pattern(df, ["a", "b", "c"], max_span_s=3000).count() == 1
+
+
+def test_match_pattern_single_exchange(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    plan = _plan(events.match_pattern(load_table(spark, sf_dir, "events"), ["a", "b"]))
+    assert plan.count("Exchange hashpartitioning") == 1
