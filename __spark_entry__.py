@@ -5239,6 +5239,58 @@ FROM a
 """
 
 
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS spend trend (slope/day, intercept, R²) from
+    decimal-exact sufficient statistics; time centered on each user's
+    first event. One window exchange reused by the same-key groupBy."""
+    ev = _events(spark, sf_dir)
+    out = behavior.linear_trend(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        "n",
+        E.r6("slope_per_day").alias("slope_per_day"),
+        E.r6("intercept").alias("intercept"),
+        E.r6("r2").alias("r2"),
+    )
+
+
+_LINEAR_TREND_SQL = f"""
+WITH s AS (
+  SELECT user_id,
+    (epoch_us(ts) // 1000000
+      - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id))
+      ::DECIMAL(25,6) AS x,
+    value::DECIMAL(25,6) AS y
+  FROM events
+), a AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+    sum(x) AS sx, sum(y) AS sy,
+    sum((x * y)::DECIMAL(38,8)) AS sxy,
+    sum((x * x)::DECIMAL(38,8)) AS sxx,
+    sum((y * y)::DECIMAL(38,8)) AS syy
+  FROM s GROUP BY user_id
+), f AS (
+  SELECT user_id, n,
+    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov,
+    sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+  FROM a
+)
+SELECT user_id, n,
+  {_R6.format(
+    "CASE WHEN n >= 2 AND vx > 0 THEN cov / vx * 86400.0 END"
+  )} AS slope_per_day,
+  {_R6.format(
+    "CASE WHEN n >= 2 AND vx > 0 THEN (syd - cov / vx * sxd) / n END"
+  )} AS intercept,
+  {_R6.format(
+    "CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END"
+  )} AS r2
+FROM f
+"""
+
+
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve at decile resolution per event type — the shape
     whose area deficit is the Gini. Same parallel-rank machinery as
@@ -5759,6 +5811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "rolling_corr": q_rolling_corr,
         "gini": q_gini,
+        "linear_trend": q_linear_trend,
         "lorenz_deciles": q_lorenz_deciles,
         "survival_curve": q_survival_curve,
         "behavior_mart": q_behavior_mart,
@@ -5919,6 +5972,7 @@ def oracle_sql() -> dict[str, str]:
         "acf": _ACF_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,
         "gini": _GINI_SQL,
+        "linear_trend": _LINEAR_TREND_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "rolling_corr",
     "gini",
     "lorenz_deciles",
+    "linear_trend",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

@@ -451,3 +451,62 @@ def lorenz_deciles(
             tot > 0, F.sum("__sx").over(w_cum).cast("double") / tot
         ).alias("cum_share"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity OLS trend of value over time: slope (per day),
+    intercept (level at the entity's first event), and R² — "is this
+    account's spend drifting up, and how cleanly?" The closed-form
+    regression from sufficient statistics; no iteration, no MLlib.
+
+    Time is centered per entity (x = seconds since the entity's FIRST
+    event) so the decimal products stay small and the intercept is
+    interpretable. All six sums (n, Σx, Σy, Σxy, Σx², Σy²) fold as
+    decimals — reduction-order invariant — and the slope/R² assemble in
+    one double expression. One window exchange for the per-entity min;
+    the same-key groupBy reuses it. Entities with <2 events or zero
+    time-variance yield NULL slope/R².
+    """
+    w = Window.partitionBy(entity_col)
+    staged = df.select(
+        entity_col,
+        (
+            F.col(ts_col).cast("long") - F.min(F.col(ts_col).cast("long")).over(w)
+        ).alias("__xs"),
+        F.col(value_col).cast("decimal(25,6)").alias("__y"),
+    )
+    x = F.col("__xs").cast("decimal(25,6)")
+    agg = staged.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum((x * F.col("__y")).cast("decimal(38,8)")).alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast("decimal(38,8)")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope_s = F.when((F.col("n") >= 2) & (vx > 0), cov / vx)
+    return agg.select(
+        entity_col,
+        F.col("n").cast("long").alias("n"),
+        (slope_s * F.lit(86400.0)).alias("slope_per_day"),
+        F.when(
+            slope_s.isNotNull(), (sy - slope_s * sx) / n
+        ).alias("intercept"),
+        F.when(
+            slope_s.isNotNull() & (vy > 0), cov * cov / (vx * vy)
+        ).alias("r2"),
+    )

@@ -430,3 +430,41 @@ def test_lorenz_consistent_with_gini(spark):
     ys = [0.0] + [r.cum_share for r in rows]
     area = sum((x1 - x0) * (y0 + y1) / 2 for x0, x1, y0, y1 in zip(xs, xs[1:], ys, ys[1:]))
     assert abs((1 - 2 * area) - g) < 0.02
+
+
+# --- linear_trend ----------------------------------------------------------
+
+
+def test_linear_trend_exact_line(spark):
+    # value rises exactly 2 per day: slope_per_day = 2, intercept = first
+    # value, r2 = 1
+    day = 86400
+    rows = [(1, i * day, "a", 10.0 + 2.0 * i) for i in range(6)]
+    r = behavior.linear_trend(_ev(spark, rows)).collect()[0]
+    assert r.slope_per_day == pytest.approx(2.0, abs=1e-9)
+    assert r.intercept == pytest.approx(10.0, abs=1e-9)
+    assert r.r2 == pytest.approx(1.0, abs=1e-12)
+
+
+def test_linear_trend_guards(spark):
+    # single event and zero time-variance -> NULL slope
+    rows = [(1, 0, "a", 5.0), (2, 0, "a", 1.0), (2, 0, "a", 2.0)]
+    out = {r.user_id: r for r in behavior.linear_trend(_ev(spark, rows)).collect()}
+    assert out[1].slope_per_day is None
+    assert out[2].slope_per_day is None  # both events at the same instant
+
+
+def test_linear_trend_matches_numpy(spark):
+    import numpy as np
+
+    xs = [int(3600 * ((i * 13) % 29)) for i in range(40)]
+    ys = [float((i * 7) % 11) + 0.01 * i for i in range(40)]
+    df = _ev(spark, [(1, xs[i], "a", ys[i]) for i in range(40)])
+    r = behavior.linear_trend(df).collect()[0]
+    x = np.array(xs, dtype=float) - min(xs)
+    y = np.array(ys)
+    slope, intercept = np.polyfit(x, y, 1)
+    cc = np.corrcoef(x, y)[0, 1]
+    assert r.slope_per_day == pytest.approx(slope * 86400, rel=1e-9)
+    assert r.intercept == pytest.approx(intercept, rel=1e-9)
+    assert r.r2 == pytest.approx(cc * cc, rel=1e-9)
