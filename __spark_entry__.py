@@ -3516,6 +3516,100 @@ FROM cells, tot
 """
 
 
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified nightly monitoring report: PSI (numeric), exact KS
+    (continuous), chi-square (categorical) between the even/odd stream
+    halves, one (metric, col_name, statistic) row each. Each branch
+    reduces to 1 row before the union."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = drift.drift_report(ref, cur, "value", "event_type")
+    return out.select(
+        "metric",
+        "col_name",
+        E.r6("statistic").alias("statistic"),
+    )
+
+
+_DRIFT_REPORT_SQL = f"""
+WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
+edges AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+  FROM ref
+),
+rb AS (SELECT len(list_filter(ed.e, x -> r.value > x)) AS bin
+       FROM ref r CROSS JOIN edges ed),
+cb AS (SELECT len(list_filter(ed.e, x -> c.value > x)) AS bin
+       FROM cur c CROSS JOIN edges ed),
+rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+bins AS (SELECT range::INT AS bin FROM range(0, 10)),
+ptot AS (SELECT (SELECT count(*) FROM ref) AS tr,
+                (SELECT count(*) FROM cur) AS tc),
+psi AS (
+  SELECT sum(
+    (greatest(coalesce(cc.n_cur, 0)::DOUBLE / ptot.tc, 1e-6)
+     - greatest(coalesce(rc.n_ref, 0)::DOUBLE / ptot.tr, 1e-6))
+    * ln(greatest(coalesce(cc.n_cur, 0)::DOUBLE / ptot.tc, 1e-6)
+         / greatest(coalesce(rc.n_ref, 0)::DOUBLE / ptot.tr, 1e-6))
+  ) AS stat
+  FROM bins b LEFT JOIN rc ON b.bin = rc.bin LEFT JOIN cc ON b.bin = cc.bin
+  CROSS JOIN ptot
+),
+ktagged AS (
+  SELECT value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS c
+  FROM events
+),
+kg AS (SELECT v, sum(r)::BIGINT AS nr, sum(c)::BIGINT AS nc
+       FROM ktagged GROUP BY v),
+kcum AS (
+  SELECT sum(nr) OVER (ORDER BY v)::BIGINT AS cr,
+         sum(nc) OVER (ORDER BY v)::BIGINT AS cc2
+  FROM kg
+),
+ktot AS (SELECT sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM kg),
+ks AS (
+  SELECT max(abs(cr::DOUBLE / tr - cc2::DOUBLE / tc)) AS stat
+  FROM kcum CROSS JOIN ktot
+),
+xrc AS (
+  SELECT event_type AS cat, count(*)::BIGINT AS n_ref FROM events
+  WHERE event_id % 2 = 0 GROUP BY event_type
+),
+xcc AS (
+  SELECT event_type AS cat, count(*)::BIGINT AS n_cur FROM events
+  WHERE event_id % 2 = 1 GROUP BY event_type
+),
+xcells AS (
+  SELECT coalesce(xrc.cat, xcc.cat) AS cat,
+    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM xrc FULL OUTER JOIN xcc ON xrc.cat = xcc.cat
+),
+xtot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM xcells),
+chi AS (
+  SELECT {_R6.format(
+    "sum((n_ref - (n_ref + n_cur)::DOUBLE * tr / (tr + tc))"
+    " * (n_ref - (n_ref + n_cur)::DOUBLE * tr / (tr + tc))"
+    " / nullif((n_ref + n_cur)::DOUBLE * tr / (tr + tc), 0)"
+    " + (n_cur - (n_ref + n_cur)::DOUBLE * tc / (tr + tc))"
+    " * (n_cur - (n_ref + n_cur)::DOUBLE * tc / (tr + tc))"
+    " / nullif((n_ref + n_cur)::DOUBLE * tc / (tr + tc), 0))"
+  )} AS stat
+  FROM xcells, xtot
+)
+SELECT 'psi' AS metric, 'value' AS col_name,
+  {_R6.format("stat")} AS statistic FROM psi
+UNION ALL
+SELECT 'ks', 'value', {_R6.format("stat")} FROM ks
+UNION ALL
+SELECT 'chi2', 'event_type', {_R6.format("stat")} FROM chi
+"""
+
+
 def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration reliability bins over the heuristic score (sklearn
     calibration_curve semantics; decimal-exact probability means so the
@@ -5716,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": q_asof_join_tolerance,
         "asof_join_forward": q_asof_join_forward,
         "chi2_drift": q_chi2_drift,
+        "drift_report": q_drift_report,
         "calibration_table": q_calibration_table,
         "seasonal_adjust": q_seasonal_adjust,
         "target_encode_expanding": q_target_encode_expanding,
@@ -5901,6 +5996,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_tolerance": _ASOF_TOL_SQL,
         "asof_join_forward": _ASOF_FWD_SQL,
         "chi2_drift": _CHI2_DRIFT_SQL,
+        "drift_report": _DRIFT_REPORT_SQL,
         "calibration_table": _CALIBRATION_SQL,
         "seasonal_adjust": _SEASONAL_SQL,
         "target_encode_expanding": _TE_EXPANDING_SQL,

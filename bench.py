@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "chunked_expanding_sum",
     "psi_drift",
     "ks_drift",
+    "drift_report",
     "woe_encode",
     "benford_profile",
     "seasonal_adjust",

@@ -462,3 +462,42 @@ def acf(
         ).alias("acf"),
         (F.col("__npairs")).cast("long").alias("n_pairs"),
     )
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_col: str = "value",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """One-stop monitoring report: the three drift statistics the family
+    provides — PSI (binned numeric), exact two-sample KS (continuous),
+    and chi-square homogeneity (categorical) — computed between the same
+    reference and current windows and unioned into a uniform
+    (metric, col_name, statistic) frame. What a nightly model-monitoring
+    job actually materializes: one tiny table, one alert query.
+
+    Pure composition: each branch keeps its own scale shape (PSI's
+    decile binning, KS's chunked CDF, chi2's cell aggregation) and
+    reduces to a 1-row frame before the union — the union moves 3 rows.
+    """
+    p = (
+        psi_bins(ref, cur, numeric_col, n_bins=10)
+        .agg(F.sum("psi_term").alias("statistic"))
+        .select(
+            F.lit("psi").alias("metric"),
+            F.lit(numeric_col).alias("col_name"),
+            "statistic",
+        )
+    )
+    k = ks_statistic(ref, cur, numeric_col).select(
+        F.lit("ks").alias("metric"),
+        F.lit(numeric_col).alias("col_name"),
+        F.col("ks_stat").alias("statistic"),
+    )
+    c = chi2_drift(ref, cur, cat_col).select(
+        F.lit("chi2").alias("metric"),
+        F.lit(cat_col).alias("col_name"),
+        F.col("chi2").cast("double").alias("statistic"),
+    )
+    return p.unionByName(k).unionByName(c)

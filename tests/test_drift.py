@@ -177,3 +177,27 @@ def test_chi2_drift_detects_shift(spark):
     )
     r = chi2_drift(ref, cur, "cat").collect()[0]
     assert r.chi2 > 100  # massive shift -> far beyond any critical value
+
+
+def test_drift_report_composes_three_metrics(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    rows = {r.metric: r for r in drift.drift_report(ref, cur).collect()}
+    assert set(rows) == {"psi", "ks", "chi2"}
+    assert rows["psi"].col_name == "value" and rows["chi2"].col_name == "event_type"
+    # parity-split halves: all three statistics near zero but defined
+    for r in rows.values():
+        assert r.statistic is not None and r.statistic >= -1e-9
+    assert rows["ks"].statistic < 0.1 and rows["psi"].statistic < 0.1
+    # psi row equals the sum of the per-bin decomposition
+    psi_sum = (
+        drift.psi_bins(ref, cur, "value", n_bins=10)
+        .agg(F.sum("psi_term").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert abs(rows["psi"].statistic - psi_sum) < 1e-12
