@@ -3973,6 +3973,53 @@ FROM s
 """
 
 
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over (user, hour) baskets: which event types
+    travel together. Corpus collapses to distinct basket items first;
+    pair fan-out bounded by basket size; |types|² output."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.cooccurrence_lift(ev, "user_id", "ts", "event_type", "hour")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        E.r6("support").alias("support"),
+        E.r6("lift").alias("lift"),
+    )
+
+
+_COOCCURRENCE_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT user_id AS e, date_trunc('hour', ts) AS b,
+         event_type AS item
+  FROM events
+), sizes AS (
+  SELECT e, b, count(*) AS sz FROM items GROUP BY e, b
+), kept AS (
+  SELECT i.* FROM items i JOIN sizes s USING (e, b) WHERE s.sz <= 64
+), nb AS (
+  SELECT count(*)::BIGINT AS n FROM sizes WHERE sz <= 64
+), marg AS (
+  SELECT item, count(*)::BIGINT AS n_item FROM kept GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, x.item AS item_b, count(*)::BIGINT AS n_ab
+  FROM kept a JOIN kept x USING (e, b)
+  WHERE a.item < x.item
+  GROUP BY a.item, x.item
+)
+SELECT item_a, item_b, n_ab,
+  ma.n_item AS n_a, mb.n_item AS n_b,
+  {_R6.format("n_ab::DOUBLE / nb.n")} AS support,
+  {_R6.format("n_ab::DOUBLE * nb.n / (ma.n_item::DOUBLE * mb.n_item)")} AS lift
+FROM pairs
+JOIN marg ma ON pairs.item_a = ma.item
+JOIN marg mb ON pairs.item_b = mb.item
+CROSS JOIN nb
+"""
+
+
 def q_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-lite: every contiguous view→click→purchase run per user,
     with its time span. K−1 lead() columns over ONE per-user window
@@ -5858,6 +5905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "funnel": q_funnel,
         "match_pattern": q_match_pattern,
+        "cooccurrence_lift": q_cooccurrence_lift,
         "cohort_retention": q_cohort_retention,
         # lexical retrieval / collocation mining (beyond-reference)
         "bm25_search": q_bm25_search,
@@ -6019,6 +6067,7 @@ def oracle_sql() -> dict[str, str]:
         "dtype_project": _DTYPE_PROJECT_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "match_pattern": _MATCH_PATTERN_SQL,
+        "cooccurrence_lift": _COOCCURRENCE_SQL,
         "funnel": _FUNNEL_SQL,
         "cohort_retention": _COHORT_SQL,
         "bm25_search": _BM25_SQL,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "funnel",
     "match_pattern",
+    "cooccurrence_lift",
     "cohort_retention",
     "entity_link_degree",
     "fraud_rings",

