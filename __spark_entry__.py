@@ -3973,6 +3973,55 @@ FROM s
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys (first 5 event types per gap-session,
+    '>'-joined): sessionize exchange reused by the path fold; groupBy on
+    the path string; TakeOrdered top-n — no global sort."""
+    ev = _events(spark, sf_dir)
+    out = events_ops.session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_s=1800, max_steps=5, top_n=20,
+    )
+    return out.select(
+        "path",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        E.r6("avg_session_len").alias("avg_session_len"),
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sx AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+), stepped AS (
+  SELECT user_id, sid, event_type, ts, event_id,
+    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id)
+      AS step,
+    count(*) OVER (PARTITION BY user_id, sid) AS slen
+  FROM sx
+), paths AS (
+  SELECT user_id, sid, max(slen) AS slen,
+    string_agg(event_type, '>' ORDER BY step) AS path
+  FROM stepped WHERE step <= 5 GROUP BY user_id, sid
+), counts AS (
+  SELECT path, count(*)::BIGINT AS n_sessions,
+    avg(slen::DOUBLE) AS avg_session_len
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions,
+  {_R6.format("avg_session_len")} AS avg_session_len
+FROM counts ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift over (user, hour) baskets: which event types
     travel together. Corpus collapses to distinct basket items first;
@@ -5906,6 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "match_pattern": q_match_pattern,
         "cooccurrence_lift": q_cooccurrence_lift,
+        "session_paths": q_session_paths,
         "cohort_retention": q_cohort_retention,
         # lexical retrieval / collocation mining (beyond-reference)
         "bm25_search": q_bm25_search,
@@ -6068,6 +6118,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "match_pattern": _MATCH_PATTERN_SQL,
         "cooccurrence_lift": _COOCCURRENCE_SQL,
+        "session_paths": _SESSION_PATHS_SQL,
         "funnel": _FUNNEL_SQL,
         "cohort_retention": _COHORT_SQL,
         "bm25_search": _BM25_SQL,

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "funnel",
     "match_pattern",
     "cooccurrence_lift",
+    "session_paths",
     "cohort_retention",
     "entity_link_degree",
     "fraud_rings",

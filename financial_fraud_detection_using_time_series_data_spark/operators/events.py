@@ -779,3 +779,59 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def session_paths(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+    max_steps: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Clickstream path analysis: the ``top_n`` most common session
+    journeys, where a journey is the ordered sequence of the session's
+    first ``max_steps`` event types joined with '>' — "view>view>click>
+    purchase" vs "signup>error>error" tells you how cohorts actually
+    move, and which paths precede fraud flags.
+
+    Plan shape: gap sessionization (lag + cumsum, one entity-key
+    exchange), then the path string folds per session via a row-bounded
+    collect over the SAME exchange (truncated at ``max_steps`` — the
+    cap bounds per-session state regardless of session length), one
+    groupBy on the path string (map-side combined, cardinality ≤
+    |types|^max_steps but concentrated by Zipf in practice), and a
+    TakeOrdered top-n — no global sort.
+    """
+    from .windows import sessionize
+
+    sess = sessionize(df, entity_col, ts_col, id_col, gap_s=gap_s)
+    w = Window.partitionBy(entity_col, "session_idx").orderBy(ts_col, id_col)
+    stepped = sess.select(
+        entity_col,
+        "session_idx",
+        F.col(type_col).alias("__t"),
+        F.row_number().over(w).alias("__step"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(entity_col, "session_idx").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("session_len"),
+    ).where(F.col("__step") <= max_steps)
+    paths = stepped.groupBy(entity_col, "session_idx", "session_len").agg(
+        F.concat_ws(
+            ">", F.array_sort(F.collect_list(F.struct("__step", "__t"))).getField("__t")
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.avg(F.col("session_len").cast("double")).alias("avg_session_len"),
+    )
+    return (
+        counts.orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(top_n)
+    )

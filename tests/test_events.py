@@ -248,3 +248,40 @@ def test_cooccurrence_basket_cap_drops_whole_basket(spark):
     assert len(out) == 1
     assert (out[0].n_ab, out[0].n_a, out[0].n_b) == (1, 1, 1)
     assert out[0].lift == 1.0  # N=1 basket
+
+
+def test_session_paths_truncation_and_gap(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # u1 session 1: a,b,c,d,e,f (7 events -> path truncated to 5 steps,
+    # avg_session_len still counts all); 2h gap -> session 2: a,b
+    rows = (
+        [(i, 10 * i, 1, t) for i, t in enumerate(["a", "b", "c", "d", "e", "f", "g"])]
+        + [(10, 7200 + 10, 1, "a"), (11, 7200 + 20, 1, "b")]
+        + [(20, 0, 2, "a"), (21, 10, 2, "b")]  # u2: same a>b path
+    )
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), u, ty, 1.0) for i, s, u, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r.path: r for r in events.session_paths(df, gap_s=1800, max_steps=5).collect()}
+    assert set(out) == {"a>b>c>d>e", "a>b"}
+    assert out["a>b>c>d>e"].n_sessions == 1
+    assert out["a>b>c>d>e"].avg_session_len == 7.0  # full length, not truncated
+    assert out["a>b"].n_sessions == 2 and out["a>b"].avg_session_len == 2.0
+
+
+def test_session_paths_top_n_deterministic(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # three singleton paths tie at n=1 -> top_n=2 keeps the two smallest
+    # path strings (tie broken by path asc)
+    rows = [(0, 0, 1, "c"), (1, 0, 2, "a"), (2, 0, 3, "b")]
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s), u, ty, 1.0) for i, s, u, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = sorted(r.path for r in events.session_paths(df, top_n=2).collect())
+    assert out == ["a", "b"]
