@@ -5429,6 +5429,54 @@ FROM a
 """
 
 
+def q_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-takeover screen: events after ≥2 days of account silence,
+    with dormancy length and wake-up amount vs the pre-gap average.
+    Three frames on one entity-key exchange; output is only the
+    reactivation rows."""
+    ev = _events(spark, sf_dir)
+    out = behavior.dormancy_reactivation(
+        ev, "user_id", "ts", "event_id", "value", dormant_days=2.0
+    )
+    return out.select(
+        "user_id",
+        "reactivation_id",
+        "reactivation_ts",
+        E.r6("dormant_days").alias("dormant_days"),
+        "n_prior_events",
+        E.r6("amount").alias("amount"),
+        E.r6("prior_avg_amount").alias("prior_avg_amount"),
+        E.r6("amount_vs_prior").alias("amount_vs_prior"),
+    )
+
+
+_DORMANCY_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value::DOUBLE AS amount,
+    epoch_us(ts)/1000000.0
+      - lag(epoch_us(ts)/1000000.0) OVER w AS gap_s,
+    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS n_prior,
+    (sum(value::DECIMAL(25,2)) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::DOUBLE
+      AS prior_sum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS reactivation_id, ts AS reactivation_ts,
+  {_R6.format("gap_s / 86400.0")} AS dormant_days,
+  n_prior::BIGINT AS n_prior_events,
+  {_R6.format("amount")} AS amount,
+  {_R6.format("prior_sum / n_prior")} AS prior_avg_amount,
+  {_R6.format(
+    "CASE WHEN prior_sum / n_prior > 0 THEN amount / (prior_sum / n_prior) END"
+  )} AS amount_vs_prior
+FROM s WHERE gap_s >= 2.0 * 86400.0
+"""
+
+
 def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS spend trend (slope/day, intercept, R²) from
     decimal-exact sufficient statistics; time centered on each user's
@@ -6005,6 +6053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "gini": q_gini,
         "linear_trend": q_linear_trend,
+        "dormancy_reactivation": q_dormancy_reactivation,
         "lorenz_deciles": q_lorenz_deciles,
         "survival_curve": q_survival_curve,
         "behavior_mart": q_behavior_mart,
@@ -6169,6 +6218,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr": _ROLLING_CORR_SQL,
         "gini": _GINI_SQL,
         "linear_trend": _LINEAR_TREND_SQL,
+        "dormancy_reactivation": _DORMANCY_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

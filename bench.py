@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "gini",
     "lorenz_deciles",
     "linear_trend",
+    "dormancy_reactivation",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

@@ -510,3 +510,56 @@ def linear_trend(
             slope_s.isNotNull() & (vy > 0), cov * cov / (vx * vy)
         ).alias("r2"),
     )
+
+
+def dormancy_reactivation(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    dormant_days: float = 30.0,
+) -> DataFrame:
+    """Dormancy-reactivation events: every event that follows ≥
+    ``dormant_days`` of silence on its account, with the dormancy length,
+    how much history preceded it, and how the wake-up amount compares to
+    the account's pre-dormancy average. A long-quiet account suddenly
+    transacting — especially above its old average — is the classic
+    account-takeover signature; it is invisible to plain velocity
+    features because the rate BEFORE the gap was zero.
+
+    One entity-key window exchange carries the lag, the strictly-past
+    event count, and the decimal-exact expanding sum (for the prior
+    average) — three frames, one shuffle. Output is only the
+    reactivation rows.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    gap_s = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    staged = df.select(
+        entity_col,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("amount"),
+        gap_s.alias("__gap_s"),
+        F.count(F.lit(1)).over(past).alias("n_prior_events"),
+        F.sum(F.col(value_col).cast("decimal(25,2)"))
+        .over(past)
+        .cast("double")
+        .alias("__prior_sum"),
+    )
+    prior_avg = F.col("__prior_sum") / F.col("n_prior_events")
+    return staged.where(
+        F.col("__gap_s") >= F.lit(float(dormant_days) * 86400.0)
+    ).select(
+        entity_col,
+        F.col(id_col).alias("reactivation_id"),
+        F.col(ts_col).alias("reactivation_ts"),
+        (F.col("__gap_s") / F.lit(86400.0)).alias("dormant_days"),
+        F.col("n_prior_events").cast("long").alias("n_prior_events"),
+        "amount",
+        prior_avg.alias("prior_avg_amount"),
+        F.when(prior_avg > 0, F.col("amount") / prior_avg).alias(
+            "amount_vs_prior"
+        ),
+    )

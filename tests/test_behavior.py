@@ -468,3 +468,32 @@ def test_linear_trend_matches_numpy(spark):
     assert r.slope_per_day == pytest.approx(slope * 86400, rel=1e-9)
     assert r.intercept == pytest.approx(intercept, rel=1e-9)
     assert r.r2 == pytest.approx(cc * cc, rel=1e-9)
+
+
+# --- dormancy_reactivation ---------------------------------------------------
+
+
+def test_dormancy_reactivation_semantics(spark):
+    day = 86400
+    # u1: 3 events, then 40 days silent, wakes with a 10x amount
+    rows = [
+        (1, 0, "a", 10.0), (1, 3600, "a", 20.0), (1, 7200, "a", 30.0),
+        (1, 7200 + 40 * day, "a", 200.0),
+        # u2: steady daily activity, never dormant at 30d threshold
+        (2, 0, "a", 5.0), (2, day, "a", 5.0), (2, 2 * day, "a", 5.0),
+    ]
+    out = behavior.dormancy_reactivation(
+        _ev(spark, rows), dormant_days=30.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.n_prior_events == 3
+    assert r.dormant_days == pytest.approx(40.0, abs=1e-9)
+    assert r.prior_avg_amount == pytest.approx(20.0, abs=1e-12)
+    assert r.amount_vs_prior == pytest.approx(10.0, abs=1e-12)
+
+
+def test_dormancy_first_event_never_flags(spark):
+    # a user's first event has no gap -> excluded even with threshold 0
+    rows = [(1, 0, "a", 5.0)]
+    assert behavior.dormancy_reactivation(_ev(spark, rows), dormant_days=0.0).count() == 0
