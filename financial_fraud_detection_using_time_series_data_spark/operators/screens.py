@@ -1,0 +1,237 @@
+"""Transaction-level fraud screens (beyond-reference): structuring
+(smurfing) detection, duplicate-charge/replay detection, per-entity
+burst profiling, and Bollinger-band breakouts.
+
+The reference engineers per-transaction features and leaves detection
+entirely to the trained model (``src/features/engineer.py:72-141``,
+``src/models/``); these screens are the deterministic rule layer a
+production fraud stack runs NEXT TO the model — each one an
+oracle-checkable DataFrame op that emits only the flagged rows.
+
+Scale notes (100 TB):
+- ``structuring_screen``: one entity-key window exchange; the trailing
+  RANGE frame holds only the rows inside the time window per entity
+  (bounded state), and the conditional count/sum see only the
+  near-threshold band. Output is flagged rows only.
+- ``duplicate_transactions``: one exchange on the composite
+  (entity, amount[, type]) key — strictly finer than the entity key,
+  so skew is LOWER than any per-entity window; per-partition state is
+  a single lag.
+- ``burst_screen``: trailing range count, then a groupBy on the same
+  entity key — the exchange is reused (no second shuffle). Output is
+  |entities| rows.
+- ``bollinger_breakout``: one entity-key exchange; the trailing row
+  frame folds decimal sufficient sums (Σy, Σy² — reduction-order
+  invariant, same discipline as ``behavior.linear_trend``), and the
+  band test is one double expression. Output is flagged rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def structuring_screen(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    band_frac: float = 0.10,
+    window_hours: float = 48.0,
+    min_count: int = 3,
+) -> DataFrame:
+    """Structuring ("smurfing") screen: transactions that sit just
+    below a reporting threshold — in ``[threshold*(1-band_frac),
+    threshold)`` — where the same account has made at least
+    ``min_count`` such transactions inside the trailing
+    ``window_hours``. Splitting one large transfer into several
+    just-under-the-limit ones is the canonical AML evasion pattern; a
+    single near-limit amount is innocent, a cluster of them is not.
+
+    One entity-key RANGE window carries both the conditional count and
+    the decimal-exact conditional sum; flagged rows only.
+    """
+    lo = float(threshold) * (1.0 - float(band_frac))
+    hi = float(threshold)
+    near = (F.col(value_col) >= lo) & (F.col(value_col) < hi)
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-int(float(window_hours) * 3600.0), 0)
+    )
+    staged = df.select(
+        entity_col,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("amount"),
+        near.alias("__near"),
+        F.count(F.when(near, 1)).over(w).alias("near_count"),
+        F.sum(F.when(near, F.col(value_col).cast("decimal(25,2)")))
+        .over(w)
+        .cast("double")
+        .alias("near_sum"),
+    )
+    return staged.where(
+        F.col("__near") & (F.col("near_count") >= int(min_count))
+    ).select(
+        entity_col,
+        F.col(id_col),
+        F.col(ts_col),
+        "amount",
+        F.col("near_count").cast("long").alias("near_count"),
+        "near_sum",
+    )
+
+
+def duplicate_transactions(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    type_col: str | None = None,
+    within_days: float = 7.0,
+) -> DataFrame:
+    """Duplicate-charge / replay screen: the same account transacting
+    the exact same amount twice within ``within_days`` — the classic
+    double-charge, retried-capture, or replay signature. Each flagged
+    row pairs the repeat with the prior occurrence it duplicates and
+    the gap between them. Pass ``type_col`` to additionally require the
+    same event type.
+
+    One lag over the (entity, amount[, type]) composite key — a finer
+    partitioning than any per-entity window, so the hottest account
+    cannot concentrate a partition.
+    """
+    keys = [entity_col, value_col] + ([type_col] if type_col else [])
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    gap_s = F.col(ts_col).cast("double") - F.lag(
+        F.col(ts_col).cast("double")
+    ).over(w)
+    staged = df.select(
+        entity_col,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("amount"),
+        F.lag(F.col(id_col)).over(w).alias("prior_id"),
+        F.lag(F.col(ts_col)).over(w).alias("prior_ts"),
+        gap_s.alias("__gap_s"),
+    )
+    return staged.where(
+        F.col("__gap_s") <= F.lit(float(within_days) * 86400.0)
+    ).select(
+        entity_col,
+        F.col(id_col).alias("dup_id"),
+        F.col(ts_col).alias("dup_ts"),
+        "amount",
+        "prior_id",
+        "prior_ts",
+        (F.col("__gap_s") / F.lit(3600.0)).alias("gap_hours"),
+    )
+
+
+def burst_screen(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    window_minutes: float = 60.0,
+) -> DataFrame:
+    """Per-entity burst profile: the peak number of events any trailing
+    ``window_minutes`` window ever held, against the account's average
+    hourly rate over its active lifespan. ``burstiness`` (peak ÷ mean
+    rate per window) separates "steady heavy user" from "bot-like
+    burst then silence" — both look identical to a total-count feature.
+
+    The trailing RANGE count and the entity groupBy hash on the same
+    key, so the corpus is exchanged once. Output is |entities| rows;
+    entities active for less than one window get NULL rate/burstiness
+    rather than an inflated one.
+    """
+    win_s = float(window_minutes) * 60.0
+    epoch = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(epoch)
+        .rangeBetween(-int(win_s), 0)
+    )
+    staged = df.select(
+        entity_col,
+        epoch.alias("__es"),
+        F.count(F.lit(1)).over(w).alias("__c"),
+    )
+    agg = staged.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__c").alias("peak_in_window"),
+        (F.max("__es") - F.min("__es")).alias("__span_s"),
+    )
+    windows_spanned = F.col("__span_s").cast("double") / F.lit(win_s)
+    mean_per_window = F.when(
+        windows_spanned >= 1.0, F.col("n_events") / windows_spanned
+    )
+    return agg.select(
+        entity_col,
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("peak_in_window").cast("long").alias("peak_in_window"),
+        (F.col("__span_s").cast("double") / 86400.0).alias("active_days"),
+        mean_per_window.alias("mean_per_window"),
+        (F.col("peak_in_window") / mean_per_window).alias("burstiness"),
+    )
+
+
+def bollinger_breakout(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n: int = 20,
+    k: float = 2.0,
+    min_periods: int = 10,
+) -> DataFrame:
+    """Bollinger-band breakout screen: events whose amount falls more
+    than ``k`` sample standard deviations outside the mean of the
+    account's PRIOR ``n`` amounts (at least ``min_periods`` of history
+    required). The strictly-past frame makes it a true online screen —
+    the current amount never dilutes the band it is judged against.
+
+    Mean and variance assemble from decimal Σy / Σy² folded over the
+    row frame (reduction-order invariant); one entity-key exchange;
+    flagged rows only.
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-int(n), -1)
+    )
+    y = F.col(value_col).cast("decimal(25,6)")
+    staged = df.select(
+        entity_col,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("amount"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum(y).over(w).cast("double").alias("__sy"),
+        F.sum((y * y).cast("decimal(38,8)")).over(w).cast("double").alias("__syy"),
+    )
+    np_ = F.col("n_prior").cast("double")
+    mean = F.col("__sy") / np_
+    var = (F.col("__syy") - F.col("__sy") * F.col("__sy") / np_) / (np_ - 1.0)
+    std = F.sqrt(var)
+    dev = (F.col("amount") - mean) / std
+    return staged.where(
+        (F.col("n_prior") >= int(min_periods))
+        & (var > 0)
+        & (F.abs((F.col("amount") - mean) / F.sqrt(var)) > float(k))
+    ).select(
+        entity_col,
+        F.col(id_col),
+        F.col(ts_col),
+        "amount",
+        F.col("n_prior").cast("long").alias("n_prior"),
+        mean.alias("band_mean"),
+        std.alias("band_std"),
+        dev.alias("deviations"),
+    )
