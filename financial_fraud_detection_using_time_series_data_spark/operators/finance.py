@@ -253,3 +253,61 @@ def twap(
         (F.col("__wx").cast("double") / F.col("__w").cast("double")).alias("twap"),
         F.col("__w").cast("long").alias("covered_s"),
     )
+
+
+def reconcile_totals(
+    detail: DataFrame,
+    header: DataFrame,
+    detail_key: str,
+    header_key: str,
+    detail_amount,
+    header_amount: str,
+    rel_tolerance: float = 0.0,
+) -> DataFrame:
+    """Detail-vs-header reconciliation: fold the detail table's amounts
+    per key (decimal-exact, reduction-order invariant), join the header
+    total, and emit every key whose relative discrepancy exceeds
+    ``rel_tolerance`` — plus keys missing from either side, which a
+    naive inner-join reconciliation silently swallows. The close-of-day
+    control every ledger pipeline runs: "do the line items still add up
+    to the invoices?"
+
+    ``detail_amount`` may be a Column expression (e.g. price net of
+    discount); it is cast to decimal(38,4) before the fold — four
+    decimal places so a 2dp-price × 2dp-rate product folds EXACTLY
+    (rounding each line to cents first would tie-break differently
+    across engines: Spark rounds half-up, DuckDB half-even). One
+    map-side-combined groupBy on the detail key and one full-outer join
+    on the same key — at 100 TB the join co-partitions with the groupBy
+    output, and the header side shuffles once on its own key.
+    """
+    d = (
+        detail.groupBy(F.col(detail_key).alias("key"))
+        .agg(
+            F.sum(detail_amount.cast("decimal(38,4)")).alias("detail_total"),
+            F.count(F.lit(1)).alias("n_detail_rows"),
+        )
+    )
+    h = header.select(
+        F.col(header_key).alias("key"),
+        F.col(header_amount).cast("decimal(25,2)").alias("header_total"),
+    )
+    j = d.join(h, "key", "full_outer")
+    delta = F.col("header_total").cast("double") - F.col(
+        "detail_total"
+    ).cast("double")
+    rel = delta / F.abs(F.col("header_total").cast("double"))
+    status = (
+        F.when(F.col("detail_total").isNull(), F.lit("missing_detail"))
+        .when(F.col("header_total").isNull(), F.lit("missing_header"))
+        .when(F.abs(rel) > float(rel_tolerance), F.lit("mismatch"))
+    )
+    return j.where(status.isNotNull()).select(
+        "key",
+        F.col("n_detail_rows").cast("long").alias("n_detail_rows"),
+        F.col("detail_total").cast("double").alias("detail_total"),
+        F.col("header_total").cast("double").alias("header_total"),
+        delta.alias("delta"),
+        rel.alias("rel_delta"),
+        status.alias("status"),
+    )
