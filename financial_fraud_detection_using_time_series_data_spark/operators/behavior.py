@@ -563,3 +563,42 @@ def dormancy_reactivation(
             "amount_vs_prior"
         ),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Consecutive-day activity streaks per entity (the SQL
+    islands-and-gaps problem): longest run of back-to-back active days,
+    number of distinct runs, and total active days. Unbroken daily
+    cadence is a strong bot/automation signature on accounts that
+    humans operate in bursts; the longest-streak feature separates the
+    two where total counts cannot.
+
+    The island trick: with active days deduplicated and ranked per
+    entity, ``epoch_day − row_number`` is constant within a consecutive
+    run. One corpus-sized distinct on (entity, day); the rank window and
+    both follow-up groupBys hash on the entity key, so the distinct's
+    exchange is reused end-to-end.
+    """
+    days = df.select(
+        entity_col,
+        F.date_trunc("day", F.col(ts_col)).cast("long").alias("__d"),
+    ).distinct()
+    w = Window.partitionBy(entity_col).orderBy("__d")
+    grouped = days.select(
+        entity_col,
+        (
+            (F.col("__d") / 86400).cast("long") - F.row_number().over(w)
+        ).alias("__island"),
+    )
+    streaks = grouped.groupBy(entity_col, "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return streaks.groupBy(entity_col).agg(
+        F.max("__len").cast("long").alias("longest_streak_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("__len").cast("long").alias("total_active_days"),
+    )

@@ -16,7 +16,7 @@ n_bins rows. No windows, no big joins — two scans total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -501,3 +501,72 @@ def drift_report(
         F.col("chi2").cast("double").alias("statistic"),
     )
     return p.unionByName(k).unionByName(c)
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "day",
+    k: float = 3.5,
+) -> DataFrame:
+    """Pipeline-health screen: per-``bucket`` row volumes with a robust
+    (median/MAD) z-score and an anomaly flag at ``|z| > k``. A feed that
+    silently drops to half volume — or doubles because an upstream
+    producer started double-writing — poisons every downstream feature;
+    this is the one-table audit a scheduler alerts on. Median/MAD rather
+    than mean/std so the anomalous days themselves cannot drag the
+    baseline toward them (3.5 is the Iglewicz-Hoaglin convention).
+
+    One corpus-sized groupBy reduces to |buckets| rows; the two median
+    aggregates and the final flag all run on that tiny frame via
+    broadcast 1-row joins — no collect, no second corpus pass.
+    """
+    counts = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    med = counts.agg(F.median("n_rows").alias("med"))
+    with_med = counts.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("n_rows") - F.col("med"))).alias("mad")
+    )
+    staged = with_med.crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("n_rows") - F.col("med")) / F.col("mad"),
+    )
+    return staged.select(
+        "bucket_ts",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("med").cast("double").alias("baseline_median"),
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > float(k), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def new_entity_rate(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Feed-health twin to ``volume_anomaly``: per-``bucket`` count of
+    FIRST-SEEN entities plus the cumulative entity base. A fraud feed
+    that suddenly mints twice as many new account ids is either under a
+    signup attack or double-writing upstream — and total volume can look
+    perfectly normal while it happens.
+
+    One map-side-combined groupBy(entity) reduces the corpus to one
+    min-timestamp row per entity; the bucket count and the running
+    cumulative run on the |buckets| frame (the ordered window is over
+    that tiny frame only — never the corpus).
+    """
+    births = df.groupBy(entity_col).agg(F.min(ts_col).alias("__first_ts"))
+    daily = births.groupBy(
+        F.date_trunc(bucket, F.col("__first_ts")).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "bucket_ts",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_entities"),
+    )

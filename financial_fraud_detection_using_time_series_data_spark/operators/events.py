@@ -835,3 +835,55 @@ def session_paths(
         counts.orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(top_n)
     )
+
+
+def attribution_last_touch(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Last-touch attribution: credit each conversion's value to the
+    most recent PRECEDING non-conversion event type on the same entity
+    (back-to-back conversions look past each other to the true last
+    touch — a plain lag(1) would credit 'purchase' to 'purchase').
+    Returns revenue, conversion count, and share per attributed channel;
+    conversions with no prior touch land in the NULL channel row rather
+    than vanishing.
+
+    ``last(..., ignorenulls)`` over a strictly-past frame on one
+    entity-key exchange; the channel rollup reduces to |types| rows and
+    the share denominator broadcasts.
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        df.withColumn("__touch", touch)
+        .where(F.col(type_col) == conversion_type)
+        .groupBy(F.col("__touch").alias("channel"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(25,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_conversions"),
+        )
+    )
+    total = conv.agg(
+        F.sum(F.col("revenue").cast("decimal(25,2)")).cast("double").alias("__t")
+    )
+    return conv.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "revenue",
+        F.col("n_conversions").cast("long").alias("n_conversions"),
+        (F.col("revenue") / F.col("__t")).alias("revenue_share"),
+    )

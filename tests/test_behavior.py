@@ -497,3 +497,32 @@ def test_dormancy_first_event_never_flags(spark):
     # a user's first event has no gap -> excluded even with threshold 0
     rows = [(1, 0, "a", 5.0)]
     assert behavior.dormancy_reactivation(_ev(spark, rows), dormant_days=0.0).count() == 0
+
+
+# --- activity_streaks --------------------------------------------------------
+
+
+def test_activity_streaks_islands(spark):
+    day = 86400
+    rows = [
+        # u1: days 0,1,2 then 5,6 then 10 -> streaks 3,2,1
+        (1, 0, "a", 1.0), (1, 10, "a", 1.0),  # same day counted once
+        (1, day, "a", 1.0), (1, 2 * day, "a", 1.0),
+        (1, 5 * day, "a", 1.0), (1, 6 * day, "a", 1.0),
+        (1, 10 * day, "a", 1.0),
+        # u2: one day only
+        (2, 0, "a", 1.0),
+    ]
+    out = {r.user_id: r for r in behavior.activity_streaks(_ev(spark, rows)).collect()}
+    assert out[1].longest_streak_days == 3
+    assert out[1].n_streaks == 3
+    assert out[1].total_active_days == 6
+    assert out[2].longest_streak_days == 1 and out[2].n_streaks == 1
+
+
+def test_activity_streaks_month_boundary(spark):
+    # Jan 31 -> Feb 1 is consecutive (epoch-day arithmetic, not day-of-month)
+    day = 86400
+    rows = [(1, 30 * day, "a", 1.0), (1, 31 * day, "a", 1.0)]
+    r = behavior.activity_streaks(_ev(spark, rows)).collect()[0]
+    assert r.longest_streak_days == 2 and r.n_streaks == 1

@@ -1,6 +1,7 @@
 """PSI drift-detector contracts: zero for identical distributions, large
 for a shifted one, and a scan-shaped plan (no windows, no big joins)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.operators import drift
@@ -201,3 +202,64 @@ def test_drift_report_composes_three_metrics(spark, sf_dir):
         .s
     )
     assert abs(rows["psi"].statistic - psi_sum) < 1e-12
+
+
+# --- volume_anomaly ----------------------------------------------------------
+
+
+def test_volume_anomaly_flags_planted_outlier(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(12):
+        # jittered baseline (100-104) with a 5x spike on day index 7
+        n = 100 + (d % 5) if d != 7 else 500
+        for _ in range(n):
+            rows.append((eid, t0 + timedelta(days=d, seconds=eid % 3600)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.bucket_ts.day: r for r in drift.volume_anomaly(df, "ts").collect()}
+    assert len(out) == 12
+    assert out[8].is_anomaly  # day index 7 -> Jan 8
+    assert all(not out[d].is_anomaly for d in out if d != 8)
+    # median baseline (101.5) is untouched by the spike; MAD is 1.5
+    assert out[8].baseline_median == 101.5
+    assert out[8].robust_z == pytest.approx(0.6745 * (500 - 101.5) / 1.5)
+
+
+def test_volume_anomaly_zero_mad_safe(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i * 10 + d, t0 + timedelta(days=d, seconds=i))
+        for d in range(5)
+        for i in range(3)
+    ]  # perfectly constant volume -> MAD 0 -> no z, no flags
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = drift.volume_anomaly(df, "ts").collect()
+    assert all(r.robust_z is None and not r.is_anomaly for r in out)
+
+
+def test_new_entity_rate_births_and_cumulative(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10), (2, t0 + timedelta(hours=3), 11),        # day 1: 2 births
+        (3, t0 + timedelta(days=1), 10),                      # day 2: u10 returns, no birth
+        (4, t0 + timedelta(days=2), 12), (5, t0 + timedelta(days=2, hours=1), 13),
+        (6, t0 + timedelta(days=2), 10),                      # day 3: 2 births
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = sorted(
+        drift.new_entity_rate(df, "user_id", "ts").collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert [r.n_new for r in out] == [2, 2]  # day 2 emits no row (no births)
+    assert [r.cumulative_entities for r in out] == [2, 4]
+    assert out[0].bucket_ts.day == 1 and out[1].bucket_ts.day == 3

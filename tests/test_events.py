@@ -8,6 +8,7 @@ and the single-exchange scale contract.
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.operators import events
@@ -285,3 +286,35 @@ def test_session_paths_top_n_deterministic(spark):
     )
     out = sorted(r.path for r in events.session_paths(df, top_n=2).collect())
     assert out == ["a", "b"]
+
+
+# --- attribution_last_touch --------------------------------------------------
+
+
+def test_attribution_skips_adjacent_conversions(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 0.0),
+        (1, t0 + timedelta(minutes=1), 1, "purchase", 10.0),
+        # back-to-back purchase: still credited to 'view', not 'purchase'
+        (2, t0 + timedelta(minutes=2), 1, "purchase", 20.0),
+        (3, t0 + timedelta(minutes=3), 1, "click", 0.0),
+        (4, t0 + timedelta(minutes=4), 1, "purchase", 5.0),
+        # u2 converts with no prior touch -> NULL channel
+        (5, t0, 2, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    from financial_fraud_detection_using_time_series_data_spark.operators import events as ev_ops
+
+    out = {r.channel: r for r in ev_ops.attribution_last_touch(df).collect()}
+    assert set(out) == {"view", "click", None}
+    assert out["view"].revenue == pytest.approx(30.0)
+    assert out["view"].n_conversions == 2
+    assert out["click"].revenue == pytest.approx(5.0)
+    assert out[None].revenue == pytest.approx(7.0)
+    assert out["view"].revenue_share == pytest.approx(30.0 / 42.0)
