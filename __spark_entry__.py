@@ -22,6 +22,7 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
     drift,
     evaluation,
     relational,
+    screens,
     similarity,
     text,
     windows,
@@ -5477,6 +5478,468 @@ FROM s WHERE gap_s >= 2.0 * 86400.0
 """
 
 
+def q_structuring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AML structuring screen: just-below-100 amounts where the account
+    placed ≥2 such amounts inside a trailing 48h window. One entity-key
+    RANGE window; flagged rows only."""
+    out = screens.structuring_screen(
+        _events(spark, sf_dir),
+        "user_id", "ts", "event_id", "value",
+        threshold=100.0, band_frac=0.10, window_hours=48.0, min_count=2,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        E.r6("amount").alias("amount"),
+        "near_count",
+        E.r6("near_sum").alias("near_sum"),
+    )
+
+
+_STRUCTURING_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value::DOUBLE AS amount,
+    (value >= 90.0 AND value < 100.0) AS near,
+    count(CASE WHEN value >= 90.0 AND value < 100.0 THEN 1 END)
+      OVER w AS near_count,
+    (sum(CASE WHEN value >= 90.0 AND value < 100.0
+              THEN value::DECIMAL(25,2) END) OVER w)::DOUBLE AS near_sum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+               RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts,
+  {_R6.format("amount")} AS amount,
+  near_count::BIGINT AS near_count,
+  {_R6.format("near_sum")} AS near_sum
+FROM s WHERE near AND near_count >= 2
+"""
+
+
+def q_duplicate_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge / replay screen: same account, identical
+    amount, twice within 7 days — paired with the prior occurrence.
+    One lag over the (entity, amount) composite key."""
+    out = screens.duplicate_transactions(
+        _events(spark, sf_dir), "user_id", "ts", "event_id", "value",
+        within_days=7.0,
+    )
+    return out.select(
+        "user_id",
+        "dup_id",
+        "dup_ts",
+        E.r6("amount").alias("amount"),
+        "prior_id",
+        "prior_ts",
+        E.r6("gap_hours").alias("gap_hours"),
+    )
+
+
+_DUPLICATE_TXN_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value::DOUBLE AS amount,
+    lag(event_id) OVER w AS prior_id,
+    lag(ts) OVER w AS prior_ts,
+    epoch_us(ts)/1000000.0
+      - lag(epoch_us(ts)/1000000.0) OVER w AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, value ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS dup_id, ts AS dup_ts,
+  {_R6.format("amount")} AS amount,
+  prior_id, prior_ts,
+  {_R6.format("gap_s / 3600.0")} AS gap_hours
+FROM s WHERE gap_s <= 7.0 * 86400.0
+"""
+
+
+def q_burst_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity burst profile: peak events in any trailing 1h window
+    vs the account's mean hourly rate. Range count + same-key groupBy
+    on one exchange; |entities| rows."""
+    out = screens.burst_screen(
+        _events(spark, sf_dir), "user_id", "ts", window_minutes=60.0
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "peak_in_window",
+        E.r6("active_days").alias("active_days"),
+        E.r6("mean_per_window").alias("mean_per_window"),
+        E.r6("burstiness").alias("burstiness"),
+    )
+
+
+_BURST_SCREEN_SQL = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts)//1000000 AS es,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS c
+  FROM events
+), a AS (
+  SELECT user_id, count(*)::BIGINT AS n_events, max(c)::BIGINT AS peak,
+         (max(es) - min(es))::DOUBLE AS span_s
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_events, peak AS peak_in_window,
+  {_R6.format("span_s / 86400.0")} AS active_days,
+  {_R6.format(
+    "CASE WHEN span_s / 3600.0 >= 1.0 THEN n_events / (span_s / 3600.0) END"
+  )} AS mean_per_window,
+  {_R6.format(
+    "CASE WHEN span_s / 3600.0 >= 1.0"
+    " THEN peak / (n_events / (span_s / 3600.0)) END"
+  )} AS burstiness
+FROM a
+"""
+
+
+def q_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger breakout screen: amounts >2σ outside the mean of the
+    account's prior 20 amounts (≥10 of history). Decimal Σy/Σy² over a
+    strictly-past row frame; flagged rows only."""
+    out = screens.bollinger_breakout(
+        _events(spark, sf_dir), "user_id", "ts", "event_id", "value",
+        n=20, k=2.0, min_periods=10,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        E.r6("amount").alias("amount"),
+        "n_prior",
+        E.r6("band_mean").alias("band_mean"),
+        E.r6("band_std").alias("band_std"),
+        E.r6("deviations").alias("deviations"),
+    )
+
+
+_BOLLINGER_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value::DOUBLE AS amount,
+    count(*) OVER w AS n_prior,
+    (sum(value::DECIMAL(25,6)) OVER w)::DOUBLE AS sy,
+    (sum(((value::DECIMAL(25,6)) * (value::DECIMAL(25,6)))::DECIMAL(38,8))
+       OVER w)::DOUBLE AS syy
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), b AS (
+  SELECT *, sy / n_prior AS m,
+    (syy - sy * sy / n_prior) / (n_prior - 1.0) AS v
+  FROM s WHERE n_prior >= 10
+)
+SELECT user_id, event_id, ts,
+  {_R6.format("amount")} AS amount,
+  n_prior::BIGINT AS n_prior,
+  {_R6.format("m")} AS band_mean,
+  {_R6.format("sqrt(v)")} AS band_std,
+  {_R6.format("(amount - m) / sqrt(v)")} AS deviations
+FROM b WHERE v > 0 AND abs((amount - m) / sqrt(v)) > 2.0
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: top-10 unshipped BUILDING-segment orders by
+    open revenue at the cutoff date. Filters push into both big scans
+    BEFORE the lineitem⋈orders shuffle; the filtered customer dim
+    broadcasts; top-10 is TakeOrderedAndProject (no global sort)."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cutoff
+    )
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        E.r6("revenue").alias("revenue"),
+    )
+
+
+_SHIPPING_PRIORITY_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  {_R6.format("revenue")} AS revenue
+FROM (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3
+)
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total line quantity exceeds 200,
+    with their customer. The group-filter reduces lineitem to the
+    qualifying order keys BEFORE touching orders (decimal-exact
+    quantity sum); customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("__tq")
+        )
+        .where(F.col("__tq") > 200)
+    )
+    out = orders.join(qty, orders.o_orderkey == qty.l_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        E.r6(F.col("o_totalprice").cast("double")).alias("o_totalprice"),
+        E.r6(F.col("__tq").cast("double")).alias("total_qty"),
+    )
+
+
+_LARGE_VOLUME_SQL = f"""
+WITH q AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(25,2)) AS tq
+  FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity::DECIMAL(25,2)) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  {_R6.format("o_totalprice::DOUBLE")} AS o_totalprice,
+  {_R6.format("tq::DOUBLE")} AS total_qty
+FROM orders
+JOIN q ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger control: lineitem net-of-discount totals vs the order
+    header's o_totalprice at 5% relative tolerance, plus keys missing
+    from either side. Decimal-exact detail fold; full-outer join on the
+    fold's own key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    out = finance.reconcile_totals(
+        li, orders, "l_orderkey", "o_orderkey", net, "o_totalprice",
+        rel_tolerance=0.05,
+    )
+    return out.select(
+        "key",
+        "n_detail_rows",
+        E.r6("detail_total").alias("detail_total"),
+        E.r6("header_total").alias("header_total"),
+        E.r6("delta").alias("delta"),
+        E.r6("rel_delta").alias("rel_delta"),
+        "status",
+    )
+
+
+_RECONCILE_SQL = f"""
+WITH d AS (
+  SELECT l_orderkey AS key,
+    count(*)::BIGINT AS n_detail_rows,
+    sum((l_extendedprice::DECIMAL(18,2)
+         * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)) AS dt
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT coalesce(d.key, o_orderkey) AS key, n_detail_rows,
+    dt::DOUBLE AS detail_total,
+    o_totalprice::DECIMAL(25,2)::DOUBLE AS header_total
+  FROM d FULL JOIN orders ON d.key = o_orderkey
+), s AS (
+  SELECT *, header_total - detail_total AS delta,
+    (header_total - detail_total) / abs(header_total) AS rel,
+    CASE WHEN detail_total IS NULL THEN 'missing_detail'
+         WHEN header_total IS NULL THEN 'missing_header'
+         WHEN abs((header_total - detail_total) / abs(header_total)) > 0.05
+           THEN 'mismatch' END AS status
+  FROM j
+)
+SELECT key, n_detail_rows,
+  {_R6.format("detail_total")} AS detail_total,
+  {_R6.format("header_total")} AS header_total,
+  {_R6.format("delta")} AS delta,
+  {_R6.format("rel")} AS rel_delta,
+  status
+FROM s WHERE status IS NOT NULL
+"""
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day Holt forecast over daily spend rollups. Recursive
+    smoother — the documented applyInPandas escape hatch over the
+    bucket rollup, never the raw events. Rows-only (no SQL twin: the
+    state recursion is not expressible in one SQL pass); pinned by
+    numpy-reference parity tests instead."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    out = forecast.holt_forecast(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        bucket="day", alpha=0.3, beta=0.1, horizon=7,
+    )
+    return out.select(
+        "user_id",
+        "step",
+        E.r6("forecast").alias("forecast"),
+        E.r6("level").alias("level"),
+        E.r6("trend").alias("trend"),
+        E.r6("sse").alias("sse"),
+        "n_obs",
+    )
+
+
+def q_new_entity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed health: first-seen entities per day + cumulative base.
+    groupBy(entity) min-ts rollup; the ordered cumulative runs on the
+    |days| frame only."""
+    out = drift.new_entity_rate(_events(spark, sf_dir), "user_id", "ts", "day")
+    return out.select("bucket_ts", "n_new", "cumulative_entities")
+
+
+_NEW_ENTITY_SQL = """
+WITH b AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+d AS (
+  SELECT date_trunc('day', ft) AS bucket_ts, count(*)::BIGINT AS n_new
+  FROM b GROUP BY 1
+)
+SELECT bucket_ts, n_new,
+  (sum(n_new) OVER (ORDER BY bucket_ts
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+    AS cumulative_entities
+FROM d
+"""
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps: longest consecutive-day streak, streak count,
+    total active days per entity. Distinct (entity, day), then the
+    epoch-day − row_number island key; every stage hashes on the entity
+    key."""
+    out = behavior.activity_streaks(_events(spark, sf_dir), "user_id", "ts")
+    return out.select(
+        "user_id", "longest_streak_days", "n_streaks", "total_active_days"
+    )
+
+
+_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), g AS (
+  SELECT user_id,
+    (epoch_us(d)//1000000)//86400
+      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+), s AS (
+  SELECT user_id, island, count(*) AS len FROM g GROUP BY 1, 2
+)
+SELECT user_id,
+  max(len)::BIGINT AS longest_streak_days,
+  count(*)::BIGINT AS n_streaks,
+  sum(len)::BIGINT AS total_active_days
+FROM s GROUP BY 1
+"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchase value to the most recent
+    preceding non-purchase event type; per-channel revenue, count, and
+    share. ignorenulls last() over a strictly-past frame on one entity
+    exchange; |types| output rows."""
+    out = events_ops.attribution_last_touch(
+        _events(spark, sf_dir), "user_id", "ts", "event_id", "event_type",
+        "value", conversion_type="purchase",
+    )
+    return out.select(
+        "channel",
+        E.r6("revenue").alias("revenue"),
+        "n_conversions",
+        E.r6("revenue_share").alias("revenue_share"),
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_type, value, ts, event_id,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+), c AS (
+  SELECT touch AS channel,
+    (sum(value::DECIMAL(25,2)))::DOUBLE AS revenue,
+    count(*)::BIGINT AS n_conversions
+  FROM t WHERE event_type = 'purchase' GROUP BY 1
+), tot AS (SELECT (sum(revenue::DECIMAL(25,2)))::DOUBLE AS tt FROM c)
+SELECT channel,
+  {_R6.format("revenue")} AS revenue,
+  n_conversions,
+  {_R6.format("revenue / tt")} AS revenue_share
+FROM c, tot
+"""
+
+
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health audit: daily event volumes with a median/MAD
+    robust z and anomaly flag. One corpus groupBy to |days| rows; the
+    medians run on that tiny frame via broadcast 1-row joins."""
+    out = drift.volume_anomaly(_events(spark, sf_dir), "ts", "day", k=3.5)
+    return out.select(
+        "bucket_ts",
+        "n_rows",
+        E.r6("baseline_median").alias("baseline_median"),
+        E.r6("robust_z").alias("robust_z"),
+        "is_anomaly",
+    )
+
+
+_VOLUME_ANOMALY_SQL = f"""
+WITH c AS (
+  SELECT date_trunc('day', ts) AS bucket_ts, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY 1
+), m AS (SELECT median(n_rows) AS med FROM c),
+d AS (SELECT c.*, m.med FROM c, m),
+a AS (SELECT median(abs(n_rows - med)) AS mad FROM d)
+SELECT bucket_ts, n_rows,
+  {_R6.format("med::DOUBLE")} AS baseline_median,
+  {_R6.format(
+    "CASE WHEN mad > 0 THEN 0.6745 * (n_rows - med) / mad END"
+  )} AS robust_z,
+  coalesce(
+    CASE WHEN mad > 0
+         THEN abs(0.6745 * (n_rows - med) / mad) > 3.5 END,
+    FALSE
+  ) AS is_anomaly
+FROM d, a
+"""
+
+
 def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS spend trend (slope/day, intercept, R²) from
     decimal-exact sufficient statistics; time centered on each user's
@@ -6054,6 +6517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "linear_trend": q_linear_trend,
         "dormancy_reactivation": q_dormancy_reactivation,
+        "structuring_screen": q_structuring_screen,
+        "duplicate_transactions": q_duplicate_transactions,
+        "burst_screen": q_burst_screen,
+        "bollinger_breakout": q_bollinger_breakout,
+        "shipping_priority": q_shipping_priority,
+        "large_volume_customers": q_large_volume_customers,
+        "volume_anomaly": q_volume_anomaly,
+        "reconcile_totals": q_reconcile_totals,
+        # holt_forecast: rows-only (recursive per-entity state)
+        "holt_forecast": q_holt_forecast,
+        "new_entity_rate": q_new_entity_rate,
+        "activity_streaks": q_activity_streaks,
+        "attribution_last_touch": q_attribution_last_touch,
         "lorenz_deciles": q_lorenz_deciles,
         "survival_curve": q_survival_curve,
         "behavior_mart": q_behavior_mart,
@@ -6219,6 +6695,17 @@ def oracle_sql() -> dict[str, str]:
         "gini": _GINI_SQL,
         "linear_trend": _LINEAR_TREND_SQL,
         "dormancy_reactivation": _DORMANCY_SQL,
+        "structuring_screen": _STRUCTURING_SQL,
+        "duplicate_transactions": _DUPLICATE_TXN_SQL,
+        "burst_screen": _BURST_SCREEN_SQL,
+        "bollinger_breakout": _BOLLINGER_SQL,
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "large_volume_customers": _LARGE_VOLUME_SQL,
+        "volume_anomaly": _VOLUME_ANOMALY_SQL,
+        "reconcile_totals": _RECONCILE_SQL,
+        "new_entity_rate": _NEW_ENTITY_SQL,
+        "activity_streaks": _ACTIVITY_STREAKS_SQL,
+        "attribution_last_touch": _ATTRIBUTION_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

@@ -132,6 +132,18 @@ BENCH_QUERIES = [
     "lorenz_deciles",
     "linear_trend",
     "dormancy_reactivation",
+    "structuring_screen",
+    "duplicate_transactions",
+    "burst_screen",
+    "bollinger_breakout",
+    "shipping_priority",
+    "large_volume_customers",
+    "volume_anomaly",
+    "reconcile_totals",
+    "holt_forecast",
+    "new_entity_rate",
+    "activity_streaks",
+    "attribution_last_touch",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

@@ -338,3 +338,18 @@ def test_time_decay_and_interp_no_python(spark, sf_dir):
     for df in (W.time_decay_sum(ev), W.resample_interp(ev)):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shipping_priority_pushdown_broadcast_topk(spark, sf_dir):
+    """Q3 shape: the segment-filtered customer dim must broadcast and
+    the top-10 must compile to TakeOrderedAndProject (no global sort)."""
+    plan = _plan(spark_entry.q_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_large_volume_customers_broadcasts_dim(spark, sf_dir):
+    """Q18 shape: customer broadcasts; the order-quantity group-filter
+    reduces lineitem before it meets orders."""
+    plan = _plan(spark_entry.q_large_volume_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
