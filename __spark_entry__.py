@@ -5905,6 +5905,113 @@ FROM c, tot
 """
 
 
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day trend table per event type: decimal-exact totals,
+    previous period, delta, percent change. One rollup shuffle; lag on
+    the |types|·|days| frame."""
+    out = relational.period_over_period(
+        _events(spark, sf_dir), "ts", "event_type", "value", "day"
+    )
+    return out.select(
+        "grp",
+        "bucket_ts",
+        E.r6("total").alias("total"),
+        "n_rows",
+        E.r6("prev_total").alias("prev_total"),
+        E.r6("delta").alias("delta"),
+        E.r6("pct_change").alias("pct_change"),
+    )
+
+
+_POP_SQL = f"""
+WITH r AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS bucket_ts,
+    (sum(value::DECIMAL(25,2)))::DOUBLE AS total, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT *, lag(total) OVER (PARTITION BY grp ORDER BY bucket_ts) AS prev
+  FROM r
+)
+SELECT grp, bucket_ts,
+  {_R6.format("total")} AS total,
+  n_rows,
+  {_R6.format("prev")} AS prev_total,
+  {_R6.format("total - prev")} AS delta,
+  {_R6.format("CASE WHEN prev <> 0 THEN (total - prev) / prev END")}
+    AS pct_change
+FROM l
+"""
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the heuristic score per customer segment (user_id mod
+    10): integer micro-unit DCG terms so both engines fold exact
+    integers; ranking via the salted two-phase topk_per_group."""
+    ev = _events(spark, sf_dir)
+    scored = ev.select(
+        F.pmod(F.col("user_id"), F.lit(10)).alias("segment"),
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("label"),
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("score"),
+    )
+    out = evaluation.ndcg_eval(
+        scored, "segment", "score", "label", "event_id", k=10
+    )
+    return out.select(
+        "segment",
+        "n_pos",
+        E.r6("dcg").alias("dcg"),
+        E.r6("idcg").alias("idcg"),
+        E.r6("ndcg").alias("ndcg"),
+    )
+
+
+_NDCG_SQL = f"""
+WITH s AS (
+  SELECT user_id % 10 AS segment, event_id,
+    (event_type = 'error')::INT AS label,
+    value / (value + 100.0) AS score
+  FROM events
+), r AS (
+  SELECT segment, label,
+    row_number() OVER (PARTITION BY segment
+                       ORDER BY score DESC, event_id) AS rank
+  FROM s
+), d AS (
+  SELECT segment,
+    sum(CASE WHEN label = 1 AND rank <= 10
+             THEN floor(1e6 / log2(rank + 1) + 0.5)::BIGINT
+             ELSE 0 END) AS dcg_micro
+  FROM r GROUP BY 1
+), p AS (
+  SELECT segment, sum(label)::BIGINT AS n_pos FROM s GROUP BY 1
+), i AS (
+  SELECT p.segment, n_pos,
+    list_sum([floor(1e6 / log2(x + 1) + 0.5)::BIGINT
+              for x in generate_series(1, least(10, n_pos))]) AS idcg_micro
+  FROM p
+)
+SELECT i.segment AS segment, n_pos,
+  {_R6.format("dcg_micro / 1e6")} AS dcg,
+  {_R6.format("CASE WHEN n_pos > 0 THEN idcg_micro / 1e6 END")} AS idcg,
+  {_R6.format(
+    "CASE WHEN n_pos > 0 THEN dcg_micro / idcg_micro::DOUBLE END"
+  )} AS ndcg
+FROM i JOIN d ON i.segment = d.segment
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded slice bucket-join (pigeonhole-
+    exact recall at hamming ≤ bands−1) + bit_count verify. Rows-only:
+    the md5 token hashing inside the signature has no DuckDB twin;
+    pinned by planted-mutation tests instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup(
+        docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    )
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-health audit: daily event volumes with a median/MAD
     robust z and anomaly flag. One corpus groupBy to |days| rows; the
@@ -6530,6 +6637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_entity_rate": q_new_entity_rate,
         "activity_streaks": q_activity_streaks,
         "attribution_last_touch": q_attribution_last_touch,
+        "period_over_period": q_period_over_period,
+        "ndcg_eval": q_ndcg_eval,
+        # simhash_near_dup: rows-only (md5 token hashing has no SQL twin)
+        "simhash_near_dup": q_simhash_near_dup,
         "lorenz_deciles": q_lorenz_deciles,
         "survival_curve": q_survival_curve,
         "behavior_mart": q_behavior_mart,
@@ -6706,6 +6817,8 @@ def oracle_sql() -> dict[str, str]:
         "new_entity_rate": _NEW_ENTITY_SQL,
         "activity_streaks": _ACTIVITY_STREAKS_SQL,
         "attribution_last_touch": _ATTRIBUTION_SQL,
+        "period_over_period": _POP_SQL,
+        "ndcg_eval": _NDCG_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

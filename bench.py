@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "new_entity_rate",
     "activity_streaks",
     "attribution_last_touch",
+    "period_over_period",
+    "ndcg_eval",
+    "simhash_near_dup",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

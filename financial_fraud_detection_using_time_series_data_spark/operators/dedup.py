@@ -842,3 +842,73 @@ def dedup_keep_best(
         "n_members",
         F.col("__q").alias("best_q"),
     )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Complete the SimHash path from signatures to near-dup PAIRS:
+    split each ``bits``-bit signature into ``bands`` equal slices and
+    bucket-join on identical slices — by pigeonhole, any pair within
+    ``max_hamming ≤ bands − 1`` bit flips MUST agree on at least one
+    slice, so banding loses no qualifying pair (this is exact recall,
+    unlike probabilistic MinHash banding). Candidates then verify with
+    ``bit_count(xor)`` JVM-side; pairs that matched in several bands
+    dedupe once.
+
+    Shapes like ``minhash_lsh_pairs``: map-only signatures → band
+    explode → bucket groupBy self-join. Bucket population is bounded by
+    the corpus's signature diversity; a degenerate slice value (e.g.
+    boilerplate-dominated corpora pushing many docs to the same 8-bit
+    slice) fans out quadratically, so at 100 TB apply the same
+    per-bucket cap + census discipline as ``minhash_lsh_pairs``
+    (``lsh_bucket_stats``); left uncapped here because the cap changes
+    output semantics and this operator's contract is exact recall.
+    """
+    assert bits % bands == 0, "bands must divide bits"
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bs"),
+    ).select(id_col, "simhash", "__bs.band", "__bs.slice")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.slice") == F.col("r.slice"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
+    return pairs

@@ -348,3 +348,66 @@ def lift_table(
         )
         .orderBy("bucket")
     )
+
+
+def ndcg_eval(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k per group for a binary-relevance ranking: how well does
+    the score order the positives to the top? DCG terms are converted
+    to integer micro-units (``floor(1e6/log2(rank+1) + 0.5)``) before
+    summation so both the Spark and oracle sides fold EXACT integers —
+    a float DCG sum is reduction-order sensitive in its last bits.
+    IDCG folds the same micro-terms over ranks 1..min(k, n_pos); groups
+    with no positives return NULL nDCG rather than 0/0.
+
+    Ranking uses the salted two-phase ``topk_per_group`` (a plain
+    per-group rank window would funnel the corpus into |groups| tasks);
+    the positive count is one map-side-combined agg; the DCG/IDCG
+    arithmetic runs on |groups|·k rows.
+    """
+    from .relational import topk_per_group
+
+    top = topk_per_group(
+        df.select(group_col, score_col, label_col, id_col),
+        group_col, score_col, k, id_col,
+    )
+    micro = F.floor(
+        F.lit(1e6) / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+        + F.lit(0.5)
+    ).cast("long")
+    dcg = top.groupBy(group_col).agg(
+        F.sum(
+            F.when(F.col(label_col) == 1, micro).otherwise(F.lit(0))
+        ).alias("dcg_micro")
+    )
+    pos = df.groupBy(group_col).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos")
+    )
+    j = pos.join(dcg, group_col, "left")
+    m = F.least(F.lit(int(k)).cast("long"), F.col("n_pos"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), m),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.floor(
+            F.lit(1e6) / F.log2(i.cast("double") + F.lit(1.0)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return j.select(
+        group_col,
+        "n_pos",
+        (F.coalesce(F.col("dcg_micro"), F.lit(0)) / F.lit(1e6)).alias("dcg"),
+        F.when(F.col("n_pos") > 0, idcg / F.lit(1e6)).alias("idcg"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.coalesce(F.col("dcg_micro"), F.lit(0)) / idcg.cast("double"),
+        ).alias("ndcg"),
+    )

@@ -763,3 +763,77 @@ def merge_moments(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
         )
     ).alias("m2")
     return j.select(*keys, n, mean, m2)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Scale-safe top-k per group (descending ``order_col``, ties broken
+    ascending on ``tiebreak_col``). A plain per-group rank window puts
+    each group in ONE task — the low-cardinality-group trap (five event
+    types would mean five tasks touching the whole corpus). Two phases
+    instead: a parallel partial top-k over (group, salt) — the salt from
+    a hash of the tiebreak, so placement is deterministic — then the
+    final rank over the ≤ k·n_salts surviving candidates per group.
+    Any true top-k row is necessarily in its salt's partial top-k, so
+    the reduction is exact. Adds a ``rank`` column (1-based).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.col(tiebreak_col)), F.lit(int(n_salts)))
+    )
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(
+        F.desc(order_col), F.asc(tiebreak_col)
+    )
+    cand = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= int(k))
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(tiebreak_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= int(k))
+    )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+) -> DataFrame:
+    """Period-over-period trend table: per (group, bucket) decimal-exact
+    value totals with the previous period's total, absolute delta, and
+    percent change — the "what moved and by how much" table behind every
+    business dashboard. Percent change is NULL for a group's first
+    period and for a zero prior (no fake infinities).
+
+    One map-side-combined rollup shuffle; the lag window runs on the
+    |groups|·|buckets| frame, partitioned by group.
+    """
+    rolled = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    w = Window.partitionBy("grp").orderBy("bucket_ts")
+    prev = F.lag("total").over(w)
+    return rolled.select(
+        "grp",
+        "bucket_ts",
+        "total",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        prev.alias("prev_total"),
+        (F.col("total") - prev).alias("delta"),
+        F.when(prev != 0, (F.col("total") - prev) / prev).alias("pct_change"),
+    )

@@ -526,3 +526,30 @@ def test_activity_streaks_month_boundary(spark):
     rows = [(1, 30 * day, "a", 1.0), (1, 31 * day, "a", 1.0)]
     r = behavior.activity_streaks(_ev(spark, rows)).collect()[0]
     assert r.longest_streak_days == 2 and r.n_streaks == 1
+
+
+# --- period_over_period ------------------------------------------------------
+
+
+def test_period_over_period_deltas(spark):
+    day = 86400
+    rows = [
+        (1, 0, "a", 10.0), (1, 10, "a", 10.0),       # day1 a: 20
+        (1, day, "a", 30.0),                          # day2 a: 30 (+50%)
+        (1, 2 * day, "a", 15.0),                      # day3 a: 15 (-50%)
+        (2, 0, "b", 5.0),                             # day1 b: 5
+        (2, 2 * day, "b", 5.0),                       # day3 b: 5 (gap day2)
+    ]
+    from financial_fraud_detection_using_time_series_data_spark.operators.relational import (
+        period_over_period,
+    )
+
+    out = {(r.grp, r.bucket_ts.day): r
+           for r in period_over_period(_ev(spark, rows)).collect()}
+    assert out[("a", 1)].prev_total is None and out[("a", 1)].pct_change is None
+    assert out[("a", 2)].delta == pytest.approx(10.0)
+    assert out[("a", 2)].pct_change == pytest.approx(0.5)
+    assert out[("a", 3)].pct_change == pytest.approx(-0.5)
+    # gap: day-3 'b' compares to day-1 'b' (previous OBSERVED period)
+    assert out[("b", 3)].prev_total == pytest.approx(5.0)
+    assert out[("b", 3)].delta == pytest.approx(0.0)

@@ -137,3 +137,38 @@ def test_dedup_incremental_matches_full_rerun(spark, sf_dir, tmp_path):
             # Location paths are truncated in toString; the corpus table
             # would show as .../documents.parquet — assert it is absent
             assert "documents" not in s, s
+
+
+# --- simhash_near_dup --------------------------------------------------------
+
+
+def test_simhash_near_dup_planted_mutation(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import dedup
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("india", "xray", 1)),  # near-identical -> small hamming
+        (3, "completely different words zulu yankee whiskey victor uniform " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_dup(df, "text", "doc_id", bits=32, bands=4,
+                                   max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_simhash_near_dup_identical_docs_and_no_dup_pairs(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import dedup
+
+    txt = "same words every time " * 10
+    df = spark.createDataFrame(
+        [(i, txt) for i in range(4)], "doc_id long, text string"
+    )
+    pairs = dedup.simhash_near_dup(df, "text", "doc_id").collect()
+    # identical signatures match in ALL 4 bands -> must still emit each
+    # pair exactly once, with hamming 0
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    ]
+    assert all(r.hamming == 0 for r in pairs)

@@ -140,3 +140,73 @@ def test_lift_table_properties(spark):
     base = pdf.label.mean()
     want_lift = top.label.mean() / base
     assert abs(rows[0].lift - want_lift) < 1e-6
+
+
+# --- ndcg_eval ---------------------------------------------------------------
+
+
+def test_ndcg_perfect_and_inverted_ranking(spark):
+    import math
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import (
+        ndcg_eval,
+    )
+
+    # group "good": 3 positives scored on top of 7 negatives -> nDCG = 1
+    # group "bad": the 3 positives carry the LOWEST scores of 10
+    rows = []
+    for i in range(10):
+        rows.append(("good", i, 1 if i < 3 else 0, 1.0 - i * 0.05))
+        rows.append(("bad", 100 + i, 1 if i >= 7 else 0, 1.0 - i * 0.05))
+    df = spark.createDataFrame(rows, "seg string, event_id long, label int, score double")
+    out = {r.seg: r for r in ndcg_eval(df, "seg", "score", "label", "event_id", k=10).collect()}
+
+    def micro(r):
+        return math.floor(1e6 / math.log2(r + 1) + 0.5)
+
+    idcg = sum(micro(r) for r in (1, 2, 3)) / 1e6
+    assert out["good"].n_pos == 3 and out["bad"].n_pos == 3
+    assert out["good"].idcg == out["bad"].idcg == idcg
+    assert out["good"].ndcg == 1.0
+    want_bad = (sum(micro(r) for r in (8, 9, 10)) / 1e6) / idcg
+    assert abs(out["bad"].ndcg - want_bad) < 1e-12
+
+
+def test_ndcg_no_positives_is_null(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import (
+        ndcg_eval,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 0, float(i)) for i in range(5)],
+        "seg string, event_id long, label int, score double",
+    )
+    r = ndcg_eval(df, "seg", "score", "label", "event_id").collect()[0]
+    assert r.n_pos == 0 and r.ndcg is None and r.idcg is None and r.dcg == 0.0
+
+
+def test_topk_per_group_matches_plain_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.relational import (
+        topk_per_group,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.pmod(F.col("id") * 2654435761, 10007)).cast("double").alias("v"),
+        F.col("id").alias("tid"),
+    )
+    got = {
+        (r.g, r.rank): r.tid
+        for r in topk_per_group(df, "g", "v", 5, "tid", n_salts=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("tid"))
+    want = {
+        (r.g, r.rank): r.tid
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want
