@@ -38,6 +38,7 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
 )
 from financial_fraud_detection_using_time_series_data_spark.sources import (
     check_expectations,
+    fd_check,
     generate_transactions,
     kfold_assign,
     load_table,
@@ -6012,6 +6013,89 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which of a user's daily activity spans overlapped that user's
+    own ±30min error windows? Bucketized EQUI join on (user, hour
+    slice) — no theta join, no CartesianProduct; the user key is what
+    keeps a dense global timeline from going quadratic."""
+    ev = _events(spark, sf_dir)
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("__d")
+    ).agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    left = spans.select(
+        "user_id",
+        (F.col("user_id") * 1000 + F.dayofyear("__d")).alias("id"),
+        "start",
+        "end",
+    )
+    right = _events(spark, sf_dir).where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    out = relational.interval_overlap_join(
+        left, right, bucket_seconds=3600, key_cols=["user_id"]
+    )
+    return out.select(
+        F.col("l_id").alias("span_id"),
+        F.col("r_id").alias("incident_id"),
+        E.r6("overlap_seconds").alias("overlap_seconds"),
+    )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH spans AS (
+  SELECT user_id,
+    user_id * 1000 + dayofyear(date_trunc('day', ts)) AS span_id,
+    min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), inc AS (
+  SELECT user_id, event_id AS incident_id,
+    ts - INTERVAL 30 MINUTE AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT span_id, incident_id,
+  {r6} AS overlap_seconds
+FROM spans JOIN inc
+  ON spans.user_id = inc.user_id
+ AND spans.s < inc.e AND inc.s < spans.e
+""".format(
+    r6=_R6.format(
+        "(epoch_us(least(spans.e, inc.e))"
+        " - epoch_us(greatest(spans.s, inc.s))) / 1000000.0"
+    )
+)
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does l_orderkey determine
+    l_suppkey? (It should NOT in TPC-H — multi-supplier orders are the
+    planted violations.) Two chained prefix-key hash aggs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = fd_check(li, ["l_orderkey"], "l_suppkey")
+    return out.select(
+        "n_groups",
+        "n_violating",
+        "max_distinct",
+        E.r6("violation_rate").alias("violation_rate"),
+    )
+
+
+_FD_CHECK_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), g AS (
+  SELECT l_orderkey, count(*) AS nd FROM d GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_groups,
+  sum((nd > 1)::BIGINT)::BIGINT AS n_violating,
+  max(nd)::BIGINT AS max_distinct,
+  {_R6.format("sum((nd > 1)::BIGINT) / count(*)")} AS violation_rate
+FROM g
+"""
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-health audit: daily event volumes with a median/MAD
     robust z and anomaly flag. One corpus groupBy to |days| rows; the
@@ -6639,6 +6723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "period_over_period": q_period_over_period,
         "ndcg_eval": q_ndcg_eval,
+        "interval_overlap": q_interval_overlap,
+        "fd_check": q_fd_check,
         # simhash_near_dup: rows-only (md5 token hashing has no SQL twin)
         "simhash_near_dup": q_simhash_near_dup,
         "lorenz_deciles": q_lorenz_deciles,
@@ -6819,6 +6905,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": _ATTRIBUTION_SQL,
         "period_over_period": _POP_SQL,
         "ndcg_eval": _NDCG_SQL,
+        "interval_overlap": _INTERVAL_OVERLAP_SQL,
+        "fd_check": _FD_CHECK_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "period_over_period",
     "ndcg_eval",
     "simhash_near_dup",
+    "interval_overlap",
+    "fd_check",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

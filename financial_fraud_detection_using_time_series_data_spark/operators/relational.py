@@ -837,3 +837,63 @@ def period_over_period(
         (F.col("total") - prev).alias("delta"),
         F.when(prev != 0, (F.col("total") - prev) / prev).alias("pct_change"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_seconds: int = 3600,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join without a theta-join: both sides carry
+    ``(id, start, end)`` (timestamps); returns every (l_id, r_id) pair
+    whose intervals STRICTLY overlap, with the overlap length. The naive
+    form is a non-equi join — O(|L|·|R|) compares and a CartesianProduct
+    plan. Instead each interval explodes to the time buckets it spans,
+    the join runs as an EQUI join on the bucket, the true overlap
+    predicate filters candidates, and pairs that co-occupy several
+    buckets dedupe once.
+
+    Fan-out per row is ceil(span / bucket_seconds) + 1 — pick the bucket
+    near the typical interval length so the explode factor is a small
+    constant. ``key_cols`` (shared by both sides) join as additional
+    EQUI keys: without them, every pair of intervals sharing a time
+    slice is a candidate, which goes quadratic when thousands of
+    intervals co-occupy each slice — scoping to a key (user, machine,
+    region) is what bounds candidates in a dense timeline. At 100 TB
+    the (keys, bucket) tuple is the partition key both sides shuffle
+    on; an interval far longer than the bucket (a months-long outage)
+    fans out linearly and should be split or handled as a broadcast
+    dimension instead.
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    keys = list(key_cols or [])
+
+    def _explode(df: DataFrame, pfx: str) -> DataFrame:
+        # microsecond precision end-to-end: a second-truncated compare
+        # would silently drop sub-second overlaps
+        s = F.unix_micros(F.col("start"))
+        e = F.unix_micros(F.col("end"))
+        return df.select(
+            *keys,
+            F.col("id").alias(f"{pfx}_id"),
+            s.alias(f"{pfx}_s"),
+            e.alias(f"{pfx}_e"),
+            F.explode(
+                F.sequence(
+                    F.floor(s / b_us).cast("long"), F.floor(e / b_us).cast("long")
+                )
+            ).alias("__bucket"),
+        )
+
+    l = _explode(left, "l")
+    r = _explode(right, "r")
+    overlap = (
+        F.least(F.col("l_e"), F.col("r_e")) - F.greatest(F.col("l_s"), F.col("r_s"))
+    ) / F.lit(1_000_000.0)
+    return (
+        l.join(r, keys + ["__bucket"])
+        .where((F.col("l_s") < F.col("r_e")) & (F.col("r_s") < F.col("l_e")))
+        .select("l_id", "r_id", overlap.alias("overlap_seconds"))
+        .distinct()
+    )

@@ -6,7 +6,7 @@ from .tables import (
     normalize_scan_types,
 )
 from .synthetic import generate_transactions
-from .profiler import check_expectations, kfold_assign, null_profile, profile
+from .profiler import check_expectations, fd_check, kfold_assign, null_profile, profile
 
 __all__ = [
     "TABLES",
@@ -16,6 +16,7 @@ __all__ = [
     "normalize_scan_types",
     "generate_transactions",
     "check_expectations",
+    "fd_check",
     "kfold_assign",
     "null_profile",
     "profile",

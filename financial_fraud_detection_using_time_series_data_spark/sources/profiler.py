@@ -85,3 +85,36 @@ def kfold_assign(
         10,
     ).cast("long")
     return df.withColumn("fold", (h % k).cast("int"))
+
+
+def fd_check(
+    df,
+    determinant_cols: list[str],
+    dependent_col: str,
+):
+    """Functional-dependency audit: does ``determinant_cols`` uniquely
+    determine ``dependent_col``? Returns one row — group count, how many
+    determinant groups map to MORE than one dependent value, the worst
+    group's distinct count, and the violation rate. The schema contract
+    check behind "order_id should determine customer": a nonzero
+    violation count means upstream produced conflicting facts, which
+    silently corrupts any downstream join that assumes uniqueness.
+
+    Two chained hash aggregates on prefix keys — the (determinants,
+    dependent) distinct is the only corpus-sized shuffle and is
+    map-side combined; the second agg folds the distinct frame.
+    """
+    per_group = (
+        df.select(*determinant_cols, dependent_col)
+        .distinct()
+        .groupBy(*determinant_cols)
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("__nd") > 1).cast("long")).cast("long").alias("n_violating"),
+        F.max("__nd").cast("long").alias("max_distinct"),
+        (
+            F.sum((F.col("__nd") > 1).cast("long")) / F.count(F.lit(1))
+        ).alias("violation_rate"),
+    )

@@ -19,6 +19,8 @@ ENTRIES = [
     "behavior_mart",         # multi-branch join composition
     "twap",                  # explode + decimal folds
     "revenue_by_nation",     # multi-table join/agg
+    "interval_overlap",      # bucketized non-equi join (explode + dedupe)
+    "ndcg_eval",             # salted two-phase top-k + micro-unit folds
 ]
 
 

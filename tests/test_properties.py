@@ -481,3 +481,85 @@ def test_survival_matches_bruteforce_km(spark, lifetimes):
         r = got[day]
         assert (r.n_at_risk, r.n_events, r.n_censored) == (at_risk, events_n, cens)
         assert abs(r.survival - s) < 1e-9
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=5000),      # start second
+    st.integers(min_value=1, max_value=4000),      # duration seconds
+    st.integers(min_value=0, max_value=999999),    # start microseconds
+)
+
+
+@given(
+    lvs=st.lists(_iv, min_size=1, max_size=12),
+    rvs=st.lists(_iv, min_size=1, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_matches_bruteforce(spark, lvs, rvs):
+    """The bucketized equi-join must equal the all-pairs theta join for
+    ANY interval sets — including sub-second overlaps, touching
+    endpoints, and spans crossing many buckets."""
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(vals):
+        return [
+            (i, t0 + timedelta(seconds=s, microseconds=us),
+             t0 + timedelta(seconds=s + d, microseconds=us))
+            for i, (s, d, us) in enumerate(vals)
+        ]
+
+    lrows, rrows = mk(lvs), mk(rvs)
+    left = spark.createDataFrame(lrows, "id long, start timestamp, end timestamp")
+    right = spark.createDataFrame(rrows, "id long, start timestamp, end timestamp")
+    got = {
+        (r.l_id, r.r_id): r.overlap_seconds
+        for r in interval_overlap_join(left, right, bucket_seconds=600).collect()
+    }
+    want = {}
+    for li, ls, le in lrows:
+        for ri, rs, re_ in rrows:
+            if ls < re_ and rs < le:
+                ov = (min(le, re_) - max(ls, rs)).total_seconds()
+                want[(li, ri)] = ov
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25)
+)
+@settings(**_SETTINGS)
+def test_activity_streaks_matches_bruteforce(spark, days):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.behavior import (
+        activity_streaks,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(days=d, seconds=i), 1, "a", 1.0)
+            for i, d in enumerate(days)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = activity_streaks(df).collect()[0]
+    uniq = sorted(set(days))
+    runs, cur = [], 1
+    for a, b in zip(uniq, uniq[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    assert r.total_active_days == len(uniq)
+    assert r.n_streaks == len(runs)
+    assert r.longest_streak_days == max(runs)

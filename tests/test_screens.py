@@ -147,3 +147,77 @@ def test_bollinger_excludes_current_and_short_history(spark):
     ).collect()
     # prior 10 values are constant -> var == 0 -> excluded, never a div-by-zero
     assert out == []
+
+
+# --- interval_overlap_join ---------------------------------------------------
+
+
+def test_interval_overlap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def iv(spark, rows):
+        return spark.createDataFrame(
+            [(i, t0 + timedelta(seconds=s), t0 + timedelta(seconds=e))
+             for i, s, e in rows],
+            "id long, start timestamp, end timestamp",
+        )
+
+    left = iv(spark, [(1, 0, 100), (2, 5000, 9000), (3, 20000, 20010)])
+    right = iv(spark, [(10, 50, 150), (11, 99, 300), (12, 100, 200),
+                       (13, 8000, 30000)])
+    out = {(r.l_id, r.r_id): r.overlap_seconds
+           for r in interval_overlap_join(left, right, bucket_seconds=60).collect()}
+    # touching intervals (end == start) are NOT overlap (strict)
+    assert (1, 12) not in out
+    assert out[(1, 10)] == 50.0
+    assert out[(1, 11)] == 1.0
+    assert out[(2, 13)] == 1000.0
+    assert out[(3, 13)] == 10.0
+    assert len(out) == 4
+
+
+def test_interval_overlap_multibucket_dedupes_and_subsecond(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # both spans cover many buckets -> candidate pair appears per shared
+    # bucket but must emit once; plus a 0.4s overlap must survive
+    left = spark.createDataFrame(
+        [(1, t0, t0 + timedelta(seconds=600)),
+         (2, t0 + timedelta(seconds=1000, microseconds=600000),
+          t0 + timedelta(seconds=1001))],
+        "id long, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, t0 + timedelta(seconds=60), t0 + timedelta(seconds=660)),
+         (8, t0 + timedelta(seconds=1000), t0 + timedelta(seconds=1001))],
+        "id long, start timestamp, end timestamp",
+    )
+    rows = interval_overlap_join(left, right, bucket_seconds=60).collect()
+    got = {(r.l_id, r.r_id): r.overlap_seconds for r in rows}
+    assert len(rows) == len(got) == 2  # one row per pair despite ~10 shared buckets
+    assert got[(1, 7)] == 540.0
+    assert got[(2, 8)] == 0.4
+
+
+def test_fd_check_detects_violations(spark):
+    from financial_fraud_detection_using_time_series_data_spark.sources import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "c")],
+        "k long, v string",
+    )
+    r = fd_check(df, ["k"], "v").collect()[0]
+    assert r.n_groups == 3 and r.n_violating == 1
+    assert r.max_distinct == 2
+    assert abs(r.violation_rate - 1 / 3) < 1e-12
