@@ -6096,6 +6096,63 @@ FROM g
 """
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outliers: events whose hour/dow-deseasonalized
+    amount sits >1.3 robust (median/MAD) deviations out. Broadcast
+    seasonal means + two 1-row medians; the fact never shuffles."""
+    out = drift.seasonal_anomaly(
+        _events(spark, sf_dir), "ts", "value", "event_id", k=1.3
+    )
+    return out.select(
+        "event_id",
+        "hour",
+        "dow",
+        E.r6("value").alias("value"),
+        E.r6("adjusted").alias("adjusted"),
+        E.r6("robust_z").alias("robust_z"),
+    )
+
+
+_SEASONAL_ANOMALY_SQL = f"""
+WITH t AS (
+  SELECT event_id, hour(ts)::INT AS hour,
+    ((dayofweek(ts) + 6) % 7)::INT AS dow, value
+  FROM events
+),
+mh AS (SELECT hour, sum(value::DECIMAL(25,2))::DOUBLE / count(*) AS mh
+       FROM t GROUP BY hour),
+md AS (SELECT dow, sum(value::DECIMAL(25,2))::DOUBLE / count(*) AS md
+       FROM t GROUP BY dow),
+ma AS (SELECT sum(value::DECIMAL(25,2))::DOUBLE / count(*) AS ma FROM t),
+adj AS (
+  SELECT t.event_id, t.hour, t.dow, t.value,
+    t.value - (mh.mh - ma.ma) - (md.md - ma.ma) AS adjusted
+  FROM t JOIN mh ON t.hour = mh.hour JOIN md ON t.dow = md.dow CROSS JOIN ma
+),
+m AS (SELECT median(adjusted) AS med FROM adj),
+d AS (SELECT adj.*, m.med FROM adj, m),
+a AS (SELECT median(abs(adjusted - med)) AS mad FROM d)
+SELECT event_id, hour, dow,
+  {_R6.format("value")} AS value,
+  {_R6.format("adjusted")} AS adjusted,
+  {_R6.format("0.6745 * (adjusted - med) / mad")} AS robust_z
+FROM d, a
+WHERE mad > 0 AND abs(0.6745 * (adjusted - med) / mad) > 1.3
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the shared-exact-amount user graph: 5
+    synchronous label-propagation rounds with min-label tie-break — all
+    integer arithmetic, deterministic. Rows-only: iterative graph
+    algorithm (no single-pass SQL form); pinned by planted-clique
+    tests."""
+    ev = _events(spark, sf_dir)
+    return events_ops.label_propagation(
+        ev, F.col("value"), min_degree=2, max_degree=10, n_iter=5
+    )
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-health audit: daily event volumes with a median/MAD
     robust z and anomaly flag. One corpus groupBy to |days| rows; the
@@ -6725,6 +6782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "interval_overlap": q_interval_overlap,
         "fd_check": q_fd_check,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        # label_propagation: rows-only (iterative graph algorithm)
+        "label_propagation": q_label_propagation,
         # simhash_near_dup: rows-only (md5 token hashing has no SQL twin)
         "simhash_near_dup": q_simhash_near_dup,
         "lorenz_deciles": q_lorenz_deciles,
@@ -6907,6 +6967,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": _NDCG_SQL,
         "interval_overlap": _INTERVAL_OVERLAP_SQL,
         "fd_check": _FD_CHECK_SQL,
+        "seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "simhash_near_dup",
     "interval_overlap",
     "fd_check",
+    "seasonal_anomaly",
+    "label_propagation",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

@@ -570,3 +570,41 @@ def new_entity_rate(
         F.col("n_new").cast("long").alias("n_new"),
         F.sum("n_new").over(w).cast("long").alias("cumulative_entities"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.5,
+) -> DataFrame:
+    """Seasonality-aware outlier screen: deseasonalize amounts with the
+    two-way hour/day-of-week adjustment (`relational.seasonal_adjust`),
+    then flag events whose ADJUSTED amount sits more than ``k`` robust
+    (median/MAD) deviations from the center. A raw-value screen flags
+    every Friday evening; this one flags what is abnormal FOR its hour
+    and weekday. Composition: the three broadcast seasonal means, two
+    1-row medians, one flag expression — the fact table never shuffles.
+    """
+    from .relational import seasonal_adjust
+
+    adj = seasonal_adjust(df, ts_col, value_col, id_col)
+    med = adj.agg(F.median("adjusted").alias("med"))
+    with_med = adj.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("adjusted") - F.col("med"))).alias("mad")
+    )
+    staged = with_med.crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("adjusted") - F.col("med")) / F.col("mad"),
+    )
+    return staged.where(F.abs(z) > float(k)).select(
+        id_col,
+        "hour",
+        "dow",
+        F.col(value_col),
+        "adjusted",
+        z.alias("robust_z"),
+    )

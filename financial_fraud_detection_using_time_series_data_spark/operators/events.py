@@ -887,3 +887,79 @@ def attribution_last_touch(
         F.col("n_conversions").cast("long").alias("n_conversions"),
         (F.col("revenue") / F.col("__t")).alias("revenue_share"),
     )
+
+
+def label_propagation(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    min_degree: int = 2,
+    max_degree: int = 10,
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    shared-attribute entity graph — the soft-clustering complement to
+    `fraud_rings`' connected components: CC fuses everything touching
+    anything, LPA splits a blob into densely-linked cores, which is
+    what an investigator actually triages. Each node starts as its own
+    label and repeatedly adopts the most common label among neighbors
+    (ties → smallest label), a FIXED ``n_iter`` rounds — synchronous
+    update + deterministic tie-break makes the result reproducible,
+    unlike the async shuffled variant in the literature.
+
+    Graph: the same degree-capped construction as `triangle_count` /
+    `pagerank` (attr values shared by 2..max_degree entities; pair
+    emission bounded per value). Per round: one join of the edge list
+    against the |nodes| label frame + one (node, label) count + one
+    integer-struct argmax — all exact integer arithmetic, no float
+    nondeterminism anywhere. Lineage breaks every ``checkpoint_every``
+    rounds (same discipline as `dedup.connected_components`).
+
+    Returns (entity, community, community_size).
+    """
+    a = df.select(
+        attr.alias("attr"), F.col(entity_col).alias("u")
+    ).where(F.col("attr").isNotNull()).distinct()
+    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
+    keep = deg.where(
+        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
+    ).select("attr")
+    members = a.join(keep, "attr")
+    m2 = members.select("attr", F.col("u").alias("v"))
+    edges = (
+        members.join(m2, "attr")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    both = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    if checkpoint_every:
+        both = both.localCheckpoint(eager=False)
+    labels = both.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    )
+    for i in range(n_iter):
+        neigh = both.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counted = neigh.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        labels = counted.groupBy("u").agg(
+            (
+                -F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))[
+                    "__nl"
+                ]
+            ).alias("label")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("u").alias(entity_col),
+        F.col("label").alias("community"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )

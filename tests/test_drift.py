@@ -263,3 +263,28 @@ def test_new_entity_rate_births_and_cumulative(spark):
     assert [r.n_new for r in out] == [2, 2]  # day 2 emits no row (no births)
     assert [r.cumulative_entities for r in out] == [2, 4]
     assert out[0].bucket_ts.day == 1 and out[1].bucket_ts.day == 3
+
+
+def test_seasonal_anomaly_flags_off_season_not_peak(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 20 days: quiet hours ~10, hour-20 surge ~60 — both normal in season
+    for d in range(20):
+        for h, v in [(3, 10.0), (9, 10.5), (15, 10.0), (20, 60.0)]:
+            rows.append((eid, t0 + timedelta(days=d, hours=h), 1, "a", v + 0.01 * eid))
+            eid += 1
+    # the planted anomaly: a surge-sized amount at 3am
+    rows.append((9999, t0 + timedelta(days=20, hours=3), 1, "a", 60.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    # k=10: the planted off-season surge reads z≈52; the next-largest
+    # |z| (≈7.6, collateral of the outlier inflating its own thin
+    # day-of-week mean) stays below the bar
+    out = drift.seasonal_anomaly(df, k=10.0).collect()
+    assert {r.event_id for r in out} == {9999}
+    # ... and 60 at hour 20 is NORMAL for the evening surge
+    assert all(r.hour != 20 for r in out)

@@ -318,3 +318,38 @@ def test_attribution_skips_adjacent_conversions(spark):
     assert out["click"].revenue == pytest.approx(5.0)
     assert out[None].revenue == pytest.approx(7.0)
     assert out["view"].revenue_share == pytest.approx(30.0 / 42.0)
+
+
+# --- label_propagation -------------------------------------------------------
+
+
+def test_label_propagation_two_cliques(spark):
+    from datetime import timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # attr values shared within each clique only -> two communities
+    rows, eid = [], 0
+    for attr, users in [(100.0, [1, 2, 3]), (200.0, [2, 3]),
+                        (300.0, [10, 11, 12]), (400.0, [11, 12])]:
+        for u in users:
+            rows.append((eid, t0 + timedelta(seconds=eid), u, "a", attr))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r.user_id: r for r in events.label_propagation(
+        df, F.col("value"), min_degree=2, max_degree=10, n_iter=5
+    ).collect()}
+    assert {out[u].community for u in (1, 2, 3)} == {1}
+    assert {out[u].community for u in (10, 11, 12)} == {10}
+    assert all(out[u].community_size == 3 for u in out)
+
+
+def test_label_propagation_deterministic(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, events.label_propagation(ev, F.col("value")).collect()))
+    b = sorted(map(tuple, events.label_propagation(ev, F.col("value")).collect()))
+    assert a == b and len(a) > 0
