@@ -6153,6 +6153,151 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free feature relevance: MI (nats) of hour / pandas-dow /
+    amount-bin vs the error label. Integer micro-nat folds keep the
+    cell sum cross-engine exact; one cheap agg per feature."""
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        F.hour("ts").cast("int").alias("hour"),
+        E.pandas_dow(F.col("ts")).cast("int").alias("dow"),
+        E.amount_bin(F.col("value")).alias("amount_bin"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    out = evaluation.mutual_information(
+        staged, ["hour", "dow", "amount_bin"], "label"
+    )
+    return out.select(
+        "feature",
+        E.r6("mi_nats").alias("mi_nats"),
+        "n_rows",
+        "n_cells",
+    )
+
+
+_MI_BIN = """(CASE WHEN value <= 50 THEN 0 WHEN value <= 100 THEN 1
+  WHEN value <= 200 THEN 2 WHEN value <= 500 THEN 3 WHEN value <= 1000 THEN 4
+  WHEN value <= 5000 THEN 5 ELSE 6 END)::INT"""
+
+_MI_ONE = """
+SELECT '{name}' AS feature, x AS __x, (event_type = 'error')::INT AS __y
+FROM (SELECT {expr} AS x, event_type FROM events)
+"""
+
+_MUTUAL_INFO_SQL = f"""
+WITH s AS (
+  {_MI_ONE.format(name="hour", expr="hour(ts)::INT")}
+  UNION ALL
+  {_MI_ONE.format(name="dow", expr="((dayofweek(ts) + 6) % 7)::INT")}
+  UNION ALL
+  {_MI_ONE.format(name="amount_bin", expr=_MI_BIN)}
+), cells AS (
+  SELECT feature, __x, __y, count(*) AS nxy FROM s GROUP BY 1, 2, 3
+), xm AS (SELECT feature, __x, sum(nxy) AS nx FROM cells GROUP BY 1, 2),
+ym AS (SELECT feature, __y, sum(nxy) AS ny FROM cells GROUP BY 1, 2),
+tot AS (SELECT feature, sum(nxy) AS n FROM cells GROUP BY 1),
+j AS (
+  SELECT c.feature, c.nxy, xm.nx, ym.ny, tot.n,
+    (c.nxy / tot.n)
+      * ln((c.nxy / tot.n) / ((xm.nx / tot.n) * (ym.ny / tot.n))) AS term
+  FROM cells c
+  JOIN xm ON c.feature = xm.feature AND c.__x = xm.__x
+  JOIN ym ON c.feature = ym.feature AND c.__y = ym.__y
+  JOIN tot ON c.feature = tot.feature
+)
+SELECT feature,
+  {_R6.format("sum(floor(term * 1e12 + 0.5)::BIGINT) / 1e12")} AS mi_nats,
+  max(n)::BIGINT AS n_rows,
+  count(*)::BIGINT AS n_cells
+FROM j GROUP BY feature
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: purchase rate of even- vs odd-id users.
+    One conditional-count agg; z from four integer counts in a single
+    closed-form expression."""
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("success"),
+    )
+    out = evaluation.ab_test(staged, "arm", "success")
+    return out.select(
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        E.r6("rate_a").alias("rate_a"),
+        E.r6("rate_b").alias("rate_b"),
+        E.r6("lift").alias("lift"),
+        E.r6("z").alias("z"),
+    )
+
+
+_AB_TEST_SQL = f"""
+WITH a AS (
+  SELECT
+    sum((user_id % 2 = 0)::INT)::BIGINT AS n_a,
+    sum((user_id % 2 = 0 AND event_type = 'purchase')::INT)::BIGINT AS s_a,
+    sum((user_id % 2 = 1)::INT)::BIGINT AS n_b,
+    sum((user_id % 2 = 1 AND event_type = 'purchase')::INT)::BIGINT AS s_b
+  FROM events
+), e AS (
+  SELECT *,
+    s_a::DOUBLE / n_a::DOUBLE AS pa,
+    s_b::DOUBLE / n_b::DOUBLE AS pb,
+    (s_a::DOUBLE + s_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE) AS pool
+  FROM a
+)
+SELECT n_a, s_a, n_b, s_b,
+  {_R6.format("CASE WHEN n_a > 0 THEN pa END")} AS rate_a,
+  {_R6.format("CASE WHEN n_b > 0 THEN pb END")} AS rate_b,
+  {_R6.format("CASE WHEN n_a > 0 AND n_b > 0 THEN pb - pa END")} AS lift,
+  {_R6.format(
+    "CASE WHEN n_a > 0 AND n_b > 0"
+    " AND sqrt(pool * (1.0 - pool) * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) > 0"
+    " THEN (pb - pa)"
+    " / sqrt(pool * (1.0 - pool) * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) END"
+  )} AS z
+FROM e
+"""
+
+
+def q_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nigrini conformity verdict over the first-digit profile: MAD of
+    digit-proportion deviations, micro-unit exact, with the standard
+    close/acceptable/marginal/nonconformity buckets."""
+    out = drift.benford_mad(_events(spark, sf_dir), "value")
+    return out.select(E.r6("mad").alias("mad"), "n_values", "conformity")
+
+
+_BENFORD_MAD_SQL = f"""
+WITH pos AS (
+  SELECT substr(floor(value * 100)::BIGINT::VARCHAR, 1, 1)::INT AS digit
+  FROM events WHERE value > 0
+), counts AS (
+  SELECT digit, count(*)::BIGINT AS n FROM pos GROUP BY 1
+), digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+prof AS (
+  SELECT d.digit, coalesce(c.n, 0) AS n,
+    coalesce(c.n, 0) / (SELECT sum(n)::DOUBLE FROM counts)
+      - log10(1.0 + 1.0 / d.digit) AS deviation
+  FROM digits d LEFT JOIN counts c ON d.digit = c.digit
+), s AS (
+  SELECT sum(floor(abs(deviation) * 1e12 + 0.5)::BIGINT) AS sm,
+    sum(n)::BIGINT AS n_values
+  FROM prof
+)
+SELECT {_R6.format("sm / 9.0 / 1e12")} AS mad, n_values,
+  CASE WHEN sm / 9.0 / 1e12 < 0.006 THEN 'close'
+       WHEN sm / 9.0 / 1e12 < 0.012 THEN 'acceptable'
+       WHEN sm / 9.0 / 1e12 < 0.015 THEN 'marginal'
+       ELSE 'nonconformity' END AS conformity
+FROM s
+"""
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-health audit: daily event volumes with a median/MAD
     robust z and anomaly flag. One corpus groupBy to |days| rows; the
@@ -6785,6 +6930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly": q_seasonal_anomaly,
         # label_propagation: rows-only (iterative graph algorithm)
         "label_propagation": q_label_propagation,
+        "mutual_information": q_mutual_information,
+        "ab_test": q_ab_test,
+        "benford_mad": q_benford_mad,
         # simhash_near_dup: rows-only (md5 token hashing has no SQL twin)
         "simhash_near_dup": q_simhash_near_dup,
         "lorenz_deciles": q_lorenz_deciles,
@@ -6968,6 +7116,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": _INTERVAL_OVERLAP_SQL,
         "fd_check": _FD_CHECK_SQL,
         "seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
+        "mutual_information": _MUTUAL_INFO_SQL,
+        "ab_test": _AB_TEST_SQL,
+        "benford_mad": _BENFORD_MAD_SQL,
         "lorenz_deciles": _LORENZ_SQL,
         "survival_curve": _SURVIVAL_SQL,
         "behavior_mart": _BEHAVIOR_MART_SQL,

@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "fd_check",
     "seasonal_anomaly",
     "label_propagation",
+    "mutual_information",
+    "ab_test",
+    "benford_mad",
     "survival_curve",
     "behavior_mart",
     "ohlc_bars",

@@ -608,3 +608,33 @@ def seasonal_anomaly(
         "adjusted",
         z.alias("robust_z"),
     )
+
+
+def benford_mad(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Nigrini conformity summary over the first-digit profile: the
+    mean absolute deviation of observed digit proportions from
+    Benford's law, bucketed into the standard conformity verdicts
+    (<0.006 close, <0.012 acceptable, <0.015 marginal, else
+    nonconformity). The per-digit profile (`benford_profile`) is what
+    an analyst reads; this 1-row verdict is what a pipeline alerts on.
+    The 9 |deviation| terms fold as integer micro-units, so the MAD is
+    reduction-order exact.
+    """
+    prof = benford_profile(df, value_col)
+    return prof.agg(
+        F.sum(
+            F.floor(F.abs(F.col("deviation")) * 1e12 + F.lit(0.5)).cast("long")
+        ).alias("__s"),
+        F.sum("n").cast("long").alias("n_values"),
+    ).select(
+        (F.col("__s") / F.lit(9.0) / F.lit(1e12)).alias("mad"),
+        "n_values",
+        F.when(F.col("__s") / 9.0 / 1e12 < 0.006, "close")
+        .when(F.col("__s") / 9.0 / 1e12 < 0.012, "acceptable")
+        .when(F.col("__s") / 9.0 / 1e12 < 0.015, "marginal")
+        .otherwise("nonconformity")
+        .alias("conformity"),
+    )

@@ -411,3 +411,91 @@ def ndcg_eval(
             F.coalesce(F.col("dcg_micro"), F.lit(0)) / idcg.cast("double"),
         ).alias("ndcg"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between each LOW-CARDINALITY feature
+    column and the label — the model-free feature-relevance ranking
+    that, unlike Pearson correlation, sees non-monotone structure.
+    One (feature, label) cell count per feature (map-side combined);
+    the MI sum folds integer micro-nats (``floor(term·1e12 + 0.5)``)
+    over the ≤|bins|·|labels| cells, so the cross-engine result is
+    exact — a float Σ p·ln(...) differs in its last bits with
+    aggregation order. Continuous features must be binned first (F7);
+    at 100 TB each feature costs one cheap agg over the corpus.
+    """
+    spark = df.sparkSession
+    out = None
+    for fc in feature_cols:
+        cells = df.groupBy(
+            F.col(fc).alias("__x"), F.col(label_col).alias("__y")
+        ).agg(F.count(F.lit(1)).alias("__nxy"))
+        xm = cells.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+        ym = cells.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+        tot = cells.agg(F.sum("__nxy").alias("__n"))
+        j = (
+            cells.join(F.broadcast(xm), "__x")
+            .join(F.broadcast(ym), "__y")
+            .crossJoin(F.broadcast(tot))
+        )
+        pxy = F.col("__nxy") / F.col("__n")
+        term = pxy * F.log(
+            pxy / ((F.col("__nx") / F.col("__n")) * (F.col("__ny") / F.col("__n")))
+        )
+        mi_row = j.agg(
+            F.sum(F.floor(term * 1e12 + F.lit(0.5)).cast("long")).alias("__mi_micro"),
+            F.first("__n").alias("__n"),
+            F.count(F.lit(1)).alias("n_cells"),
+        ).select(
+            F.lit(fc).alias("feature"),
+            (F.col("__mi_micro") / F.lit(1e12)).alias("mi_nats"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+        )
+        out = mi_row if out is None else out.unionByName(mi_row)
+    return out
+
+
+def ab_test(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test between arms 0 and 1 of ``arm_col``
+    (0/1 int) on the 0/1 ``success_col`` — the experiment read-out
+    behind every launch decision. One conditional-count aggregate; the
+    z assembles from four integer counts in a single closed-form
+    expression, so there is nothing order-sensitive to drift across
+    engines. Returns one row: per-arm n/successes/rate, the absolute
+    lift, and the pooled z statistic (NULL when either arm is empty or
+    the pooled variance is zero).
+    """
+    a = df.agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when((F.col(arm_col) == 0) & (F.col(success_col) == 1), 1).otherwise(0)
+        ).alias("s_a"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when((F.col(arm_col) == 1) & (F.col(success_col) == 1), 1).otherwise(0)
+        ).alias("s_b"),
+    )
+    na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    pa, pb = sa / na, sb / nb
+    pool = (sa + sb) / (na + nb)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    return a.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        F.when(na > 0, pa).alias("rate_a"),
+        F.when(nb > 0, pb).alias("rate_b"),
+        F.when((na > 0) & (nb > 0), pb - pa).alias("lift"),
+        F.when((na > 0) & (nb > 0) & (se > 0), (pb - pa) / se).alias("z"),
+    )

@@ -288,3 +288,21 @@ def test_seasonal_anomaly_flags_off_season_not_peak(spark):
     assert {r.event_id for r in out} == {9999}
     # ... and 60 at hour 20 is NORMAL for the evening surge
     assert all(r.hour != 20 for r in out)
+
+
+def test_benford_mad_conformity_buckets(spark):
+    import numpy as np
+
+    # benford-distributed first digits -> 'close'
+    rng = np.random.default_rng(7)
+    vals = (10 ** rng.uniform(0, 3, size=20000)).tolist()  # log-uniform == Benford
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    r = drift.benford_mad(df, "value").collect()[0]
+    assert r.conformity in ("close", "acceptable") and r.mad < 0.012
+    # uniform 1..9 first digits -> far from Benford
+    df2 = spark.createDataFrame(
+        [(float(d) * 10.0,) for d in range(1, 10) for _ in range(100)],
+        "value double",
+    )
+    r2 = drift.benford_mad(df2, "value").collect()[0]
+    assert r2.conformity == "nonconformity" and r2.n_values == 900

@@ -4,6 +4,8 @@ oracle, which shares the plan shape)."""
 
 import numpy as np
 import pandas as pd
+import pytest
+from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.operators import evaluation
 
@@ -210,3 +212,56 @@ def test_topk_per_group_matches_plain_window(spark):
         .collect()
     }
     assert got == want
+
+
+# --- mutual_information / ab_test --------------------------------------------
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    import math
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import (
+        mutual_information,
+    )
+
+    rows = []
+    for i in range(400):
+        # (indep, label) uniform over all 4 combos -> truly independent
+        rows.append(((i // 2) % 2, i % 2))
+    df = spark.createDataFrame(rows, "indep int, label int")
+    dep = df.withColumn("dep", F.col("label"))
+    out = {r.feature: r for r in mutual_information(
+        dep, ["indep", "dep"], "label"
+    ).collect()}
+    assert abs(out["indep"].mi_nats) < 1e-9          # independent -> 0
+    assert abs(out["dep"].mi_nats - math.log(2)) < 1e-6  # identical -> H = ln 2
+    assert out["dep"].n_rows == 400 and out["dep"].n_cells == 2
+
+
+def test_ab_test_known_z(spark):
+    import math
+
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import (
+        ab_test,
+    )
+
+    # arm 0: 100 trials 20 successes; arm 1: 100 trials 30 successes
+    rows = [(0, 1 if i < 20 else 0) for i in range(100)]
+    rows += [(1, 1 if i < 30 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "arm int, success int")
+    r = ab_test(df, "arm", "success").collect()[0]
+    assert (r.n_a, r.s_a, r.n_b, r.s_b) == (100, 20, 100, 30)
+    pool = 50 / 200
+    want = (0.3 - 0.2) / math.sqrt(pool * (1 - pool) * (2 / 100))
+    assert r.lift == pytest.approx(0.1)
+    assert r.z == pytest.approx(want, rel=1e-12)
+
+
+def test_ab_test_empty_arm_null_not_crash(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import (
+        ab_test,
+    )
+
+    df = spark.createDataFrame([(0, 1), (0, 0)], "arm int, success int")
+    r = ab_test(df, "arm", "success").collect()[0]
+    assert r.n_b == 0 and r.rate_b is None and r.z is None
