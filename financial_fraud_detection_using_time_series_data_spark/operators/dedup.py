@@ -333,6 +333,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # materialize the per-token hash array ONCE (own projection, see
     # minhash_signature) — the naive form re-tokenizes + re-hashes every
     # token per bit, i.e. `bits`× the work
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
     hashed = df.select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), lambda t: _md5_hash64(t, 9999)).alias(

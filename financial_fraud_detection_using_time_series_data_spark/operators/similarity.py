@@ -140,17 +140,44 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _matrix_literal(rows: list[list[float]]) -> Column:
-    """Ship a small float matrix as ONE SQL-text array literal (single py4j
-    call, parsed JVM-side) — the nested-`lit` form walks every element
-    through py4j and bloats codegen (see `rh_signature`)."""
-    sql = "array({})".format(
+def _matrix_sql(rows: list[list[float]]) -> str:
+    return "array({})".format(
         ", ".join(
             "array({})".format(", ".join(f"{float(v)!r}D" for v in row))
             for row in rows
         )
     )
-    return F.expr(sql)
+
+
+def _matrix_literal(rows: list[list[float]]) -> Column:
+    """Ship a small float matrix as ONE SQL-text array literal (single py4j
+    call, parsed JVM-side) — the nested-`lit` form walks every element
+    through py4j and bloats codegen (see `rh_signature`)."""
+    return F.expr(_matrix_sql(rows))
+
+
+# SQL-text twins of dot/norm/cosine for the literal-matrix hot paths.
+# Python-side HOF construction (F.transform/zip_with/aggregate lambdas)
+# costs ~5 py4j round trips PER lambda; an expression like per-row
+# centroid argmax builds dozens of them, adding ~1.5s of pure
+# driver-side plan construction per query (measured). One F.expr parse
+# of the same tree is a single round trip, and the parsed plan — hence
+# every result bit — is identical to the Column form.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / nullif({_norm_sql(a)} * {_norm_sql(b)}, 0.0D))"
 
 
 def assign_cells(
@@ -165,14 +192,20 @@ def assign_cells(
     difference between a free pass over the scan and materializing
     nlist×|C| join rows. Ties take the lowest cell index
     (`array_position` returns the first exact match)."""
-    sims = F.transform(
-        _matrix_literal(centroids),
-        lambda c: cosine(F.col(vec_col), c),
+    from ..sources.tables import fan_out
+
+    sims = F.expr(
+        f"transform({_matrix_sql(centroids)}, "
+        f"c -> {_cosine_sql(f'`{vec_col}`', 'c')})"
     )
     # layered select: materialize sims once; array_max + array_position
-    # would otherwise each re-expand the 64-term cosine fold
+    # would otherwise each re-expand the 64-term cosine fold.
+    # fan_out: the per-row argmax costs nlist×dim flops, so a
+    # single-split scan must spread before this map (no-op at scale);
+    # assignment is per-row deterministic, so results are bit-identical
+    # under any partitioning.
     return (
-        corpus.withColumn("__sims", sims)
+        fan_out(corpus).withColumn("__sims", sims)
         .withColumn(
             "cell_id",
             (
@@ -217,10 +250,25 @@ def kmeans_centroids(
     cents = [[float(x) for x in r.v] for r in seeds]
     for _ in range(n_iter):
         assigned = assign_cells(corpus, cents, vec_col)
+        # means via integer pico-unit decimal sums, NOT F.avg(double):
+        # assign_cells fans a narrow scan out to many partitions, and a
+        # float sum's merge order follows shuffle-fetch order — training
+        # would stop being bit-reproducible run-to-run. The 1e-12
+        # quantization is far below any recall-relevant resolution.
         means = (
             assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1e12 + F.lit(0.5)).cast("decimal(28,0)")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "cell_id",
+                "pos",
+                (F.col("__s").cast("double") / F.lit(1e12) / F.col("__n")).alias("m"),
+            )
             .collect()
         )
         new = [list(c) for c in cents]
@@ -334,8 +382,8 @@ def _probe_cells(
     (sort structs of (-sim, idx): desc sim, asc cell on ties, matching
     the window path's tie-break). Output: (qid, qvec, cell_id)."""
     q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
-    sims = F.transform(
-        _matrix_literal(centroids), lambda c: cosine(F.col("qvec"), c)
+    sims = F.expr(
+        f"transform({_matrix_sql(centroids)}, c -> {_cosine_sql('qvec', 'c')})"
     )
     return (
         q.withColumn("__sims", sims)
@@ -392,18 +440,20 @@ def _normalized(vec_col: str) -> Column:
     return F.transform(v, lambda x: x.cast("double") / F.nullif(n, F.lit(0.0)))
 
 
-def _subdists(sub: Column, book: list[list[float]]) -> Column:
-    """Per-codeword squared-L2 distances of one subvector — closure
-    factory, NOT an inline default-arg lambda (pyspark would read a
-    two-arg HOF lambda and bind the extra arg to the element index)."""
-    return F.transform(
-        _matrix_literal(book),
-        lambda c: F.aggregate(
-            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
+def _subdists_sql(sub: str, book: list[list[float]]) -> str:
+    """Per-codeword squared-L2 distances of one subvector, as SQL text
+    (see the `_dot_sql` note: one parse beats dozens of py4j lambda
+    round trips; the parsed tree is identical to the Column form)."""
+    return (
+        f"transform({_matrix_sql(book)}, "
+        f"c -> aggregate(zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, d) -> acc + d))"
     )
+
+
+def _argmin_code_sql(sub: str, book: list[list[float]]) -> str:
+    d = _subdists_sql(sub, book)
+    return f"cast(array_position({d}, array_min({d})) - 1 as int)"
 
 
 def pq_train(
@@ -434,9 +484,11 @@ def pq_train(
     — deterministic, no RNG. Means are collected (m·ksub·dsub doubles, a
     few KB) and re-shipped as literals each iteration, so iteration N
     does not lazily recompute 1..N-1."""
+    from ..sources.tables import fan_out
+
     assert dim % m == 0, "dim must divide into m subspaces"
     dsub = dim // m
-    normed = corpus.select(id_col, _normalized(vec_col).alias("__v"))
+    normed = fan_out(corpus).select(id_col, _normalized(vec_col).alias("__v"))
     seed_rows = normed.orderBy(id_col).limit(ksub).collect()
     books = [
         [[float(x) for x in r["__v"][j * dsub : (j + 1) * dsub]] for r in seed_rows]
@@ -445,19 +497,33 @@ def pq_train(
     for _ in range(n_iter):
         structs = []
         for j, book in enumerate(books):
-            sub = F.slice(F.col("__v"), j * dsub + 1, dsub)
-            dists = _subdists(sub, book)
-            cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            sub = f"slice(__v, {j * dsub + 1}, {dsub})"
             structs.append(
-                F.struct(
-                    F.lit(j).alias("sub"), cell.alias("cell"), sub.alias("vals")
+                F.expr(
+                    f"struct({j} as sub, "
+                    f"{_argmin_code_sql(sub, book)} as cell, {sub} as vals)"
                 )
             )
+        # order-invariant means (see kmeans_centroids): pico-unit decimal
+        # sums keep multi-partition training bit-reproducible
         means = (
             normed.select(F.explode(F.array(*structs)).alias("s"))
             .select("s.sub", "s.cell", F.posexplode("s.vals").alias("pos", "x"))
             .groupBy("sub", "cell", "pos")
-            .agg(F.avg("x").alias("mval"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1e12 + F.lit(0.5)).cast("decimal(28,0)")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "sub",
+                "cell",
+                "pos",
+                (F.col("__s").cast("double") / F.lit(1e12) / F.col("__n")).alias(
+                    "mval"
+                ),
+            )
             .collect()
         )
         new = [[list(c) for c in book] for book in books]
@@ -483,17 +549,24 @@ def pq_encode(
 
     ``keep``: extra columns carried through unchanged (e.g. the IVF
     ``cell_id`` when building a composed IVF×PQ index)."""
+    from ..sources.tables import fan_out
+
     dsub = len(codebooks[0][0])
-    row = corpus.select(id_col, *keep, _normalized(vec_col).alias("__v"))
-    for j, book in enumerate(codebooks):
-        sub = F.slice(F.col("__v"), j * dsub + 1, dsub)
-        dists = _subdists(sub, book)
-        row = row.withColumn(f"__c{j}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return row.select(
-        id_col,
-        *keep,
-        F.array(*[F.col(f"__c{j}") for j in range(len(codebooks))]).alias("codes"),
+    # m×ksub×dsub flops per row — spread a narrow scan first (no-op at
+    # scale); encoding is per-row deterministic under any partitioning
+    row = fan_out(corpus).select(id_col, *keep, _normalized(vec_col).alias("__v"))
+
+    # ONE select + ONE parsed expression for all m codes — a
+    # withColumn-per-subspace loop re-analyzes a plan whose expressions
+    # embed the full ksub×dsub codebook literals on every pass, i.e.
+    # O(m²) driver-side analysis over kilobyte expression trees
+    # (measured ~1.5s of pure plan-build at m=8; the data job itself is
+    # milliseconds at small SF)
+    codes = ", ".join(
+        _argmin_code_sql(f"slice(__v, {j * dsub + 1}, {dsub})", book)
+        for j, book in enumerate(codebooks)
     )
+    return row.select(id_col, *keep, F.expr(f"array({codes})").alias("codes"))
 
 
 def pq_topk(
@@ -538,14 +611,14 @@ def _adc_cosine(codebooks: list[list[list[float]]]) -> Column:
     codeword-by-codeword inside the expression (codebooks are foldable
     literals)."""
     dsub = len(codebooks[0][0])
-    approx = None
-    for j, book in enumerate(codebooks):
-        qslice = F.slice(F.col("qvec"), j * dsub + 1, dsub)
-        cent = F.element_at(_matrix_literal(book), F.col("codes")[j] + 1)
-        d = dot(qslice, cent)
-        approx = d if approx is None else approx + d
-    qnorm = F.sqrt(dot(F.col("qvec"), F.col("qvec")))
-    return approx / F.nullif(qnorm, F.lit(0.0))
+    terms = " + ".join(
+        _dot_sql(
+            f"slice(qvec, {j * dsub + 1}, {dsub})",
+            f"element_at({_matrix_sql(book)}, codes[{j}] + 1)",
+        )
+        for j, book in enumerate(codebooks)
+    )
+    return F.expr(f"(({terms}) / nullif(sqrt({_dot_sql('qvec', 'qvec')}), 0.0D))")
 
 
 def ivf_pq_topk(

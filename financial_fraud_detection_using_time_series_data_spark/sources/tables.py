@@ -72,6 +72,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row
+    work. A small parquet file arrives as ONE input split, so an
+    expensive map stage (per-token hashing, per-vector arithmetic) runs
+    on a single core no matter how wide the cluster is; one round-robin
+    shuffle of the (tiny) input buys full parallelism. No-op when the
+    scan already has >= `min_partitions` splits — at production scale
+    (many files / row groups) that is the normal case, so the shuffle
+    never fires where it would actually cost something.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_stream_table(
     spark: SparkSession, path: str, schema, nano_cols=()
 ) -> DataFrame:

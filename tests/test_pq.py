@@ -54,10 +54,25 @@ def test_pq_identical_vectors_share_codes_and_rank_first(spark):
 
 
 def test_pq_encode_plan_is_map_only(spark, sf_dir):
+    """Encoding itself must stay map-only: no aggregate/join exchange.
+    The one allowed exchange is fan_out's round-robin spread of the
+    narrow test scan (a no-op on a production multi-split corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = similarity.pq_train(emb, dim=64, m=4, ksub=8, n_iter=1)
     plan = similarity.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("RoundRobinPartitioning" in ln for ln in exchanges), plan
+    assert len(exchanges) <= 1, plan
+    # on an already-wide input fan_out no-ops: the only exchange left is
+    # the caller's own repartition
+    wide = emb.repartition(64)
+    plan_wide = (
+        similarity.pq_encode(wide, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert sum("Exchange" in ln for ln in plan_wide.splitlines()) == 1, plan_wide
 
 
 def test_ivf_pq_recall_floor_and_no_crossjoin(spark, sf_dir):
