@@ -6707,6 +6707,96 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline over the per-user (activity, spend) profile: users not
+    dominated in (maximize n_events, maximize total_value). Dominance is
+    decided on the EXACT decimal totals; the double cast is output-only."""
+    ev = _events(spark, sf_dir)
+    prof = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        E.dsum("value").alias("__tot"),
+    )
+    out = relational.pareto_frontier(prof, "n_events", "__tot")
+    return out.select(
+        "user_id",
+        "n_events",
+        E.r6(F.col("__tot").cast("double")).alias("total_value"),
+    )
+
+
+_PARETO_SQL = f"""
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+    sum(value::DECIMAL(25,2)) AS __tot
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+  {_R6.format("__tot::DOUBLE")} AS total_value
+FROM u q
+WHERE NOT EXISTS (
+  SELECT 1 FROM u p
+  WHERE p.n_events >= q.n_events AND p.__tot >= q.__tot
+    AND (p.n_events > q.n_events OR p.__tot > q.__tot))
+"""
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis screen on lineitem (quantity vs extended
+    price): joint-covariance outliers at the chi-square 0.99 cutoff.
+    Closed-form 2x2 inverse — two scans, zero shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = screens.mahalanobis_outliers(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        id_cols=["l_orderkey", "l_linenumber"],
+        # TPC-H's (quantity, price) joint is bounded-uniform (max d2
+        # ~5.9), so the Gaussian chi-square default flags nothing;
+        # 5.0 flags the empirical extreme ~1% band
+        threshold=5.0,
+        x_scale="decimal(18,2)",
+        y_scale="decimal(18,2)",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        E.r6("md2").alias("md2"),
+    )
+
+
+_MAHALANOBIS_SQL = f"""
+WITH s AS (
+  SELECT count(*)::DOUBLE AS n,
+    sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+    sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+    sum((l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DECIMAL(38,4))::DOUBLE AS sxx,
+    sum((l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DECIMAL(38,4))::DOUBLE AS syy,
+    sum((l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DECIMAL(38,4))::DOUBLE AS sxy
+  FROM lineitem
+), scored AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    ((((CAST(l_quantity AS DOUBLE) - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)))
+      * ((CAST(l_quantity AS DOUBLE) - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)))
+      - 2.0 * ((sxy - sx * sy / n) / (n - 1.0)
+               / sqrt((sxx - sx * sx / n) / (n - 1.0) * ((syy - sy * sy / n) / (n - 1.0))))
+        * ((CAST(l_quantity AS DOUBLE) - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)))
+        * ((CAST(l_extendedprice AS DOUBLE) - sy / n) / sqrt((syy - sy * sy / n) / (n - 1.0)))
+      + ((CAST(l_extendedprice AS DOUBLE) - sy / n) / sqrt((syy - sy * sy / n) / (n - 1.0)))
+        * ((CAST(l_extendedprice AS DOUBLE) - sy / n) / sqrt((syy - sy * sy / n) / (n - 1.0))))
+     / (1.0 - ((sxy - sx * sy / n) / (n - 1.0)
+               / sqrt((sxx - sx * sx / n) / (n - 1.0) * ((syy - sy * sy / n) / (n - 1.0))))
+            * ((sxy - sx * sy / n) / (n - 1.0)
+               / sqrt((sxx - sx * sx / n) / (n - 1.0) * ((syy - sy * sy / n) / (n - 1.0)))))) AS md2
+  FROM lineitem, s
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+  {_R6.format("md2")} AS md2
+FROM scored WHERE md2 > 5.0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -6943,6 +7033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realized_volatility": q_realized_volatility,
         "max_drawdown": q_max_drawdown,
         "twap": q_twap,
+        # skyline / joint-outlier screens
+        "pareto_frontier": q_pareto_frontier,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -7126,5 +7219,7 @@ def oracle_sql() -> dict[str, str]:
         "realized_volatility": _REALIZED_VOL_SQL,
         "max_drawdown": _MAX_DRAWDOWN_SQL,
         "twap": _TWAP_SQL,
+        "pareto_frontier": _PARETO_SQL,
+        "mahalanobis_outliers": _MAHALANOBIS_SQL,
         # pagerank: rows-only (iterative float power method)
     }

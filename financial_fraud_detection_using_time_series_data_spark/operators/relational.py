@@ -897,3 +897,82 @@ def interval_overlap_join(
         .select("l_id", "r_id", overlap.alias("overlap_seconds"))
         .distinct()
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    d1_col: str,
+    d2_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Skyline query: rows not dominated in the (maximize ``d1_col``,
+    maximize ``d2_col``) sense — p dominates q iff p >= q on both dims
+    and p > q on at least one. The Pareto set is the classic "best
+    trade-off" query (most-active AND highest-value accounts, cheapest
+    AND fastest suppliers) that plain ORDER BY cannot express.
+
+    Plan shape (two phases, both distributed):
+
+    1. **Bucket prune** (removes all but the near-frontier band): bucket
+       ``d1`` into ``n_buckets`` fixed-width ranges (min/max from one
+       broadcast 1-row agg); per-bucket max of ``d2`` is a
+       |buckets|-row dim. A row survives iff its ``d2`` STRICTLY
+       exceeds the best ``d2`` of every strictly-higher bucket (any
+       such point has strictly greater d1, so a >= tie on d2 already
+       dominates). The corpus is scanned map-only against the
+       broadcast threshold dim — no shuffle of the fact.
+    2. **Exact skyline on the survivor band**: group survivors by
+       distinct ``d1`` (keeping each group's max ``d2``), one ordered
+       window over that reduced frame computes the strictly-prior
+       running max, and a final semi-join keeps exactly the
+       non-dominated rows. The window sorts only the survivor band —
+       bounded by the frontier's neighborhood, not the corpus.
+
+    Equal (d1, d2) duplicates do not dominate each other; all co-optimal
+    ties are returned. Dims may be any orderable numeric type; exact
+    (decimal) inputs make dominance exact.
+    """
+    base = df.select("*").where(
+        F.col(d1_col).isNotNull() & F.col(d2_col).isNotNull()
+    )
+    rng = base.agg(
+        F.min(d1_col).cast("double").alias("__lo"),
+        F.max(d1_col).cast("double").alias("__hi"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(d1_col).cast("double") - F.col("__lo")) / w),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    bucketed = base.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+
+    # per-bucket best d2, then the running max over STRICTLY higher buckets
+    bmax = bucketed.groupBy("__b").agg(F.max(d2_col).alias("__bm"))
+    higher = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresh = bmax.select(
+        "__b", F.max("__bm").over(higher).alias("__higher_best")
+    )
+    survivors = (
+        bucketed.join(F.broadcast(thresh), "__b")
+        .where(
+            F.col("__higher_best").isNull()
+            | (F.col(d2_col) > F.col("__higher_best"))
+        )
+        .drop("__b", "__lo", "__hi", "__higher_best")
+    )
+
+    # exact pass on the pruned band
+    g = survivors.groupBy(d1_col).agg(F.max(d2_col).alias("__gmax"))
+    prior = Window.orderBy(F.col(d1_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    keep = (
+        g.select(d1_col, "__gmax", F.max("__gmax").over(prior).alias("__p"))
+        .where(F.col("__p").isNull() | (F.col("__gmax") > F.col("__p")))
+        .select(d1_col, F.col("__gmax").alias(d2_col))
+    )
+    return survivors.join(F.broadcast(keep), [d1_col, d2_col], "left_semi")

@@ -235,3 +235,73 @@ def bollinger_breakout(
         std.alias("band_std"),
         dev.alias("deviations"),
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str] | None = None,
+    threshold: float = 9.21034,
+    x_scale: str = "decimal(25,2)",
+    y_scale: str = "decimal(25,2)",
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen: flags rows whose squared
+    Mahalanobis distance from the global (x, y) centroid exceeds
+    ``threshold`` (default: chi-square 0.99 quantile at 2 df). Unlike
+    two independent z-scores, the covariance term catches points that
+    are unremarkable per-axis but inconsistent JOINTLY — the quantity
+    priced like a bulk order, billed like a single unit.
+
+    The 2x2 covariance inverse is closed-form, so the whole screen is
+    two scans and zero shuffles: one map-side-combined global agg for
+    the sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy — decimal sums,
+    reduction-order invariant), broadcast as a 1-row dim, then a
+    map-only score-and-filter pass. d² = (zx² − 2ρ·zx·zy + zy²)/(1−ρ²)
+    with sample (n−1) variance. Output is flagged rows only.
+
+    At 100 TB: both passes are full scans; persist the 1-row stats
+    frame when screening repeatedly, or swap in maintained moments
+    (``sketches.incremental_moments``) — the scoring pass is unchanged.
+    """
+    ids = id_cols or []
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col(x_col).cast(x_scale)).cast("double").alias("__sx"),
+        F.sum(F.col(y_col).cast(y_scale)).cast("double").alias("__sy"),
+        F.sum(
+            (F.col(x_col).cast(x_scale) * F.col(x_col).cast(x_scale)).cast(
+                "decimal(38,4)"
+            )
+        ).cast("double").alias("__sxx"),
+        F.sum(
+            (F.col(y_col).cast(y_scale) * F.col(y_col).cast(y_scale)).cast(
+                "decimal(38,4)"
+            )
+        ).cast("double").alias("__syy"),
+        F.sum(
+            (F.col(x_col).cast(x_scale) * F.col(y_col).cast(y_scale)).cast(
+                "decimal(38,4)"
+            )
+        ).cast("double").alias("__sxy"),
+    )
+    n = F.col("__n")
+    mx = F.col("__sx") / n
+    my = F.col("__sy") / n
+    vx = (F.col("__sxx") - F.col("__sx") * F.col("__sx") / n) / (n - F.lit(1.0))
+    vy = (F.col("__syy") - F.col("__sy") * F.col("__sy") / n) / (n - F.lit(1.0))
+    cov = (F.col("__sxy") - F.col("__sx") * F.col("__sy") / n) / (n - F.lit(1.0))
+    rho = cov / F.sqrt(vx * vy)
+    zx = (x - mx) / F.sqrt(vx)
+    zy = (y - my) / F.sqrt(vy)
+    d2 = (zx * zx - F.lit(2.0) * rho * zx * zy + zy * zy) / (
+        F.lit(1.0) - rho * rho
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("md2", d2)
+        .where(F.col("md2") > F.lit(threshold))
+        .select(*ids, x_col, y_col, "md2")
+    )

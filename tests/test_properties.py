@@ -563,3 +563,39 @@ def test_activity_streaks_matches_bruteforce(spark, days):
     assert r.total_active_days == len(uniq)
     assert r.n_streaks == len(runs)
     assert r.longest_streak_days == max(runs)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.sampled_from([1, 2, 7, 64]),
+)
+@settings(**_SETTINGS)
+def test_pareto_frontier_matches_bruteforce(spark, pts, n_buckets):
+    """Bucket-pruned skyline == O(n^2) dominance scan for any point
+    multiset (duplicates, collinear points, ties on either axis) and
+    any bucket count."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, d1 double, d2 double",
+    )
+    out = relational.pareto_frontier(df, "d1", "d2", n_buckets=n_buckets).collect()
+    got = sorted((r.d1, r.d2, r.id) for r in out)
+
+    def dominated(q):
+        return any(
+            p[0] >= q[0] and p[1] >= q[1] and (p[0] > q[0] or p[1] > q[1])
+            for p in pts
+        )
+
+    expect = sorted(
+        (float(x), float(y), i)
+        for i, (x, y) in enumerate(pts)
+        if not dominated((x, y))
+    )
+    assert got == expect

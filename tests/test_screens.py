@@ -221,3 +221,50 @@ def test_fd_check_detects_violations(spark):
     assert r.n_groups == 3 and r.n_violating == 1
     assert r.max_distinct == 2
     assert abs(r.violation_rate - 1 / 3) < 1e-12
+
+
+# --- mahalanobis_outliers ----------------------------------------------------
+
+
+def test_mahalanobis_flags_joint_outlier_not_marginal(spark):
+    # correlated cloud along y = 10x; one point on-axis-extreme but
+    # ON the line (joint-consistent), one mid-range point OFF the line
+    rows = [(float(i), 10.0 * i + (i % 3 - 1) * 0.5) for i in range(1, 41)]
+    rows.append((60.0, 600.0))   # extreme but consistent with the line
+    rows.append((20.0, 390.0))   # mid-range x, wildly off-line y
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rows)], "id long, x double, y double"
+    )
+    out = screens.mahalanobis_outliers(
+        df, "x", "y", id_cols=["id"], threshold=9.21034,
+        x_scale="decimal(18,6)", y_scale="decimal(18,6)",
+    ).collect()
+    flagged = {r.id for r in out}
+    assert 41 in flagged          # the off-line point
+    assert 40 not in flagged      # the on-line extreme survives
+    for r in out:
+        assert r.md2 > 9.21034
+
+
+def test_mahalanobis_matches_numpy(spark):
+    import numpy as np
+
+    rng = [(float(i % 7), float((i * 13) % 11) + 0.25 * (i % 7)) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rng)], "id long, x double, y double"
+    )
+    out = {
+        r.id: r.md2
+        for r in screens.mahalanobis_outliers(
+            df, "x", "y", id_cols=["id"], threshold=0.0,
+            x_scale="decimal(18,6)", y_scale="decimal(18,6)",
+        ).collect()
+    }
+    arr = np.array(rng)
+    mu = arr.mean(axis=0)
+    cov = np.cov(arr, rowvar=False)
+    inv = np.linalg.inv(cov)
+    for i, p in enumerate(arr):
+        d = p - mu
+        expect = float(d @ inv @ d)
+        assert out[i] == pytest.approx(expect, rel=1e-9)
