@@ -2701,6 +2701,46 @@ def q_sequence_score_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", E.r6("seq_score").alias("seq_score"))
 
 
+_SEQ_BIRNN_CACHE: dict = {}
+
+
+def q_sequence_score_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4, TRAINED + RECURRENT: the bidirectional RNN with additive
+    attention (ml/recurrent.py — the full BiLSTM+attention architecture
+    role of src/models/lstm_model.py:25-176, fit by distributed
+    synchronous BPTT with driver-side Adam) trained on the W10 sliding
+    windows of `events`, then hosted through the same mapInPandas
+    forward pass. Rows-only: the forward pass is a numpy net with no SQL
+    twin; gradient correctness (central-difference check), order-signal
+    learning (conv-blind corpus), and run-to-run determinism are pinned
+    in test_ml_pipeline.py. Weights are memoized per sf_dir (train once,
+    score many — deterministic training, so the cache cannot change
+    results)."""
+    from financial_fraud_detection_using_time_series_data_spark.ml import (
+        recurrent as _rn,
+    )
+
+    ev = _events(spark, sf_dir)
+    w = windows.user_window("user_id", "ts", "event_id")
+    seq = windows.sliding_sequence(F.col("value"), w, seq_len=5)
+    seqs = ev.select(
+        "event_id",
+        "user_id",
+        seq.alias("seq"),
+        (F.col("event_id") % 29 == 0).cast("long").alias("label"),
+    ).filter(F.size("seq") == 5)
+    params = _SEQ_BIRNN_CACHE.get(sf_dir)
+    if params is None:
+        cached = seqs.cache()
+        params, _hist = _rn.train_sequence_birnn(
+            cached, epochs=6, lr=0.05, hidden=6, attn=4, seed=7
+        )
+        cached.unpersist()
+        _SEQ_BIRNN_CACHE[sf_dir] = params
+    out = _rn.score_sequences_birnn(seqs, params)
+    return out.select("event_id", "user_id", E.r6("seq_score").alias("seq_score"))
+
+
 _SEQUENCE_SCORE_SQL = """
 SELECT event_id, user_id,
   floor((1.0 / (1.0 + exp(-(0.01 * list_avg(seq) - 5.0)))) * 1000000 + 0.5) / 1000000.0
@@ -6965,6 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         # trained sequence conv net (distributed SGD; rows-only)
         "sequence_score_nn": q_sequence_score_nn,
+        "sequence_score_rnn": q_sequence_score_rnn,
         # SCD2 / sweep-line / graph-census / sketch family (round 6)
         "scd2_history": q_scd2_history,
         "peak_concurrency": q_peak_concurrency,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "ivf_pq_topk",
     "dedup_incremental",
     "sequence_score_nn",
+    "sequence_score_rnn",
     "scd2_history",
     "peak_concurrency",
     "triangle_count",
@@ -160,6 +161,8 @@ BENCH_QUERIES = [
     "realized_volatility",
     "max_drawdown",
     "twap",
+    "pareto_frontier",
+    "mahalanobis_outliers",
     "pagerank",
 ]
 

@@ -647,3 +647,115 @@ def test_sequence_convnet_training_is_deterministic(spark):
             assert np.array_equal(p1[k], p2[k]), k
     finally:
         seqs.unpersist()
+
+
+# --- BiRNN + attention (M4, recurrent) --------------------------------------
+
+
+def test_birnn_gradients_match_central_differences():
+    """BPTT + attention backward vs numerical central differences on a
+    tiny batch — every parameter within 1e-4 relative."""
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.ml import recurrent as rn
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(5, 7))
+    y = np.array([1.0, 0, 1, 0, 1])
+    p = rn.init_birnn_params(hidden=4, attn=3, seed=1)
+    g, _ = rn.birnn_grads(X, y, p)
+    flat = rn._flatten(p)
+    gflat = rn._flatten(g)
+    num = np.zeros_like(flat)
+    h = 1e-6
+    for i in range(len(flat)):
+        fp = flat.copy(); fp[i] += h
+        fm = flat.copy(); fm[i] -= h
+        _, lp = rn.birnn_grads(X, y, rn._unflatten(fp, 4, 3))
+        _, lm = rn.birnn_grads(X, y, rn._unflatten(fm, 4, 3))
+        num[i] = (lp - lm) / (2 * h)
+    rel = np.abs(num - gflat) / np.maximum(1e-8, np.abs(num) + np.abs(gflat))
+    assert rel.max() < 1e-4, rel.max()
+
+
+def _planted_order_sequences(spark, n=1500, seq_len=14, seed=11):
+    """Order-signal corpus: both classes carry a +3 spike and a -3 spike
+    >= 4 steps apart and >= 2 steps from either edge; y encodes WHICH
+    comes first. Every spike sits in exactly 3 width-3 windows, so the
+    mean-pooled conv's window bag is class-identical (order-blind by
+    construction) while recurrent state sees the order."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, seq_len))
+    y = (rng.random(n) < 0.5).astype("int64")
+    for i in range(n):
+        a = rng.integers(2, seq_len - 8)
+        b = rng.integers(a + 4, seq_len - 2)
+        s = 1.0 if y[i] == 1 else -1.0
+        X[i, a] += 3.0 * s
+        X[i, b] -= 3.0 * s
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": np.arange(n, dtype="int64") % 50,
+            "seq": list(X),
+            "label": y,
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(8).cache()
+
+
+def test_birnn_learns_order_signal_conv_cannot(spark):
+    """M4 recurrent gate: on the order corpus the BiRNN+attention must
+    clear AUC >= 0.9 while the (order-blind) mean-pooled conv net stays
+    near chance — the capability that justifies recurrence."""
+    from financial_fraud_detection_using_time_series_data_spark.ml import (
+        recurrent as rn,
+        sequence_model as sm,
+    )
+
+    seqs = _planted_order_sequences(spark)
+    try:
+        params, history = rn.train_sequence_birnn(seqs, epochs=60, lr=0.05, seed=7)
+        assert history[-1] < history[0] * 0.5, history[:3] + history[-3:]
+        scored = rn.score_sequences_birnn(seqs, params)
+        rnn_auc = _auc(
+            [
+                (r.seq_score, r.label)
+                for r in scored.join(seqs.select("event_id", "label"), "event_id").collect()
+            ]
+        )
+
+        cp, _ = sm.train_sequence_convnet(seqs, epochs=40, lr=0.5, n_filters=4, width=3, seed=7)
+        conv_auc = _auc(
+            [
+                (r.seq_score, r.label)
+                for r in sm.score_sequences_convnet(seqs, cp)
+                .join(seqs.select("event_id", "label"), "event_id")
+                .collect()
+            ]
+        )
+        assert rnn_auc >= 0.9, f"birnn AUC {rnn_auc:.3f}"
+        assert conv_auc <= 0.65, f"conv should be order-blind, got {conv_auc:.3f}"
+    finally:
+        seqs.unpersist()
+
+
+def test_birnn_training_is_deterministic(spark):
+    """Partition-ordered gradient reduction + driver-side Adam: two runs
+    over the same frame produce bit-identical parameters."""
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.ml import recurrent as rn
+
+    seqs = _planted_order_sequences(spark, n=300)
+    try:
+        p1, h1 = rn.train_sequence_birnn(seqs, epochs=3, seed=7)
+        p2, h2 = rn.train_sequence_birnn(seqs, epochs=3, seed=7)
+        assert h1 == h2
+        for k in p1:
+            assert np.array_equal(p1[k], p2[k]), k
+    finally:
+        seqs.unpersist()
