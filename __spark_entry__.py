@@ -6837,6 +6837,164 @@ FROM scored WHERE md2 > 5.0
 """
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the shared-exact-amount user graph (degree
+    2-10 values): Adamic-Adar scores for non-adjacent pairs — which
+    users are one step from being ring-linked. Hub cap 64 is part of
+    the contract (oracle applies the identical rule)."""
+    ev = _events(spark, sf_dir)
+    edges = events_ops.shared_attr_edges(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+    out = events_ops.adamic_adar(edges, max_wedge_degree=64)
+    return out.select(
+        F.col("u").alias("user_a"),
+        F.col("v").alias("user_b"),
+        "n_common",
+        E.r6("aa_score").alias("aa_score"),
+    )
+
+
+_ADAMIC_ADAR_SQL = f"""
+WITH a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS w, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+wedge AS (
+  SELECT n1.v AS x, n2.v AS y, d.deg
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+  JOIN deg d ON d.w = n1.u
+  WHERE d.deg <= 64
+),
+scores AS (
+  SELECT x AS u, y AS v, count(*)::BIGINT AS n_common,
+    sum(1.0 / ln(deg::DOUBLE)) AS aa
+  FROM wedge GROUP BY x, y
+)
+SELECT s.u AS user_a, s.v AS user_b, s.n_common,
+  {_R6.format("s.aa")} AS aa_score
+FROM scores s
+ANTI JOIN e ON e.u = s.u AND e.v = s.v
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust spend trend (median of pairwise slopes,
+    200-most-recent-point cap — the cap is part of the contract and the
+    oracle applies the identical rule)."""
+    ev = _events(spark, sf_dir)
+    out = behavior.theil_sen_trend(
+        ev, entity_col="user_id", ts_col="ts", value_col="value", max_points=200
+    )
+    return out.select(
+        "user_id", "n_pairs", E.r6("slope_per_day").alias("slope_per_day")
+    )
+
+
+_THEIL_SEN_SQL = f"""
+WITH recent AS (
+  SELECT user_id, t, v FROM (
+    SELECT user_id, epoch_us(ts) AS t, value::DECIMAL(25,6) AS v,
+      row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC,
+                         value::DECIMAL(25,6) DESC) AS rn
+    FROM events
+  ) WHERE rn <= 200
+),
+pairs AS (
+  SELECT a.user_id,
+    (b.v - a.v)::DOUBLE * 86400000000.0 / (b.t - a.t)::DOUBLE AS slope
+  FROM recent a JOIN recent b
+    ON a.user_id = b.user_id AND a.t < b.t
+)
+SELECT user_id, count(*)::BIGINT AS n_pairs,
+  {{r6}} AS slope_per_day
+FROM pairs GROUP BY user_id
+""".format(r6=_R6.format("quantile_cont(slope, 0.5)"))
+
+
+_ISOTONIC_CACHE: dict = {}
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib isotonic calibration of the heuristic risk score against
+    the deterministic fraud flag: the fitted PAV step function as
+    (boundary, calibrated) rows. Rows-only: PAV is iterative
+    pool-adjacent-violators with no SQL twin; monotonicity +
+    Brier-improvement are pinned in test_calibration.py."""
+    from financial_fraud_detection_using_time_series_data_spark.ml import (
+        calibration as _cal,
+    )
+
+    ev = _events(spark, sf_dir)
+    scored = ev.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - F.lit(5.0)) / F.lit(3.0))))
+        .alias("score"),
+        (F.col("event_id") % 29 == 0).cast("double").alias("label"),
+    )
+    model = _ISOTONIC_CACHE.get(sf_dir)
+    if model is None:
+        model = _cal.fit_isotonic(scored, score_col="score", label_col="label")
+        _ISOTONIC_CACHE[sf_dir] = model
+    bounds = [float(x) for x in model.boundaries]
+    preds = [float(x) for x in model.predictions]
+    rows = spark.createDataFrame(
+        [(i, b, p) for i, (b, p) in enumerate(zip(bounds, preds))],
+        "step int, boundary double, calibrated double",
+    )
+    return rows.select("step", E.r6("boundary").alias("boundary"),
+                       E.r6("calibrated").alias("calibrated"))
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM dedup candidates over documents: sort by the 12-char
+    normalized-text prefix (the blocking key), window 4 — the classic
+    windowed-blocking complement to the MinHash/SimHash candidate
+    generators. Pair volume is exactly (w-1)·n regardless of key skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(text.normalize(F.col("text")), 1, 12)
+    out = dedup.sorted_neighborhood_pairs(
+        docs, key, id_col="doc_id", window=4
+    )
+    return out.select("id_a", "id_b", "key_a", "key_b", "dist")
+
+
+_SNM_SQL = r"""
+WITH k AS (
+  SELECT doc_id,
+    substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 12) AS key
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, key, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  a.key AS key_a, b.key AS key_b, (b.rn - a.rn)::BIGINT AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+"""
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-backbone extraction: the 3-core of the shared-amount user
+    graph (iterative peel until every survivor keeps >= 3 in-core
+    neighbors). Rows-only: the peel is iterative-until-fixpoint with no
+    SQL twin; exact semantics are pinned against brute-force peeling in
+    test_events.py."""
+    ev = _events(spark, sf_dir)
+    edges = events_ops.shared_attr_edges(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+    out = events_ops.kcore(edges, k=3)
+    return out.select(F.col("u").alias("user_id"), "core_degree")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -7077,6 +7235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skyline / joint-outlier screens
         "pareto_frontier": q_pareto_frontier,
         "mahalanobis_outliers": q_mahalanobis_outliers,
+        # graph: link prediction + dense backbone
+        "adamic_adar": q_adamic_adar,
+        "kcore": q_kcore,
+        # SNM windowed-blocking dedup candidates
+        "sorted_neighborhood": q_sorted_neighborhood,
+        # robust trend + PAV calibration
+        "theil_sen_trend": q_theil_sen,
+        "isotonic_calibration": q_isotonic_calibration,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -7262,5 +7428,10 @@ def oracle_sql() -> dict[str, str]:
         "twap": _TWAP_SQL,
         "pareto_frontier": _PARETO_SQL,
         "mahalanobis_outliers": _MAHALANOBIS_SQL,
+        "adamic_adar": _ADAMIC_ADAR_SQL,
+        "sorted_neighborhood": _SNM_SQL,
+        "theil_sen_trend": _THEIL_SEN_SQL,
+        # kcore: rows-only (iterative peel, no SQL twin)
+        # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)
     }

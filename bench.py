@@ -163,6 +163,11 @@ BENCH_QUERIES = [
     "twap",
     "pareto_frontier",
     "mahalanobis_outliers",
+    "adamic_adar",
+    "kcore",
+    "sorted_neighborhood",
+    "theil_sen_trend",
+    "isotonic_calibration",
     "pagerank",
 ]
 

@@ -923,3 +923,69 @@ def simhash_near_dup(
         .distinct()
     )
     return pairs
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    window: int = 4,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) candidate generation — the
+    classic windowed-blocking dedup alternative to MinHash/SimHash
+    (Hernandez & Stolfo, SIGMOD'95): sort the corpus by a blocking key,
+    slide a window of ``window`` rows, and emit every in-window pair.
+    Where LSH recall depends on similarity thresholds, SNM recall
+    depends on key design — production pipelines run both and union
+    the candidate sets.
+
+    Distributed without a single-partition sort: the global row_number
+    comes from `chunked.global_rank` (range-chunk on an order-preserving
+    4-byte numeric prefix of the key + within-chunk window + broadcast
+    offsets), then in-window pairs are ONE equi-join of the ranked frame
+    against itself on ``rank + d`` for d in 1..window-1 (an
+    `explode(sequence(...))` fan-out — no range join, no theta join).
+    Both sides shuffle on the rank key once; pair volume is exactly
+    (window-1)·n, independent of key skew — the property that makes SNM
+    predictable at 100 TB where a skewed blocking key would explode a
+    plain block-join.
+
+    The numeric prefix is order-preserving for ASCII keys (code point
+    per byte, 4 bytes packed big-endian); ties beyond 4 chars are
+    resolved by the full key within a chunk, which is exact because
+    equal prefixes share a chunk. Returns (id_a, id_b, key_a, key_b,
+    dist) with dist = rank distance in 1..window-1, id_a ranked before
+    id_b.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("__id"), key.alias("__key")
+    ).where(key.isNotNull())
+    padded = F.rpad(F.col("__key"), 4, " ")
+    proxy = sum(
+        F.ascii(F.substring(padded, i + 1, 1)) * (256 ** (3 - i)) for i in range(4)
+    ).cast("long")
+    keyed = keyed.withColumn("__kp", proxy)
+    from .chunked import global_rank
+
+    ranked = global_rank(
+        keyed,
+        "__kp",
+        ["__kp", "__key", "__id"],
+        n_chunks=n_chunks,
+        rank_col="__rn",
+        count_col=None,
+    )
+    left = ranked.select(
+        F.col("__id").alias("id_a"), F.col("__key").alias("key_a"), "__rn"
+    ).withColumn("__d", F.explode(F.sequence(F.lit(1), F.lit(window - 1))))
+    right = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__key").alias("key_b"),
+        F.col("__rn").alias("__rn_b"),
+    )
+    return (
+        left.withColumn("__rn_b", F.col("__rn") + F.col("__d"))
+        .join(right, "__rn_b")
+        .select("id_a", "id_b", "key_a", "key_b", F.col("__d").cast("long").alias("dist"))
+    )

@@ -963,3 +963,137 @@ def label_propagation(
         F.col("label").alias("community"),
         F.col("community_size").cast("long").alias("community_size"),
     )
+
+
+def shared_attr_edges(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    min_degree: int = 2,
+    max_degree: int = 10,
+) -> DataFrame:
+    """Capped shared-attribute edge construction (the graph under
+    `fraud_rings` / `triangle_count` / `pagerank`): entities are adjacent
+    when they share an ``attr`` value held by ``min_degree``..
+    ``max_degree`` distinct entities. The cap bounds per-value pair
+    emission at C(max_degree, 2) — no hub value goes quadratic at
+    100 TB. Returns distinct undirected edges (u < v), lineage-broken
+    (the edge list is joined repeatedly by every consumer)."""
+    a = df.select(
+        attr.alias("attr"), F.col(entity_col).alias("u")
+    ).where(F.col("attr").isNotNull()).distinct()
+    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
+    keep = deg.where(
+        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
+    ).select("attr")
+    members = a.join(keep, "attr")
+    m2 = members.select("attr", F.col("u").alias("v"))
+    return (
+        members.join(m2, "attr")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_wedge_degree: int = 64,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list
+    (u < v): for each NON-adjacent pair with at least one common
+    neighbor, score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — the classic
+    "which entities are about to be linked" signal (ring-growth
+    prediction when run on the fraud graph).
+
+    Plan shape: symmetrize once, broadcast the |nodes|-row degree dim
+    onto it, then ONE self-equi-join on the common-neighbor key emits
+    every wedge (u, w, v), u < v; groupBy (u, v) sums the 1/ln(deg w)
+    contributions; a final left-anti join against the edge list drops
+    pairs that are already adjacent.
+
+    Skew guard: a node of degree d emits C(d, 2) wedges as the middle
+    vertex, so hub nodes explode the join quadratically.
+    ``max_wedge_degree`` drops nodes above the cap from serving as the
+    COMMON NEIGHBOR (they still appear as endpoints) — the standard
+    hub-capped variant; a deg-10k hub contributes only 1/ln(10k) ≈ 0.11
+    per pair anyway, so the cap trades negligible score mass for a
+    bounded join. The cap is part of the operator contract (the oracle
+    applies the identical rule).
+    """
+    both = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges through w: neighbors (w, x); pair x's per w
+    nb = both.select(F.col("u").alias("w"), F.col("v").alias("x")).join(
+        F.broadcast(
+            deg.where(F.col("deg") <= max_wedge_degree).select(
+                F.col("u").alias("w"), "deg"
+            )
+        ),
+        "w",
+    )
+    nb2 = nb.select("w", F.col("x").alias("y"), "deg")
+    pair_scores = (
+        nb.join(nb2, ["w", "deg"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("aa_score"),
+        )
+    )
+    return pair_scores.join(edges, ["u", "v"], "left_anti")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove
+    every node of degree < k (with its edges) until none remains — the
+    densest-backbone extraction that separates a ring's committed core
+    from its one-link periphery (a triangle-free star has an empty
+    2-core; a clique survives any k ≤ size−1).
+
+    Each round is one degree aggregation over the surviving symmetrized
+    edge list + one semi-join filter — no windows, no collect of data
+    rows. Convergence uses the monotone survivor COUNT (strictly
+    decreasing until fixpoint, one scalar agg per round — same
+    discipline as `dedup.connected_components`); `localCheckpoint`
+    breaks the iterative lineage. Peeling rounds are bounded by the
+    degeneracy ordering depth — tiny for capped fraud graphs; at
+    extreme scale each round is shuffle-bounded by the CURRENT core,
+    which only shrinks.
+
+    Returns surviving nodes with their within-core degree.
+    """
+    cur = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    prev_n = None
+    for _ in range(max_iter):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select("u")
+        n_alive = alive.count()
+        if n_alive == 0:
+            return deg.where(F.lit(False)).select(
+                "u", F.col("deg").cast("long").alias("core_degree")
+            )
+        if prev_n is not None and n_alive == prev_n:
+            return deg.where(F.col("deg") >= k).select(
+                "u", F.col("deg").cast("long").alias("core_degree")
+            )
+        prev_n = n_alive
+        cur = (
+            cur.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.where(F.col("deg") >= k).select(
+        "u", F.col("deg").cast("long").alias("core_degree")
+    )

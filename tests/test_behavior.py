@@ -553,3 +553,67 @@ def test_period_over_period_deltas(spark):
     # gap: day-3 'b' compares to day-1 'b' (previous OBSERVED period)
     assert out[("b", 3)].prev_total == pytest.approx(5.0)
     assert out[("b", 3)].delta == pytest.approx(0.0)
+
+
+# --- theil_sen_trend ---------------------------------------------------------
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    rng = np.random.default_rng(3)
+    series = {}
+    for uid in range(4):
+        n = int(rng.integers(2, 12))
+        ts = sorted(rng.choice(86400 * 30, size=n, replace=False).tolist())
+        vals = [round(float(v), 2) for v in rng.normal(50, 20, size=n)]
+        series[uid] = list(zip(ts, vals))
+        rows += [(uid, base + timedelta(seconds=int(t)), v) for t, v in series[uid]]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r.user_id: (r.n_pairs, r.slope_per_day)
+        for r in behavior.theil_sen_trend(df, max_points=200).collect()
+    }
+    for uid, pts in series.items():
+        slopes = [
+            (vb - va) * 86400.0 / (tb - ta)
+            for i, (ta, va) in enumerate(pts)
+            for tb, vb in pts[i + 1 :]
+            if tb != ta
+        ]
+        assert got[uid][0] == len(slopes), uid
+        assert got[uid][1] == pytest.approx(float(np.median(slopes)), rel=1e-9), uid
+
+
+def test_theil_sen_robust_to_single_outlier(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)
+    # clean +1/day trend with one wild spike; OLS slope is dragged hard,
+    # the pairwise-slope median barely moves
+    rows = [(1, base + timedelta(days=i), float(i)) for i in range(10)]
+    rows[5] = (1, rows[5][1], 1000.0)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = behavior.theil_sen_trend(df).collect()[0]
+    assert abs(r.slope_per_day - 1.0) < 0.5
+    ols = behavior.linear_trend(df).collect()[0]
+    assert abs(ols.slope_per_day - 1.0) > 5.0
+
+
+def test_theil_sen_max_points_cap(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(hours=i), float(i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = behavior.theil_sen_trend(df, max_points=10).collect()[0]
+    assert r.n_pairs == 45  # C(10,2) over the 10 most recent points

@@ -1,6 +1,7 @@
 """Calibration contracts: Platt and isotonic must repair a deterministic
 mis-calibration (compressed scores) and behave monotonically."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.ml import calibration
@@ -62,3 +63,44 @@ def test_reliability_table_shape(spark):
         assert 0.0 <= r.mean_predicted <= 1.0 and 0.0 <= r.observed_rate <= 1.0
     # bins ordered, counts sum to the input size
     assert sum(r.n for r in tab) == scored.count()
+
+
+def test_isotonic_matches_numpy_pav(spark):
+    """MLlib's distributed PAVA == the classic sequential
+    pool-adjacent-violators on the same (score, label) set."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    scores = np.round(rng.random(300), 3)
+    labels = (rng.random(300) < scores * 0.8).astype(float)
+    df = spark.createDataFrame(
+        [(float(s), float(y)) for s, y in zip(scores, labels)],
+        "score double, label double",
+    )
+    model = calibration.fit_isotonic(df)
+    cal = {
+        r.score: r.calibrated_p
+        for r in calibration.apply_isotonic(df, model).collect()
+    }
+
+    # sequential PAV over DISTINCT scores (ties pre-pooled, as isotonic
+    # regression requires: tied x is one weighted point)
+    uniq = sorted(set(scores.tolist()))
+    pooled = {s: [0.0, 0.0] for s in uniq}
+    for s, y in zip(scores, labels):
+        pooled[float(s)][0] += y
+        pooled[float(s)][1] += 1.0
+    blocks = [[pooled[s][0], pooled[s][1], [s]] for s in uniq]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1] + 1e-15:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    for ysum, cnt, ss in blocks:
+        for s in ss:
+            assert cal[s] == pytest.approx(ysum / cnt, abs=1e-9), s

@@ -353,3 +353,91 @@ def test_label_propagation_deterministic(spark, sf_dir):
     a = sorted(map(tuple, events.label_propagation(ev, F.col("value")).collect()))
     b = sorted(map(tuple, events.label_propagation(ev, F.col("value")).collect()))
     assert a == b and len(a) > 0
+
+
+# --- adamic_adar / kcore -----------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "u long, v long"
+    )
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    import math
+    import itertools
+
+    # two triangles bridged by a path + a pendant
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6), (6, 7)]
+    out = {
+        (r.u, r.v): (r.n_common, r.aa_score)
+        for r in events.adamic_adar(_edges_df(spark, pairs)).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if v in adj[u]:
+            continue
+        common = adj[u] & adj[v]
+        if common:
+            expect[(u, v)] = (
+                len(common),
+                sum(1.0 / math.log(len(adj[w])) for w in common),
+            )
+    assert set(out) == set(expect)
+    for key in expect:
+        assert out[key][0] == expect[key][0], key
+        assert out[key][1] == pytest.approx(expect[key][1], rel=1e-12), key
+
+
+def test_adamic_adar_wedge_degree_cap(spark):
+    # hub 0 connected to 1..9; cap below 9 removes the hub as a common
+    # neighbor, so no pair survives (leaves share only the hub)
+    pairs = [(0, i) for i in range(1, 10)]
+    full = events.adamic_adar(_edges_df(spark, pairs)).collect()
+    assert len(full) == 36  # C(9,2) leaf pairs via the hub
+    capped = events.adamic_adar(
+        _edges_df(spark, pairs), max_wedge_degree=8
+    ).collect()
+    assert capped == []
+
+
+def _peel(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n in adj if len(adj[n]) < k]:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+            changed = True
+    return {n: len(adj[n]) for n in adj}
+
+
+def test_kcore_matches_bruteforce(spark):
+    # clique(4) + tail path: 3-core is exactly the clique
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)]
+    for k in (2, 3, 4):
+        got = {
+            r.u: r.core_degree
+            for r in events.kcore(_edges_df(spark, pairs), k=k).collect()
+        }
+        assert got == _peel(pairs, k), k
+
+
+def test_kcore_cascading_peel(spark):
+    # long path: 2-core empty only after the peel cascades end-to-end
+    pairs = [(i, i + 1) for i in range(10)]
+    assert events.kcore(_edges_df(spark, pairs), k=2).collect() == []
+    # cycle: every node survives the 2-core with degree 2
+    cyc = pairs + [(10, 0)]
+    got = {r.u: r.core_degree for r in events.kcore(_edges_df(spark, cyc), k=2).collect()}
+    assert got == {i: 2 for i in range(11)}

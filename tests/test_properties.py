@@ -599,3 +599,34 @@ def test_pareto_frontier_matches_bruteforce(spark, pts, n_buckets):
         if not dominated((x, y))
     )
     assert got == expect
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=6), min_size=1, max_size=30
+    ),
+    window=st.sampled_from([2, 3, 5]),
+    n_chunks=st.sampled_from([1, 4, 32]),
+)
+@settings(**_SETTINGS)
+def test_sorted_neighborhood_matches_bruteforce(spark, keys, window, n_chunks):
+    """Chunked-rank SNM == brute-force sort + slide for any key multiset
+    (duplicates, empty strings, ties past the 4-char proxy) and any
+    chunk count."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "doc_id long, k string"
+    )
+    out = dedup.sorted_neighborhood_pairs(
+        df, F.col("k"), id_col="doc_id", window=window, n_chunks=n_chunks
+    ).collect()
+    got = sorted((r.id_a, r.id_b, r.dist) for r in out)
+    order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+    expect = sorted(
+        (order[i], order[i + d], d)
+        for i in range(len(order))
+        for d in range(1, window)
+        if i + d < len(order)
+    )
+    assert got == expect
