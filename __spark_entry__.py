@@ -6886,6 +6886,158 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keywords over documents: top-15 stopword-run
+    phrases by degree/frequency word scores. Cross-row arithmetic is
+    exact micro-scaled BIGINT, so the score (and the top-k boundary)
+    is reduction-order invariant on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rake_keywords(docs, top_n=15)
+
+
+_RAKE_STOPLIST = ", ".join(f"'{s}'" for s in (
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
+))
+
+_RAKE_SQL = rf"""
+WITH arrs AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, s.pos, arr[s.pos] AS tok
+  FROM arrs, UNNEST(generate_series(1, len(arr))) AS s(pos)
+  WHERE arr[s.pos] != ''
+),
+ns AS (
+  SELECT doc_id, pos, tok,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM toks WHERE tok NOT IN ({_RAKE_STOPLIST})
+),
+plen AS (
+  SELECT doc_id, run, count(*)::BIGINT AS plen FROM ns GROUP BY doc_id, run
+),
+mem AS (SELECT ns.*, plen.plen FROM ns JOIN plen USING (doc_id, run)),
+wstats AS (
+  SELECT tok, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+  FROM mem GROUP BY tok
+),
+scored AS (
+  SELECT m.doc_id, m.run, m.pos, m.tok,
+    floor(w.deg::DOUBLE / w.freq::DOUBLE * 1000000.0 + 0.5)::BIGINT AS wmicro
+  FROM mem m JOIN wstats w USING (tok)
+),
+phrases AS (
+  SELECT doc_id, run,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+    count(*)::BIGINT AS n_words,
+    sum(wmicro)::BIGINT AS micro
+  FROM scored GROUP BY doc_id, run
+)
+SELECT phrase, max(n_words) AS n_words, count(*)::BIGINT AS n_occurrences,
+  max(micro)::DOUBLE / 1000000.0 AS rake_score
+FROM phrases
+GROUP BY phrase
+ORDER BY max(micro) DESC, phrase
+LIMIT 15
+"""
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter entity resolution over customers blocked by
+    (nation, segment): per-field m/u log-likelihood weights (balance
+    bucket, balance tolerance, name-suffix) folded into one codegen'd
+    projection; only pairs clearing the 'possible' floor are returned.
+    The weight literals are computed once in Python and embedded
+    identically in the oracle."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        linkage,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = linkage.block_pairs(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "c_custkey",
+        ["c_acctbal", "c_name"],
+    )
+    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
+    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
+    comps = [
+        linkage.FieldComparison(
+            "bucket",
+            F.floor(bal_a.cast("double") / 1000.0)
+            == F.floor(bal_b.cast("double") / 1000.0),
+            m=0.85,
+            u=0.12,
+        ),
+        linkage.FieldComparison(
+            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
+        ),
+        linkage.FieldComparison(
+            "suffix",
+            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
+            m=0.9,
+            u=0.01,
+        ),
+    ]
+    out = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
+    return out.where(F.col("fs_class") != "non_match").select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        "agree_bucket",
+        "agree_close",
+        "agree_suffix",
+        E.r6("fs_weight").alias("fs_weight"),
+        "fs_class",
+    )
+
+
+def _fs_w(m: float, u: float) -> tuple[str, str]:
+    import math as _m
+
+    return repr(_m.log2(m / u)), repr(_m.log2((1 - m) / (1 - u)))
+
+
+_W_BUCKET = _fs_w(0.85, 0.12)
+_W_CLOSE = _fs_w(0.7, 0.02)
+_W_SUFFIX = _fs_w(0.9, 0.01)
+
+_LINKAGE_SQL = f"""
+WITH pairs AS (
+  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+    a.c_acctbal::DECIMAL(12,2) AS bal_a, b.c_acctbal::DECIMAL(12,2) AS bal_b,
+    a.c_name AS name_a, b.c_name AS name_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT cust_a, cust_b,
+    coalesce(floor(bal_a::DOUBLE / 1000.0) = floor(bal_b::DOUBLE / 1000.0), false) AS agree_bucket,
+    coalesce(abs(bal_a - bal_b) < 100, false) AS agree_close,
+    coalesce(substring(name_a, -2, 2) = substring(name_b, -2, 2), false) AS agree_suffix
+  FROM pairs
+),
+weighted AS (
+  SELECT *,
+    (CASE WHEN agree_bucket THEN {_W_BUCKET[0]}::DOUBLE ELSE {_W_BUCKET[1]}::DOUBLE END
+     + CASE WHEN agree_close THEN {_W_CLOSE[0]}::DOUBLE ELSE {_W_CLOSE[1]}::DOUBLE END
+     + CASE WHEN agree_suffix THEN {_W_SUFFIX[0]}::DOUBLE ELSE {_W_SUFFIX[1]}::DOUBLE END) AS fs_weight
+  FROM scored
+)
+SELECT cust_a, cust_b, agree_bucket, agree_close, agree_suffix,
+  {_R6.format("fs_weight")} AS fs_weight,
+  CASE WHEN fs_weight >= 6.0 THEN 'match'
+       WHEN fs_weight >= 0.0 THEN 'possible'
+       ELSE 'non_match' END AS fs_class
+FROM weighted
+WHERE fs_weight >= 0.0
+"""
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Theil-Sen robust spend trend (median of pairwise slopes,
     200-most-recent-point cap — the cap is part of the contract and the
@@ -7243,6 +7395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust trend + PAV calibration
         "theil_sen_trend": q_theil_sen,
         "isotonic_calibration": q_isotonic_calibration,
+        # Fellegi-Sunter entity resolution
+        "record_linkage": q_record_linkage,
+        # RAKE keyword extraction
+        "rake_keywords": q_rake_keywords,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -7431,6 +7587,8 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": _ADAMIC_ADAR_SQL,
         "sorted_neighborhood": _SNM_SQL,
         "theil_sen_trend": _THEIL_SEN_SQL,
+        "record_linkage": _LINKAGE_SQL,
+        "rake_keywords": _RAKE_SQL,
         # kcore: rows-only (iterative peel, no SQL twin)
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)

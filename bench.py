@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "sorted_neighborhood",
     "theil_sen_trend",
     "isotonic_calibration",
+    "record_linkage",
+    "rake_keywords",
     "pagerank",
 ]
 

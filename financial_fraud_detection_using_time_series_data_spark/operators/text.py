@@ -902,3 +902,81 @@ def hybrid_search_rrf(
         .where(F.col("rank") <= n)
         .select("rank", id_col, "lex_rank", "sem_rank", "rrf_score")
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 15,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens; each word scores
+    degree/frequency (degree = Σ length of every phrase it appears in,
+    frequency = its occurrence count); a phrase scores the sum of its
+    words' scores. The corpus-level top-``top_n`` distinct phrases land
+    in training-data curation as topic/keyword signals that need no
+    model.
+
+    Distributed shape: tokenize → posexplode → gaps-and-islands run ids
+    (run = pos − rank-of-non-stopword, ONE per-doc window) → phrase
+    assembly and word stats as two groupBys; word stats broadcast back
+    onto phrase members (the word dim is vocabulary-sized). All
+    arithmetic that crosses rows is EXACT: per-word scores are
+    micro-scaled to BIGINT (floor(deg/freq·1e6 + 0.5)) before summing,
+    so the phrase score is reduction-order invariant and the oracle
+    matches bit-for-bit — a float sum here would hash-diverge on
+    aggregation order. Ties at the top-k boundary break on phrase text.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    ).where(F.col("__tok") != "")
+    nonstop = toks.where(~F.col("__tok").isin(*STOPWORDS))
+    w = Window.partitionBy("__id").orderBy("__pos")
+    runs = nonstop.withColumn(
+        "__run", F.col("__pos") - F.row_number().over(w)
+    )
+    members = runs.select("__id", "__run", "__pos", "__tok")
+    plen = members.groupBy("__id", "__run").agg(
+        F.count(F.lit(1)).alias("__plen")
+    )
+    mem = members.join(plen, ["__id", "__run"])
+    wstats = mem.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    scored = mem.join(F.broadcast(wstats), "__tok").withColumn(
+        "__wmicro",
+        F.floor(
+            F.col("__deg").cast("double") / F.col("__freq").cast("double")
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    phrases = scored.groupBy("__id", "__run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("__wmicro").alias("__micro"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("__micro").alias("__micro"),
+    )
+    return (
+        agg.orderBy(F.col("__micro").desc(), F.col("phrase"))
+        .limit(top_n)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("__micro").cast("double") / F.lit(1_000_000.0)).alias("rake_score"),
+        )
+    )

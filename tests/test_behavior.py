@@ -617,3 +617,60 @@ def test_theil_sen_max_points_cap(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     r = behavior.theil_sen_trend(df, max_points=10).collect()[0]
     assert r.n_pairs == 45  # C(10,2) over the 10 most recent points
+
+
+# --- rake_keywords -----------------------------------------------------------
+
+
+def test_rake_matches_bruteforce(spark):
+    import math
+    import re
+    from collections import defaultdict
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import text as T
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick brown foxes and lazy dogs in the yard"),
+        (2, "The  QUICK   brown fox is quick"),
+        (3, "of the and to"),          # all stopwords -> no phrases
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = T.rake_keywords(df, top_n=50).collect()
+
+    # brute force
+    phrases = []
+    for _, txt in docs:
+        toks = re.sub(r"\s+", " ", txt.lower()).strip().split(" ")
+        run = []
+        for t in toks + ["the"]:
+            if t in T.STOPWORDS or t == "":
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for p in phrases:
+        for t in p:
+            freq[t] += 1
+            deg[t] += len(p)
+    def micro(t):
+        return math.floor(deg[t] / freq[t] * 1e6 + 0.5)
+    scores = {}
+    occs = defaultdict(int)
+    for p in phrases:
+        key = " ".join(p)
+        scores[key] = (len(p), sum(micro(t) for t in p))
+        occs[key] += 1
+    expect = sorted(
+        ((v[1], k) for k, v in scores.items()), key=lambda x: (-x[0], x[1])
+    )
+    got = [(r.phrase, r.n_words, r.n_occurrences, r.rake_score) for r in out]
+    assert [g[0] for g in got] == [k for _, k in expect]
+    for phrase, n_words, n_occ, score in got:
+        assert n_words == scores[phrase][0]
+        assert n_occ == occs[phrase]
+        assert score == pytest.approx(scores[phrase][1] / 1e6, abs=1e-12)
