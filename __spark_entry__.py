@@ -5855,6 +5855,47 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the cosine top-50 pool for 3 query
+    vectors (λ=0.7, k=10): the greedy runs per query inside ONE
+    applyInPandas group — parallel across queries, never on the driver.
+    Rows-only (sequential greedy); exact-parity and clone-diversity
+    behavior pinned in test_retrieval.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = similarity.mmr_rerank(emb, queries_df, k=10, pool=50, lam=0.7)
+    return out.select(
+        "qid", "vec_id", "mmr_rank",
+        E.r6("cos_sim").alias("cos_sim"),
+        E.r6("mmr_score").alias("mmr_score"),
+    )
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user additive Holt-Winters over hourly spend rollups with a
+    24-hour season — the seasonal completion of `holt_forecast`.
+    Rows-only (recursive seasonal state); pinned by numpy-reference
+    parity + planted-cycle tests."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    out = forecast.holt_winters_forecast(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        bucket="hour", season_length=24, alpha=0.3, beta=0.05,
+        gamma=0.2, horizon=24,
+    )
+    return out.select(
+        "user_id",
+        "step",
+        E.r6("forecast").alias("forecast"),
+        E.r6("level").alias("level"),
+        E.r6("trend").alias("trend"),
+        E.r6("sse").alias("sse"),
+        "n_obs",
+    )
+
+
 def q_new_entity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed health: first-seen entities per day + cumulative base.
     groupBy(entity) min-ts rollup; the ordered cumulative runs on the
@@ -7359,8 +7400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "volume_anomaly": q_volume_anomaly,
         "reconcile_totals": q_reconcile_totals,
-        # holt_forecast: rows-only (recursive per-entity state)
+        # holt_forecast / holt_winters: rows-only (recursive per-entity state)
         "holt_forecast": q_holt_forecast,
+        "holt_winters": q_holt_winters,
+        # MMR diversity rerank: rows-only (sequential greedy per query)
+        "mmr_rerank": q_mmr_rerank,
         "new_entity_rate": q_new_entity_rate,
         "activity_streaks": q_activity_streaks,
         "attribution_last_touch": q_attribution_last_touch,

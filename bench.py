@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "isotonic_calibration",
     "record_linkage",
     "rake_keywords",
+    "holt_winters",
+    "mmr_rerank",
     "pagerank",
 ]
 

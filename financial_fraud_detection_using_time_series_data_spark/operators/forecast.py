@@ -100,3 +100,98 @@ def holt_forecast(
         )
 
     return rolled.repartition("__e").mapInPandas(_fit_partition, schema=schema)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    season_length: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    horizon: int = 24,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per entity
+    over its per-``bucket`` amount series — the seasonal completion of
+    `holt_forecast` (daily/weekly cycles dominate transaction volume;
+    a trend-only smoother launders the cycle into its error term).
+
+    Same scale shape as `holt_forecast`: the corpus is touched ONCE by
+    the bucket rollup (map-side combined decimal sums); the recursive
+    smoother runs per entity inside `mapInPandas` over the |entities| ×
+    |buckets| rollup — the documented Arrow escape hatch for
+    inherently-sequential state. Output is |entities| × horizon rows.
+
+    Initialization (standard additive HW): level = mean of the first
+    season; trend = (mean of season 2 − mean of season 1)/m; seasonals =
+    first-season deviations from its mean. Entities with fewer than
+    2·``season_length`` buckets are dropped (the seasonal profile is
+    not estimable). Missing buckets are treated as gaps in the index
+    (no zero-fill) — compose with `resample_ffill` upstream when a
+    dense grid is wanted.
+    """
+    a, b_, g_, m, h = float(alpha), float(beta), float(gamma), int(season_length), int(horizon)
+    rolled = df.groupBy(
+        F.col(entity_col).alias("__e"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+    ).agg(F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__y"))
+
+    schema = (
+        f"{entity_col} long, step int, forecast double, "
+        "level double, trend double, sse double, n_obs long"
+    )
+
+    def _fit_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ents, steps, fcs, levs, trs, sses, ns = [], [], [], [], [], [], []
+        for ent, grp in pdf.sort_values(["__e", "__b"]).groupby("__e", sort=False):
+            y = grp["__y"].to_numpy(dtype=np.float64)
+            n = len(y)
+            if n < 2 * m:
+                continue
+            s1 = float(y[:m].mean())
+            s2 = float(y[m : 2 * m].mean())
+            lev = s1
+            tr = (s2 - s1) / m
+            seas = (y[:m] - s1).astype(np.float64)
+            sse = 0.0
+            for t in range(m, n):
+                si = t % m
+                pred = lev + tr + seas[si]
+                err = float(y[t]) - pred
+                sse += err * err
+                new_lev = a * (float(y[t]) - seas[si]) + (1.0 - a) * (lev + tr)
+                tr = b_ * (new_lev - lev) + (1.0 - b_) * tr
+                seas[si] = g_ * (float(y[t]) - new_lev) + (1.0 - g_) * seas[si]
+                lev = new_lev
+            ents.extend([ent] * h)
+            steps.extend(range(1, h + 1))
+            fcs.extend(
+                lev + k * tr + seas[(n + k - 1) % m] for k in range(1, h + 1)
+            )
+            levs.extend([lev] * h)
+            trs.extend([tr] * h)
+            sses.extend([sse] * h)
+            ns.extend([n] * h)
+        yield pd.DataFrame(
+            {
+                entity_col: pd.Series(ents, dtype="int64"),
+                "step": pd.Series(steps, dtype="int32"),
+                "forecast": pd.Series(fcs, dtype="float64"),
+                "level": pd.Series(levs, dtype="float64"),
+                "trend": pd.Series(trs, dtype="float64"),
+                "sse": pd.Series(sses, dtype="float64"),
+                "n_obs": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    return rolled.repartition("__e").mapInPandas(_fit_partition, schema=schema)

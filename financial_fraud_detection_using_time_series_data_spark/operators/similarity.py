@@ -663,3 +663,73 @@ def ivf_pq_topk(
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_approx").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's top-``pool`` cosine candidates, greedily
+    pick ``k`` maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected}
+    sim(d, s) — the diversity pass that keeps a retrieval-augmented
+    training batch from being ``k`` near-copies of the same document.
+
+    Scale shape: candidate generation is the existing distributed
+    `brute_force_topk` (swap in `ivf_topk`/`pq_topk` upstream at
+    scale); the inherently-sequential greedy then runs per query inside
+    ONE `applyInPandas` group — a ``pool``-sized numpy problem per
+    query, parallel ACROSS queries, never on the driver. The pairwise
+    candidate-similarity matrix is pool² ≈ 2500 floats.
+
+    Deterministic: ties on the MMR score break on lowest id (exact
+    match with the reference greedy pinned in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col, qid_col=qid_col
+    )
+    with_vec = cands.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col
+    )
+    schema = f"{qid_col} long, {id_col} long, mmr_rank int, cos_sim double, mmr_score double"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["cos_sim"].to_numpy(dtype=np.float64)
+        V = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Vn = V / nrm[:, None]
+        S = Vn @ Vn.T                      # candidate-candidate cosine
+        n = len(ids)
+        chosen: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        out_rows = []
+        for rank in range(1, min(k, n) + 1):
+            if chosen:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = lam * rel
+            score[chosen] = -np.inf
+            best = int(np.argmax(score))   # argmax takes first (lowest id) on ties
+            chosen.append(best)
+            out_rows.append(
+                (int(pdf[qid_col].iloc[0]), int(ids[best]), rank,
+                 float(rel[best]), float(score[best]))
+            )
+            max_sim = np.maximum(max_sim, S[:, best])
+        return pd.DataFrame(
+            out_rows, columns=[qid_col, id_col, "mmr_rank", "cos_sim", "mmr_score"]
+        )
+
+    return with_vec.groupBy(qid_col).applyInPandas(_greedy, schema=schema)

@@ -112,3 +112,93 @@ def test_reconcile_tolerance(spark):
     args = (detail, header, "k", "k", F.col("amt"), "total")
     assert finance.reconcile_totals(*args, rel_tolerance=0.02).count() == 0
     assert finance.reconcile_totals(*args, rel_tolerance=0.005).count() == 1
+
+
+# --- holt_winters_forecast ---------------------------------------------------
+
+
+def _hw_reference(y, m, a, b, g, h):
+    import numpy as np
+
+    s1 = float(np.mean(y[:m])); s2 = float(np.mean(y[m:2*m]))
+    lev, tr = s1, (s2 - s1) / m
+    seas = (np.asarray(y[:m], dtype=float) - s1)
+    sse = 0.0
+    for t in range(m, len(y)):
+        si = t % m
+        err = y[t] - (lev + tr + seas[si])
+        sse += err * err
+        new_lev = a * (y[t] - seas[si]) + (1 - a) * (lev + tr)
+        tr = b * (new_lev - lev) + (1 - b) * tr
+        seas[si] = g * (y[t] - new_lev) + (1 - g) * seas[si]
+        lev = new_lev
+    n = len(y)
+    fc = [lev + k * tr + seas[(n + k - 1) % m] for k in range(1, h + 1)]
+    return fc, lev, tr, sse
+
+
+def test_holt_winters_matches_reference(spark):
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rng = np.random.default_rng(7)
+    m = 6
+    rows, series = [], {}
+    for uid in (1, 2):
+        n = 4 * m + uid
+        y = [
+            50.0 + 2.0 * t + 10.0 * np.sin(2 * np.pi * (t % m) / m) + float(rng.normal(0, 0.5))
+            for t in range(n)
+        ]
+        y = [float(round(v, 2)) for v in y]
+        series[uid] = y
+        rows += [(uid, base + timedelta(hours=t), v) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = forecast.holt_winters_forecast(
+        df, bucket="hour", season_length=m, alpha=0.3, beta=0.05, gamma=0.2, horizon=4
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, {})[r.step] = r
+    for uid, y in series.items():
+        fc, lev, tr, sse = _hw_reference(y, m, 0.3, 0.05, 0.2, 4)
+        for k in range(1, 5):
+            r = got[uid][k]
+            assert r.forecast == pytest.approx(fc[k - 1], rel=1e-9), (uid, k)
+            assert r.level == pytest.approx(lev, rel=1e-9)
+            assert r.sse == pytest.approx(sse, rel=1e-9)
+            assert r.n_obs == len(y)
+
+
+def test_holt_winters_learns_planted_cycle(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    m = 4
+    # pure cycle [0, 10, 0, -10] with zero trend and no noise: the
+    # forecast must reproduce the cycle almost exactly
+    y = [0.0, 10.0, 0.0, -10.0] * 8
+    rows = [(1, base + timedelta(hours=t), v) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        r.step: r.forecast
+        for r in forecast.holt_winters_forecast(
+            df, bucket="hour", season_length=m, horizon=4
+        ).collect()
+    }
+    expect = {1: 0.0, 2: 10.0, 3: 0.0, 4: -10.0}
+    for k, v in expect.items():
+        assert out[k] == pytest.approx(v, abs=0.3), k
+
+
+def test_holt_winters_drops_short_series(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(hours=t), float(t)) for t in range(7)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    assert (
+        forecast.holt_winters_forecast(df, bucket="hour", season_length=4).collect()
+        == []
+    )

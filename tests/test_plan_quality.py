@@ -353,3 +353,65 @@ def test_large_volume_customers_broadcasts_dim(spark, sf_dir):
     reduces lineitem before it meets orders."""
     plan = _plan(spark_entry.q_large_volume_customers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+# --- round-6 operators -------------------------------------------------------
+
+
+def test_mahalanobis_stats_broadcast_no_extra_shuffle(spark, sf_dir):
+    """The 1-row sufficient-statistics dim must broadcast onto the
+    scoring scan; the only exchange in the plan is the stats agg's own
+    single-partition reduce — the corpus itself never shuffles."""
+    df = spark_entry.q_mahalanobis_outliers(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash-partitioned exchange of the fact table
+    assert "hashpartitioning(l_orderkey" not in plan
+
+
+def test_pareto_frontier_broadcasts_all_dims(spark, sf_dir):
+    """Range dim (1 row), bucket-threshold dim (|buckets| rows) and the
+    exact-frontier dim all broadcast; the profile frame shuffles only
+    for its own groupBy."""
+    df = spark_entry.q_pareto_frontier(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") + plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_adamic_adar_degree_dim_broadcast(spark, sf_dir):
+    df = spark_entry.q_adamic_adar(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan        # the capped degree dim
+    assert "SortMergeJoin" not in plan or "LeftAnti" in plan
+
+
+def test_theil_sen_single_exchange(spark, sf_dir):
+    """Window top-n cap and same-key groupBy must share ONE exchange on
+    the entity key; the pandas-UDF slope stage is map-only after it."""
+    df = spark_entry.q_theil_sen(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_sorted_neighborhood_no_global_window(spark, sf_dir):
+    """SNM must NOT plan a partitionless global window (the classic
+    single-task sort); ranking decomposes over range chunks."""
+    df = spark_entry.q_sorted_neighborhood(spark, sf_dir)
+    plan = _plan(df)
+    # every Window operator must carry a partition spec (__chunk)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__chunk" in line, line
+
+
+def test_record_linkage_block_cap_dim_broadcast(spark, sf_dir):
+    df = spark_entry.q_record_linkage(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan        # block-size cap dim
+
+
+def test_rake_word_stats_broadcast(spark, sf_dir):
+    df = spark_entry.q_rake_keywords(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan        # vocabulary-sized word dim
+    assert "TakeOrderedAndProject" in plan    # top-k never global-sorts

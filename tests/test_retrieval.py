@@ -5,6 +5,7 @@ these pin ranking semantics (idf weighting, multi-term coverage) and the
 broadcast plan contract.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_fraud_detection_using_time_series_data_spark.operators import text
@@ -102,3 +103,89 @@ def test_hybrid_rrf_deterministic(spark, sf_dir):
     a = text.hybrid_search_rrf(docs, embs, ["spark"], 0).collect()
     b = text.hybrid_search_rrf(docs, embs, ["spark"], 0).collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+# --- mmr_rerank --------------------------------------------------------------
+
+
+def test_mmr_matches_reference_greedy(spark):
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import similarity
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(30, 8)).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id < 2").selectExpr("vec_id as qid", "embedding")
+    out = similarity.mmr_rerank(corpus, queries, k=5, pool=10, lam=0.6).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.qid, []).append((r.mmr_rank, r.vec_id, r.cos_sim, r.mmr_score))
+
+    def r6(x):
+        import math
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        d = float(np.dot(a, b))
+        return d / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    for qid in (0, 1):
+        qv = vecs[qid]
+        scored = sorted(
+            ((r6(cos(vecs[i], qv)), -i) for i in range(30) if i != qid), reverse=True
+        )
+        cand = sorted(-i for _, i in scored[:10])
+        rel = {i: r6(cos(vecs[i], qv)) for i in cand}
+        Vn = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in cand}
+        chosen, max_sim, expect = [], {i: -np.inf for i in cand}, []
+        for rank in range(1, 6):
+            best, best_s = None, -np.inf
+            for i in cand:
+                if i in chosen:
+                    continue
+                s = 0.6 * rel[i] - (0.0 if not chosen else 0.4 * max_sim[i])
+                if s > best_s:
+                    best, best_s = i, s
+            chosen.append(best)
+            expect.append((rank, best, rel[best], best_s))
+            for i in cand:
+                max_sim[i] = max(max_sim[i], float(Vn[i] @ Vn[best]))
+        rows = sorted(got[qid])
+        for (rk, vid, cs, ms), (erk, evid, ecs, ems) in zip(rows, expect):
+            assert (rk, vid) == (erk, evid), (qid, rk)
+            assert cs == pytest.approx(ecs, abs=1e-12)
+            assert ms == pytest.approx(ems, rel=1e-9)
+
+
+def test_mmr_diversifies_clones(spark):
+    """Corpus with 3 near-identical top docs: plain top-3 returns the
+    clones; MMR with strong diversity picks one clone then moves on."""
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import similarity
+
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = [
+        (10, [1.0, 0.001, 0.0, 0.0]),
+        (11, [1.0, 0.002, 0.0, 0.0]),
+        (12, [1.0, 0.003, 0.0, 0.0]),
+        (20, [0.8, 0.6, 0.0, 0.0]),
+        (21, [0.8, 0.0, 0.6, 0.0]),
+        (99, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter("vec_id = 99").selectExpr("vec_id as qid", "embedding")
+    out = sorted(
+        (r.mmr_rank, r.vec_id)
+        for r in similarity.mmr_rerank(corpus, queries, k=3, pool=5, lam=0.3).collect()
+    )
+    picked = [v for _, v in out]
+    assert picked[0] == 10                     # best clone first
+    assert len(set(picked) & {10, 11, 12}) == 1  # but only ONE clone survives
+    assert set(picked[1:]) == {20, 21}
