@@ -5855,6 +5855,86 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest assignment over events (4 folds, 5 equal
+    time buckets): per (fold, role) event counts + exact decimal value
+    totals — every fold's test strictly later than all its train."""
+    ev = _events(spark, sf_dir)
+    out = relational.walk_forward_splits(ev, "ts", n_folds=4)
+    return out.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        E.r6(E.dsum("value").cast("double")).alias("total_value"),
+    )
+
+
+_WALK_FORWARD_SQL = f"""
+WITH rng AS (
+  SELECT min(epoch_us(ts) // 1000000) AS lo, max(epoch_us(ts) // 1000000) AS hi
+  FROM events
+),
+b AS (
+  SELECT e.value,
+    least(floor(((epoch_us(e.ts) // 1000000) - r.lo)
+                / ((r.hi - r.lo + 1) / 5.0)), 4)::INT AS bkt
+  FROM events e, rng r
+),
+assign AS (
+  SELECT value, f.fold, 'train' AS role
+  FROM b, UNNEST(generate_series(1, 4)) AS f(fold)
+  WHERE b.bkt < f.fold
+  UNION ALL
+  SELECT value, bkt AS fold, 'test' AS role FROM b WHERE bkt BETWEEN 1 AND 4
+)
+SELECT fold, role, count(*)::BIGINT AS n_events,
+  {_R6.format("sum(value::DECIMAL(25,2))::DOUBLE")} AS total_value
+FROM assign GROUP BY fold, role
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort avg cumulative revenue per user: the LTV curve next
+    to cohort_retention. Decimal cumulative (order-invariant) on the
+    |cohorts|x|ages| cell frame only."""
+    ev = _events(spark, sf_dir)
+    out = behavior.cohort_ltv(ev)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age_weeks",
+        "n_users",
+        E.r6("cum_revenue").alias("cum_revenue"),
+        E.r6("ltv").alias("ltv"),
+    )
+
+
+_COHORT_LTV_SQL = f"""
+WITH staged AS (
+  SELECT user_id, value,
+    date_trunc('week', ts)::DATE AS week,
+    min(date_trunc('week', ts)::DATE) OVER (PARTITION BY user_id) AS cohort
+  FROM events
+),
+cells AS (
+  SELECT cohort, (datediff('day', cohort, week) / 7)::INT AS age_weeks,
+    sum(value::DECIMAL(25,2)) AS rev
+  FROM staged GROUP BY cohort, age_weeks
+),
+sizes AS (
+  SELECT cohort, count(DISTINCT user_id)::BIGINT AS n_users
+  FROM staged GROUP BY cohort
+),
+cum AS (
+  SELECT c.cohort, c.age_weeks, s.n_users,
+    sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age_weeks
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM cells c JOIN sizes s USING (cohort)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age_weeks, n_users,
+  {_R6.format("cum_rev::DOUBLE")} AS cum_revenue,
+  {_R6.format("cum_rev::DOUBLE / n_users")} AS ltv
+FROM cum
+"""
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking of the cosine top-50 pool for 3 query
     vectors (λ=0.7, k=10): the greedy runs per query inside ONE
@@ -7405,6 +7485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         # MMR diversity rerank: rows-only (sequential greedy per query)
         "mmr_rerank": q_mmr_rerank,
+        # cohort LTV curve + walk-forward backtest assignment
+        "cohort_ltv": q_cohort_ltv,
+        "walk_forward": q_walk_forward,
         "new_entity_rate": q_new_entity_rate,
         "activity_streaks": q_activity_streaks,
         "attribution_last_touch": q_attribution_last_touch,
@@ -7633,6 +7716,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_trend": _THEIL_SEN_SQL,
         "record_linkage": _LINKAGE_SQL,
         "rake_keywords": _RAKE_SQL,
+        "cohort_ltv": _COHORT_LTV_SQL,
+        "walk_forward": _WALK_FORWARD_SQL,
         # kcore: rows-only (iterative peel, no SQL twin)
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)

@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "rake_keywords",
     "holt_winters",
     "mmr_rerank",
+    "cohort_ltv",
+    "walk_forward",
     "pagerank",
 ]
 

@@ -712,3 +712,66 @@ def theil_sen_trend(
             F.col("__r.slope_per_day").alias("slope_per_day"),
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Weekly-cohort lifetime value: entities cohorted by the ISO week
+    of their first event; for each (cohort, age-in-weeks) cell, the
+    cohort's cumulative spend through that age divided by the cohort's
+    entity count — the avg-cumulative-revenue-per-user curve marketing
+    reads next to `cohort_retention`.
+
+    Shape: ONE entity-partitioned window assigns cohorts (the same
+    exchange the first-week min rides), one groupBy reduces the corpus
+    to |cohorts|·|ages| cells with EXACT decimal spend sums, and the
+    cumulative + size normalization run on that tiny frame (cohort
+    sizes via a same-keyed window, no second corpus pass). The decimal
+    cumulative is reduction-order invariant, so the LTV hash cannot
+    drift with partitioning.
+
+    Returns (cohort, age_weeks, n_users, cum_revenue, ltv).
+    """
+    w = Window.partitionBy(entity_col)
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    staged = df.select(
+        F.col(entity_col).alias("__e"),
+        week.alias("__w"),
+        F.min(week).over(w).alias("__cohort"),
+        F.col(value_col).cast("decimal(25,2)").alias("__v"),
+    )
+    cells = staged.groupBy(
+        F.col("__cohort").alias("cohort"),
+        (F.datediff(F.col("__w"), F.col("__cohort")) / 7).cast("int").alias("age_weeks"),
+    ).agg(
+        F.sum("__v").alias("__rev"),
+        F.count_distinct("__e").alias("__active"),
+    )
+    sizes = staged.groupBy(F.col("__cohort").alias("cohort")).agg(
+        F.count_distinct("__e").alias("n_users")
+    )
+    cum_w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age_weeks",
+            "n_users",
+            F.sum("__rev").over(cum_w).alias("__cum"),
+        )
+        .select(
+            "cohort",
+            "age_weeks",
+            "n_users",
+            F.col("__cum").cast("double").alias("cum_revenue"),
+            (F.col("__cum").cast("double") / F.col("n_users")).alias("ltv"),
+        )
+    )

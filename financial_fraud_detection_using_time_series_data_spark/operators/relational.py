@@ -976,3 +976,50 @@ def pareto_frontier(
         .select(d1_col, F.col("__gmax").alias(d2_col))
     )
     return survivors.join(F.broadcast(keep), [d1_col, d2_col], "left_semi")
+
+
+def walk_forward_splits(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_folds: int = 4,
+) -> DataFrame:
+    """Rolling-origin (walk-forward) backtest assignment — the
+    time-series counterpart of k-fold: the time range splits into
+    ``n_folds``+1 equal buckets; fold i (1-based) trains on buckets
+    0..i−1 and tests on bucket i, so every fold's test data is strictly
+    later than all its training data (the leakage guarantee
+    `time_split` gives once, generalized to a backtest series).
+
+    One broadcast 1-row (min, max) dim buckets every row map-side; the
+    fold fan-out is an `explode(sequence(...))` whose multiplier is the
+    per-row fold-membership count (≤ n_folds — train rows replicate
+    into every LATER fold, test rows exactly once). Emitting
+    assignments (not copies of payload columns the caller didn't ask
+    for) keeps the fan-out narrow; aggregate or join back by row id
+    downstream.
+
+    Returns the input columns + (fold, role) — 'train' or 'test'.
+    """
+    rng = df.agg(
+        F.min(F.col(ts_col).cast("timestamp")).cast("long").alias("__lo"),
+        F.max(F.col(ts_col).cast("timestamp")).cast("long").alias("__hi"),
+    )
+    nb = n_folds + 1
+    width = (F.col("__hi") - F.col("__lo") + 1) / F.lit(float(nb))
+    bucket = F.least(
+        F.floor((F.col(ts_col).cast("timestamp").cast("long") - F.col("__lo")) / width),
+        F.lit(nb - 1),
+    ).cast("int")
+    bucketed = df.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    # train memberships: folds b+1..n_folds ; test membership: fold b
+    train = bucketed.where(F.col("__b") < n_folds).select(
+        "*",
+        F.explode(
+            F.sequence(F.col("__b") + 1, F.lit(n_folds))
+        ).alias("fold"),
+        F.lit("train").alias("role"),
+    )
+    test = bucketed.where(
+        (F.col("__b") >= 1) & (F.col("__b") <= n_folds)
+    ).select("*", F.col("__b").alias("fold"), F.lit("test").alias("role"))
+    return train.unionByName(test).drop("__b", "__lo", "__hi")

@@ -674,3 +674,82 @@ def test_rake_matches_bruteforce(spark):
         assert n_words == scores[phrase][0]
         assert n_occ == occs[phrase]
         assert score == pytest.approx(scores[phrase][1] / 1e6, abs=1e-12)
+
+
+# --- cohort_ltv --------------------------------------------------------------
+
+
+def test_cohort_ltv_matches_bruteforce(spark):
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # cohort week 0: users 1, 2
+        (1, base, 10.0), (2, base + timedelta(days=2), 20.0),
+        (1, base + timedelta(days=8), 30.0),            # age 1
+        (2, base + timedelta(days=15), 40.0),           # age 2
+        # cohort week 1: user 3
+        (3, base + timedelta(days=7), 5.0),
+        (3, base + timedelta(days=21), 15.0),           # age 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (str(r.cohort), r.age_weeks): (r.n_users, r.cum_revenue, r.ltv)
+        for r in behavior.cohort_ltv(df).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 30.0, 15.0)
+    assert out[("2024-01-01", 1)] == (2, 60.0, 30.0)
+    assert out[("2024-01-01", 2)] == (2, 100.0, 50.0)
+    assert out[("2024-01-08", 0)] == (1, 5.0, 5.0)
+    assert out[("2024-01-08", 2)] == (1, 20.0, 20.0)
+    # ages with no activity produce no row (sparse cells)
+    assert ("2024-01-08", 1) not in out
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+    from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.cohort_ltv(ev).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(str(r.cohort), []).append((r.age_weeks, r.cum_revenue))
+    for series in by_cohort.values():
+        series.sort()
+        vals = [v for _, v in series]
+        assert vals == sorted(vals)  # cumulative never decreases
+
+
+# --- walk_forward_splits -----------------------------------------------------
+
+
+def test_walk_forward_no_leakage_and_coverage(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(hours=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = relational.walk_forward_splits(df, "ts", n_folds=4).collect()
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r.fold, {"train": [], "test": []})[r.role].append(r.id)
+    assert sorted(by_fold) == [1, 2, 3, 4]
+    for fold, parts in by_fold.items():
+        assert parts["train"] and parts["test"]
+        # strict temporal ordering: every train row precedes every test row
+        assert max(parts["train"]) < min(parts["test"]), fold
+    # expanding trains: fold i+1's train is a superset of fold i's
+    for i in (1, 2, 3):
+        assert set(by_fold[i]["train"]) < set(by_fold[i + 1]["train"])
+    # each fold's test bucket equals the next fold's train increment
+    assert set(by_fold[2]["train"]) - set(by_fold[1]["train"]) == set(by_fold[1]["test"])
+    # 5 equal buckets over 100 hourly rows -> 20 per bucket
+    assert len(by_fold[1]["train"]) == 20 and len(by_fold[4]["test"]) == 20
+    assert len(by_fold[4]["train"]) == 80
