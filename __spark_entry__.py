@@ -5855,6 +5855,98 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 user-state dimension: for
+    every event, the user's event_type version in force ONE HOUR before
+    the event (the backfill-safe 'state as production would have seen
+    it' feature). Union + carry-forward window — no range join."""
+    ev = _events(spark, sf_dir)
+    dim = events_ops.scd2_history(ev)
+    facts = ev.select(
+        "event_id", "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("qts"),
+    )
+    out = relational.point_in_time_join(
+        facts, dim, "user_id", "qts",
+        fact_cols=["event_id", "user_id"],
+        attr_cols=["attr_value"],
+        dim_order_cols=("version",),
+    )
+    return out.select(
+        "event_id", "user_id", F.col("attr_value").alias("state_1h_ago")
+    )
+
+
+_PIT_JOIN_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN row_number() OVER w = 1 THEN TRUE
+         WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN TRUE
+         ELSE FALSE END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (SELECT * FROM m WHERE chg),
+dim AS (
+  SELECT user_id, event_type AS attr_value, ts AS valid_from,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM c
+),
+f AS (
+  SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS qts FROM events
+)
+SELECT f.event_id, f.user_id, d.attr_value AS state_1h_ago
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id AND d.valid_from <= f.qts
+QUALIFY row_number() OVER (PARTITION BY f.event_id
+                           ORDER BY d.valid_from DESC, d.version DESC) = 1
+"""
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of event value across event types — numeric
+    feature relevance next to mutual_information. Per-group float terms
+    fold as exact micro-BIGINTs (order-invariant)."""
+    ev = _events(spark, sf_dir)
+    out = evaluation.anova_f(ev, "value", "event_type", value_scale="decimal(25,6)")
+    return out.select(
+        "n", "k",
+        E.r6("ss_between").alias("ss_between"),
+        E.r6("ss_within").alias("ss_within"),
+        E.r6("f_stat").alias("f_stat"),
+    )
+
+
+_ANOVA_SQL = f"""
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(value::DECIMAL(25,6)) AS s,
+    sum((value::DECIMAL(25,6) * value::DECIMAL(25,6))::DECIMAL(38,8)) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+tot AS (
+  SELECT sum(n)::DOUBLE AS N, sum(s)::DOUBLE AS S, count(*)::DOUBLE AS k,
+    sum(floor(s::DOUBLE * s::DOUBLE / n::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS sb_micro,
+    sum(floor((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) * 1000000.0 + 0.5)::BIGINT) AS sw_micro
+  FROM g
+),
+asm AS (
+  SELECT N::BIGINT AS n, k::BIGINT AS k,
+    sb_micro::DOUBLE / 1000000.0 - S * S / N AS ssb,
+    sw_micro::DOUBLE / 1000000.0 AS ssw,
+    (sb_micro::DOUBLE / 1000000.0 - S * S / N) / (k - 1.0)
+      / (sw_micro::DOUBLE / 1000000.0 / (N - k)) AS f,
+    k AS kk, sw_micro
+  FROM tot
+)
+SELECT n, k,
+  {_R6.format("ssb")} AS ss_between,
+  {_R6.format("ssw")} AS ss_within,
+  {_R6.format("CASE WHEN kk > 1 AND ssw > 0 THEN f END")} AS f_stat
+FROM asm
+"""
+
+
 def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin backtest assignment over events (4 folds, 5 equal
     time buckets): per (fold, role) event counts + exact decimal value
@@ -7488,6 +7580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort LTV curve + walk-forward backtest assignment
         "cohort_ltv": q_cohort_ltv,
         "walk_forward": q_walk_forward,
+        # one-way ANOVA F relevance + point-in-time dimension join
+        "anova_f": q_anova_f,
+        "pit_join": q_pit_join,
         "new_entity_rate": q_new_entity_rate,
         "activity_streaks": q_activity_streaks,
         "attribution_last_touch": q_attribution_last_touch,
@@ -7718,6 +7813,8 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _RAKE_SQL,
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,
+        "anova_f": _ANOVA_SQL,
+        "pit_join": _PIT_JOIN_SQL,
         # kcore: rows-only (iterative peel, no SQL twin)
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)

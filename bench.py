@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "cohort_ltv",
     "walk_forward",
+    "anova_f",
+    "pit_join",
     "pagerank",
 ]
 

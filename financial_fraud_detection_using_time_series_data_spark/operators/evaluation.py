@@ -499,3 +499,58 @@ def ab_test(
         F.when((na > 0) & (nb > 0), pb - pa).alias("lift"),
         F.when((na > 0) & (nb > 0) & (se > 0), (pb - pa) / se).alias("z"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    value_scale: str = "decimal(25,6)",
+) -> DataFrame:
+    """One-way ANOVA F-statistic of ``value_col`` across ``group_col``
+    groups — the numeric-feature relevance screen next to
+    `mutual_information` (categorical) and `corr_vector` (monotone):
+    does the group label explain any of the numeric variance?
+
+    ONE map-side-combined aggregation computes per-group sufficient
+    statistics (n, Σv, Σv² as exact decimals — reduction-order
+    invariant); the F assembly then runs on the |groups|-row frame:
+    SSB = Σ n_g·(x̄_g − x̄)², SSW = Σ (Σv²_g − (Σv_g)²/n_g),
+    F = (SSB/(k−1)) / (SSW/(N−k)). Groups with NULL value rows drop
+    those rows; NULL F when fewer than 2 groups or zero within-group
+    variance. Returns one row: (n, k, ss_between, ss_within, f_stat).
+    """
+    v = F.col(value_col).cast(value_scale)
+    g = df.where(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum((v * v).cast("decimal(38,8)")).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    # per-group float terms are micro-scaled to exact BIGINT before the
+    # cross-group fold — a float Σ over groups differs in its last bits
+    # with aggregation order (and between engines)
+    sb_micro = F.floor(s * s / n * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    sw_micro = F.floor((ss - s * s / n) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    tot = g.agg(
+        F.sum("__n").cast("double").alias("__N"),
+        F.sum("__s").cast("double").alias("__S"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum(sb_micro).alias("__sb_micro"),
+        F.sum(sw_micro).alias("__sw_micro"),
+    )
+    N = F.col("__N")
+    S = F.col("__S")
+    k = F.col("__k")
+    ssb = F.col("__sb_micro").cast("double") / F.lit(1_000_000.0) - S * S / N
+    ssw = F.col("__sw_micro").cast("double") / F.lit(1_000_000.0)
+    f = (ssb / (k - F.lit(1.0))) / (ssw / (N - k))
+    return tot.select(
+        N.cast("long").alias("n"),
+        k.cast("long").alias("k"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.when((k > 1) & (ssw > 0), f).alias("f_stat"),
+    )

@@ -1023,3 +1023,77 @@ def walk_forward_splits(
         (F.col("__b") >= 1) & (F.col("__b") <= n_folds)
     ).select("*", F.col("__b").alias("fold"), F.lit("test").alias("role"))
     return train.unionByName(test).drop("__b", "__lo", "__hi")
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    entity_col: str,
+    fact_ts_col: str,
+    fact_cols: list[str],
+    attr_cols: list[str],
+    dim_from_col: str = "valid_from",
+    dim_order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Point-in-time (temporal validity) join: attach to every fact the
+    dimension version in force at the fact's timestamp — the lookup an
+    SCD2 table (`events.scd2_history`) exists to serve, and the
+    train/serve-skew killer for feature backfills (each training row
+    sees exactly the attributes production WOULD have seen).
+
+    NOT a range join: facts and dim versions UNION into one stream,
+    ONE per-entity ordered window carries the latest version struct
+    forward (`last(ignorenulls)` over dim rows sorted before same-
+    instant facts), and the fact rows are filtered back out. One
+    exchange on the entity key, no interval predicate, no
+    BroadcastNestedLoopJoin — the union trick that keeps temporal
+    lookups shuffle-bounded at 100 TB.
+
+    Version attributes ride in ONE struct, so a dim version whose
+    attribute is legitimately NULL still supersedes older versions
+    (a bare `last(attr, ignorenulls)` would look straight past it).
+    ``dim_order_cols`` breaks ties between versions sharing a
+    ``valid_from`` instant (pass SCD2's ``version``). Facts before the
+    first version keep NULL attributes.
+    """
+    ver = F.struct(*[F.col(a) for a in attr_cols])
+    fact_null_ver = F.lit(None).cast(
+        dim.select(ver.alias("__ver")).schema["__ver"].dataType
+    )
+    ftypes = dict(facts.dtypes)
+    extra_fact = [c for c in fact_cols if c != entity_col]
+    d = dim.select(
+        F.col(entity_col),
+        F.col(dim_from_col).alias("__pit_ts"),
+        *[
+            F.col(c).cast("long").alias(f"__ord{i}")
+            for i, c in enumerate(dim_order_cols)
+        ],
+        ver.alias("__ver"),
+        F.lit(0).alias("__is_fact"),
+        *[F.lit(None).cast(ftypes[c]).alias(c) for c in extra_fact],
+    )
+    f = facts.select(
+        F.col(entity_col),
+        F.col(fact_ts_col).alias("__pit_ts"),
+        *[F.lit(None).cast("long").alias(f"__ord{i}") for i in range(len(dim_order_cols))],
+        fact_null_ver.alias("__ver"),
+        F.lit(1).alias("__is_fact"),
+        *extra_fact,
+    )
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(
+            "__pit_ts",
+            "__is_fact",
+            *[F.col(f"__ord{i}") for i in range(len(dim_order_cols))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = d.unionByName(f).withColumn(
+        "__cur", F.last("__ver", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("__is_fact") == 1).select(
+        *fact_cols,
+        *[F.col("__cur").getField(a).alias(a) for a in attr_cols],
+    )

@@ -753,3 +753,62 @@ def test_walk_forward_no_leakage_and_coverage(spark):
     # 5 equal buckets over 100 hourly rows -> 20 per bucket
     assert len(by_fold[1]["train"]) == 20 and len(by_fold[4]["test"]) == 20
     assert len(by_fold[4]["train"]) == 80
+
+
+# --- point_in_time_join ------------------------------------------------------
+
+
+def test_pit_join_matches_bruteforce(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    base = datetime(2024, 1, 1)
+    dim_rows = [
+        # (user, valid_from, version, attr)
+        (1, base + timedelta(hours=0), 1, "bronze"),
+        (1, base + timedelta(hours=10), 2, "silver"),
+        (1, base + timedelta(hours=20), 3, None),      # NULL attr version
+        (2, base + timedelta(hours=5), 1, "gold"),
+    ]
+    fact_rows = [
+        (100, 1, base - timedelta(hours=1)),   # before any version -> NULL
+        (101, 1, base + timedelta(hours=0)),   # exactly at v1 -> bronze
+        (102, 1, base + timedelta(hours=15)),  # -> silver
+        (103, 1, base + timedelta(hours=25)),  # -> v3, attr legitimately NULL
+        (104, 2, base + timedelta(hours=6)),   # -> gold
+        (105, 3, base + timedelta(hours=6)),   # entity with no dim -> NULL
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "user_id long, valid_from timestamp, version int, attr string"
+    )
+    facts = spark.createDataFrame(fact_rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r.event_id: r.attr
+        for r in relational.point_in_time_join(
+            facts, dim, "user_id", "ts",
+            fact_cols=["event_id", "user_id"],
+            attr_cols=["attr"],
+            dim_order_cols=("version",),
+        ).collect()
+    }
+    assert out == {100: None, 101: "bronze", 102: "silver", 103: None,
+                   104: "gold", 105: None}
+
+
+def test_pit_join_same_instant_version_tie(spark):
+    from datetime import datetime
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    t0 = datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, t0, 1, "old"), (1, t0, 2, "new")],
+        "user_id long, valid_from timestamp, version int, attr string",
+    )
+    facts = spark.createDataFrame([(9, 1, t0)], "event_id long, user_id long, ts timestamp")
+    r = relational.point_in_time_join(
+        facts, dim, "user_id", "ts",
+        fact_cols=["event_id"], attr_cols=["attr"], dim_order_cols=("version",),
+    ).collect()[0]
+    assert r.attr == "new"   # the higher version wins the shared instant

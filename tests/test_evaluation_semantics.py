@@ -265,3 +265,43 @@ def test_ab_test_empty_arm_null_not_crash(spark):
     df = spark.createDataFrame([(0, 1), (0, 0)], "arm int, success int")
     r = ab_test(df, "arm", "success").collect()[0]
     assert r.n_b == 0 and r.rate_b is None and r.z is None
+
+
+# --- anova_f -----------------------------------------------------------------
+
+
+def test_anova_f_matches_scipy_formula(spark):
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import evaluation
+
+    rng = np.random.default_rng(2)
+    groups = {"a": rng.normal(0, 1, 40), "b": rng.normal(0.8, 1, 35), "c": rng.normal(-0.5, 1, 25)}
+    rows = [
+        (g, float(round(v, 4))) for g, vals in groups.items() for v in vals
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = evaluation.anova_f(df, "v", "grp", value_scale="decimal(18,6)").collect()[0]
+
+    allv = np.concatenate(list(groups.values()))
+    allv = np.round(allv, 4)
+    gm = allv.mean()
+    ssb = sum(len(np.round(v, 4)) * (np.round(v, 4).mean() - gm) ** 2 for v in groups.values())
+    ssw = sum(((np.round(v, 4) - np.round(v, 4).mean()) ** 2).sum() for v in groups.values())
+    k, n = 3, len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.n == n and r.k == k
+    assert r.ss_between == pytest.approx(ssb, rel=1e-6)
+    assert r.ss_within == pytest.approx(ssw, rel=1e-6)
+    assert r.f_stat == pytest.approx(f, rel=1e-6)
+
+
+def test_anova_f_null_when_degenerate(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import evaluation
+
+    one_group = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "grp string, v double")
+    assert evaluation.anova_f(one_group, "v", "grp").collect()[0].f_stat is None
+    constant = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], "grp string, v double"
+    )
+    assert evaluation.anova_f(constant, "v", "grp").collect()[0].f_stat is None
