@@ -5855,6 +5855,44 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k deterministic per-source document sample (k=20, md5-order
+    rank): the balanced-subsample where stratified rates give only an
+    expectation. A pure function of (salt, ids) — engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.group_sample_exact(docs, "source", k=20, id_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+_GROUP_SAMPLE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5('gsample:' || doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the trained-IVF index against exact brute force — the
+    post-rebuild eval a production vector pipeline gates on. Rows-only:
+    both sides are Spark queries (an external oracle cannot see the ANN
+    output); the recall floor itself is pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cents = _IVF_CENTROID_CACHE.get(sf_dir)
+    if cents is None:
+        cents = similarity.kmeans_centroids(emb, nlist=16, n_iter=3)
+        _IVF_CENTROID_CACHE[sf_dir] = cents
+    approx = similarity.ivf_topk(emb, queries_df, nlist=16, nprobe=4, k=5, centroids=cents)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5)
+    out = similarity.topk_recall(exact, approx, k=5)
+    return out.select("qid", "n_exact", "n_hit", E.r6("recall_at_k").alias("recall_at_k"))
+
+
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup against the SCD2 user-state dimension: for
     every event, the user's event_type version in force ONE HOUR before
@@ -7583,6 +7621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-way ANOVA F relevance + point-in-time dimension join
         "anova_f": q_anova_f,
         "pit_join": q_pit_join,
+        # exact-k balanced sampling + ANN recall eval
+        "group_sample": q_group_sample,
+        "ann_recall": q_ann_recall,
         "new_entity_rate": q_new_entity_rate,
         "activity_streaks": q_activity_streaks,
         "attribution_last_touch": q_attribution_last_touch,
@@ -7815,6 +7856,8 @@ def oracle_sql() -> dict[str, str]:
         "walk_forward": _WALK_FORWARD_SQL,
         "anova_f": _ANOVA_SQL,
         "pit_join": _PIT_JOIN_SQL,
+        "group_sample": _GROUP_SAMPLE_SQL,
+        # ann_recall: rows-only (compares two Spark-side result sets)
         # kcore: rows-only (iterative peel, no SQL twin)
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)

@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "walk_forward",
     "anova_f",
     "pit_join",
+    "group_sample",
+    "ann_recall",
     "pagerank",
 ]
 

@@ -733,3 +733,41 @@ def mmr_rerank(
         )
 
     return with_vec.groupBy(qid_col).applyInPandas(_greedy, schema=schema)
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k — the eval a
+    production vector pipeline runs after every index rebuild (recall
+    regressions are silent: the ANN still returns k plausible rows).
+
+    Both inputs are (qid, id[, ...]) top-k frames; recall@k =
+    |approx ∩ exact| / |exact| per query (denominator = the exact list
+    size, ≤ k when the corpus is small). One semi-join + two tiny
+    groupBys on the |queries|·k frames — the corpora are never touched.
+    Returns per-query rows plus a qid = −1 summary row with the mean.
+    """
+    e = exact.select(F.col(qid_col), F.col(id_col))
+    a = approx.select(F.col(qid_col), F.col(id_col))
+    hits = a.join(e, [qid_col, id_col], "left_semi").groupBy(qid_col).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    base = e.groupBy(qid_col).agg(F.count(F.lit(1)).alias("__n"))
+    per_q = base.join(hits, qid_col, "left").select(
+        F.col(qid_col),
+        F.col("__n").cast("long").alias("n_exact"),
+        F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hit"),
+        (F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n")).alias("recall_at_k"),
+    )
+    summary = per_q.agg(
+        F.lit(-1).cast(per_q.schema[qid_col].dataType.simpleString()).alias(qid_col),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+        (F.sum("n_hit") / F.sum("n_exact")).alias("recall_at_k"),
+    )
+    return per_q.unionByName(summary)

@@ -980,3 +980,30 @@ def rake_keywords(
             (F.col("__micro").cast("double") / F.lit(1_000_000.0)).alias("rake_score"),
         )
     )
+
+
+def group_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """EXACT-k deterministic per-group sample — the balanced-subsample
+    move (k docs per source / per class) where `stratified_sample_by_hash`
+    gives only an EXPECTED rate. Rows are ranked inside each group by
+    the engine-stable md5(salt:id) order (ties impossible: the full
+    digest is unique per id, and ``id_col`` tiebreaks anyway), and the
+    first ``k`` survive — a pure function of (salt, ids), reproducible
+    across runs, partitionings, and engines.
+
+    One window exchange on the group key; groups smaller than ``k``
+    keep all members. Change ``salt`` for an independent draw.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -189,3 +189,45 @@ def test_mmr_diversifies_clones(spark):
     assert picked[0] == 10                     # best clone first
     assert len(set(picked) & {10, 11, 12}) == 1  # but only ONE clone survives
     assert set(picked[1:]) == {20, 21}
+
+
+# --- topk_recall -------------------------------------------------------------
+
+
+def test_topk_recall_counts(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "qid long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 77), (2, 78)], "qid long, vec_id long"
+    )
+    rows = {r.qid: r for r in similarity.topk_recall(exact, approx, k=3).collect()}
+    assert rows[1].n_hit == 2 and rows[1].n_exact == 3
+    assert rows[1].recall_at_k == pytest.approx(2 / 3)
+    assert rows[2].n_hit == 0 and rows[2].recall_at_k == 0.0
+    assert rows[-1].n_exact == 5 and rows[-1].n_hit == 2
+    assert rows[-1].recall_at_k == pytest.approx(2 / 5)
+
+
+def test_group_sample_exact_properties(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    out = T.group_sample_exact(df, "source", k=5, id_col="doc_id")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 5 for v in per.values())
+    # deterministic: identical second draw; different salt -> different set
+    again = {(r.source, r.doc_id) for r in T.group_sample_exact(df, "source", k=5, id_col="doc_id").collect()}
+    assert again == {(r.source, r.doc_id) for r in rows}
+    other = {(r.source, r.doc_id) for r in T.group_sample_exact(df, "source", k=5, id_col="doc_id", salt="other").collect()}
+    assert other != again
+    # small groups keep all members
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+    assert T.group_sample_exact(tiny, "source", k=5, id_col="doc_id").count() == 2
