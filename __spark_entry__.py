@@ -7137,6 +7137,98 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM fluency filter over documents (corpus-estimated add-1
+    smoothing): sequence-aware upgrade of unigram_logprob — scrambled
+    word salad scores low even when every word is common. Integer
+    micro-nat folds keep the mean reduction-order exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", E.r6("mean_logprob").alias("mean_logprob")
+    )
+
+
+_BIGRAM_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, s.pos, arr[s.pos] AS w1
+  FROM arrs, UNNEST(generate_series(1, len(arr))) AS s(pos)
+  WHERE arr[s.pos] != ''
+),
+bi AS (
+  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+cc AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w1)::BIGINT AS v FROM toks)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+  floor((sum(floor(ln((bc.c12 + 1.0) / (cc.c1 + 1.0 * v.v)) * 1000000.0 + 0.5)::BIGINT)::DOUBLE
+    / (count(*) * 1000000.0)) * 1000000 + 0.5) / 1000000.0 AS mean_logprob
+FROM bi b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity-resolution composition: Fellegi-Sunter 'match'-class
+    pairs (q_record_linkage's blocking + scoring) collapsed into
+    canonical entity clusters via connected components — the step that
+    turns pairwise linkage into dedup'd golden records. Rows-only
+    (iterative CC); the linkage scoring itself is oracle-backed via
+    record_linkage, and CC exactness is pinned by the dedup tests.
+    Returns multi-member clusters only (canonical id = min member)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        linkage,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = linkage.block_pairs(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "c_custkey",
+        ["c_acctbal", "c_name"],
+    )
+    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
+    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
+    comps = [
+        linkage.FieldComparison(
+            "bucket",
+            F.floor(bal_a.cast("double") / 1000.0)
+            == F.floor(bal_b.cast("double") / 1000.0),
+            m=0.85,
+            u=0.12,
+        ),
+        linkage.FieldComparison(
+            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
+        ),
+        linkage.FieldComparison(
+            "suffix",
+            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
+            m=0.9,
+            u=0.01,
+        ),
+    ]
+    scored = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
+    matches = scored.where(F.col("fs_class") == "match").select("id_a", "id_b")
+    labels = dedup.connected_components(matches, "id_a", "id_b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("node").alias("c_custkey"),
+            F.col("component").alias("entity_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level RAKE keywords over documents: top-15 stopword-run
     phrases by degree/frequency word scores. Cross-row arithmetic is
@@ -7658,10 +7750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust trend + PAV calibration
         "theil_sen_trend": q_theil_sen,
         "isotonic_calibration": q_isotonic_calibration,
-        # Fellegi-Sunter entity resolution
+        # Fellegi-Sunter entity resolution (+ cluster composition)
         "record_linkage": q_record_linkage,
-        # RAKE keyword extraction
+        "entity_clusters": q_entity_clusters,
+        # RAKE keyword extraction + bigram LM fluency
         "rake_keywords": q_rake_keywords,
+        "bigram_logprob": q_bigram_logprob,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -7852,6 +7946,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_trend": _THEIL_SEN_SQL,
         "record_linkage": _LINKAGE_SQL,
         "rake_keywords": _RAKE_SQL,
+        "bigram_logprob": _BIGRAM_SQL,
+        # entity_clusters: rows-only (iterative CC composition)
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,
         "anova_f": _ANOVA_SQL,

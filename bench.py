@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "pit_join",
     "group_sample",
     "ann_recall",
+    "entity_clusters",
+    "bigram_logprob",
     "pagerank",
 ]
 

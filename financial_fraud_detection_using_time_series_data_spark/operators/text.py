@@ -1007,3 +1007,51 @@ def group_sample_exact(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality score: per-document mean
+    ln P(w₂ | w₁) with add-k (Laplace) smoothing, probabilities
+    estimated from the corpus itself — the sequence-aware upgrade of
+    `unigram_logprob` (a bag of real words in scrambled order fools a
+    unigram filter; it craters the bigram score).
+
+    Shape for 100 TB: ONE per-doc window (lead) turns the token stream
+    into bigram rows; bigram and context counts are vocabulary-bounded
+    dims broadcast back; the per-doc mean folds integer micro-nats
+    (floor(ln·1e6 + 0.5) per occurrence, summed exactly) so the score
+    is reduction-order invariant and the oracle matches bit-for-bit.
+    Documents with fewer than 2 tokens drop (no bigram exists).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"),
+    ).filter(F.length("w1") > 0)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = toks.withColumn("w2", F.lead("w1").over(w)).where(F.col("w2").isNotNull())
+    big_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.count_distinct("w1").alias("v"))
+    lp = F.log(
+        (F.col("c12") + F.lit(add_k))
+        / (F.col("c1") + F.lit(add_k) * F.col("v"))
+    )
+    micro = F.floor(lp * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return (
+        bi.join(F.broadcast(big_counts), ["w1", "w2"])
+        .join(F.broadcast(ctx_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.sum(micro).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+            ).alias("mean_logprob"),
+        )
+    )

@@ -812,3 +812,48 @@ def test_pit_join_same_instant_version_tie(spark):
         fact_cols=["event_id"], attr_cols=["attr"], dim_order_cols=("version",),
     ).collect()[0]
     assert r.attr == "new"   # the higher version wins the shared instant
+
+
+# --- bigram_logprob ----------------------------------------------------------
+
+
+def test_bigram_logprob_matches_bruteforce(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import text as T
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "mat the on sat cat the"),   # same words, scrambled order
+        (3, "single"),                    # no bigram -> dropped
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+           for r in T.bigram_logprob(df).collect()}
+
+    tok = {i: re.sub(r"\s+", " ", t.lower()).strip().split(" ") if t.strip() else []
+           for i, t in docs}
+    bigs, ctx, vocab = Counter(), Counter(), set()
+    for ts in tok.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bigs[(a, b)] += 1
+            ctx[a] += 1
+    V = len(vocab)
+    for i, ts in tok.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert i not in out
+            continue
+        micro = sum(
+            math.floor(math.log((bigs[p] + 1.0) / (ctx[p[0]] + V)) * 1e6 + 0.5)
+            for p in pairs
+        )
+        assert out[i][0] == len(pairs)
+        assert out[i][1] == pytest.approx(micro / (len(pairs) * 1e6), abs=1e-12)
+    # the scrambled doc scores strictly worse than the fluent one
+    assert out[2][1] < out[0][1]
