@@ -7137,6 +7137,49 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: does click activity lead purchase
+    activity, and by how many hours? All-integer sufficient statistics
+    — no float accumulates anywhere."""
+    ev = _events(spark, sf_dir)
+    out = finance.lead_lag_corr(ev, "click", "purchase", max_lag=6)
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_buckets",
+        E.r6("corr").alias("corr"),
+    )
+
+
+_LEAD_LAG_SQL = f"""
+WITH ser AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS h,
+    sum((event_type = 'click')::BIGINT)::BIGINT AS x,
+    sum((event_type = 'purchase')::BIGINT)::BIGINT AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY h
+),
+pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM ser a, UNNEST(generate_series(-6, 6)) AS l(lag)
+  JOIN ser b ON b.h = a.h + l.lag
+),
+agg AS (
+  SELECT lag, count(*)::BIGINT AS n,
+    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+    sum(y * y)::BIGINT AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n AS n_buckets,
+  {_R6.format('''CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+        AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+   THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END''')} AS corr
+FROM agg
+"""
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM fluency filter over documents (corpus-estimated add-1
     smoothing): sequence-aware upgrade of unigram_logprob — scrambled
@@ -7756,6 +7799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAKE keyword extraction + bigram LM fluency
         "rake_keywords": q_rake_keywords,
         "bigram_logprob": q_bigram_logprob,
+        # lead-lag cross-correlation
+        "lead_lag_corr": q_lead_lag_corr,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -7947,6 +7992,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _LINKAGE_SQL,
         "rake_keywords": _RAKE_SQL,
         "bigram_logprob": _BIGRAM_SQL,
+        "lead_lag_corr": _LEAD_LAG_SQL,
         # entity_clusters: rows-only (iterative CC composition)
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "ann_recall",
     "entity_clusters",
     "bigram_logprob",
+    "lead_lag_corr",
     "pagerank",
 ]
 

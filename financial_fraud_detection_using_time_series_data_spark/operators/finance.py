@@ -311,3 +311,66 @@ def reconcile_totals(
         rel.alias("rel_delta"),
         status.alias("status"),
     )
+
+
+def lead_lag_corr(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 6,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two event streams: Pearson
+    corr(countₐ(t), count_b(t+ℓ)) for every lag ℓ in −max_lag..max_lag
+    hourly buckets — "do clicks LEAD purchases, and by how much?" The
+    argmax lag is the causal-direction screen that plain same-bucket
+    correlation (`rolling_corr`) cannot see.
+
+    Fully order-invariant: the per-bucket series are integer COUNTS, so
+    every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) folds as
+    exact BIGINTs — the correlation assembles from integers in one
+    closed form, no float accumulates anywhere. One corpus rollup to
+    the |buckets|-row series, a (2·max_lag+1)-way explode of that TINY
+    frame, one equi-join on the shifted bucket id (no range join), one
+    groupBy(lag). NULL corr for degenerate (zero-variance) overlaps.
+
+    Returns (lag, n_buckets, corr) — positive lag means ``type_a``
+    activity precedes ``type_b``.
+    """
+    bucket = (F.col(ts_col).cast("long") / F.lit(bucket_s)).cast("long")
+    ser = (
+        df.where(F.col(type_col).isin(type_a, type_b))
+        .groupBy(bucket.alias("__h"))
+        .agg(
+            F.sum((F.col(type_col) == type_a).cast("long")).alias("__x"),
+            F.sum((F.col(type_col) == type_b).cast("long")).alias("__y"),
+        )
+    )
+    lags = ser.select(
+        "__h", "__x",
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("lag"),
+    ).withColumn("__hb", F.col("__h") + F.col("lag"))
+    joined = lags.join(
+        ser.select(F.col("__h").alias("__hb"), F.col("__y").alias("__yb")), "__hb"
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__yb").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__yb")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__yb") * F.col("__yb")).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = n * F.col("__sxy").cast("double") - sx * sy
+    vx = n * F.col("__sxx").cast("double") - sx * sx
+    vy = n * F.col("__syy").cast("double") - sy * sy
+    return agg.select(
+        "lag",
+        F.col("__n").cast("long").alias("n_buckets"),
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("corr"),
+    ).orderBy("lag")

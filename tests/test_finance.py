@@ -164,3 +164,67 @@ def test_twap_vs_plain_avg_burst_bias(spark):
     r = sorted(finance.twap(_ev(spark, rows)).collect(), key=lambda x: x.bucket)[0]
     # held: 100.0 for 100s, 0.0 for 3500s
     assert r.twap == pytest.approx(100 * 100 / 3600, abs=1e-9)
+
+
+# --- lead_lag_corr -----------------------------------------------------------
+
+
+def test_lead_lag_recovers_planted_shift(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import finance
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # type 'a' count pattern p(t); type 'b' = same pattern shifted +2h:
+    # corr peaks exactly at lag +2 (a leads b by 2 hours)
+    pattern = [1, 5, 2, 8, 3, 9, 1, 7, 4, 6, 2, 8, 5, 3, 9, 2, 7, 1, 6, 4]
+    eid = 0
+    for t, c in enumerate(pattern):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(hours=t, minutes=1), "a")); eid += 1
+    for t, c in enumerate(pattern):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(hours=t + 2, minutes=1), "b")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.lag: r.corr for r in finance.lead_lag_corr(df, "a", "b", max_lag=4).collect()}
+    assert out[2] == pytest.approx(1.0, abs=1e-9)
+    for lag, c in out.items():
+        if lag != 2 and c is not None:
+            assert c < 0.9, (lag, c)
+
+
+def test_lead_lag_matches_numpy(spark):
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import finance
+
+    rng = np.random.default_rng(6)
+    base = datetime(2024, 1, 1)
+    xa = rng.integers(0, 6, 24)
+    xb = rng.integers(0, 6, 24)
+    rows = []
+    eid = 0
+    for t in range(24):
+        for _ in range(int(xa[t])):
+            rows.append((eid, base + timedelta(hours=t), "a")); eid += 1
+        for _ in range(int(xb[t])):
+            rows.append((eid, base + timedelta(hours=t), "b")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.lag: (r.n_buckets, r.corr) for r in finance.lead_lag_corr(df, "a", "b", max_lag=3).collect()}
+    # brute force on the DENSE-bucket series restricted to buckets where
+    # either stream has events (buckets with zero of both never appear)
+    hours = [t for t in range(24) if xa[t] or xb[t]]
+    series = {t: (int(xa[t]), int(xb[t])) for t in hours}
+    for lag in range(-3, 4):
+        pairs = [
+            (series[t][0], series[t + lag][1])
+            for t in hours if (t + lag) in series
+        ]
+        n = len(pairs)
+        assert out[lag][0] == n, lag
+        x = np.array([p[0] for p in pairs], dtype=float)
+        y = np.array([p[1] for p in pairs], dtype=float)
+        if x.std() > 0 and y.std() > 0:
+            assert out[lag][1] == pytest.approx(float(np.corrcoef(x, y)[0, 1]), rel=1e-9), lag
