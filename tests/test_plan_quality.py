@@ -415,3 +415,56 @@ def test_rake_word_stats_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastExchange" in plan        # vocabulary-sized word dim
     assert "TakeOrderedAndProject" in plan    # top-k never global-sorts
+
+
+def test_pit_join_single_entity_exchange_no_range_join(spark, sf_dir):
+    """The union + carry-forward PIT join must shuffle once on the
+    entity key and never plan a BroadcastNestedLoopJoin (the range-join
+    trap for temporal validity lookups)."""
+    df = spark_entry.q_pit_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one exchange builds the SCD2 dim, one re-partitions the union for
+    # the carry-forward window (a union does not preserve partitioning);
+    # a range-join formulation would add interval-join operators instead
+    assert plan.count("Exchange hashpartitioning(user_id") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lead_lag_explodes_rollup_not_corpus(spark, sf_dir):
+    """The lag fan-out must apply to the |buckets|-row rollup (explode
+    AFTER the aggregate), and the shifted join is a plain equi-join."""
+    df = spark_entry.q_lead_lag_corr(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # explode appears above the first aggregate, not above the scan:
+    # the corpus-side scan feeds HashAggregate before any Generate node
+    first_gen = plan.find("Generate explode")
+    first_agg = plan.find("HashAggregate")
+    assert first_gen != -1 and first_agg != -1
+    assert first_gen < plan.rfind("HashAggregate"), "explode must sit over the rollup"
+
+
+def test_bigram_count_dims_broadcast(spark, sf_dir):
+    df = spark_entry.q_bigram_logprob(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 2   # bigram + context dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_ltv_no_second_corpus_pass(spark, sf_dir):
+    """Cohort assignment window and the cell rollup must reuse ONE scan
+    lineage; the cumulative runs on the tiny cell frame (window keyed by
+    cohort, not entity)."""
+    df = spark_entry.q_cohort_ltv(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # at most one corpus-sized exchange on user_id (the cohort window);
+    # everything after operates on cohort-keyed frames
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_group_sample_single_window_exchange(spark, sf_dir):
+    df = spark_entry.q_group_sample(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan
