@@ -4,6 +4,8 @@ the driver tables."""
 
 import math
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -630,3 +632,99 @@ def test_sorted_neighborhood_matches_bruteforce(spark, keys, window, n_chunks):
         if i + d < len(order)
     )
     assert got == expect
+
+
+@given(
+    dim_events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=12
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-5, 55)), min_size=1, max_size=12
+    ),
+)
+@settings(**_SETTINGS)
+def test_pit_join_matches_bruteforce_property(spark, dim_events, facts):
+    """Union+carry PIT join == per-fact linear scan for any version/fact
+    multiset, including same-instant versions (higher version wins),
+    facts before any version, and entities with no versions at all."""
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    base = datetime(2024, 1, 1)
+    # build versioned dim: per entity, versions numbered in (t, insert) order
+    dim_rows = []
+    per_entity = {}
+    for ent, t in sorted(dim_events, key=lambda x: (x[0], x[1])):
+        v = per_entity.get(ent, 0) + 1
+        per_entity[ent] = v
+        dim_rows.append((ent, base + timedelta(minutes=t), v, f"a{ent}v{v}"))
+    fact_rows = [
+        (i, ent, base + timedelta(minutes=t)) for i, (ent, t) in enumerate(facts)
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "user_id long, valid_from timestamp, version int, attr string"
+    ) if dim_rows else spark.createDataFrame(
+        [], "user_id long, valid_from timestamp, version int, attr string"
+    )
+    fdf = spark.createDataFrame(fact_rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r.event_id: r.attr
+        for r in relational.point_in_time_join(
+            fdf, dim, "user_id", "ts",
+            fact_cols=["event_id", "user_id"],
+            attr_cols=["attr"],
+            dim_order_cols=("version",),
+        ).collect()
+    }
+    for i, (ent, t) in enumerate(facts):
+        cands = [
+            (vf, v, a) for (e, vf, v, a) in dim_rows
+            if e == ent and vf <= base + timedelta(minutes=t)
+        ]
+        expect = max(cands)[2] if cands else None
+        assert out[i] == expect, (i, ent, t)
+    assert len(out) == len(facts)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    cap=st.sampled_from([2, 5, 100]),
+)
+@settings(**_SETTINGS)
+def test_adamic_adar_matches_bruteforce_property(spark, edges, cap):
+    """Hub-capped Adamic-Adar == brute force for any small graph and
+    any wedge-degree cap (including caps that silence every node)."""
+    import itertools
+    import math
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import events
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(norm, "u long, v long")
+    out = {
+        (r.u, r.v): (r.n_common, r.aa_score)
+        for r in events.adamic_adar(df, max_wedge_degree=cap).collect()
+    }
+    adj = {}
+    for a, b in norm:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if v in adj[u]:
+            continue
+        common = [w for w in adj[u] & adj[v] if len(adj[w]) <= cap]
+        if common:
+            expect[(u, v)] = (
+                len(common),
+                sum(1.0 / math.log(len(adj[w])) for w in common),
+            )
+    assert set(out) == set(expect)
+    for key, (nc, sc) in expect.items():
+        assert out[key][0] == nc
+        assert out[key][1] == pytest.approx(sc, rel=1e-9)
