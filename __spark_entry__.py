@@ -7137,6 +7137,47 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT periodogram of the hourly event-count series (harmonics
+    1..12): reads the dominant cycle period directly. Projection terms
+    quantized to a 1e-4 BIGINT grid before the fold — order-invariant
+    cross-engine sums."""
+    ev = _events(spark, sf_dir)
+    out = drift.periodogram(ev, max_k=12)
+    return out.select(
+        "k",
+        E.r6("period_buckets").alias("period_buckets"),
+        E.r6("power").alias("power"),
+    )
+
+
+_PERIODOGRAM_SQL = f"""
+WITH ser AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS h, count(*)::BIGINT AS x
+  FROM events GROUP BY h
+),
+rng AS (SELECT min(h) AS h0, max(h) - min(h) + 1 AS n FROM ser),
+fan AS (
+  SELECT (s.h - r.h0)::DOUBLE AS t, s.x::DOUBLE AS xv, r.n::DOUBLE AS n, k.k
+  FROM ser s, rng r, UNNEST(generate_series(1, 12)) AS k(k)
+),
+q AS (
+  SELECT k, n,
+    floor(xv * cos(2.0 * pi() * k * t / n) * 10000.0 + 0.5)::BIGINT AS cq,
+    floor(xv * sin(2.0 * pi() * k * t / n) * 10000.0 + 0.5)::BIGINT AS sq
+  FROM fan
+),
+agg AS (
+  SELECT k, sum(cq)::BIGINT AS c, sum(sq)::BIGINT AS s, max(n) AS n
+  FROM q GROUP BY k
+)
+SELECT k,
+  {_R6.format("n / k")} AS period_buckets,
+  {_R6.format("(c::DOUBLE * c::DOUBLE + s::DOUBLE * s::DOUBLE) / 100000000.0")} AS power
+FROM agg
+"""
+
+
 def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation: does click activity lead purchase
     activity, and by how many hours? All-integer sufficient statistics
@@ -7799,8 +7840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAKE keyword extraction + bigram LM fluency
         "rake_keywords": q_rake_keywords,
         "bigram_logprob": q_bigram_logprob,
-        # lead-lag cross-correlation
+        # lead-lag cross-correlation + spectral period detection
         "lead_lag_corr": q_lead_lag_corr,
+        "periodogram": q_periodogram,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -7993,6 +8035,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _RAKE_SQL,
         "bigram_logprob": _BIGRAM_SQL,
         "lead_lag_corr": _LEAD_LAG_SQL,
+        "periodogram": _PERIODOGRAM_SQL,
         # entity_clusters: rows-only (iterative CC composition)
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "entity_clusters",
     "bigram_logprob",
     "lead_lag_corr",
+    "periodogram",
     "pagerank",
 ]
 

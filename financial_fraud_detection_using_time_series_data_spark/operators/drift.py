@@ -16,6 +16,8 @@ n_bins rows. No windows, no big joins — two scans total.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -638,3 +640,69 @@ def benford_mad(
         .otherwise("nonconformity")
         .alias("conformity"),
     )
+
+
+def periodogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_k: int = 12,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Discrete-Fourier periodogram of the global event-count series:
+    spectral power at harmonics k = 1..max_k of the observation span —
+    the frequency-domain complement of `acf` (ACF shows THAT a cycle
+    exists; the periodogram reads off its period directly as the
+    dominant harmonic, N/k buckets).
+
+    P(k) = (Σₜ xₜ·cos(2πkt/N))² + (Σₜ xₜ·sin(2πkt/N))², x = hourly
+    counts, t = bucket index from the series start. Shape: ONE corpus
+    rollup to the |N|-row count series; the k fan-out explodes only
+    that tiny frame; each projection term is quantized to a 1e-4 grid
+    (floor(x·cosθ·1e4 + 0.5) BIGINT) before the fold so the cross-row
+    sum is exact and order-invariant — a raw float Σ x·cos would drift
+    with aggregation order. The 1e-4 grid costs ~2·Σx·1e-4 absolute
+    power error: irrelevant for dominant-period ranking.
+
+    Returns (k, period_buckets, power) — power in quantized units².
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    ser = df.groupBy(
+        (sec / F.lit(bucket_s)).cast("long").alias("__h")
+    ).agg(F.count(F.lit(1)).alias("__x"))
+    rng = ser.agg(
+        F.min("__h").alias("__h0"), F.count(F.lit(1)).alias("__nb"),
+        F.max("__h").alias("__hmax"),
+    )
+    # dense index over the SPAN (missing buckets contribute zero terms,
+    # which is exactly their x_t = 0 contribution)
+    n = F.col("__hmax") - F.col("__h0") + 1
+    based = ser.crossJoin(F.broadcast(rng)).select(
+        (F.col("__h") - F.col("__h0")).cast("double").alias("__t"),
+        F.col("__x").cast("double").alias("__xv"),
+        n.cast("double").alias("__n"),
+    )
+    fan = based.select(
+        "__t", "__xv", "__n",
+        F.explode(F.sequence(F.lit(1), F.lit(max_k))).alias("k"),
+    )
+    theta = F.lit(2.0) * F.lit(math.pi) * F.col("k") * F.col("__t") / F.col("__n")
+    cq = F.floor(F.col("__xv") * F.cos(theta) * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    sq = F.floor(F.col("__xv") * F.sin(theta) * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    agg = fan.groupBy("k").agg(
+        F.sum(cq).alias("__c"),
+        F.sum(sq).alias("__s"),
+        F.max("__n").alias("__nn"),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        (F.col("__nn") / F.col("k")).alias("period_buckets"),
+        # divide the grid factor back out (1e4² = 1e8): power lands in
+        # natural count² units, bounded far below the r6 BIGINT clamp
+        (
+            (
+                F.col("__c").cast("double") * F.col("__c").cast("double")
+                + F.col("__s").cast("double") * F.col("__s").cast("double")
+            )
+            / F.lit(1e8)
+        ).alias("power"),
+    ).orderBy("k")

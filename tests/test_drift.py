@@ -306,3 +306,55 @@ def test_benford_mad_conformity_buckets(spark):
     )
     r2 = drift.benford_mad(df2, "value").collect()[0]
     assert r2.conformity == "nonconformity" and r2.n_values == 900
+
+
+# --- periodogram -------------------------------------------------------------
+
+
+def test_periodogram_finds_planted_cycle(spark):
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import drift
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 96 hourly buckets with a strong 24-hour cycle: count = 5 + 4*cos(2pi t/24)
+    # -> dominant harmonic k = 96/24 = 4
+    for t in range(96):
+        c = int(round(5 + 4 * np.cos(2 * np.pi * t / 24)))
+        for _ in range(c):
+            rows.append((eid, base + timedelta(hours=t, minutes=2))); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.k: (r.period_buckets, r.power) for r in drift.periodogram(df, max_k=12).collect()}
+    best = max(out, key=lambda k: out[k][1])
+    assert best == 4
+    assert out[4][0] == pytest.approx(24.0)
+    # the cycle harmonic dominates every other by a wide margin
+    for k, (_, p) in out.items():
+        if k != 4:
+            assert p < out[4][1] / 10, k
+
+
+def test_periodogram_matches_numpy(spark):
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import drift
+
+    rng = np.random.default_rng(9)
+    base = datetime(2024, 1, 1)
+    counts = rng.integers(0, 5, 30)
+    rows, eid = [], 0
+    for t in range(30):
+        for _ in range(int(counts[t])):
+            rows.append((eid, base + timedelta(hours=t))); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.k: r.power for r in drift.periodogram(df, max_k=6).collect()}
+    # numpy reference with identical quantization
+    N = 30
+    for k in range(1, 7):
+        th = 2 * np.pi * k * np.arange(N) / N
+        c = int(sum(np.floor(counts * np.cos(th) * 1e4 + 0.5)))
+        s = int(sum(np.floor(counts * np.sin(th) * 1e4 + 0.5)))
+        assert out[k] == pytest.approx((float(c) ** 2 + float(s) ** 2) / 1e8, rel=1e-12), k
