@@ -4,6 +4,7 @@ from .fraud_pipeline import (
     engineer_features_split_compat,
     preprocess,
 )
+from .introspect import assert_plan, plan_metrics
 from .train import TrainResult, run_training_pipeline
 
 __all__ = [
@@ -13,4 +14,6 @@ __all__ = [
     "FraudPipelineConfig",
     "TrainResult",
     "run_training_pipeline",
+    "assert_plan",
+    "plan_metrics",
 ]

@@ -468,3 +468,30 @@ def test_group_sample_single_window_exchange(spark, sf_dir):
     df = spark_entry.q_group_sample(spark, sf_dir)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning(source") == 1, plan
+
+
+def test_plan_metrics_census_and_gate(spark, sf_dir):
+    """plan_metrics counts the operators the suite's string asserts
+    count, and assert_plan raises on a violated bound."""
+    import pytest as _pytest
+
+    from financial_fraud_detection_using_time_series_data_spark.plans.introspect import (
+        assert_plan,
+        plan_metrics,
+    )
+
+    df = spark_entry.q_left_join(spark, sf_dir)
+    m = plan_metrics(df)
+    assert m["n_cartesian"] == 0 and m["n_python_row_udf"] == 0
+    assert m["n_broadcast_joins"] >= 1       # the dim join broadcasts
+    assert m["n_scans"] >= 2
+    # gate form: passing bounds return the census, violated bounds raise
+    assert assert_plan(df, n_cartesian=0)["n_cartesian"] == 0
+    with _pytest.raises(AssertionError, match="n_sort_merge_joins"):
+        assert_plan(df, n_sort_merge_joins=99)
+    with _pytest.raises(KeyError):
+        assert_plan(df, not_a_metric=1)
+
+    # a pushdown query reports its filters
+    mm = plan_metrics(spark_entry.q_filter_project(spark, sf_dir))
+    assert mm["pushed_filters"] == 1
