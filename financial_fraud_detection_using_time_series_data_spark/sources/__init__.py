@@ -6,7 +6,14 @@ from .tables import (
     normalize_scan_types,
 )
 from .synthetic import generate_transactions
-from .profiler import check_expectations, fd_check, kfold_assign, null_profile, profile
+from .profiler import (
+    check_expectations,
+    fd_check,
+    kfold_assign,
+    null_profile,
+    profile,
+    schema_diff,
+)
 
 __all__ = [
     "TABLES",
@@ -19,5 +26,6 @@ __all__ = [
     "fd_check",
     "kfold_assign",
     "null_profile",
+    "schema_diff",
     "profile",
 ]

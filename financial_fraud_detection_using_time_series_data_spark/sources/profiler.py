@@ -118,3 +118,42 @@ def fd_check(
             F.sum((F.col("__nd") > 1).cast("long")) / F.count(F.lit(1))
         ).alias("violation_rate"),
     )
+
+
+def schema_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Data-contract schema drift between two frames (yesterday's
+    snapshot vs today's ingest): one row per column that was ADDED,
+    REMOVED, TYPE_CHANGED, or NULLABILITY_CHANGED. Pure metadata — no
+    data is scanned, so it is free to run before every pipeline stage
+    and cheap to gate ingestion on (`schema_diff(...).isEmpty()`).
+
+    Column ORDER changes are deliberately not flagged (Spark reads by
+    name); a renamed column surfaces as one REMOVED + one ADDED row,
+    which is the honest answer without content analysis.
+    """
+    spark = before.sparkSession
+    b = {f.name: f for f in before.schema.fields}
+    a = {f.name: f for f in after.schema.fields}
+    rows = []
+    for name in sorted(set(b) | set(a)):
+        fb, fa = b.get(name), a.get(name)
+        if fb is None:
+            rows.append((name, "ADDED", None, fa.dataType.simpleString()))
+        elif fa is None:
+            rows.append((name, "REMOVED", fb.dataType.simpleString(), None))
+        elif fb.dataType != fa.dataType:
+            rows.append(
+                (name, "TYPE_CHANGED", fb.dataType.simpleString(), fa.dataType.simpleString())
+            )
+        elif fb.nullable != fa.nullable:
+            rows.append(
+                (
+                    name,
+                    "NULLABILITY_CHANGED",
+                    f"nullable={fb.nullable}",
+                    f"nullable={fa.nullable}",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "col_name string, change string, before string, after string"
+    )

@@ -192,3 +192,23 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     # correctness: pruned read returns exactly that day's rows
     want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
     assert q.count() == want
+
+
+def test_schema_diff_flags_all_change_kinds(spark):
+    from financial_fraud_detection_using_time_series_data_spark.sources.profiler import (
+        schema_diff,
+    )
+
+    before = spark.createDataFrame(
+        [(1, "x", 2.0, 5)], "id long, keep string, retyped double, dropped int"
+    )
+    after = spark.createDataFrame(
+        [(1, "x", "now_str", True)], "id long, keep string, retyped string, added boolean"
+    )
+    out = {r.col_name: (r.change, r.before, r.after) for r in schema_diff(before, after).collect()}
+    assert out["added"] == ("ADDED", None, "boolean")
+    assert out["dropped"] == ("REMOVED", "int", None)
+    assert out["retyped"] == ("TYPE_CHANGED", "double", "string")
+    assert "id" not in out and "keep" not in out
+    # identical schemas -> empty diff
+    assert schema_diff(before, before).count() == 0
