@@ -7137,6 +7137,45 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize event values across event types onto the
+    pooled 256-point quantile grid — per-source distribution alignment
+    before mixing sources into one training set."""
+    ev = _events(spark, sf_dir)
+    out = relational.quantile_normalize(ev, "event_type", "value", grid_size=256)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        E.r6("pct_rank").alias("pct_rank"),
+        E.r6("normalized").alias("normalized"),
+    )
+
+
+_QN_FRACS = ", ".join(repr(i / 255) for i in range(256))
+
+_QUANTILE_NORMALIZE_SQL = f"""
+WITH grid AS (
+  SELECT list_transform(
+    quantile_cont(value::DOUBLE, [{_QN_FRACS}]),
+    v -> floor(v * 1000000.0 + 0.5) / 1000000.0
+  ) AS g FROM events
+),
+r AS (
+  SELECT event_id, event_type, value,
+    percent_rank() OVER (PARTITION BY event_type ORDER BY value::DOUBLE) AS p
+  FROM events
+)
+SELECT event_id, event_type, value,
+  {_R6.format("p")} AS pct_rank,
+  {_R6.format('''g[least(floor(p * 255.0), 254.0)::INT + 1]
+    + (g[least(floor(p * 255.0), 254.0)::INT + 2]
+       - g[least(floor(p * 255.0), 254.0)::INT + 1])
+      * (p * 255.0 - least(floor(p * 255.0), 254.0))''')} AS normalized
+FROM r, grid
+"""
+
+
 def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFT periodogram of the hourly event-count series (harmonics
     1..12): reads the dominant cycle period directly. Projection terms
@@ -7843,6 +7882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead-lag cross-correlation + spectral period detection
         "lead_lag_corr": q_lead_lag_corr,
         "periodogram": q_periodogram,
+        # pooled-grid quantile normalization
+        "quantile_normalize": q_quantile_normalize,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -8036,6 +8077,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_SQL,
         "lead_lag_corr": _LEAD_LAG_SQL,
         "periodogram": _PERIODOGRAM_SQL,
+        "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
         # entity_clusters: rows-only (iterative CC composition)
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "lead_lag_corr",
     "periodogram",
+    "quantile_normalize",
     "pagerank",
 ]
 

@@ -1097,3 +1097,56 @@ def point_in_time_join(
         *fact_cols,
         *[F.col("__cur").getField(a).alias(a) for a in attr_cols],
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid_size: int = 256,
+) -> DataFrame:
+    """Quantile normalization across groups: replace each value by the
+    POOLED distribution's quantile at the value's within-group percent
+    rank — after which every group shares the pooled shape (the
+    bioinformatics/array-normalization standard, and the curation move
+    that makes per-source feature distributions comparable before
+    mixing sources into one training set).
+
+    Two passes, both bounded: ONE global agg computes the pooled
+    ``grid_size``-point quantile grid (exact interpolated percentiles,
+    broadcast as a 1-row dim); one per-group window assigns percent
+    ranks (RANK-based, ties share a rank — identical across engines);
+    the grid lookup is pure arithmetic (linear interpolation between
+    adjacent grid points, clamped at the ends). Single-member groups
+    take percent_rank 0 → the pooled minimum.
+
+    A 256-point grid quantizes the pooled CDF to ~0.4% resolution —
+    the standard trade; raise ``grid_size`` for finer tails. Returns
+    the input columns + ``pct_rank`` + ``normalized``.
+    """
+    fracs = [i / (grid_size - 1) for i in range(grid_size)]
+    # grid points are quantized to the engine-wide 1e-6 grid: exact
+    # interpolated percentiles may differ between engines in the last
+    # bit (lower+(hi-lo)·d vs lerp forms), and an unquantized grid
+    # would leak that ulp into every downstream value
+    grid = df.agg(
+        F.transform(
+            F.percentile(
+                F.col(value_col).cast("double"), F.array(*[F.lit(f) for f in fracs])
+            ),
+            lambda v: F.floor(v * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0),
+        ).alias("__grid")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).cast("double"))
+    ranked = df.withColumn("__p", F.percent_rank().over(w))
+    idx = F.col("__p") * F.lit(float(grid_size - 1))
+    lo = F.least(F.floor(idx).cast("int"), F.lit(grid_size - 2))
+    frac = idx - lo.cast("double")
+    g_lo = F.element_at("__grid", lo + 1)
+    g_hi = F.element_at("__grid", lo + 2)
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .withColumn("pct_rank", F.col("__p"))
+        .withColumn("normalized", g_lo + (g_hi - g_lo) * frac)
+        .drop("__p", "__grid")
+    )

@@ -857,3 +857,42 @@ def test_bigram_logprob_matches_bruteforce(spark):
         assert out[i][1] == pytest.approx(micro / (len(pairs) * 1e6), abs=1e-12)
     # the scrambled doc scores strictly worse than the fluent one
     assert out[2][1] < out[0][1]
+
+
+# --- quantile_normalize ------------------------------------------------------
+
+
+def test_quantile_normalize_aligns_group_shapes(spark):
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    rng = np.random.default_rng(8)
+    # group A ~ N(0,1); group B ~ N(100, 25): wildly different scales
+    rows = [(i, "A", float(v)) for i, v in enumerate(rng.normal(0, 1, 400))]
+    rows += [(i + 400, "B", float(v)) for i, v in enumerate(rng.normal(100, 25, 400))]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = relational.quantile_normalize(df, "grp", "v", grid_size=101).toPandas()
+    a = np.sort(out[out.grp == "A"].normalized.to_numpy())
+    b = np.sort(out[out.grp == "B"].normalized.to_numpy())
+    # after normalization the two groups' distributions coincide
+    assert float(np.abs(a - b).max()) < 1.0
+    # order within a group is preserved (monotone transform)
+    ga = out[out.grp == "A"].sort_values("v").normalized.to_numpy()
+    assert (np.diff(ga) >= -1e-12).all()
+    # the normalized support spans the POOLED range
+    assert out.normalized.min() == pytest.approx(out.v.min())
+    assert out.normalized.max() == pytest.approx(out.v.max())
+
+
+def test_quantile_normalize_singleton_group_maps_to_min(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 999.0)], "id long, grp string, v double"
+    )
+    out = {r.id: (r.pct_rank, r.normalized) for r in
+           relational.quantile_normalize(df, "grp", "v", grid_size=11).collect()}
+    assert out[3][0] == 0.0                      # singleton group rank 0
+    assert out[3][1] == pytest.approx(10.0)      # -> pooled minimum
+    assert out[2][0] == 1.0 and out[2][1] == pytest.approx(999.0)
