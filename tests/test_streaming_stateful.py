@@ -378,3 +378,38 @@ def test_incremental_state_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in read_state(spark, state_dir)["moments"].collect()
     }
     assert first == second  # no double-fold
+
+
+def test_load_stream_table_normalizes_like_batch(spark, sf_dir, tmp_path):
+    """The streaming loader must hand downstream operators the IDENTICAL
+    schema (timestamp flavor included) as the batch loader — the
+    normalize_scan_types contract applied to readStream, and the rows
+    themselves must round-trip equal through a bounded replay."""
+    import shutil
+
+    from financial_fraud_detection_using_time_series_data_spark.sources.tables import (
+        load_stream_table,
+    )
+
+    src_dir = tmp_path / "events_stream_loader"
+    src_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    batch = load_table(spark, sf_dir, "events")
+    stream = load_stream_table(spark, str(src_dir), raw_schema, nano_cols=["ts"])
+    assert stream.isStreaming
+    assert stream.schema == batch.schema, (stream.schema, batch.schema)
+
+    out_dir = str(tmp_path / "sink")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).orderBy("event_id").collect()
+    want = batch.orderBy("event_id").collect()
+    assert got == want
