@@ -7137,6 +7137,39 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user historical VaR + Expected Shortfall at the 5% tail:
+    order-statistic VaR (engine-exact, no interpolation) + exact
+    decimal tail mean."""
+    ev = _events(spark, sf_dir)
+    out = finance.var_es(ev, alpha=0.05, min_obs=20)
+    return out.select(
+        "user_id", "n_obs",
+        E.r6("var_value").alias("var_value"),
+        E.r6("es_value").alias("es_value"),
+    )
+
+
+_VAR_ES_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value::DECIMAL(25,6) AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY value::DECIMAL(25,6) ASC) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT user_id, max(n)::BIGINT AS n_obs,
+    sum(CASE WHEN rn <= ceil(0.05 * n) THEN v END) AS tail_sum,
+    max(CASE WHEN rn <= ceil(0.05 * n) THEN v END) AS var_v
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, n_obs,
+  {_R6.format("var_v::DOUBLE")} AS var_value,
+  {_R6.format("tail_sum::DOUBLE / ceil(0.05 * n_obs)::DOUBLE")} AS es_value
+FROM agg WHERE n_obs >= 20
+"""
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalize event values across event types onto the
     pooled 256-point quantile grid — per-source distribution alignment
@@ -7882,8 +7915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead-lag cross-correlation + spectral period detection
         "lead_lag_corr": q_lead_lag_corr,
         "periodogram": q_periodogram,
-        # pooled-grid quantile normalization
+        # pooled-grid quantile normalization + tail risk
         "quantile_normalize": q_quantile_normalize,
+        "var_es": q_var_es,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -8078,6 +8112,7 @@ def oracle_sql() -> dict[str, str]:
         "lead_lag_corr": _LEAD_LAG_SQL,
         "periodogram": _PERIODOGRAM_SQL,
         "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
+        "var_es": _VAR_ES_SQL,
         # entity_clusters: rows-only (iterative CC composition)
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,

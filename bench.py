@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "lead_lag_corr",
     "periodogram",
     "quantile_normalize",
+    "var_es",
     "pagerank",
 ]
 

@@ -374,3 +374,52 @@ def lead_lag_corr(
         F.col("__n").cast("long").alias("n_buckets"),
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("corr"),
     ).orderBy("lag")
+
+
+def var_es(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    alpha: float = 0.05,
+    min_obs: int = 20,
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per entity at
+    tail level ``alpha``: VaR = the ⌈α·n⌉-th smallest observation (an
+    ORDER STATISTIC, deliberately not an interpolated quantile — order
+    statistics are engine-exact where interpolation forms differ in the
+    last bit), ES = the exact-decimal mean of the ⌈α·n⌉ smallest — the
+    coherent tail-risk measure that VaR alone understates.
+
+    ONE per-entity window (rank ascending by value, ties by nothing —
+    equal values are interchangeable in both statistics) + the same-key
+    groupBy riding its exchange. Entities with fewer than ``min_obs``
+    observations drop (a 5% tail of 3 points is noise).
+
+    Returns (entity, n_obs, var_value, es_value) — both in the value's
+    units; for RETURNS feed the return column and read the tail as
+    losses.
+    """
+    w = Window.partitionBy(entity_col).orderBy(F.col("__v").asc())
+    w_all = Window.partitionBy(entity_col)
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(entity_col, F.col(value_col).cast("decimal(25,6)").alias("__v"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    tail = F.col("__rn") <= F.ceil(F.lit(alpha) * F.col("__n"))
+    agg = ranked.groupBy(entity_col).agg(
+        F.max("__n").alias("__n"),
+        F.sum(F.when(tail, F.col("__v"))).alias("__tail_sum"),
+        F.max(F.when(tail, F.col("__v"))).alias("__var"),
+    )
+    k = F.ceil(F.lit(alpha) * F.col("__n"))
+    return (
+        agg.where(F.col("__n") >= min_obs)
+        .select(
+            entity_col,
+            F.col("__n").cast("long").alias("n_obs"),
+            F.col("__var").cast("double").alias("var_value"),
+            (F.col("__tail_sum").cast("double") / k.cast("double")).alias("es_value"),
+        )
+    )

@@ -228,3 +228,41 @@ def test_lead_lag_matches_numpy(spark):
         y = np.array([p[1] for p in pairs], dtype=float)
         if x.std() > 0 and y.std() > 0:
             assert out[lag][1] == pytest.approx(float(np.corrcoef(x, y)[0, 1]), rel=1e-9), lag
+
+
+# --- var_es ------------------------------------------------------------------
+
+
+def test_var_es_matches_bruteforce(spark):
+    import math
+
+    import numpy as np
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import finance
+
+    rng = np.random.default_rng(12)
+    series = {1: rng.normal(0, 10, 100).round(2), 2: rng.normal(5, 3, 40).round(2)}
+    rows = [(int(u), float(v)) for u, vs in series.items() for v in vs]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = {
+        r.user_id: (r.n_obs, r.var_value, r.es_value)
+        for r in finance.var_es(df, alpha=0.05, min_obs=20).collect()
+    }
+    for u, vs in series.items():
+        s = np.sort(vs)
+        k = math.ceil(0.05 * len(s))
+        assert out[u][0] == len(s)
+        assert out[u][1] == pytest.approx(float(s[k - 1]), abs=1e-9)
+        assert out[u][2] == pytest.approx(float(s[:k].mean()), rel=1e-9)
+        assert out[u][2] <= out[u][1]  # ES is at least as extreme as VaR
+
+
+def test_var_es_drops_thin_entities(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import finance
+
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(19)] + [(2, float(i)) for i in range(25)],
+        "user_id long, value double",
+    )
+    got = {r.user_id for r in finance.var_es(df, min_obs=20).collect()}
+    assert got == {2}
