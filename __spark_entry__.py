@@ -7137,6 +7137,48 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience dynamics: retained / new / churned user
+    counts + active-set Jaccard for each consecutive week pair — the
+    engagement-health complement of birth-cohort retention."""
+    ev = _events(spark, sf_dir)
+    out = behavior.audience_overlap(ev, bucket="week")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "n_prev",
+        "n_cur",
+        "n_retained",
+        "n_new",
+        "n_churned",
+        E.r6("jaccard").alias("jaccard"),
+    )
+
+
+_AUDIENCE_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT date_trunc('week', ts)::DATE AS b, user_id AS e FROM events
+),
+sizes AS (SELECT b, count(*)::BIGINT AS n FROM active GROUP BY b),
+retained AS (
+  SELECT c.b, count(*)::BIGINT AS ret
+  FROM active c JOIN active p ON p.b + 7 = c.b AND p.e = c.e
+  GROUP BY c.b
+),
+pairs AS (
+  SELECT s.b AS bucket, ps.n AS n_prev, s.n AS n_cur,
+    coalesce(r.ret, 0) AS n_retained
+  FROM sizes s
+  JOIN (SELECT b + 7 AS b, n FROM sizes) ps USING (b)
+  LEFT JOIN retained r ON r.b = s.b
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS bucket, n_prev, n_cur, n_retained,
+  (n_cur - n_retained)::BIGINT AS n_new,
+  (n_prev - n_retained)::BIGINT AS n_churned,
+  {_R6.format("n_retained::DOUBLE / (n_prev + n_cur - n_retained)::DOUBLE")} AS jaccard
+FROM pairs
+"""
+
+
 def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user historical VaR + Expected Shortfall at the 5% tail:
     order-statistic VaR (engine-exact, no interpolation) + exact
@@ -7918,6 +7960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pooled-grid quantile normalization + tail risk
         "quantile_normalize": q_quantile_normalize,
         "var_es": q_var_es,
+        "audience_overlap": q_audience_overlap,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
@@ -8113,6 +8156,7 @@ def oracle_sql() -> dict[str, str]:
         "periodogram": _PERIODOGRAM_SQL,
         "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
         "var_es": _VAR_ES_SQL,
+        "audience_overlap": _AUDIENCE_SQL,
         # entity_clusters: rows-only (iterative CC composition)
         "cohort_ltv": _COHORT_LTV_SQL,
         "walk_forward": _WALK_FORWARD_SQL,

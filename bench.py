@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "periodogram",
     "quantile_normalize",
     "var_es",
+    "audience_overlap",
     "pagerank",
 ]
 

@@ -775,3 +775,58 @@ def cohort_ltv(
             (F.col("__cum").cast("double") / F.col("n_users")).alias("ltv"),
         )
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Week-over-week audience dynamics: for each consecutive bucket
+    pair, the retained / new / churned entity counts and the Jaccard
+    overlap of the two active sets — the engagement-health table that
+    cohort retention (fixed birth cohorts) does not give you (here the
+    comparison is between ADJACENT periods' full active sets).
+
+    Shape: the corpus collapses to distinct (bucket, entity) rows in one
+    map-side-combined distinct; the consecutive-pair join is an
+    equi-join of that reduced frame with itself on bucket+1; counts are
+    exact integers end-to-end. Output is |buckets|−1 rows.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("date")
+    active = df.select(b.alias("__b"), F.col(entity_col).alias("__e")).distinct()
+    step = {"week": 7, "day": 1}[bucket]
+    cur = active.select(F.col("__b"), F.col("__e"))
+    # shift the previous bucket forward and equi-join on BOTH (bucket,
+    # entity) — a bucket-only join would go |active_b|² per bucket
+    prv = active.select(F.date_add(F.col("__b"), step).alias("__b"), F.col("__e"))
+    sizes = active.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    prev_sizes = sizes.select(
+        F.date_add(F.col("__b"), step).alias("__b"), F.col("__n").alias("__np")
+    )
+    retained = (
+        cur.join(prv, ["__b", "__e"])
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ret"))
+    )
+    out = (
+        sizes.join(prev_sizes, "__b")
+        .join(retained, "__b", "left")
+        .select(
+            F.col("__b").alias("bucket"),
+            F.col("__np").cast("long").alias("n_prev"),
+            F.col("__n").cast("long").alias("n_cur"),
+            F.coalesce(F.col("__ret"), F.lit(0)).cast("long").alias("n_retained"),
+        )
+    )
+    union_n = F.col("n_prev") + F.col("n_cur") - F.col("n_retained")
+    return out.select(
+        "bucket",
+        "n_prev",
+        "n_cur",
+        "n_retained",
+        (F.col("n_cur") - F.col("n_retained")).alias("n_new"),
+        (F.col("n_prev") - F.col("n_retained")).alias("n_churned"),
+        (F.col("n_retained").cast("double") / union_n.cast("double")).alias("jaccard"),
+    )

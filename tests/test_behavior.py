@@ -896,3 +896,35 @@ def test_quantile_normalize_singleton_group_maps_to_min(spark):
     assert out[3][0] == 0.0                      # singleton group rank 0
     assert out[3][1] == pytest.approx(10.0)      # -> pooled minimum
     assert out[2][0] == 1.0 and out[2][1] == pytest.approx(999.0)
+
+
+# --- audience_overlap --------------------------------------------------------
+
+
+def test_audience_overlap_matches_bruteforce(spark):
+    from datetime import datetime, timedelta
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    base = datetime(2024, 1, 1)  # Monday
+    weeks = {
+        0: {1, 2, 3},
+        1: {2, 3, 4, 5},      # retained {2,3}, new {4,5}, churned {1}
+        2: {5},               # retained {5}, churned {2,3,4}
+        # week 3 empty -> no pair rows for week 3 or 4
+        4: {7, 8},
+    }
+    rows = [
+        (u * 100 + w, u, base + timedelta(days=7 * w, hours=u))
+        for w, us in weeks.items() for u in us
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {str(r.bucket): r for r in behavior.audience_overlap(df).collect()}
+    r1 = out["2024-01-08"]
+    assert (r1.n_prev, r1.n_cur, r1.n_retained, r1.n_new, r1.n_churned) == (3, 4, 2, 2, 1)
+    assert r1.jaccard == pytest.approx(2 / 5)
+    r2 = out["2024-01-15"]
+    assert (r2.n_prev, r2.n_cur, r2.n_retained) == (4, 1, 1)
+    assert r2.jaccard == pytest.approx(1 / 4)
+    # gap weeks produce no adjacent-pair rows
+    assert set(out) == {"2024-01-08", "2024-01-15"}
