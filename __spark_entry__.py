@@ -7137,6 +7137,53 @@ ANTI JOIN e ON e.u = s.u AND e.v = s.v
 """
 
 
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator agreement census: MinHash-LSH, SimHash-band,
+    and Sorted-Neighborhood pair sets over the same corpus — per-method
+    counts plus every pairwise intersection. Production dedup runs
+    multiple generators and unions them; this is the overlap table that
+    decision is based on. Rows-only (the generators are individually
+    deterministic but two have no SQL twins); counts are exact
+    integers over the distinct normalized (lo, hi) pair sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = dedup.minhash_lsh_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        num_hashes=16, bands=2,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sh = dedup.simhash_near_dup(
+        docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sn = dedup.sorted_neighborhood_pairs(
+        docs, F.substring(text.normalize(F.col("text")), 1, 12),
+        id_col="doc_id", window=4,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+
+    def canon(df):
+        # materialize each candidate set ONCE: every set feeds one self
+        # count + two semi-join intersections, and without the lineage
+        # break each of those actions would re-run the whole generator
+        return (
+            df.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+    sets = {"minhash": canon(mh), "simhash": canon(sh), "snm": canon(sn)}
+    rows = []
+    names = list(sets)
+    for i, n1 in enumerate(names):
+        rows.append((n1, n1, sets[n1].count()))
+        for n2 in names[i + 1 :]:
+            rows.append(
+                (n1, n2, sets[n1].join(sets[n2], ["a", "b"], "left_semi").count())
+            )
+    return spark.createDataFrame(
+        rows, "method_a string, method_b string, n_pairs long"
+    )
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week audience dynamics: retained / new / churned user
     counts + active-set Jaccard for each consecutive week pair — the
@@ -7961,6 +8008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "var_es": q_var_es,
         "audience_overlap": q_audience_overlap,
+        # rows-only: cross-generator dedup candidate agreement
+        "dedup_method_agreement": q_dedup_method_agreement,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
     }
