@@ -36,6 +36,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
 from financial_fraud_detection_using_time_series_data_spark.operators import (
     sketches,
 )
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    tpch,
+)
 from financial_fraud_detection_using_time_series_data_spark.sources import (
     check_expectations,
     fd_check,
@@ -7735,6 +7738,456 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("u").alias("user_id"), "core_degree")
 
 
+# ---------------------------------------------------------------------------
+# decision-support relational suite (TPC-H-shaped, operators/tpch.py)
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders per priority with a
+    late-shipped line in a quarter."""
+    return tpch.order_priority_check(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "1997-07-01",
+        "1997-10-01",
+        late_days=30,
+    )
+
+
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade: revenue between two nations by
+    direction and ship year."""
+    out = tpch.trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        "NATION_1",
+        "NATION_2",
+    )
+    return out.select(
+        "supp_nation", "cust_nation", "ship_year", E.r6("volume").alias("volume")
+    )
+
+
+_TRADE_VOLUME_SQL = f"""
+SELECT supp_nation, cust_nation, ship_year,
+  {_R6.format("volume")} AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l_shipdate)::INT AS ship_year,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+  GROUP BY 1, 2, 3
+)
+ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3 suppliers' share of the
+    ECONOMY-part market sold into EUROPE, per order year."""
+    out = tpch.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+        "NATION_3",
+        "EUROPE",
+        "ECONOMY",
+    )
+    return out.select("order_year", E.r6("mkt_share").alias("mkt_share"))
+
+
+_MARKET_SHARE_SQL = f"""
+SELECT order_year, {_R6.format("tgt / tot")} AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::INT AS order_year,
+    sum(CASE WHEN sn = 'NATION_3'
+        THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+        ELSE 0::DECIMAL(18,2) END)::DOUBLE AS tgt,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS tot
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN (SELECT s_suppkey, n_name AS sn FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey) s ON l_suppkey = s.s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  GROUP BY 1
+)
+ORDER BY order_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit: widget-family parts, by supplier nation and
+    order year (cost modeled as 60% of retail price; no partsupp in the
+    driver schema)."""
+    out = tpch.product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+        "widget",
+        cost_factor_pct=60,
+    )
+    return out.select(
+        "supp_nation", "order_year", E.r6("profit").alias("profit")
+    )
+
+
+_PRODUCT_PROFIT_SQL = f"""
+SELECT supp_nation, order_year, {_R6.format("profit")} AS profit
+FROM (
+  SELECT n_name AS supp_nation, year(o_orderdate)::INT AS order_year,
+    sum(100 * l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+        - 60 * p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)
+    )::DOUBLE / 100.0 AS profit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY 1, 2
+)
+ORDER BY supp_nation, order_year DESC
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top-20 customers by revenue lost to returned
+    items in 1998Q1."""
+    out = tpch.returned_items_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        "1998-01-01",
+        "1998-04-01",
+        k=20,
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "n_name",
+        E.r6("revenue").alias("revenue"),
+    )
+
+
+_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_R6.format("revenue")} AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1998-04-01'
+  GROUP BY 1, 2, 3, 4
+)
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped concentration screen: parts holding more than
+    1.5× the uniform revenue share (per-part agg × broadcast scalar)."""
+    out = tpch.part_concentration(
+        load_table(spark, sf_dir, "lineitem"), over_uniform=1.5
+    )
+    return out.select(
+        "l_partkey",
+        E.r6("part_value").alias("part_value"),
+        E.r6("share").alias("share"),
+    )
+
+
+_PART_CONCENTRATION_SQL = f"""
+WITH per AS (
+  SELECT l_partkey,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2))) AS pv
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(pv) AS tv, count(*) AS n_parts FROM per)
+SELECT l_partkey,
+  {_R6.format("pv::DOUBLE")} AS part_value,
+  {_R6.format("pv::DOUBLE / tv::DOUBLE")} AS share
+FROM per, tot
+WHERE pv::DOUBLE * n_parts > 1.5 * tv::DOUBLE
+ORDER BY pv DESC, l_partkey
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: histogram of orders-per-customer including
+    zero-order customers (left join + count of right column)."""
+    return tpch.customer_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: monthly % of 1997 revenue from PROMO parts
+    (conditional sum in a single aggregate pass)."""
+    out = tpch.promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        1997,
+    )
+    return out.select("ship_month", E.r6("promo_pct").alias("promo_pct"))
+
+
+_PROMO_REVENUE_SQL = f"""
+SELECT ship_month, {_R6.format("100.0 * promo / total")} AS promo_pct
+FROM (
+  SELECT month(l_shipdate)::INT AS ship_month,
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+        ELSE 0::DECIMAL(18,2) END)::DOUBLE AS promo,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997
+  GROUP BY 1
+)
+ORDER BY ship_month
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: supplier(s) with max 1997Q1 revenue, ties kept
+    via exact DECIMAL equality against the broadcast max."""
+    out = tpch.top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        "1997-01-01",
+        "1997-04-01",
+    )
+    return out.select(
+        "s_suppkey", "s_name", E.r6("total_rev").alias("total_rev")
+    )
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH per AS (
+  SELECT l_suppkey,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+), best AS (SELECT max(total_rev) AS max_rev FROM per)
+SELECT s_suppkey, s_name, {_R6.format("total_rev::DOUBLE")} AS total_rev
+FROM per
+JOIN supplier ON l_suppkey = s_suppkey
+CROSS JOIN best
+WHERE total_rev = max_rev
+ORDER BY s_suppkey
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct supplier count per (brand, type,
+    size-bucket) from observed lineitem pairs, excluding Brand#5 /
+    PROMO-type parts and negative-balance suppliers (anti-join)."""
+    return tpch.parts_supplier_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        "Brand#5",
+        "PROMO",
+    )
+
+
+_PARTS_SUPPLIER_SQL = """
+SELECT p_brand, p_type, (p_size - p_size % 10)::INT AS size_bucket,
+  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: yearly revenue in below-half-average-quantity
+    Brand#3 lines; the correlated AVG is the exact cross-multiplication
+    2·qty·n < Σqty."""
+    out = tpch.small_qty_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        "Brand#3",
+    )
+    return out.select(E.r6("avg_yearly").alias("avg_yearly"))
+
+
+_SMALL_QTY_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), per AS (
+  SELECT l_partkey, sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+    count(*) AS n_lines
+  FROM li GROUP BY 1
+)
+SELECT {_R6.format("sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0")}
+  AS avg_yearly
+FROM li JOIN per USING (l_partkey)
+WHERE 2 * l_quantity::DECIMAL(18,2) * n_lines < sum_qty
+"""
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue under three OR'd (brand × size × qty)
+    branches riding one broadcast equi-join."""
+    out = tpch.discounted_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+    return out.select(E.r6("revenue").alias("revenue"))
+
+
+_DISCOUNTED_REVENUE_SQL = f"""
+SELECT {_R6.format(
+    "sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE"
+)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: per-nation above-average-balance customers with
+    no orders since 1999 (broadcast (Σ,n) scalar + LEFT ANTI join on the
+    date-pruned orders projection)."""
+    out = tpch.idle_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        "1999-01-01",
+    )
+    return out.select(
+        "c_nationkey", "numcust", E.r6("totacctbal").alias("totacctbal")
+    )
+
+
+_IDLE_CUSTOMERS_SQL = f"""
+WITH pos AS (
+  SELECT sum(c_acctbal::DECIMAL(18,2)) AS sum_pos, count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+  {_R6.format("sum(c_acctbal::DECIMAL(18,2))::DOUBLE")} AS totacctbal
+FROM customer, pos
+WHERE c_acctbal::DECIMAL(18,2) * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped argmin-per-group: cheapest observed supplier for
+    each SMALL part sized 10-20 (window rank over the post-aggregate)."""
+    out = tpch.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        "SMALL",
+        10,
+        20,
+    )
+    return out.select(
+        "p_partkey",
+        "p_name",
+        "s_suppkey",
+        "s_name",
+        E.r6("supply_cost").alias("supply_cost"),
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = f"""
+WITH per AS (
+  SELECT p_partkey, p_name, l_suppkey,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2))) AS supply_cost,
+    row_number() OVER (
+      PARTITION BY p_partkey
+      ORDER BY sum(l_extendedprice::DECIMAL(18,2)
+                   * (1 - l_discount::DECIMAL(18,2))), l_suppkey) AS rn
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 20
+  GROUP BY 1, 2, 3
+)
+SELECT p_partkey, p_name, s_suppkey, s_name,
+  {_R6.format("supply_cost::DOUBLE")} AS supply_cost
+FROM per JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -8012,6 +8465,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_agreement": q_dedup_method_agreement,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
+        # decision-support relational suite (TPC-H-shaped)
+        "order_priority_check": q_order_priority_check,
+        "trade_volume": q_trade_volume,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "part_concentration": q_part_concentration,
+        "customer_distribution": q_customer_distribution,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "parts_supplier_counts": q_parts_supplier_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "discounted_revenue": q_discounted_revenue,
+        "idle_customers": q_idle_customers,
+        "min_cost_supplier": q_min_cost_supplier,
     }
 
 
@@ -8216,4 +8684,18 @@ def oracle_sql() -> dict[str, str]:
         # kcore: rows-only (iterative peel, no SQL twin)
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)
+        "order_priority_check": _ORDER_PRIORITY_SQL,
+        "trade_volume": _TRADE_VOLUME_SQL,
+        "market_share": _MARKET_SHARE_SQL,
+        "product_profit": _PRODUCT_PROFIT_SQL,
+        "returned_items": _RETURNED_ITEMS_SQL,
+        "part_concentration": _PART_CONCENTRATION_SQL,
+        "customer_distribution": _CUSTOMER_DISTRIBUTION_SQL,
+        "promo_revenue": _PROMO_REVENUE_SQL,
+        "top_supplier": _TOP_SUPPLIER_SQL,
+        "parts_supplier_counts": _PARTS_SUPPLIER_SQL,
+        "small_qty_revenue": _SMALL_QTY_SQL,
+        "discounted_revenue": _DISCOUNTED_REVENUE_SQL,
+        "idle_customers": _IDLE_CUSTOMERS_SQL,
+        "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
     }

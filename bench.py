@@ -221,17 +221,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Full per-query breakdown goes to a repo file; the stdout line must stay
+    # SHORT. The driver captures only the tail of stdout (observed: 2000
+    # chars in BENCH_r06, where a 4.5KB line with 162 queries failed to
+    # parse -> "parsed": null). Print the slowest queries only, and trim
+    # until the serialized line is comfortably under that cap.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    payload = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "full_breakdown": "BENCH_FULL.json",
+        "queries": slowest,
+        "sf": sf,
+    }
+    while len(json.dumps(payload)) > 1700 and payload["queries"]:
+        payload["queries"].pop(next(reversed(payload["queries"])))
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
