@@ -7739,6 +7739,278 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# information-theory / AML screens / microstructure (round 7)
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal vs conditional entropy of the event-type process (one
+    window pass + bigram-cell aggregates; integer micro-nat folds)."""
+    out = events_ops.transition_entropy(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id"
+    )
+    return out.select(
+        "n_transitions",
+        "n_states",
+        "n_cells",
+        E.r6("h_next").alias("h_next"),
+        E.r6("h_cond").alias("h_cond"),
+        E.r6("mi_onestep").alias("mi_onestep"),
+    )
+
+
+_TRANSITION_ENTROPY_SQL = f"""
+WITH pairs AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), big AS (
+  SELECT cur, nxt, count(*)::BIGINT AS nxy
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+), rm AS (SELECT cur, sum(nxy)::BIGINT AS nx FROM big GROUP BY 1),
+cm AS (SELECT nxt, sum(nxy)::BIGINT AS ny FROM big GROUP BY 1),
+tot AS (SELECT sum(nxy)::BIGINT AS n FROM big),
+hc AS (
+  SELECT sum(floor((-(nxy::DOUBLE / n) * ln(nxy::DOUBLE / nx))
+             * 1000000000000.0 + 0.5)::BIGINT) AS hc_micro,
+    max(n) AS n, count(*)::BIGINT AS cells
+  FROM big JOIN rm USING (cur) CROSS JOIN tot
+), hn AS (
+  SELECT sum(floor((-(ny::DOUBLE / n) * ln(ny::DOUBLE / n))
+             * 1000000000000.0 + 0.5)::BIGINT) AS hn_micro,
+    count(*)::BIGINT AS states
+  FROM cm CROSS JOIN tot
+)
+SELECT n::BIGINT AS n_transitions, states AS n_states, cells AS n_cells,
+  {_R6.format("hn_micro / 1000000000000.0")} AS h_next,
+  {_R6.format("hc_micro / 1000000000000.0")} AS h_cond,
+  {_R6.format("(hn_micro - hc_micro) / 1000000000000.0")} AS mi_onestep
+FROM hc CROSS JOIN hn
+"""
+
+
+def q_round_amount_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AML round-amount screen over purchases: per-user share of
+    whole-$10 amounts vs the population base rate (exact-cent integer
+    arithmetic)."""
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    out = screens.round_amount_screen(
+        ev, "user_id", "value", min_n=10, round_to_cents=1000
+    )
+    return out.select(
+        "user_id",
+        "n_txn",
+        "n_flag",
+        E.r6("share").alias("share"),
+        E.r6("pop_share").alias("pop_share"),
+        E.r6("lift").alias("lift"),
+    )
+
+
+_ROUND_AMOUNT_SQL = f"""
+WITH per AS (
+  SELECT user_id, count(*)::BIGINT AS n_txn,
+    sum((floor(value * 100.0 + 0.5)::BIGINT % 1000 = 0)::INT)::BIGINT AS n_flag
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pop AS (
+  SELECT sum(n_txn)::BIGINT AS pop_n, sum(n_flag)::BIGINT AS pop_flag FROM per
+)
+SELECT user_id, n_txn, n_flag,
+  {_R6.format("n_flag / n_txn")} AS share,
+  {_R6.format("pop_flag / pop_n")} AS pop_share,
+  {_R6.format(
+      "CASE WHEN pop_flag > 0 THEN (n_flag / n_txn) / (pop_flag / pop_n) END"
+  )} AS lift
+FROM per CROSS JOIN pop
+WHERE n_txn >= 10
+"""
+
+
+def q_off_hours_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-hours (00-05h) activity share per user vs the population
+    base rate — account-takeover/bot tell."""
+    out = screens.off_hours_screen(
+        _events(spark, sf_dir), "user_id", "ts", 0, 5, min_n=10
+    )
+    return out.select(
+        "user_id",
+        "n_txn",
+        "n_flag",
+        E.r6("share").alias("share"),
+        E.r6("pop_share").alias("pop_share"),
+        E.r6("lift").alias("lift"),
+    )
+
+
+_OFF_HOURS_SQL = f"""
+WITH per AS (
+  SELECT user_id, count(*)::BIGINT AS n_txn,
+    sum((hour(ts) BETWEEN 0 AND 5)::INT)::BIGINT AS n_flag
+  FROM events GROUP BY 1
+), pop AS (
+  SELECT sum(n_txn)::BIGINT AS pop_n, sum(n_flag)::BIGINT AS pop_flag FROM per
+)
+SELECT user_id, n_txn, n_flag,
+  {_R6.format("n_flag / n_txn")} AS share,
+  {_R6.format("pop_flag / pop_n")} AS pop_share,
+  {_R6.format(
+      "CASE WHEN pop_flag > 0 THEN (n_flag / n_txn) / (pop_flag / pop_n) END"
+  )} AS lift
+FROM per CROSS JOIN pop
+WHERE n_txn >= 10
+"""
+
+
+def q_peer_group_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user average purchase value z-scored against the user's
+    activity tier (fixed integer count bands; micro-unit moment
+    folds)."""
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    out = screens.peer_group_anomaly(ev, "user_id", "value", min_n=1)
+    return out.select(
+        "user_id",
+        "n_txn",
+        "tier",
+        E.r6("user_avg").alias("user_avg"),
+        E.r6("peer_mean").alias("peer_mean"),
+        E.r6("peer_std").alias("peer_std"),
+        E.r6("z").alias("z"),
+    )
+
+
+_PEER_GROUP_SQL = f"""
+WITH per AS (
+  SELECT user_id, count(*)::BIGINT AS n_txn,
+    sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS sum_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), p2 AS (
+  SELECT user_id, n_txn,
+    CASE WHEN n_txn < 4 THEN 0 WHEN n_txn < 16 THEN 1
+         WHEN n_txn < 64 THEN 2 WHEN n_txn < 256 THEN 3 ELSE 4 END AS tier,
+    sum_cents::DOUBLE / 100.0 / n_txn AS user_avg
+  FROM per
+), seg AS (
+  SELECT tier,
+    sum(floor(user_avg * 1000000.0 + 0.5)::BIGINT) AS s1,
+    sum(floor(user_avg * user_avg * 1000000.0 + 0.5)::BIGINT) AS s2,
+    count(*)::BIGINT AS m
+  FROM p2 GROUP BY 1
+), seg2 AS (
+  SELECT tier, m, s1 / 1000000.0 / m AS mean,
+    sqrt(greatest(s2 / 1000000.0 / m
+                  - (s1 / 1000000.0 / m) * (s1 / 1000000.0 / m), 0.0)) AS std
+  FROM seg
+)
+SELECT user_id, n_txn, tier::INT AS tier,
+  {_R6.format("user_avg")} AS user_avg,
+  {_R6.format("mean")} AS peer_mean,
+  {_R6.format("std")} AS peer_std,
+  {_R6.format("CASE WHEN std > 0 THEN (user_avg - mean) / std END")} AS z
+FROM p2 JOIN seg2 USING (tier)
+"""
+
+
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity proxy per user: mean over days of
+    |daily return| / daily volume ×10⁶ (daily bars via min_by/max_by,
+    micro-unit across-days fold)."""
+    out = finance.amihud_illiquidity(
+        _events(spark, sf_dir), "user_id", "ts", "value", "event_id", min_days=2
+    )
+    return out.select(
+        "user_id", "n_days", E.r6("illiq_e6").alias("illiq_e6")
+    )
+
+
+_AMIHUD_SQL = f"""
+WITH w AS (
+  SELECT user_id, date_trunc('day', ts) AS d, value,
+    first_value(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                             ORDER BY ts, event_id) AS open_v,
+    last_value(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS close_v
+  FROM events
+), daily AS (
+  SELECT user_id, d, max(open_v) AS open_v, max(close_v) AS close_v,
+    sum(value::DECIMAL(25,2)) AS vol
+  FROM w GROUP BY 1, 2
+), good AS (
+  SELECT user_id,
+    abs((close_v - open_v) / open_v) / vol::DOUBLE * 1000000.0 AS illiq_e6
+  FROM daily WHERE open_v <> 0 AND vol > 0
+)
+SELECT user_id, count(*)::BIGINT AS n_days,
+  {_R6.format(
+      "sum(floor(illiq_e6 * 1000000.0 + 0.5)::BIGINT) / 1000000.0 / count(*)"
+  )} AS illiq_e6
+FROM good GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the normalized periodogram (harmonics 1..12)
+    + dominant harmonic — the one-number seasonality-shape monitor."""
+    out = drift.spectral_entropy(_events(spark, sf_dir), "ts", max_k=12)
+    return out.select(
+        "n_harmonics",
+        "dominant_k",
+        E.r6("spec_entropy").alias("spec_entropy"),
+        E.r6("spec_entropy_norm").alias("spec_entropy_norm"),
+    )
+
+
+_SPECTRAL_ENTROPY_SQL = f"""
+WITH ser AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS h, count(*)::BIGINT AS x
+  FROM events GROUP BY h
+),
+rng AS (SELECT min(h) AS h0, max(h) - min(h) + 1 AS n FROM ser),
+fan AS (
+  SELECT (s.h - r.h0)::DOUBLE AS t, s.x::DOUBLE AS xv, r.n::DOUBLE AS n, k.k
+  FROM ser s, rng r, UNNEST(generate_series(1, 12)) AS k(k)
+),
+q AS (
+  SELECT k, n,
+    floor(xv * cos(2.0 * pi() * k * t / n) * 10000.0 + 0.5)::BIGINT AS cq,
+    floor(xv * sin(2.0 * pi() * k * t / n) * 10000.0 + 0.5)::BIGINT AS sq
+  FROM fan
+),
+agg AS (
+  SELECT k, sum(cq)::BIGINT AS c, sum(sq)::BIGINT AS s FROM q GROUP BY k
+),
+pg AS (
+  SELECT k,
+    (c::DOUBLE * c::DOUBLE + s::DOUBLE * s::DOUBLE) / 100000000.0 AS power
+  FROM agg
+),
+tot AS (
+  SELECT sum(floor(power * 1000.0 + 0.5)::BIGINT) AS tot_milli,
+    max(power) AS pmax, count(*)::BIGINT AS nk
+  FROM pg
+),
+terms AS (
+  SELECT pg.k, pg.power, tot.pmax, tot.nk,
+    CASE WHEN tot.tot_milli > 0 AND pg.power > 0
+      THEN -(pg.power / (tot.tot_milli / 1000.0))
+           * ln(pg.power / (tot.tot_milli / 1000.0))
+      ELSE 0.0 END AS term
+  FROM pg CROSS JOIN tot
+)
+SELECT max(nk) AS n_harmonics,
+  min(CASE WHEN power = pmax THEN k END)::BIGINT AS dominant_k,
+  {_R6.format(
+      "sum(floor(term * 1000000000000.0 + 0.5)::BIGINT) / 1000000000000.0"
+  )} AS spec_entropy,
+  {_R6.format(
+      "sum(floor(term * 1000000000000.0 + 0.5)::BIGINT) / 1000000000000.0"
+      " / ln(max(nk)::DOUBLE)"
+  )} AS spec_entropy_norm
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # decision-support relational suite (TPC-H-shaped, operators/tpch.py)
 
 
@@ -8465,6 +8737,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_agreement": q_dedup_method_agreement,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
+        # information-theory / AML screens / microstructure (round 7)
+        "transition_entropy": q_transition_entropy,
+        "round_amount_screen": q_round_amount_screen,
+        "off_hours_screen": q_off_hours_screen,
+        "peer_group_anomaly": q_peer_group_anomaly,
+        "amihud_illiquidity": q_amihud_illiquidity,
+        "spectral_entropy": q_spectral_entropy,
         # decision-support relational suite (TPC-H-shaped)
         "order_priority_check": q_order_priority_check,
         "trade_volume": q_trade_volume,
@@ -8684,6 +8963,12 @@ def oracle_sql() -> dict[str, str]:
         # kcore: rows-only (iterative peel, no SQL twin)
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)
+        "transition_entropy": _TRANSITION_ENTROPY_SQL,
+        "round_amount_screen": _ROUND_AMOUNT_SQL,
+        "off_hours_screen": _OFF_HOURS_SQL,
+        "peer_group_anomaly": _PEER_GROUP_SQL,
+        "amihud_illiquidity": _AMIHUD_SQL,
+        "spectral_entropy": _SPECTRAL_ENTROPY_SQL,
         "order_priority_check": _ORDER_PRIORITY_SQL,
         "trade_volume": _TRADE_VOLUME_SQL,
         "market_share": _MARKET_SHARE_SQL,

@@ -186,6 +186,26 @@ BENCH_QUERIES = [
     "var_es",
     "audience_overlap",
     "pagerank",
+    "transition_entropy",
+    "round_amount_screen",
+    "off_hours_screen",
+    "peer_group_anomaly",
+    "amihud_illiquidity",
+    "spectral_entropy",
+    "order_priority_check",
+    "trade_volume",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "part_concentration",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "parts_supplier_counts",
+    "small_qty_revenue",
+    "discounted_revenue",
+    "idle_customers",
+    "min_cost_supplier",
 ]
 
 

@@ -706,3 +706,60 @@ def periodogram(
             / F.lit(1e8)
         ).alias("power"),
     ).orderBy("k")
+
+
+def spectral_entropy(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_k: int = 12,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Spectral entropy of the event-count series: Shannon entropy of
+    the normalized periodogram over harmonics 1..max_k, plus the
+    dominant harmonic. Near 0 = one clean cycle owns the spectrum
+    (schedule-driven traffic); near 1 (normalized) = white noise. The
+    one-number companion to ``periodogram`` for drift monitors: a
+    changing spectral entropy means the SHAPE of seasonality changed
+    even when volume did not.
+
+    Builds on ``periodogram`` (exact BIGINT-quantized DFT sums —
+    identical cross-engine), so the K powers are bit-identical doubles;
+    the probability normalization folds integer micro-units and the
+    entropy folds micro-nats, both as DECIMAL(38,0). The dominant
+    harmonic is the min-k row attaining the exact maximum power. All
+    post-periodogram math runs on a ≤max_k-row frame.
+    """
+    pg = periodogram(df, ts_col=ts_col, max_k=max_k, bucket_s=bucket_s)
+    tot = pg.agg(
+        F.sum(
+            F.floor(F.col("power") * F.lit(1e3) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__tot_milli"),
+        F.max("power").alias("__pmax"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    with_tot = pg.crossJoin(F.broadcast(tot))
+    p = F.col("power") / (F.col("__tot_milli").cast("double") / F.lit(1e3))
+    # guard on the PRE-division inputs: a flat series quantizes every
+    # power to zero and the total with it — ANSI mode would raise on
+    # the division, so the zero-spectrum case must short-circuit first
+    term = F.when(
+        (F.col("__tot_milli") > 0) & (F.col("power") > 0), -p * F.log(p)
+    ).otherwise(F.lit(0.0))
+    return with_tot.agg(
+        F.sum(
+            F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__h"),
+        F.min(F.when(F.col("power") == F.col("__pmax"), F.col("k"))).alias(
+            "dominant_k"
+        ),
+        F.first("__k").alias("__nk"),
+    ).select(
+        F.col("__nk").cast("long").alias("n_harmonics"),
+        F.col("dominant_k").cast("long").alias("dominant_k"),
+        (F.col("__h").cast("double") / F.lit(1e12)).alias("spec_entropy"),
+        (
+            F.col("__h").cast("double")
+            / F.lit(1e12)
+            / F.log(F.col("__nk").cast("double"))
+        ).alias("spec_entropy_norm"),
+    )

@@ -1097,3 +1097,82 @@ def kcore(
     return deg.where(F.col("deg") >= k).select(
         "u", F.col("deg").cast("long").alias("core_degree")
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Information-theoretic summary of the event-type process: marginal
+    entropy H(next), conditional entropy H(next|current) over observed
+    per-entity transitions, and their difference (the mutual information
+    between consecutive states). H(next|current) ≪ H(next) means the
+    process is predictable from one step of memory — the single number
+    that says whether sequence models (reference
+    ``src/models/lstm_model.py``'s premise) have signal to learn.
+
+    Shape: one window pass builds per-entity (current → next) pairs
+    (lead over (ts, id) — deterministic under ts ties), then everything
+    is bigram-count aggregates: |types|² cells, |types| marginals, one
+    scalar. Entropy folds integer micro-nats (``floor(term·1e12+0.5)``
+    summed as DECIMAL(38,0)) over the cells, so the result is exact and
+    order-invariant — a float Σ p·ln p drifts with aggregation order.
+    At 100 TB the window is the only full-corpus pass; the entropy math
+    runs on a |types|²-row frame.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("__cur"),
+            F.lead(type_col).over(w).alias("__nxt"),
+        )
+        .where(F.col("__nxt").isNotNull())
+    )
+    cells = pairs.groupBy("__cur", "__nxt").agg(
+        F.count(F.lit(1)).alias("__nxy")
+    )
+    row_m = cells.groupBy("__cur").agg(F.sum("__nxy").alias("__nx"))
+    col_m = cells.groupBy("__nxt").agg(F.sum("__nxy").alias("__ny"))
+    tot = cells.agg(F.sum("__nxy").alias("__n"))
+
+    def _micro(term):
+        return F.sum(
+            F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+        )
+
+    cond_term = -(F.col("__nxy") / F.col("__n")) * F.log(
+        F.col("__nxy") / F.col("__nx")
+    )
+    h_cond = (
+        cells.join(F.broadcast(row_m), "__cur")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            _micro(cond_term).alias("__hc"),
+            F.first("__n").alias("__n"),
+            F.count(F.lit(1)).alias("__cells"),
+        )
+    )
+    marg_term = -(F.col("__ny") / F.col("__n")) * F.log(
+        F.col("__ny") / F.col("__n")
+    )
+    h_next = (
+        col_m.crossJoin(F.broadcast(tot))
+        .agg(_micro(marg_term).alias("__hn"), F.count(F.lit(1)).alias("__states"))
+    )
+    return (
+        h_cond.crossJoin(F.broadcast(h_next))
+        .select(
+            F.col("__n").cast("long").alias("n_transitions"),
+            F.col("__states").cast("long").alias("n_states"),
+            F.col("__cells").cast("long").alias("n_cells"),
+            (F.col("__hn").cast("double") / F.lit(1e12)).alias("h_next"),
+            (F.col("__hc").cast("double") / F.lit(1e12)).alias("h_cond"),
+            (
+                (F.col("__hn").cast("double") - F.col("__hc").cast("double"))
+                / F.lit(1e12)
+            ).alias("mi_onestep"),
+        )
+    )

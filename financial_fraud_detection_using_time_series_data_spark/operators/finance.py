@@ -423,3 +423,57 @@ def var_es(
             (F.col("__tail_sum").cast("double") / k.cast("double")).alias("es_value"),
         )
     )
+
+
+def amihud_illiquidity(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_days: int = 2,
+) -> DataFrame:
+    """Amihud (2002) illiquidity proxy per series: mean over days of
+    |daily return| / daily dollar volume, scaled ×10⁶ as the literature
+    does. High values = a little flow moves the price a lot — thin,
+    manipulable series; in the fraud frame it flags accounts whose
+    value level is hypersensitive to activity.
+
+    One groupBy builds the daily (open, close, volume) bars —
+    open/close via min_by/max_by on the (ts, id) struct (map-side
+    partial-aggregatable, deterministic under ts ties), volume as an
+    exact decimal sum. The per-day ratio is a double expression over
+    those exact inputs; the across-days mean folds integer micro-units
+    (DECIMAL(38,0)) so it is reduction-order invariant. Days with zero
+    open or zero volume are excluded (the ratio is undefined there).
+    Two shuffles total — (entity, day) then entity — both map-side
+    combined.
+    """
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    daily = df.groupBy(
+        entity_col, F.date_trunc("day", F.col(ts_col)).alias("__d")
+    ).agg(
+        F.min_by(F.col(value_col), order).alias("__open"),
+        F.max_by(F.col(value_col), order).alias("__close"),
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__vol"),
+    )
+    ret = (F.col("__close") - F.col("__open")) / F.col("__open")
+    illiq_e6 = F.abs(ret) / F.col("__vol").cast("double") * F.lit(1e6)
+    good = daily.where((F.col("__open") != 0) & (F.col("__vol") > 0))
+    return (
+        good.groupBy(entity_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.floor(illiq_e6 * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias("__s"),
+        )
+        .where(F.col("n_days") >= min_days)
+        .select(
+            entity_col,
+            F.col("n_days").cast("long").alias("n_days"),
+            (F.col("__s").cast("double") / F.lit(1e6) / F.col("n_days")).alias(
+                "illiq_e6"
+            ),
+        )
+    )

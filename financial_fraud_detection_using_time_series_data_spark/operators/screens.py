@@ -305,3 +305,144 @@ def mahalanobis_outliers(
         .where(F.col("md2") > F.lit(threshold))
         .select(*ids, x_col, y_col, "md2")
     )
+
+
+def _share_lift_screen(
+    df: DataFrame,
+    entity_col: str,
+    flag: F.Column,
+    min_n: int,
+) -> DataFrame:
+    """Shared engine for the share-vs-population screens: per-entity
+    share of flagged rows and its lift over the population base rate.
+
+    All inputs to the divisions are exact integer counts (one entity
+    aggregate + one broadcast (Σflag, N) scalar), so share/lift are
+    bit-identical across engines and partitionings. Output is entities
+    with n ≥ min_n; lift is NULL when the population rate is zero.
+    """
+    per = df.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_txn"),
+        F.sum(flag.cast("long")).alias("n_flag"),
+    )
+    pop = per.agg(
+        F.sum("n_txn").alias("pop_n"), F.sum("n_flag").alias("pop_flag")
+    )
+    share = F.col("n_flag") / F.col("n_txn")
+    pop_share = F.col("pop_flag") / F.col("pop_n")
+    return (
+        per.where(F.col("n_txn") >= min_n)
+        .crossJoin(F.broadcast(pop))
+        .select(
+            entity_col,
+            F.col("n_txn").cast("long").alias("n_txn"),
+            F.col("n_flag").cast("long").alias("n_flag"),
+            share.alias("share"),
+            pop_share.alias("pop_share"),
+            F.when(F.col("pop_flag") > 0, share / pop_share).alias("lift"),
+        )
+    )
+
+
+def round_amount_screen(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    min_n: int = 10,
+    round_to_cents: int = 1000,
+) -> DataFrame:
+    """AML round-amount screen: entities whose transaction amounts land
+    on round figures (default: whole multiples of $10) far more often
+    than the population — the classic human-chosen-amount tell
+    (organic prices are long-tailed; launder/structuring amounts are
+    round). Amounts are snapped to exact cents (``floor(v·100+0.5)``)
+    before the modulo so the flag is integer arithmetic, immune to
+    float representation of prices. One entity aggregate + a broadcast
+    population scalar; flagged-share lift per entity.
+    """
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return _share_lift_screen(
+        df, entity_col, (cents % F.lit(round_to_cents)) == 0, min_n
+    )
+
+
+def off_hours_screen(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    hour_from: int = 0,
+    hour_to: int = 5,
+    min_n: int = 10,
+) -> DataFrame:
+    """Off-hours activity screen: entities transacting in the dead-hours
+    window (default 00:00–05:59) disproportionately vs the population —
+    a standard account-takeover / bot tell. Same exact-integer
+    share-lift engine as the round-amount screen; hour() is calendar
+    arithmetic on identical timestamps, so the flag is deterministic
+    cross-engine.
+    """
+    h = F.hour(ts_col)
+    return _share_lift_screen(
+        df, entity_col, h.between(hour_from, hour_to), min_n
+    )
+
+
+def peer_group_anomaly(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    min_n: int = 1,
+) -> DataFrame:
+    """Peer-group anomaly: each entity's average transaction value
+    z-scored against its ACTIVITY TIER (entities with a similar
+    transaction count), not the whole population — a whale with 500
+    transactions should be judged against other whales, or every
+    high-activity account looks anomalous. Tiers are fixed integer
+    count bands (<4, <16, <64, <256, ≥256): exact-arithmetic buckets,
+    unlike a log2/ntile bucket whose edge rows flip across engines.
+
+    Two aggregates: per-entity (n, Σcents — exact), then per-tier
+    moment sums over the per-entity averages folded as integer
+    micro-units (DECIMAL(38,0) — overflow-proof at any corpus size).
+    The tier frame broadcasts (≤5 rows); z is a single double
+    expression over exact inputs. At 100 TB: one entity shuffle, one
+    tiny tier aggregate, map-only join back.
+    """
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per = df.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_txn"), F.sum(cents).alias("sum_cents")
+    )
+    tier = (
+        F.when(F.col("n_txn") < 4, 0)
+        .when(F.col("n_txn") < 16, 1)
+        .when(F.col("n_txn") < 64, 2)
+        .when(F.col("n_txn") < 256, 3)
+        .otherwise(4)
+    )
+    ua = F.col("sum_cents").cast("double") / F.lit(100.0) / F.col("n_txn")
+    per = per.select(
+        entity_col, "n_txn", tier.alias("tier"), ua.alias("user_avg")
+    ).where(F.col("n_txn") >= min_n)
+    micro = lambda c: F.sum(  # noqa: E731 — local fold helper
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    )
+    seg = per.groupBy("tier").agg(
+        micro(F.col("user_avg")).alias("s1"),
+        micro(F.col("user_avg") * F.col("user_avg")).alias("s2"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(1e6) / F.col("m")
+    var = F.col("s2").cast("double") / F.lit(1e6) / F.col("m") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        per.join(F.broadcast(seg), "tier")
+        .select(
+            entity_col,
+            F.col("n_txn").cast("long").alias("n_txn"),
+            F.col("tier").cast("int").alias("tier"),
+            F.col("user_avg").alias("user_avg"),
+            mean.alias("peer_mean"),
+            std.alias("peer_std"),
+            F.when(std > 0, (F.col("user_avg") - mean) / std).alias("z"),
+        )
+    )
