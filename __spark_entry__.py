@@ -8010,6 +8010,435 @@ FROM terms
 """
 
 
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the shared-exact-amount
+    user graph — exact-integer companion to adamic_adar (same wedge
+    machinery, hub cap 64 part of the contract)."""
+    ev = _events(spark, sf_dir)
+    edges = events_ops.shared_attr_edges(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+    out = events_ops.neighbor_jaccard(edges, max_wedge_degree=64)
+    return out.select(
+        F.col("u").alias("user_a"),
+        F.col("v").alias("user_b"),
+        "n_common",
+        "deg_u",
+        "deg_v",
+        E.r6("jaccard").alias("jaccard"),
+    )
+
+
+_NEIGHBOR_JACCARD_SQL = f"""
+WITH a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS w, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+wedge AS (
+  SELECT n1.v AS x, n2.v AS y
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+  JOIN deg d ON d.w = n1.u
+  WHERE d.deg <= 64
+),
+scores AS (
+  SELECT x AS u, y AS v, count(*)::BIGINT AS n_common
+  FROM wedge GROUP BY x, y
+)
+SELECT s.u AS user_a, s.v AS user_b, s.n_common,
+  du.deg AS deg_u, dv.deg AS deg_v,
+  {_R6.format("s.n_common / (du.deg + dv.deg - s.n_common)")} AS jaccard
+FROM scores s
+JOIN deg du ON du.w = s.u
+JOIN deg dv ON dv.w = s.v
+ANTI JOIN e ON e.u = s.u AND e.v = s.v
+"""
+
+
+def q_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter over per-user daily totals (adaptive-
+    gain denoiser; sequential recursion inside applyInPandas, float ops
+    in the oracle's recursive-CTE order — bit-identical)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    out = forecast.kalman_filter(
+        _events(spark, sf_dir), "user_id", "ts", "value", "day",
+        q=0.05, r=0.5, p0=1.0,
+    )
+    return out.select(
+        "user_id", "step", E.r6("y").alias("y"), E.r6("level").alias("level")
+    )
+
+
+_KALMAN_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+    sum(value::DECIMAL(25,2))::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT user_id, y,
+    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+  FROM daily
+), kf AS (
+  SELECT user_id, i, y, y AS level, 1.0::DOUBLE AS p
+  FROM ser WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i, s.y,
+    k.level + ((k.p + 0.05::DOUBLE) / (k.p + 0.05::DOUBLE + 0.5::DOUBLE))
+      * (s.y - k.level),
+    (1.0::DOUBLE - (k.p + 0.05::DOUBLE)
+       / (k.p + 0.05::DOUBLE + 0.5::DOUBLE)) * (k.p + 0.05::DOUBLE)
+  FROM kf k JOIN ser s ON s.user_id = k.user_id AND s.i = k.i + 1
+)
+SELECT user_id, i::BIGINT AS step,
+  {_R6.format("y")} AS y,
+  {_R6.format("level")} AS level
+FROM kf
+"""
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned W1 (earth-mover) drift between the even/odd event_id
+    halves — the location-sensitive companion to PSI (same
+    reference-decile binning contract)."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = drift.wasserstein_bins(ref, cur, "value", n_bins=10)
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        E.r6("cdf_ref").alias("cdf_ref"),
+        E.r6("cdf_cur").alias("cdf_cur"),
+        E.r6("w1_term").alias("w1_term"),
+    )
+
+
+_WASSERSTEIN_SQL = f"""
+WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
+edges AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+  FROM ref
+),
+rb AS (SELECT len(list_filter(ed.e, x -> r.value > x)) AS bin
+       FROM ref r CROSS JOIN edges ed),
+cb AS (SELECT len(list_filter(ed.e, x -> c.value > x)) AS bin
+       FROM cur c CROSS JOIN edges ed),
+rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+bins AS (SELECT range::INT AS bin FROM range(0, 10)),
+tot AS (SELECT (SELECT count(*) FROM ref) AS tr,
+               (SELECT count(*) FROM cur) AS tc),
+j AS (
+  SELECT b.bin, coalesce(rc.n_ref, 0)::BIGINT AS n_ref,
+    coalesce(cc.n_cur, 0)::BIGINT AS n_cur, tot.tr, tot.tc
+  FROM bins b
+  LEFT JOIN rc ON b.bin = rc.bin
+  LEFT JOIN cc ON b.bin = cc.bin
+  CROSS JOIN tot
+), c2 AS (
+  SELECT bin, n_ref, n_cur,
+    (sum(n_ref) OVER w)::DOUBLE / tr AS cdf_ref,
+    (sum(n_cur) OVER w)::DOUBLE / tc AS cdf_cur
+  FROM j
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+)
+SELECT bin, n_ref, n_cur,
+  {_R6.format("cdf_ref")} AS cdf_ref,
+  {_R6.format("cdf_cur")} AS cdf_cur,
+  {_R6.format("abs(cdf_ref - cdf_cur)")} AS w1_term
+FROM c2 ORDER BY bin
+"""
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the daily purchase-rate stream (H0 p=0.18 vs
+    H1 p=0.22, α=0.05, β=0.2): cumulative LLR + sticky verdict —
+    the always-valid sequential alternative to the fixed-N ab_test."""
+    ev = _events(spark, sf_dir).select(
+        "ts", (F.col("event_type") == "purchase").cast("int").alias("success")
+    )
+    out = evaluation.sprt_decision(
+        ev, "ts", "success", p0=0.18, p1=0.22, alpha=0.05, beta=0.2
+    )
+    return out.select(
+        "bucket", "n", "s", "cum_n", "cum_s",
+        E.r6("llr").alias("llr"), "verdict",
+    )
+
+
+def _sprt_sql() -> str:
+    import math as _m
+
+    la = _m.log(0.22 / 0.18)
+    lb = _m.log(0.78 / 0.82)
+    hi = _m.log(0.8 / 0.05)
+    lo = _m.log(0.2 / 0.95)
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS n,
+    sum((event_type = 'purchase')::INT)::BIGINT AS s
+  FROM events GROUP BY 1
+), c AS (
+  SELECT bucket, n, s,
+    (sum(n) OVER w)::BIGINT AS cum_n, (sum(s) OVER w)::BIGINT AS cum_s
+  FROM daily
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+), l AS (
+  SELECT *, cum_s * {la!r}::DOUBLE + (cum_n - cum_s) * {lb!r}::DOUBLE AS llr
+  FROM c
+)
+SELECT bucket, n, s, cum_n, cum_s,
+  {_R6.format("llr")} AS llr,
+  CASE WHEN max((llr >= {hi!r}::DOUBLE)::INT) OVER w2 = 1 THEN 'accept_h1'
+       WHEN max((llr <= {lo!r}::DOUBLE)::INT) OVER w2 = 1 THEN 'accept_h0'
+       ELSE 'continue' END AS verdict
+FROM l
+WINDOW w2 AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+ORDER BY bucket
+"""
+
+
+def q_bootstrap_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap AUC (16 replicates, one corpus pass): exact
+    integer Mann-Whitney per replicate; weights from integer-threshold
+    md5 draws — the AUC confidence interval, distributed."""
+    out = evaluation.bootstrap_auc(
+        _scored_events(spark, sf_dir), "label", "score", "event_id", reps=16
+    )
+    return out.select(
+        "rep", "w_pos", "w_neg", E.r6("auc").alias("auc")
+    )
+
+
+def _bootstrap_auc_sql() -> str:
+    from financial_fraud_detection_using_time_series_data_spark.operators.evaluation import (
+        _POISSON1_T32,
+    )
+
+    t = _POISSON1_T32
+    wcase = (
+        "CASE "
+        + " ".join(
+            f"WHEN h < {t[k]} THEN {k}" for k in range(len(t))
+        )
+        + " ELSE 6 END"
+    )
+    reps = ", ".join(str(i) for i in range(16))
+    return f"""
+WITH scored AS ({_SCORED_SQL}),
+fan AS (
+  SELECT s.event_id, s.label, floor(s.score * 1000000.0 + 0.5)::BIGINT AS b,
+    r.rep,
+    ('0x' || substring(
+        md5('boot:' || r.rep::VARCHAR || ':' || s.event_id::VARCHAR),
+        1, 8))::BIGINT AS h
+  FROM scored s, UNNEST([{reps}]) AS r(rep)
+),
+cells AS (
+  SELECT rep, b,
+    sum(({wcase}) * label)::BIGINT AS wp,
+    sum(({wcase}) * (1 - label))::BIGINT AS wn
+  FROM fan GROUP BY rep, b
+),
+staged AS (
+  SELECT rep, wp, wn,
+    coalesce(sum(wn) OVER (PARTITION BY rep ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT AS cum_wn
+  FROM cells
+)
+SELECT rep::INT AS rep, sum(wp)::BIGINT AS w_pos, sum(wn)::BIGINT AS w_neg,
+  {_R6.format(
+      "sum(wp * (2 * cum_wn + wn))::DOUBLE"
+      " / (2.0 * sum(wp)::DOUBLE * sum(wn)::DOUBLE)"
+  )} AS auc
+FROM staged GROUP BY rep ORDER BY rep
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup over a bounded candidate
+    set — the quote/subset detector Jaccard misses (short doc copied
+    into a long one)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = text.containment_pairs(docs, "text", "doc_id", n=2, min_containment=0.1)
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        E.r6("contain_a_in_b").alias("contain_a_in_b"),
+        E.r6("contain_b_in_a").alias("contain_b_in_a"),
+    )
+
+
+_CONTAINMENT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 40
+),
+t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM base),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(list_slice(toks, i, i + 1), ' ')
+                   FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS shingles
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.shingles, b.shingles))::BIGINT AS n_common,
+    len(a.shingles)::BIGINT AS n_a, len(b.shingles)::BIGINT AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_common, n_a, n_b,
+  {_R6.format("n_common / nullif(n_a, 0)::DOUBLE")} AS contain_a_in_b,
+  {_R6.format("n_common / nullif(n_b, 0)::DOUBLE")} AS contain_b_in_a
+FROM p
+WHERE greatest(n_common / nullif(n_a, 0)::DOUBLE,
+               n_common / nullif(n_b, 0)::DOUBLE) >= 0.1
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus frequency spectrum (OLS of ln freq on
+    ln rank over the top-1000 vocabulary; micro-unit folds) — the
+    one-number corpus-health check."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.zipf_slope(docs, "text", top_v=1000)
+    return out.select(
+        "n_terms",
+        "total_tokens",
+        E.r6("slope").alias("slope"),
+        E.r6("intercept").alias("intercept"),
+    )
+
+
+_ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT t, count(*)::BIGINT AS n FROM toks WHERE t <> '' GROUP BY t
+),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+  FROM counts ORDER BY n DESC, t LIMIT 1000
+),
+m AS (
+  SELECT
+    sum(floor(ln(r::DOUBLE) * 1000000000.0 + 0.5)::BIGINT) / 1000000000.0 AS sx,
+    sum(floor(ln(n::DOUBLE) * 1000000000.0 + 0.5)::BIGINT) / 1000000000.0 AS sy,
+    sum(floor(ln(r::DOUBLE) * ln(n::DOUBLE) * 1000000000.0 + 0.5)::BIGINT)
+      / 1000000000.0 AS sxy,
+    sum(floor(ln(r::DOUBLE) * ln(r::DOUBLE) * 1000000000.0 + 0.5)::BIGINT)
+      / 1000000000.0 AS sxx,
+    count(*)::BIGINT AS cnt,
+    sum(n)::BIGINT AS total_tokens
+  FROM top
+)
+SELECT cnt AS n_terms, total_tokens,
+  {_R6.format(
+      "(cnt::DOUBLE * sxy - sx * sy) / (cnt::DOUBLE * sxx - sx * sx)"
+  )} AS slope,
+  {_R6.format(
+      "(sy - ((cnt::DOUBLE * sxy - sx * sy) / (cnt::DOUBLE * sxx - sx * sx)) * sx)"
+      " / cnt::DOUBLE"
+  )} AS intercept
+FROM m
+"""
+
+
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (Durbin-Levinson on the decimal-exact
+    ACF) per event type, lags 1-6. Rows-only: the Levinson recursion
+    has no SQL twin; the ACF inputs are themselves oracle-checked via
+    the `acf` entry."""
+    return drift.pacf(
+        _events(spark, sf_dir), "ts", "event_type", "value", "hour", max_lag=6
+    )
+
+
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over per-user journeys split
+    at purchases. Rows-only: the absorption solve is a driver-side
+    linear system on the tiny transition matrix; the transition counts
+    it consumes are the oracle-checked event_transitions family."""
+    out = events_ops.attribution_markov(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id",
+        conv_type="purchase",
+    )
+    return out.select(
+        "channel",
+        "n_transitions",
+        E.r6("removal_effect").alias("removal_effect"),
+        E.r6("attribution").alias("attribution"),
+        E.r6("p_conv_base").alias("p_conv_base"),
+    )
+
+
+def q_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter EM: learn per-field m/u from the record_linkage
+    candidate pairs' agreement-pattern counts (one aggregate; EM on
+    ≤2^k sufficient-statistic rows driver-side). Rows-only: iterative
+    mixture fit has no SQL twin; determinism pinned by test."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        linkage,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = linkage.block_pairs(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "c_custkey",
+        ["c_acctbal", "c_name"],
+    )
+    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
+    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
+    comps = [
+        linkage.FieldComparison(
+            "bucket",
+            F.floor(bal_a.cast("double") / 1000.0)
+            == F.floor(bal_b.cast("double") / 1000.0),
+            m=0.85,
+            u=0.12,
+        ),
+        linkage.FieldComparison(
+            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
+        ),
+        linkage.FieldComparison(
+            "suffix",
+            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
+            m=0.9,
+            u=0.01,
+        ),
+    ]
+    out = linkage.em_weights(pairs, comps, max_iter=30)
+    return out.select(
+        "field",
+        E.r6("m").alias("m"),
+        E.r6("u").alias("u"),
+        E.r6("w_agree").alias("w_agree"),
+        E.r6("w_disagree").alias("w_disagree"),
+        E.r6("lambda").alias("lambda_match"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # decision-support relational suite (TPC-H-shaped, operators/tpch.py)
 
@@ -8739,6 +9168,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         # information-theory / AML screens / microstructure (round 7)
         "transition_entropy": q_transition_entropy,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "kalman_smooth": q_kalman_smooth,
+        "wasserstein_drift": q_wasserstein_drift,
+        "sprt_decision": q_sprt_decision,
+        "bootstrap_auc": q_bootstrap_auc,
+        "containment_pairs": q_containment_pairs,
+        "zipf_slope": q_zipf_slope,
+        # rows-only: Levinson recursion / EM / absorption solve on
+        # driver-side aggregate-sized frames
+        "pacf": q_pacf,
+        "attribution_markov": q_attribution_markov,
+        "em_weights": q_em_weights,
         "round_amount_screen": q_round_amount_screen,
         "off_hours_screen": q_off_hours_screen,
         "peer_group_anomaly": q_peer_group_anomaly,
@@ -8964,6 +9405,15 @@ def oracle_sql() -> dict[str, str]:
         # isotonic_calibration: rows-only (PAV, no SQL twin)
         # pagerank: rows-only (iterative float power method)
         "transition_entropy": _TRANSITION_ENTROPY_SQL,
+        "neighbor_jaccard": _NEIGHBOR_JACCARD_SQL,
+        "kalman_smooth": _KALMAN_SQL,
+        "wasserstein_drift": _WASSERSTEIN_SQL,
+        "sprt_decision": _sprt_sql(),
+        "bootstrap_auc": _bootstrap_auc_sql(),
+        "containment_pairs": _CONTAINMENT_SQL,
+        "zipf_slope": _ZIPF_SQL,
+        # pacf / attribution_markov / em_weights: rows-only (driver-side
+        # recursions on aggregate-sized frames, no SQL twins)
         "round_amount_screen": _ROUND_AMOUNT_SQL,
         "off_hours_screen": _OFF_HOURS_SQL,
         "peer_group_anomaly": _PEER_GROUP_SQL,

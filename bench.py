@@ -206,6 +206,16 @@ BENCH_QUERIES = [
     "discounted_revenue",
     "idle_customers",
     "min_cost_supplier",
+    "neighbor_jaccard",
+    "kalman_smooth",
+    "wasserstein_drift",
+    "sprt_decision",
+    "bootstrap_auc",
+    "pacf",
+    "attribution_markov",
+    "em_weights",
+    "containment_pairs",
+    "zipf_slope",
 ]
 
 

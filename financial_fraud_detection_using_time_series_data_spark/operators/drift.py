@@ -763,3 +763,101 @@ def spectral_entropy(
             / F.log(F.col("__nk").cast("double"))
         ).alias("spec_entropy_norm"),
     )
+
+
+def wasserstein_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+    exact_edges: bool = True,
+) -> DataFrame:
+    """Binned Wasserstein-1 (earth-mover) drift decomposition: per
+    reference-decile bin, the |CDF_ref − CDF_cur| gap — W₁ in bin units
+    is the sum of the gaps. The distance PSI cannot give you: PSI is
+    mass-reweighting-sensitive but location-blind (swapping two distant
+    bins' masses leaves PSI unchanged); W₁ measures how FAR the mass
+    moved. Same binning contract as ``psi_bins`` (edges from the exact
+    reference percentile, or the KLL sketch at 100 TB).
+
+    Every CDF input is an exact integer cumulative count over ≤n_bins
+    rows; the single-partition window on the n_bins-row frame is free.
+    Two corpus passes total (one per side), both map-only after the
+    broadcast edge row.
+    """
+    from pyspark.sql import Window
+
+    spark = ref.sparkSession
+    edges = _edges(ref, value_col, n_bins, exact_edges)
+    rc = _bin_counts(ref, edges, value_col, "n_ref")
+    cc = _bin_counts(cur, edges, value_col, "n_cur")
+    tot_r = ref.agg(F.count(F.lit(1)).alias("__tr"))
+    tot_c = cur.agg(F.count(F.lit(1)).alias("__tc"))
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        bins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_c))
+    )
+    cdf_r = F.sum("n_ref").over(w).cast("double") / F.col("__tr")
+    cdf_c = F.sum("n_cur").over(w).cast("double") / F.col("__tc")
+    return joined.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        cdf_r.alias("cdf_ref"),
+        cdf_c.alias("cdf_cur"),
+        F.abs(cdf_r - cdf_c).alias("w1_term"),
+    ).orderBy("bin")
+
+
+def pacf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Partial autocorrelation per series via Durbin–Levinson on the
+    ``acf`` estimates — the AR-order diagnostic (an AR(p) process has
+    PACF ≈ 0 beyond lag p, while its ACF decays slowly; ACF alone
+    cannot separate AR from MA structure).
+
+    The corpus work IS the acf call (one rollup + one shared window
+    exchange); the Levinson recursion then runs driver-side on the
+    collected |types|·max_lag-row frame — aggregate-sized by
+    construction, the same driver-math-on-tiny-aggregates pattern as
+    the plot family. The ACF inputs are decimal-exact, so the recursion
+    is deterministic; no SQL twin (the recursion has no closed form),
+    registered rows-only.
+    """
+    rows = acf(df, ts_col, type_col, value_col, bucket, max_lag).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r[type_col], {})[int(r["lag"])] = float(r["acf"])
+    out = []
+    for t in sorted(series):
+        r_ = series[t]
+        if any(k not in r_ or r_[k] is None for k in range(1, max_lag + 1)):
+            continue
+        # Durbin-Levinson: phi[k][k] is the lag-k PACF
+        phi_prev: list[float] = []
+        v = 1.0
+        for k in range(1, max_lag + 1):
+            num = r_[k] - sum(
+                phi_prev[j] * r_[k - 1 - j] for j in range(k - 1)
+            )
+            a = num / v if v != 0 else 0.0
+            phi = [
+                phi_prev[j] - a * phi_prev[k - 2 - j] for j in range(k - 1)
+            ] + [a]
+            v = v * (1.0 - a * a)
+            out.append((t, k, float(a)))
+            phi_prev = phi
+    return df.sparkSession.createDataFrame(
+        out, f"{type_col} string, lag int, pacf double"
+    )

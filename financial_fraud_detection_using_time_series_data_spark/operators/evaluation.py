@@ -6,6 +6,8 @@ aggregations (the reference uses sklearn over in-RAM arrays,
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -554,3 +556,167 @@ def anova_f(
         ssw.alias("ss_within"),
         F.when((k > 1) & (ssw > 0), f).alias("f_stat"),
     )
+
+
+def sprt_decision(
+    df: DataFrame,
+    ts_col: str,
+    success_col,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    bucket: str = "day",
+) -> DataFrame:
+    """Sequential probability ratio test (Wald) over the event stream:
+    the always-valid alternative to the fixed-horizon ``ab_test`` —
+    peeking at the fixed-N z-test inflates false positives, while the
+    SPRT's log-likelihood boundaries ln((1−β)/α), ln(β/(1−α)) hold the
+    error rates at ANY stopping time.
+
+    Per time bucket: cumulative trials/successes, the Wald LLR
+    ``S·ln(p1/p0) + (N−S)·ln((1−p1)/(1−p0))``, and the running verdict
+    (accept_h1 / accept_h0 / continue — sticky once a boundary is
+    crossed, as the test stops there). The corpus collapses to one
+    |buckets|-row aggregate; the cumulative window runs on that tiny
+    frame (single-partition window is free at |days| scale, and days
+    are calendar-bounded at any corpus size). LLR inputs are exact
+    integer cumulative counts × float constants — bit-deterministic.
+    """
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    hi = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+    daily = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("s"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum_n = F.sum("n").over(w)
+    cum_s = F.sum("s").over(w)
+    llr = cum_s * F.lit(la) + (cum_n - cum_s) * F.lit(lb)
+    staged = daily.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        cum_n.cast("long").alias("cum_n"),
+        cum_s.cast("long").alias("cum_s"),
+        llr.alias("llr"),
+    )
+    # sticky verdict: the test STOPS at the first crossing; later
+    # buckets report the decision already taken
+    w2 = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    crossed_hi = F.max((F.col("llr") >= hi).cast("int")).over(w2)
+    crossed_lo = F.max((F.col("llr") <= lo).cast("int")).over(w2)
+    verdict = (
+        F.when(crossed_hi == 1, F.lit("accept_h1"))
+        .when(crossed_lo == 1, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return staged.withColumn("verdict", verdict).orderBy("bucket")
+
+
+# Poisson(1) CDF thresholds on the 32-bit md5-uniform grid:
+# floor(P(X <= k) * 2^32) for k = 0..5; draws past the last threshold
+# get weight 6 (P ≈ 6e-5 truncation, standard for Poisson bootstrap).
+_POISSON1_T32 = (
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291,
+)
+
+
+def bootstrap_auc(
+    df: DataFrame,
+    label: str,
+    score: str,
+    id_col: str,
+    reps: int = 16,
+    salt: str = "boot",
+    grid: float = 1e6,
+) -> DataFrame:
+    """Distributed Poisson bootstrap of ROC-AUC: ``reps`` resampled AUCs
+    in ONE corpus pass — the confidence interval a fixed-N AUC point
+    estimate silently lacks. Classical bootstrap resamples rows with
+    replacement (impossible to coordinate across executors); the Poisson
+    bootstrap draws an independent Poisson(1) weight per (row, replicate)
+    — identical in distribution for large n, and embarrassingly
+    map-parallel.
+
+    Everything is exact integer arithmetic: the weight comes from
+    comparing the row's 32-bit md5 uniform against precomputed integer
+    CDF thresholds (no float RNG to drift cross-engine); scores are
+    quantized to the 1e-6 grid (bins bounded at 10⁶ per replicate
+    regardless of corpus size); the Mann-Whitney numerator folds
+    ``Σ wp·(2·cum_wn_below + wn)`` as DECIMAL(38,0). The only corpus
+    pass is the explode→hash-agg (map-side combined: each task emits at
+    most reps × |bins| partials); the per-replicate cumulative window
+    runs on the ≤reps×10⁶-row bin frame, partitioned by replicate.
+
+    Returns one row per replicate: (rep, w_pos, w_neg, auc).
+    """
+    rep = F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("rep")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("rep").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_POISSON1_T32) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON1_T32[k]), F.lit(k)).otherwise(w)
+    b = F.floor(F.col(score) * F.lit(grid) + F.lit(0.5)).cast("long")
+    lab = F.col(label).cast("long")
+    cells = (
+        df.select(F.col(id_col), lab.alias("__y"), b.alias("__b"), rep)
+        .select("rep", "__b", "__y", w.alias("__w"))
+        .groupBy("rep", "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__y")).alias("wp"),
+            F.sum(F.col("__w") * (F.lit(1) - F.col("__y"))).alias("wn"),
+        )
+    )
+    wlo = (
+        Window.partitionBy("rep")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = cells.select(
+        "rep",
+        "wp",
+        "wn",
+        F.coalesce(F.sum("wn").over(wlo), F.lit(0)).alias("cum_wn"),
+    )
+    per_rep = staged.groupBy("rep").agg(
+        F.sum(
+            (
+                F.col("wp").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("cum_wn") + F.col("wn")).cast("decimal(38,0)")
+            )
+        ).alias("__num"),
+        F.sum("wp").alias("w_pos"),
+        F.sum("wn").alias("w_neg"),
+    )
+    return per_rep.select(
+        F.col("rep").cast("int").alias("rep"),
+        F.col("w_pos").cast("long").alias("w_pos"),
+        F.col("w_neg").cast("long").alias("w_neg"),
+        (
+            F.col("__num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("w_pos").cast("double")
+                * F.col("w_neg").cast("double")
+            )
+        ).alias("auc"),
+    ).orderBy("rep")

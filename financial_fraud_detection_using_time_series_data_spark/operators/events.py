@@ -1176,3 +1176,204 @@ def transition_entropy(
             ).alias("mi_onestep"),
         )
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    max_wedge_degree: int = 64,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over an undirected edge list
+    (u < v): for each non-adjacent pair with ≥1 common neighbor,
+    |N(u)∩N(v)| / |N(u)∪N(v)| — the normalized companion to
+    ``adamic_adar`` (same wedge machinery, but every input to the score
+    is an exact integer count, so the ranking is bit-deterministic).
+
+    Plan shape is identical to adamic_adar: symmetrize, degree dim,
+    one self-equi-join on the hub-capped common-neighbor key, groupBy
+    pair, anti-join out existing edges. The union size assembles from
+    deg(u)+deg(v)−common (no second pass); endpoint degrees arrive via
+    two broadcast joins of the |nodes|-row degree dim. The hub cap
+    applies to the middle vertex only and is part of the operator
+    contract (oracle applies the identical rule).
+    """
+    both = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nb = both.select(F.col("u").alias("w"), F.col("v").alias("x")).join(
+        F.broadcast(
+            deg.where(F.col("deg") <= max_wedge_degree).select(
+                F.col("u").alias("w")
+            )
+        ),
+        "w",
+    )
+    nb2 = nb.select("w", F.col("x").alias("y"))
+    pairs = (
+        nb.join(nb2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    du = deg.select(F.col("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        pairs.join(edges, ["u", "v"], "left_anti")
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            (
+                F.col("n_common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def attribution_markov(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven alternative
+    to ``attribution_last_touch``: model journeys as a first-order
+    chain over channels with absorbing CONV/NULL states, and credit
+    each channel by how much total conversion probability disappears
+    when it is removed (its removal effect), normalized to shares.
+
+    Journey construction: per entity, events are split into journeys
+    at each conversion (strictly-preceding-conversion count —
+    window cumsum); each journey contributes START→first,
+    channel→channel, channel→CONV (on conversion) or channel→NULL
+    (journey never converts) transitions. The corpus collapses to the
+    ≤(|channels|+2)² transition-count matrix in one window pass + one
+    groupBy; the absorption solve and the per-channel removal re-solves
+    run driver-side on that tiny matrix (pure-Python Gaussian
+    elimination — deterministic, no numpy dependency in the hot path).
+
+    Returns one row per channel: transitions through it, its removal
+    effect (1 − p_conv_without / p_conv_base), and the normalized
+    attribution share. Baseline conversion probability rides along for
+    context.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    is_conv = (F.col(type_col) == conv_type).cast("long")
+    ev = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+        F.col(order_col).alias("__o"),
+        (F.sum(is_conv).over(w) - is_conv).alias("__j"),
+    )
+    wj = Window.partitionBy("__e", "__j").orderBy("__ts", "__o")
+    seq = ev.select(
+        "__e",
+        "__j",
+        F.col("__t").alias("cur"),
+        F.lead("__t").over(wj).alias("nxt"),
+        F.row_number().over(wj).alias("__rn"),
+    )
+    starts = seq.where(F.col("__rn") == 1).select(
+        F.lit("START").alias("cur"), F.col("cur").alias("nxt")
+    )
+    mids = seq.where(F.col("nxt").isNotNull()).select(
+        "cur",
+        F.when(F.col("nxt") == conv_type, F.lit("CONV")).otherwise(
+            F.col("nxt")
+        ).alias("nxt"),
+    ).where(F.col("cur") != conv_type)
+    ends = seq.where(F.col("nxt").isNull() & (F.col("cur") != conv_type)).select(
+        "cur", F.lit("NULL").alias("nxt")
+    )
+    trans = (
+        starts.unionByName(mids)
+        .unionByName(ends)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    counts: dict = {}
+    for r in trans:
+        counts[(r["cur"], r["nxt"])] = counts.get((r["cur"], r["nxt"]), 0) + int(r["n"])
+    channels = sorted(
+        {c for c, _ in counts} | {n for _, n in counts} - {"CONV", "NULL", "START"}
+    )
+    channels = [c for c in channels if c not in ("CONV", "NULL", "START")]
+
+    def _p_conv(removed: str | None) -> float:
+        states = ["START"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        k = len(states)
+        q = [[0.0] * k for _ in range(k)]
+        r_conv = [0.0] * k
+        for s in states:
+            row = {
+                n: c for (cc, n), c in counts.items() if cc == s
+            }
+            tot = sum(row.values())
+            if tot == 0:
+                continue
+            for n, c in row.items():
+                p = c / tot
+                if n == removed:
+                    continue  # removed channel's inbound mass -> NULL
+                if n == "CONV":
+                    r_conv[idx[s]] += p
+                elif n in idx:
+                    q[idx[s]][idx[n]] += p
+        # solve (I - Q) t = r_conv by Gaussian elimination
+        a = [
+            [(1.0 if i == j else 0.0) - q[i][j] for j in range(k)] + [r_conv[i]]
+            for i in range(k)
+        ]
+        for col in range(k):
+            piv = max(range(col, k), key=lambda i: abs(a[i][col]))
+            if abs(a[piv][col]) < 1e-12:
+                continue
+            a[col], a[piv] = a[piv], a[col]
+            for i in range(k):
+                if i != col and a[i][col] != 0.0:
+                    f = a[i][col] / a[col][col]
+                    for j in range(col, k + 1):
+                        a[i][j] -= f * a[col][j]
+        t = [
+            a[i][k] / a[i][i] if abs(a[i][i]) > 1e-12 else 0.0
+            for i in range(k)
+        ]
+        return t[idx["START"]]
+
+    base = _p_conv(None)
+    effects = []
+    for c in channels:
+        pr = _p_conv(c)
+        re = 1.0 - (pr / base) if base > 0 else 0.0
+        effects.append((c, max(re, 0.0)))
+    tot_re = sum(e for _, e in effects)
+    through = {
+        c: sum(n for (cc, nn), n in counts.items() if cc == c or nn == c)
+        for c in channels
+    }
+    out = [
+        (
+            c,
+            int(through[c]),
+            float(re),
+            float(re / tot_re) if tot_re > 0 else 0.0,
+            float(base),
+        )
+        for c, re in effects
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "channel string, n_transitions long, removal_effect double, "
+        "attribution double, p_conv_base double",
+    )

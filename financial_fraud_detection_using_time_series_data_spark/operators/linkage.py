@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FieldComparison", "block_pairs", "fellegi_sunter"]
+__all__ = ["FieldComparison", "block_pairs", "em_weights", "fellegi_sunter"]
 
 
 @dataclass(frozen=True)
@@ -102,3 +102,89 @@ def fellegi_sunter(
         .otherwise(F.lit("non_match"))
     )
     return scored.withColumn("fs_class", verdict)
+
+
+def em_weights(
+    pairs: DataFrame,
+    comparisons: list[FieldComparison],
+    max_iter: int = 30,
+    lambda0: float = 0.1,
+    m0: float = 0.8,
+    u0: float = 0.1,
+) -> DataFrame:
+    """Unsupervised m/u estimation (Fellegi–Sunter EM, the splink-style
+    training step): instead of hand-picking the per-field m/u
+    probabilities that ``fellegi_sunter`` scores with, learn them from
+    the candidate pairs themselves under the standard two-class
+    conditional-independence mixture.
+
+    The corpus work is ONE aggregate: pairs collapse to agreement-
+    PATTERN counts (≤2^k rows for k fields — the sufficient statistics
+    of the mixture). EM then iterates driver-side on that tiny frame
+    with pure-Python floats (fixed iteration count, fixed init →
+    deterministic). This is the correct 100 TB shape: a naive
+    implementation E-steps over every pair per iteration; pattern
+    aggregation makes iteration cost independent of corpus size.
+
+    Returns one row per field: learned m, u and the log2 agreement /
+    disagreement weights ready to feed back into ``fellegi_sunter``.
+    ``m`` columns use NULL-as-disagree, matching the scorer.
+    """
+    names = [c.name for c in comparisons]
+    gcols = [
+        F.coalesce(c.agree, F.lit(False)).cast("int").alias(f"g_{c.name}")
+        for c in comparisons
+    ]
+    pat = (
+        pairs.select(*gcols)
+        .groupBy(*[f"g_{n}" for n in names])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    patterns = [
+        ([int(r[f"g_{n}"]) for n in names], float(r["n"])) for r in pat
+    ]
+    k = len(names)
+    m = [float(m0)] * k
+    u = [float(u0)] * k
+    lam = float(lambda0)
+    for _ in range(max_iter):
+        sw = 0.0
+        tot = 0.0
+        sm = [0.0] * k
+        su = [0.0] * k
+        for g, n in patterns:
+            pm = lam
+            pu = 1.0 - lam
+            for j in range(k):
+                pm *= m[j] if g[j] else (1.0 - m[j])
+                pu *= u[j] if g[j] else (1.0 - u[j])
+            w = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            sw += w * n
+            tot += n
+            for j in range(k):
+                if g[j]:
+                    sm[j] += w * n
+                    su[j] += (1.0 - w) * n
+        if tot == 0 or sw == 0 or sw == tot:
+            break
+        lam = sw / tot
+        for j in range(k):
+            m[j] = min(max(sm[j] / sw, 1e-6), 1.0 - 1e-6)
+            u[j] = min(max(su[j] / (tot - sw), 1e-6), 1.0 - 1e-6)
+    out = [
+        (
+            names[j],
+            m[j],
+            u[j],
+            math.log2(m[j] / u[j]),
+            math.log2((1.0 - m[j]) / (1.0 - u[j])),
+            lam,
+        )
+        for j in range(k)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        out,
+        "field string, m double, u double, w_agree double, "
+        "w_disagree double, lambda double",
+    )

@@ -1055,3 +1055,103 @@ def bigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    |S(a)∩S(b)| / |S(a)| per ordered candidate pair — the quote /
+    subset-document detector Jaccard misses (a paragraph fully copied
+    into a much longer page has tiny Jaccard but containment ≈ 1 in the
+    short→long direction). Reported per unordered pair with both
+    directions, filtered on max(containment).
+
+    Same all-pairs-over-a-bounded-candidate-set contract as
+    ``word_ngram_jaccard`` (the caller bounds the candidate frame —
+    production feeds SNM/LSH candidates, never the raw corpus). All set
+    sizes are exact integers.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    c_ab = inter / F.nullif(na.cast("double"), F.lit(0.0))
+    c_ba = inter / F.nullif(nb.cast("double"), F.lit(0.0))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        c_ab.alias("contain_a_in_b"),
+        c_ba.alias("contain_b_in_a"),
+    ).where(
+        F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a"))
+        >= F.lit(min_containment)
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Zipf-law slope of the corpus frequency spectrum: OLS fit of
+    ln(freq) on ln(rank) over the top-V vocabulary. Natural-language
+    corpora sit near −1; a slope collapsing toward 0 means boilerplate/
+    template flooding, a steep slope means vocabulary starvation — the
+    single-number corpus-health check a curation pipeline tracks per
+    snapshot.
+
+    One explode → term-count aggregate (map-side combined) is the only
+    corpus pass; top-V is TakeOrderedAndProject (count desc, term asc —
+    deterministic ties); the regression folds integer micro-units over
+    the V-row frame (DECIMAL(38,0)), so the slope is exact
+    cross-engine. Output: one row (n_terms, slope, intercept,
+    total_tokens).
+    """
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("__t")
+    ).where(F.col("__t") != "")
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+    top = counts.orderBy(F.desc("__n"), "__t").limit(top_v)
+    w = Window.orderBy(F.desc("__n"), "__t")
+    ranked = top.select(
+        F.row_number().over(w).alias("__r"), "__n"
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__n").cast("double"))
+
+    def micro(c):
+        return F.sum(
+            F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(1e9)
+
+    agg = ranked.agg(
+        micro(x).alias("sx"),
+        micro(y).alias("sy"),
+        micro(x * y).alias("sxy"),
+        micro(x * x).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__n").alias("total_tokens"),
+    )
+    nn = F.col("n").cast("double")
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nn
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
