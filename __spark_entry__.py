@@ -8243,8 +8243,8 @@ fan AS (
   SELECT s.event_id, s.label, floor(s.score * 1000000.0 + 0.5)::BIGINT AS b,
     r.rep,
     ('0x' || substring(
-        md5('boot:' || r.rep::VARCHAR || ':' || s.event_id::VARCHAR),
-        1, 8))::BIGINT AS h
+        md5('boot:' || (r.rep // 4)::VARCHAR || ':' || s.event_id::VARCHAR),
+        1 + (r.rep % 4) * 8, 8))::BIGINT AS h
   FROM scored s, UNNEST([{reps}]) AS r(rep)
 ),
 cells AS (
@@ -8267,6 +8267,69 @@ SELECT rep::INT AS rep, sum(wp)::BIGINT AS w_pos, sum(wn)::BIGINT AS w_neg,
   )} AS auc
 FROM staged GROUP BY rep ORDER BY rep
 """
+
+
+def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC-AUC (day-of-week slices): the fairness/slice
+    report a global AUC hides. Same exact integer Mann-Whitney form as
+    bootstrap_auc; dow from pure epoch-day arithmetic (engine-safe)."""
+    ev = _events(spark, sf_dir)
+    seg = F.pmod(
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).cast("long") + F.lit(4),
+        F.lit(7),
+    ).cast("int")
+    scored = ev.select(
+        seg.alias("dow"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("score"),
+    )
+    out = evaluation.grouped_auc(scored, "dow", "label", "score")
+    return out.select("dow", "n_pos", "n_neg", E.r6("auc").alias("auc"))
+
+
+_GROUPED_AUC_SQL = f"""
+WITH scored AS (
+  SELECT (((epoch_us(ts) // 1000000) // 86400 + 4) % 7)::INT AS dow,
+    (event_type = 'error')::INT AS label,
+    value / (value + 100.0) AS score
+  FROM events
+),
+cells AS (
+  SELECT dow, floor(score * 1000000.0 + 0.5)::BIGINT AS b,
+    sum(label)::BIGINT AS np, sum(1 - label)::BIGINT AS nn
+  FROM scored GROUP BY 1, 2
+),
+staged AS (
+  SELECT dow, np, nn,
+    coalesce(sum(nn) OVER (PARTITION BY dow ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT AS cum_nn
+  FROM cells
+)
+SELECT dow, sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+  {_R6.format(
+      "CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN"
+      " sum(np * (2 * cum_nn + nn))::DOUBLE"
+      " / (2.0 * sum(np)::DOUBLE * sum(nn)::DOUBLE) END"
+  )} AS auc
+FROM staged GROUP BY dow ORDER BY dow
+"""
+
+
+def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt calibrator fit by Newton-Raphson with micro-unit gradient
+    folds (bit-deterministic iterates). Rows-only: the iterative fit
+    has no SQL twin; recovery + determinism pinned by tests."""
+    out = evaluation.platt_scaling(
+        _scored_events(spark, sf_dir), "label", "score", max_iter=8
+    )[1]
+    return out.select(
+        E.r6("a").alias("a"),
+        E.r6("b").alias("b"),
+        "n_iter",
+        "n_rows",
+        E.r6("log_loss").alias("log_loss"),
+    )
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8889,6 +8952,237 @@ ORDER BY p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# operational relational metrics + corpus fingerprints (round 7c)
+
+
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency per priority (integer-day exact;
+    quantile_cont-parity percentiles)."""
+    out = tpch.fulfillment_latency(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        E.r6("mean_days").alias("mean_days"),
+        E.r6("p50_days").alias("p50_days"),
+        E.r6("p90_days").alias("p90_days"),
+        "max_days",
+    )
+
+
+_FULFILLMENT_SQL = f"""
+WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS f FROM lineitem GROUP BY 1),
+lat AS (
+  SELECT o_orderpriority, date_diff('day', o_orderdate, f)::BIGINT AS d
+  FROM orders JOIN fs ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+  {_R6.format("sum(d)::DOUBLE / count(*)")} AS mean_days,
+  {_R6.format("quantile_cont(d, 0.5)")} AS p50_days,
+  {_R6.format("quantile_cont(d, 0.9)")} AS p90_days,
+  max(d)::BIGINT AS max_days
+FROM lat GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day (sweep line over ≤2 deltas/order;
+    cumulative window on the calendar-bounded daily frame)."""
+    out = tpch.order_backlog(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return out.select("day", "net_change", "backlog")
+
+
+_ORDER_BACKLOG_SQL = """
+WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS l FROM lineitem GROUP BY 1),
+o AS (
+  SELECT o_orderdate, l FROM orders
+  LEFT JOIN ls ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT date_trunc('day', o_orderdate) AS day, 1 AS delta FROM o
+  UNION ALL
+  SELECT date_trunc('day', l + INTERVAL 1 DAY), -1 FROM o WHERE l IS NOT NULL
+),
+daily AS (SELECT day, sum(delta)::BIGINT AS net FROM deltas GROUP BY 1)
+SELECT day, net AS net_change,
+  (sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW))::BIGINT AS backlog
+FROM daily ORDER BY day
+"""
+
+
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI + top-supplier revenue share per part type (decimal-exact
+    revenue; micro-unit share-square folds) — single-source risk."""
+    out = tpch.supplier_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+    return out.select(
+        "p_type",
+        "n_suppliers",
+        E.r6("hhi").alias("hhi"),
+        E.r6("top_share").alias("top_share"),
+    )
+
+
+_SUPPLIER_CONC_SQL = f"""
+WITH per AS (
+  SELECT p_type, l_suppkey,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT p_type, sum(rev) AS tot, count(*)::BIGINT AS n_suppliers
+  FROM per GROUP BY 1
+)
+SELECT p.p_type, max(t.n_suppliers) AS n_suppliers,
+  {_R6.format(
+      "sum(floor((p.rev::DOUBLE / t.tot::DOUBLE)"
+      " * (p.rev::DOUBLE / t.tot::DOUBLE) * 1000000000000.0 + 0.5)::BIGINT)"
+      " / 1000000000000.0"
+  )} AS hhi,
+  {_R6.format("max(p.rev::DOUBLE / t.tot::DOUBLE)")} AS top_share
+FROM per p JOIN tot t USING (p_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion screen: parts billed at wildly varying
+    unit rates (CV ≥ 2.5 — the p95 of this corpus, n ≥ 5;
+    micro-unit moment folds)."""
+    out = tpch.price_dispersion_screen(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        min_lines=5,
+        min_cv=2.5,
+    )
+    return out.select(
+        "l_partkey",
+        "p_name",
+        "p_brand",
+        "n_lines",
+        E.r6("mean_unit_price").alias("mean_unit_price"),
+        E.r6("std_unit_price").alias("std_unit_price"),
+        E.r6("cv").alias("cv"),
+    )
+
+
+_PRICE_DISPERSION_SQL = f"""
+WITH per AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_lines,
+    sum(floor((l_extendedprice / l_quantity) * 1000000.0 + 0.5)::BIGINT) AS s1,
+    sum(floor((l_extendedprice / l_quantity) * (l_extendedprice / l_quantity)
+              * 1000000.0 + 0.5)::BIGINT) AS s2
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT l_partkey, n_lines,
+    s1 / 1000000.0 / n_lines AS mean,
+    sqrt(greatest(s2 / 1000000.0 / n_lines
+                  - (s1 / 1000000.0 / n_lines) * (s1 / 1000000.0 / n_lines),
+                  0.0)) AS std
+  FROM per WHERE n_lines >= 5
+)
+SELECT m.l_partkey, p_name, p_brand, n_lines,
+  {_R6.format("mean")} AS mean_unit_price,
+  {_R6.format("std")} AS std_unit_price,
+  {_R6.format("std / mean")} AS cv
+FROM m JOIN part ON m.l_partkey = p_partkey
+WHERE std / mean >= 2.5
+"""
+
+
+def q_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: Dirichlet-smoothed log-odds
+    vs the rest of the corpus (fightin'-words), top-10 per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.log_odds_tokens(docs, "source", "text", top_k=10, alpha=0.5)
+    return out.select(
+        "grp", "rank", "tok", "n_in_group", "n_corpus",
+        E.r6("log_odds").alias("log_odds"),
+    )
+
+
+_LOG_ODDS_SQL = rf"""
+WITH gt AS (
+  SELECT grp, tok, count(*)::BIGINT AS n_gt
+  FROM (
+    SELECT source AS grp,
+      unnest(string_split(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  )
+  WHERE tok <> '' GROUP BY 1, 2
+),
+tt AS (SELECT tok, sum(n_gt)::BIGINT AS n_t FROM gt GROUP BY 1),
+gtot AS (SELECT grp, sum(n_gt)::BIGINT AS n_g FROM gt GROUP BY 1),
+corpus AS (SELECT sum(n_gt)::BIGINT AS n_all FROM gt),
+scored AS (
+  SELECT grp, tok, n_gt, n_t,
+    ln((n_gt::DOUBLE + 0.5) / (n_g::DOUBLE - n_gt::DOUBLE + 0.5))
+    - ln(((n_t - n_gt)::DOUBLE + 0.5)
+         / ((n_all - n_g)::DOUBLE - (n_t - n_gt)::DOUBLE + 0.5)) AS lo
+  FROM gt JOIN tt USING (tok) JOIN gtot USING (grp) CROSS JOIN corpus
+),
+ranked AS (
+  SELECT grp, tok, n_gt, n_t, lo,
+    row_number() OVER (PARTITION BY grp ORDER BY lo DESC, tok) AS rank
+  FROM scored
+)
+SELECT grp, rank::INT AS rank, tok, n_gt AS n_in_group, n_t AS n_corpus,
+  {_R6.format("lo")} AS log_odds
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid cosine matrix over the embeddings table
+    (micro-unit element sums — order-invariant float vector means)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.label_centroid_similarity(emb, "label", "embedding")
+    return out.select(
+        "label_a", "label_b", E.r6("cos_sim").alias("cos_sim")
+    )
+
+
+_LABEL_CENTROID_SQL = f"""
+WITH cells AS (
+  SELECT label AS lab, i AS pos,
+    sum(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS s,
+    count(*)::BIGINT AS n
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY 1, 2
+),
+c AS (SELECT lab, pos, s / 1000000.0 / n AS c FROM cells),
+j AS (
+  SELECT a.lab AS label_a, b.lab AS label_b, a.c AS ca, b.c AS cb
+  FROM c a JOIN c b ON a.pos = b.pos AND a.lab < b.lab
+),
+d AS (
+  SELECT label_a, label_b,
+    sum(floor(ca * cb * 1000000000000.0 + 0.5)::BIGINT)
+      / 1000000000000.0 AS dot,
+    sum(floor(ca * ca * 1000000000000.0 + 0.5)::BIGINT)
+      / 1000000000000.0 AS na,
+    sum(floor(cb * cb * 1000000000000.0 + 0.5)::BIGINT)
+      / 1000000000000.0 AS nb
+  FROM j GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+  {_R6.format("dot / sqrt(na) / sqrt(nb)")} AS cos_sim
+FROM d ORDER BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -9175,6 +9469,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_auc": q_bootstrap_auc,
         "containment_pairs": q_containment_pairs,
         "zipf_slope": q_zipf_slope,
+        "grouped_auc": q_grouped_auc,
+        "fulfillment_latency": q_fulfillment_latency,
+        "order_backlog": q_order_backlog,
+        "supplier_concentration": q_supplier_concentration,
+        "price_dispersion": q_price_dispersion,
+        "log_odds_tokens": q_log_odds_tokens,
+        "label_centroid_sim": q_label_centroid_sim,
+        # rows-only: Newton iterations driver-looped
+        "platt_scaling": q_platt_scaling,
         # rows-only: Levinson recursion / EM / absorption solve on
         # driver-side aggregate-sized frames
         "pacf": q_pacf,
@@ -9412,6 +9715,14 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_auc": _bootstrap_auc_sql(),
         "containment_pairs": _CONTAINMENT_SQL,
         "zipf_slope": _ZIPF_SQL,
+        "grouped_auc": _GROUPED_AUC_SQL,
+        "fulfillment_latency": _FULFILLMENT_SQL,
+        "order_backlog": _ORDER_BACKLOG_SQL,
+        "supplier_concentration": _SUPPLIER_CONC_SQL,
+        "price_dispersion": _PRICE_DISPERSION_SQL,
+        "log_odds_tokens": _LOG_ODDS_SQL,
+        "label_centroid_sim": _LABEL_CENTROID_SQL,
+        # platt_scaling: rows-only (Newton loop, no SQL twin)
         # pacf / attribution_markov / em_weights: rows-only (driver-side
         # recursions on aggregate-sized frames, no SQL twins)
         "round_amount_screen": _ROUND_AMOUNT_SQL,

@@ -216,6 +216,14 @@ BENCH_QUERIES = [
     "em_weights",
     "containment_pairs",
     "zipf_slope",
+    "grouped_auc",
+    "platt_scaling",
+    "fulfillment_latency",
+    "order_backlog",
+    "supplier_concentration",
+    "price_dispersion",
+    "log_odds_tokens",
+    "label_centroid_sim",
 ]
 
 

@@ -655,19 +655,26 @@ def bootstrap_auc(
 
     Returns one row per replicate: (rep, w_pos, w_neg, auc).
     """
-    rep = F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("rep")
+    n_groups = (reps + 3) // 4
+    # one md5 yields four independent 32-bit uniforms (32 hex chars /
+    # 8): explode digest GROUPS first and materialize each md5 once,
+    # then explode the four lanes off the same digest — reps draws for
+    # reps/4 digest computations per row, same integer-threshold draw
+    grp = F.explode(F.array(*[F.lit(i) for i in range(n_groups)])).alias(
+        "__grp"
+    )
+    digest = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("__grp").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    lane = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__lane")
     h = F.conv(
         F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:"),
-                    F.col("rep").cast("string"),
-                    F.lit(":"),
-                    F.col(id_col).cast("string"),
-                )
-            ),
-            1,
-            8,
+            F.col("__d"), (F.col("__lane") * F.lit(8) + F.lit(1)), F.lit(8)
         ),
         16,
         10,
@@ -678,8 +685,16 @@ def bootstrap_auc(
     b = F.floor(F.col(score) * F.lit(grid) + F.lit(0.5)).cast("long")
     lab = F.col(label).cast("long")
     cells = (
-        df.select(F.col(id_col), lab.alias("__y"), b.alias("__b"), rep)
-        .select("rep", "__b", "__y", w.alias("__w"))
+        df.select(F.col(id_col), lab.alias("__y"), b.alias("__b"), grp)
+        .select("__grp", "__y", "__b", digest.alias("__d"))
+        .select("__grp", "__y", "__b", "__d", lane)
+        .select(
+            (F.col("__grp") * F.lit(4) + F.col("__lane")).alias("rep"),
+            "__b",
+            "__y",
+            w.alias("__w"),
+        )
+        .where(F.col("rep") < reps)
         .groupBy("rep", "__b")
         .agg(
             F.sum(F.col("__w") * F.col("__y")).alias("wp"),
@@ -720,3 +735,134 @@ def bootstrap_auc(
             )
         ).alias("auc"),
     ).orderBy("rep")
+
+
+def grouped_auc(
+    df: DataFrame,
+    segment: str,
+    label: str,
+    score: str,
+    grid: float = 1e6,
+) -> DataFrame:
+    """ROC-AUC per segment — the fairness/slice report a single global
+    AUC hides (a scorer can clear 0.9 overall while being a coin flip
+    on one customer segment). Same exact integer Mann-Whitney form as
+    ``bootstrap_auc``: scores quantized to the 1e-6 grid (bins bounded
+    at 10⁶ per segment), one hash-agg corpus pass to (segment, bin)
+    cells, per-segment cumulative window on the cell frame, numerator
+    folded as DECIMAL(38,0) (tie-corrected: within-bin pairs credit ½).
+    Returns one row per segment: (segment, n_pos, n_neg, auc) — auc is
+    NULL for single-class segments.
+    """
+    b = F.floor(F.col(score) * F.lit(grid) + F.lit(0.5)).cast("long")
+    lab = F.col(label).cast("long")
+    cells = (
+        df.select(F.col(segment).alias("seg"), lab.alias("__y"), b.alias("__b"))
+        .groupBy("seg", "__b")
+        .agg(
+            F.sum("__y").alias("np"),
+            F.sum(F.lit(1) - F.col("__y")).alias("nn"),
+        )
+    )
+    wlo = (
+        Window.partitionBy("seg")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = cells.select(
+        "seg",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wlo), F.lit(0)).alias("cum_nn"),
+    )
+    per = staged.groupBy("seg").agg(
+        F.sum(
+            F.col("np").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum_nn") + F.col("nn")).cast("decimal(38,0)")
+        ).alias("__num"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+    )
+    return per.select(
+        F.col("seg").alias(segment),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+        ).alias("auc"),
+    ).orderBy(segment)
+
+
+def platt_scaling(
+    df: DataFrame,
+    label: str,
+    score: str,
+    max_iter: int = 8,
+) -> tuple:
+    """Platt probability calibration: fit P(y=1|s) = σ(a·s + b) by
+    Newton-Raphson on the log-loss — the parametric complement of the
+    isotonic (PAV) calibrator (monotone-smooth instead of stepwise,
+    safe to extrapolate past the observed score range).
+
+    Each Newton step is ONE corpus aggregate: gradient and Hessian
+    entries fold as integer micro-units (DECIMAL(38,0)), so every
+    iterate — and therefore the fitted (a, b) — is bit-deterministic
+    across partitionings and engines; the 2×2 solve runs driver-side.
+    Cost: max_iter map-side-combined aggregates over (score, label)
+    only. Returns ((a, b), diagnostics DataFrame row) — one row:
+    (a, b, n_iter, n_rows, log_loss).
+    """
+    s = F.col(score).cast("double")
+    y = F.col(label).cast("double")
+    proj = df.select(s.alias("__s"), y.alias("__y"))
+
+    def micro(c):
+        return F.sum(
+            F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(1e9)
+
+    a, b = 0.0, 0.0
+    n_rows = None
+    for _ in range(max_iter):
+        z = F.lit(a) * F.col("__s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w_ = p * (F.lit(1.0) - p)
+        row = proj.agg(
+            micro((p - F.col("__y"))).alias("g_b"),
+            micro((p - F.col("__y")) * F.col("__s")).alias("g_a"),
+            micro(w_).alias("h_bb"),
+            micro(w_ * F.col("__s")).alias("h_ab"),
+            micro(w_ * F.col("__s") * F.col("__s")).alias("h_aa"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n_rows = int(row["n"])
+        det = row["h_aa"] * row["h_bb"] - row["h_ab"] * row["h_ab"]
+        if abs(det) < 1e-12:
+            break
+        da = (row["h_bb"] * row["g_a"] - row["h_ab"] * row["g_b"]) / det
+        db = (row["h_aa"] * row["g_b"] - row["h_ab"] * row["g_a"]) / det
+        a, b = a - da, b - db
+    z = F.lit(a) * F.col("__s") + F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    eps = F.lit(1e-12)
+    ll = proj.agg(
+        (
+            -micro(
+                F.col("__y") * F.log(F.greatest(p, eps))
+                + (F.lit(1.0) - F.col("__y"))
+                * F.log(F.greatest(F.lit(1.0) - p, eps))
+            )
+            / F.count(F.lit(1))
+        ).alias("log_loss")
+    ).collect()[0]["log_loss"]
+    diag = df.sparkSession.createDataFrame(
+        [(float(a), float(b), int(max_iter), int(n_rows), float(ll))],
+        "a double, b double, n_iter int, n_rows long, log_loss double",
+    )
+    return (a, b), diag

@@ -215,44 +215,58 @@ def kalman_filter(
     the first observation).
 
     Shape: one (entity, bucket) rollup shuffle (decimal-exact y), then
-    the sequential recursion runs inside ``applyInPandas`` per entity —
-    state is two floats, the partition holds only that entity's
-    |buckets| rows, and the float ops are evaluated in the exact
-    left-to-right order the SQL twin's recursive CTE uses, so outputs
-    are bit-identical cross-engine. At 100 TB: per-entity series are
-    bounded by the calendar; the groupBy is the only corpus pass.
+    the sequential recursion runs inside ``applyInPandas`` over hash
+    BUCKETS of entities (64) — per-series state is two floats, each
+    bucket holds many calendar-bounded series, and bucketing amortizes
+    the per-Arrow-call overhead that dominates when series are short.
+    Float ops are evaluated in the exact left-to-right order the SQL
+    twin's recursive CTE uses, so outputs are bit-identical
+    cross-engine. At 100 TB: the groupBy is the only corpus pass;
+    raise the bucket count with the cluster.
     """
     qf, rf, p0f = float(q), float(r), float(p0)
     rolled = df.groupBy(
         F.col(entity_col).alias("__e"),
         F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
     ).agg(F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__y"))
+    # bucket entities so each Arrow call carries MANY series — per-group
+    # applyInPandas overhead (~ms/group) dominates when series are short;
+    # 64 buckets amortizes it while staying perfectly parallel at 32 cores
+    rolled = rolled.withColumn(
+        "__g", F.pmod(F.xxhash64(F.col("__e")), F.lit(64))
+    )
 
     schema = f"{entity_col} long, step long, y double, level double"
 
     def _run(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("__b")
-        ys = [float(v) for v in pdf["__y"]]
-        ent = pdf["__e"].iloc[0]
-        levels = []
-        p = p0f
-        level = ys[0]
-        levels.append(level)
-        for y in ys[1:]:
-            pp = p + qf
-            k = pp / (pp + rf)
-            level = level + k * (y - level)
-            p = (1.0 - k) * pp
-            levels.append(level)
+        ents_out, steps, ys_out, levels_out = [], [], [], []
+        for ent, grp in pdf.sort_values(["__e", "__b"]).groupby(
+            "__e", sort=False
+        ):
+            ys = [float(v) for v in grp["__y"]]
+            p = p0f
+            level = ys[0]
+            levels = [level]
+            for y in ys[1:]:
+                pp = p + qf
+                k = pp / (pp + rf)
+                level = level + k * (y - level)
+                p = (1.0 - k) * pp
+                levels.append(level)
+            n = len(ys)
+            ents_out.extend([ent] * n)
+            steps.extend(range(1, n + 1))
+            ys_out.extend(ys)
+            levels_out.extend(levels)
         return pd.DataFrame(
             {
-                entity_col: [ent] * len(ys),
-                "step": list(range(1, len(ys) + 1)),
-                "y": ys,
-                "level": levels,
+                entity_col: ents_out,
+                "step": steps,
+                "y": ys_out,
+                "level": levels_out,
             }
         )
 
-    return rolled.groupBy("__e").applyInPandas(_run, schema=schema)
+    return rolled.groupBy("__g").applyInPandas(_run, schema=schema)

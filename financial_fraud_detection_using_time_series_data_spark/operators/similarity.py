@@ -771,3 +771,71 @@ def topk_recall(
         (F.sum("n_hit") / F.sum("n_exact")).alias("recall_at_k"),
     )
     return per_q.unionByName(summary)
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inter-class centroid cosine matrix: mean embedding per label,
+    then pairwise cosine between centroids — the embedding-space
+    confusion diagnostic (two labels whose centroids sit at cos ≥ 0.9
+    will be inseparable for any downstream linear head; near-duplicate
+    label definitions show up here before any model is trained).
+
+    Element sums fold integer micro-units per (label, dimension) —
+    float vector sums drift with aggregation order, this doesn't. The
+    corpus pass is one explode → (label, pos) aggregate (map-side
+    combined, |labels|·dim cells); the pairwise cosine runs on the
+    |labels|²·dim joined cell frame with micro-nat dot folds —
+    driver-scale for any sane label count. Upper triangle only
+    (label_a < label_b).
+    """
+    cells = (
+        emb.select(
+            F.col(label_col).alias("lab"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("lab", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "lab",
+            "pos",
+            (F.col("s").cast("double") / F.lit(1e6) / F.col("n")).alias("c"),
+        )
+    )
+    a = cells.select(
+        F.col("lab").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("lab").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    j = a.join(b, "pos").where(F.col("label_a") < F.col("label_b"))
+
+    def fold(c):
+        return F.sum(
+            F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(1e12)
+
+    dots = j.groupBy("label_a", "label_b").agg(
+        fold(F.col("ca") * F.col("cb")).alias("dot"),
+        fold(F.col("ca") * F.col("ca")).alias("na"),
+        fold(F.col("cb") * F.col("cb")).alias("nb"),
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        (
+            F.col("dot")
+            / F.sqrt(F.col("na"))
+            / F.sqrt(F.col("nb"))
+        ).alias("cos_sim"),
+    ).orderBy("label_a", "label_b")

@@ -1155,3 +1155,62 @@ def zipf_slope(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def log_odds_tokens(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distinctive vocabulary per group: Dirichlet-smoothed log-odds of
+    each token's usage inside a group vs the rest of the corpus
+    (Monroe et al.'s "fightin' words" statistic) — what actually
+    separates one source/subcorpus from the others, where raw TF-IDF
+    just rewards rarity. The per-source fingerprint a curation pipeline
+    reviews before deciding mixture weights.
+
+    One explode → (group, token) count aggregate is the only corpus
+    pass; token totals broadcast; the log-odds is a pure per-row scalar
+    over four exact integer counts (no float folds needed), and top-k
+    per group is a rank window over the (group, token) frame. Ties
+    break on token text — deterministic.
+    """
+    from pyspark.sql import Window
+
+    gt = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("n_gt"))
+    )
+    tok_tot = gt.groupBy("tok").agg(F.sum("n_gt").alias("n_t"))
+    grp_tot = gt.groupBy("grp").agg(F.sum("n_gt").alias("n_g"))
+    corpus = gt.agg(F.sum("n_gt").alias("n_all"))
+    a = F.lit(float(alpha))
+    j = (
+        gt.join(F.broadcast(tok_tot), "tok")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(corpus))
+    )
+    in_g = F.col("n_gt").cast("double")
+    rest = (F.col("n_t") - F.col("n_gt")).cast("double")
+    size_g = F.col("n_g").cast("double")
+    size_rest = (F.col("n_all") - F.col("n_g")).cast("double")
+    lo = F.log((in_g + a) / (size_g - in_g + a)) - F.log(
+        (rest + a) / (size_rest - rest + a)
+    )
+    scored = j.select(
+        "grp",
+        "tok",
+        F.col("n_gt").cast("long").alias("n_in_group"),
+        F.col("n_t").cast("long").alias("n_corpus"),
+        lo.alias("log_odds"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("log_odds"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("grp", "rank", "tok", "n_in_group", "n_corpus", "log_odds")
+    )

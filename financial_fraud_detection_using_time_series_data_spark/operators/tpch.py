@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "customer_distribution",
+    "fulfillment_latency",
+    "order_backlog",
+    "price_dispersion_screen",
+    "supplier_concentration",
     "discounted_revenue",
     "idle_customers",
     "market_share",
@@ -540,4 +544,163 @@ def min_cost_supplier(
             F.col("supply_cost").cast("double").alias("supply_cost"),
         )
         .orderBy("p_partkey")
+    )
+
+
+def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-first-ship latency distribution per order priority —
+    the operational-SLA readout of the orders⋈lineitem relation.
+    Latency is an exact integer day count, so the per-priority
+    quantiles (linear interpolation, quantile_cont semantics) and mean
+    are bit-deterministic. Two shuffles: the per-order min-shipdate
+    aggregate and the priority rollup; orders join the |orders|-row
+    aggregate on the same key.
+    """
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("__fs")
+    )
+    lat = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("__fs"), F.col("o_orderdate")).alias("__d"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.col("__d").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_days"),
+            F.percentile(F.col("__d"), F.lit(0.5)).alias("p50_days"),
+            F.percentile(F.col("__d"), F.lit(0.9)).alias("p90_days"),
+            F.max("__d").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Open-order backlog per day (sweep line): +1 at order placement,
+    −1 the day after the last line ships; the running sum is the number
+    of orders in flight. Never-shipped orders stay open forever (left
+    join keeps them as +1-only). The corpus collapses to ≤2 deltas per
+    order, then to |days| rows before the cumulative window — the
+    window frame is calendar-bounded regardless of corpus size.
+    """
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__ls")
+    )
+    o = orders.join(
+        last_ship, orders["o_orderkey"] == last_ship["l_orderkey"], "left"
+    )
+    opens = o.select(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closes = o.where(F.col("__ls").isNotNull()).select(
+        F.date_trunc(
+            "day", F.col("__ls") + F.expr("INTERVAL 1 DAY")
+        ).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    ).orderBy("day")
+
+
+def supplier_concentration(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supply-concentration risk per part type: Herfindahl–Hirschman
+    index of supplier revenue shares plus the top supplier's share —
+    the procurement screen for single-source exposure. Revenue sums
+    are decimal-exact; the share-square sum folds integer micro-units
+    over the ≤|suppliers| rows per type (order-invariant).
+    """
+    pt = part.select("p_partkey", "p_type")
+    per = (
+        lineitem.join(F.broadcast(pt), lineitem["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    tot = per.groupBy("p_type").agg(
+        F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = per.join(F.broadcast(tot), "p_type")
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (
+        j.groupBy("p_type")
+        .agg(
+            F.first("n_suppliers").alias("n_suppliers"),
+            (
+                F.sum(
+                    F.floor(share * share * F.lit(1e12) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("hhi"),
+            F.max(share).alias("top_share"),
+        )
+        .select(
+            "p_type",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "hhi",
+            "top_share",
+        )
+        .orderBy("p_type")
+    )
+
+
+def price_dispersion_screen(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_lines: int = 5,
+    min_cv: float = 0.3,
+) -> DataFrame:
+    """Unit-price dispersion screen: parts whose observed per-line unit
+    price varies wildly (coefficient of variation ≥ min_cv) — the
+    procurement-fraud / data-quality tell (same part billed at very
+    different unit rates). Unit price is a per-row double over exact
+    inputs; the moment sums fold integer micro-units, so mean/std/cv
+    are bit-deterministic. One partkey shuffle + broadcast part dim.
+    """
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    micro = lambda c: F.sum(  # noqa: E731
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    )
+    per = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        micro(up).alias("s1"),
+        micro(up * up).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(1e6) / F.col("n_lines")
+    var = F.col("s2").cast("double") / F.lit(1e6) / F.col("n_lines") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cv = std / mean
+    pt = part.select("p_partkey", "p_name", "p_brand")
+    return (
+        per.where(F.col("n_lines") >= min_lines)
+        .select(
+            "l_partkey",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            mean.alias("mean_unit_price"),
+            std.alias("std_unit_price"),
+            cv.alias("cv"),
+        )
+        .where(F.col("cv") >= F.lit(min_cv))
+        .join(F.broadcast(pt), F.col("l_partkey") == pt["p_partkey"])
+        .select(
+            "l_partkey", "p_name", "p_brand", "n_lines",
+            "mean_unit_price", "std_unit_price", "cv",
+        )
+        .orderBy(F.desc("cv"), "l_partkey")
     )

@@ -49,6 +49,13 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # long single-JVM sessions (bench: 200+ distinct queries × 3
+        # executions) accumulate broadcast blocks and shuffle state whose
+        # cleanup piggybacks on driver GC; the default periodicGC of 30min
+        # never fires inside a 15-min session, so late queries run against
+        # a bloated old-gen (measured: same query 0.5s fresh vs 4.4s late).
+        # A 2-min periodic GC keeps the ContextCleaner draining.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark

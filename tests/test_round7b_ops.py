@@ -215,3 +215,46 @@ def test_zipf_slope_recovers_power_law(spark):
     out = T.zipf_slope(docs, top_v=200).collect()[0]
     assert out["slope"] == pytest.approx(-1.0, abs=0.1)
     assert out["n_terms"] == 200
+
+
+def test_grouped_auc_matches_global_on_one_segment(spark):
+    rows = [(i, 1 if i % 4 == 0 else 0, ((i * 37) % 100) / 100.0 + (0.3 if i % 4 == 0 else 0.0), 0)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, label int, score double, seg int")
+    g = evaluation.grouped_auc(df, "seg", "label", "score").collect()
+    # grouped_auc is defined on the 1e-6 score grid; compare against the
+    # exact rank AUC of the SAME quantized scores
+    dq = df.select(
+        "label", F.floor(F.col("score") * 1e6 + 0.5).alias("score")
+    )
+    point = evaluation.roc_auc(dq, "label", "score").collect()[0][0]
+    assert len(g) == 1
+    assert g[0]["auc"] == pytest.approx(point, abs=1e-6)
+    # single-class segment -> NULL auc
+    df2 = spark.createDataFrame(
+        [(i, 1, 0.5, 9) for i in range(10)], "event_id long, label int, score double, seg int"
+    )
+    g2 = evaluation.grouped_auc(df2, "seg", "label", "score").collect()
+    assert g2[0]["auc"] is None
+
+
+def test_platt_scaling_recovers_sigmoid(spark):
+    """Labels generated from σ(3s - 1.5) thresholded deterministically:
+    the fitted curve must be increasing in s and cut ~0.5 near s=0.5."""
+    import math as m
+
+    rows = []
+    for i in range(4000):
+        s = (i % 100) / 100.0
+        p = 1.0 / (1.0 + m.exp(-(3.0 * s - 1.5)))
+        u = ((i * 2654435761) % 2**32) / 2**32
+        rows.append((i, 1 if u < p else 0, s))
+    df = spark.createDataFrame(rows, "event_id long, label int, score double")
+    (a, b), diag = evaluation.platt_scaling(df, "label", "score")
+    assert 2.0 < a < 4.5
+    assert -2.5 < b < -0.8
+    d = diag.collect()[0]
+    assert d["log_loss"] < 0.7
+    # determinism
+    (a2, b2), _ = evaluation.platt_scaling(df, "label", "score")
+    assert (a, b) == (a2, b2)

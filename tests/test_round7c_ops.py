@@ -1,0 +1,100 @@
+"""Round-7 batch 7: operational relational metrics + corpus
+fingerprints — closed-form fixtures."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    similarity,
+    text as T,
+    tpch,
+)
+
+
+def test_fulfillment_latency_integer_days(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (2, 11, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3)), (1, dt.datetime(2024, 1, 9)),
+         (2, dt.datetime(2024, 1, 5))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = tpch.fulfillment_latency(orders, li).collect()
+    assert len(out) == 1
+    r = out[0]
+    # first-ship latencies: order 1 -> 2 days, order 2 -> 4 days
+    assert r["mean_days"] == pytest.approx(3.0)
+    assert r["p50_days"] == pytest.approx(3.0)
+    assert r["max_days"] == 4
+
+
+def test_order_backlog_sweep(spark):
+    orders = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)),
+         (3, dt.datetime(2024, 1, 2))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3)), (2, dt.datetime(2024, 1, 5))],
+        "l_orderkey long, l_shipdate timestamp",
+    )  # order 3 never ships
+    out = {r["day"].day: r["backlog"] for r in tpch.order_backlog(orders, li).collect()}
+    # Jan1: +1 -> 1; Jan2: +2 -> 3; Jan4: order1 closes -> 2; Jan6: order2 closes -> 1
+    assert out[1] == 1 and out[2] == 3 and out[4] == 2 and out[6] == 1
+
+
+def test_supplier_concentration_single_source_is_one(spark):
+    li = spark.createDataFrame(
+        [(1, 7, 100.0, 0.0), (1, 7, 50.0, 0.0), (2, 7, 30.0, 0.0), (2, 8, 30.0, 0.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "MONO"), (2, "DUO")], "p_partkey long, p_type string"
+    )
+    out = {r["p_type"]: r for r in tpch.supplier_concentration(li, part).collect()}
+    assert out["MONO"]["hhi"] == pytest.approx(1.0)
+    assert out["MONO"]["top_share"] == pytest.approx(1.0)
+    assert out["DUO"]["hhi"] == pytest.approx(0.5)
+    assert out["DUO"]["n_suppliers"] == 2
+
+
+def test_price_dispersion_flags_only_volatile_part(spark):
+    rows = [(1, 10.0 * q, q) for q in (1.0, 2.0, 3.0, 4.0, 5.0)]  # unit price 10 always
+    rows += [(2, p, 1.0) for p in (1.0, 1.0, 1.0, 1.0, 400.0)]    # wild
+    li = spark.createDataFrame(rows, "l_partkey long, l_extendedprice double, l_quantity double")
+    part = spark.createDataFrame(
+        [(1, "a", "B1"), (2, "b", "B2")], "p_partkey long, p_name string, p_brand string"
+    )
+    out = tpch.price_dispersion_screen(li, part, min_lines=5, min_cv=0.5).collect()
+    assert [r["l_partkey"] for r in out] == [2]
+    assert out[0]["cv"] > 1.0
+
+
+def test_log_odds_tokens_finds_group_signature(spark):
+    docs = spark.createDataFrame(
+        [(i, "common words plus zebra zebra zebra", "A") for i in range(10)]
+        + [(100 + i, "common words plus yak yak yak", "B") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = T.log_odds_tokens(docs, "source", "text", top_k=2)
+    top = {r["grp"]: r["tok"] for r in out.where(F.col("rank") == 1).collect()}
+    assert top["A"] == "zebra" and top["B"] == "yak"
+
+
+def test_label_centroid_sim_orthogonal_vs_identical(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((100 + i, [0.0, 1.0, 0.0, 0.0], 1))
+        rows.append((200 + i, [1.0, 0.0, 0.0, 0.0], 2))  # same as label 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): r["cos_sim"]
+           for r in similarity.label_centroid_similarity(emb).collect()}
+    assert out[(0, 1)] == pytest.approx(0.0, abs=1e-9)
+    assert out[(0, 2)] == pytest.approx(1.0, abs=1e-9)
