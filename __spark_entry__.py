@@ -9183,6 +9183,164 @@ FROM d ORDER BY 1, 2
 """
 
 
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month over the distinct (entity, day)
+    reduction — the canonical engagement metric."""
+    out = behavior.stickiness(_events(spark, sf_dir), "user_id", "ts")
+    return out.select(
+        "month",
+        "active_days",
+        "mau",
+        E.r6("avg_dau").alias("avg_dau"),
+        E.r6("stickiness").alias("stickiness"),
+    )
+
+
+_STICKINESS_SQL = f"""
+WITH ed AS (
+  SELECT DISTINCT user_id AS e, date_trunc('day', ts) AS d FROM events
+),
+wm AS (SELECT e, d, date_trunc('month', d) AS m FROM ed),
+dau AS (SELECT m, d, count(*)::BIGINT AS dau FROM wm GROUP BY 1, 2),
+pm AS (
+  SELECT m, sum(dau)::BIGINT AS sum_dau, count(*)::BIGINT AS days
+  FROM dau GROUP BY 1
+),
+mau AS (SELECT m, count(DISTINCT e)::BIGINT AS mau FROM wm GROUP BY 1)
+SELECT pm.m AS month, days AS active_days, mau,
+  {_R6.format("sum_dau::DOUBLE / days")} AS avg_dau,
+  {_R6.format("sum_dau::DOUBLE / days / mau")} AS stickiness
+FROM pm JOIN mau USING (m) ORDER BY month
+"""
+
+
+def q_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit: per-entity observed vs expected
+    active days (exact integer spans) — the series-gap check before
+    trusting per-day features."""
+    out = behavior.missing_buckets(
+        _events(spark, sf_dir), "user_id", "ts", min_span_days=30
+    )
+    return out.select(
+        "user_id",
+        "first_day",
+        "last_day",
+        "span_days",
+        "observed_days",
+        "missing_days",
+        E.r6("coverage").alias("coverage"),
+    )
+
+
+_MISSING_BUCKETS_SQL = f"""
+WITH ed AS (
+  SELECT DISTINCT user_id AS e, date_trunc('day', ts) AS d FROM events
+),
+a AS (
+  SELECT e, min(d) AS f, max(d) AS l, count(*)::BIGINT AS obs
+  FROM ed GROUP BY 1
+)
+SELECT e AS user_id, f AS first_day, l AS last_day,
+  (date_diff('day', f, l) + 1)::BIGINT AS span_days,
+  obs AS observed_days,
+  (date_diff('day', f, l) + 1 - obs)::BIGINT AS missing_days,
+  {_R6.format("obs::DOUBLE / (date_diff('day', f, l) + 1)")} AS coverage
+FROM a WHERE date_diff('day', f, l) + 1 >= 30
+"""
+
+
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach per node on the shared-exact-amount graph (hub cap
+    64, part of the contract) — influence radius in two transfers."""
+    ev = _events(spark, sf_dir)
+    edges = events_ops.shared_attr_edges(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+    out = events_ops.two_hop_reach(edges, max_wedge_degree=64)
+    return out.select(
+        F.col("u").alias("user_id"), "degree", "reach_2hop"
+    )
+
+
+_TWO_HOP_SQL = """
+WITH a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS w, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+mid AS (SELECT w FROM deg WHERE deg <= 64),
+nb AS (SELECT sym.u AS w, sym.v AS x FROM sym JOIN mid ON sym.u = mid.w),
+hops AS (
+  SELECT DISTINCT n1.x AS u, n2.x AS h2
+  FROM nb n1 JOIN nb n2 USING (w)
+  WHERE n1.x <> n2.x
+),
+pure AS (
+  SELECT u, h2 FROM hops
+  ANTI JOIN sym ON sym.u = hops.u AND sym.v = hops.h2
+)
+SELECT p.u AS user_id, d.deg AS degree, count(*)::BIGINT AS reach_2hop
+FROM pure p JOIN deg d ON d.w = p.u
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained by the hour-of-day profile per event type
+    (micro-unit variance folds) — HOW seasonal, next to periodogram's
+    at-what-period."""
+    out = drift.seasonality_strength(
+        _events(spark, sf_dir), "ts", "event_type", "value"
+    )
+    return out.select(
+        "event_type", "n_buckets", E.r6("strength").alias("strength")
+    )
+
+
+_SEASONALITY_STRENGTH_SQL = f"""
+WITH ser AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+    sum(value::DECIMAL(25,2))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+s2 AS (SELECT event_type, x, hour(b) AS hod FROM ser),
+hodm AS (
+  SELECT event_type, hod,
+    sum(floor(x * 1000000.0 + 0.5)::BIGINT) / 1000000.0 / count(*) AS hmean
+  FROM s2 GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+    sum(floor(x * 1000000.0 + 0.5)::BIGINT) / 1000000.0 / count(*) AS gmean
+  FROM s2 GROUP BY 1
+),
+j AS (
+  SELECT s2.event_type, x, hmean, gmean
+  FROM s2 JOIN hodm USING (event_type, hod) JOIN tot USING (event_type)
+),
+f AS (
+  SELECT event_type, count(*)::BIGINT AS n_buckets,
+    sum(floor((x - hmean) * (x - hmean) * 1000000.0 + 0.5)::BIGINT)
+      / 1000000.0 AS ssr,
+    sum(floor((x - gmean) * (x - gmean) * 1000000.0 + 0.5)::BIGINT)
+      / 1000000.0 AS sst
+  FROM j GROUP BY 1
+)
+SELECT event_type, n_buckets,
+  {_R6.format(
+      "CASE WHEN sst > 0 THEN greatest(0.0, 1.0 - ssr / sst) END"
+  )} AS strength
+FROM f ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -9476,6 +9634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_dispersion": q_price_dispersion,
         "log_odds_tokens": q_log_odds_tokens,
         "label_centroid_sim": q_label_centroid_sim,
+        "stickiness": q_stickiness,
+        "missing_buckets": q_missing_buckets,
+        "two_hop_reach": q_two_hop_reach,
+        "seasonality_strength": q_seasonality_strength,
         # rows-only: Newton iterations driver-looped
         "platt_scaling": q_platt_scaling,
         # rows-only: Levinson recursion / EM / absorption solve on
@@ -9722,6 +9884,10 @@ def oracle_sql() -> dict[str, str]:
         "price_dispersion": _PRICE_DISPERSION_SQL,
         "log_odds_tokens": _LOG_ODDS_SQL,
         "label_centroid_sim": _LABEL_CENTROID_SQL,
+        "stickiness": _STICKINESS_SQL,
+        "missing_buckets": _MISSING_BUCKETS_SQL,
+        "two_hop_reach": _TWO_HOP_SQL,
+        "seasonality_strength": _SEASONALITY_STRENGTH_SQL,
         # platt_scaling: rows-only (Newton loop, no SQL twin)
         # pacf / attribution_markov / em_weights: rows-only (driver-side
         # recursions on aggregate-sized frames, no SQL twins)

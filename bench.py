@@ -224,6 +224,10 @@ BENCH_QUERIES = [
     "price_dispersion",
     "log_odds_tokens",
     "label_centroid_sim",
+    "stickiness",
+    "missing_buckets",
+    "two_hop_reach",
+    "seasonality_strength",
 ]
 
 

@@ -830,3 +830,94 @@ def audience_overlap(
         (F.col("n_prev") - F.col("n_retained")).alias("n_churned"),
         (F.col("n_retained").cast("double") / union_n.cast("double")).alias("jaccard"),
     )
+
+
+def stickiness(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: monthly active entities,
+    mean daily active entities, and their ratio — the engagement
+    metric every product review opens with (MAU alone hides whether
+    users come back daily or monthly).
+
+    The corpus collapses to distinct (entity, day) once — the same
+    reduction audience_overlap uses — then everything is counting on
+    that frame: DAU per day, MAU per month (distinct over the month),
+    stickiness = avg(DAU)/MAU. All inputs exact integers; the ratio is
+    one double division per month row.
+    """
+    ed = df.select(
+        F.col(entity_col).alias("__e"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).distinct()
+    withm = ed.select(
+        "__e", "__d", F.date_trunc("month", F.col("__d")).alias("__m")
+    )
+    dau = withm.groupBy("__m", "__d").agg(
+        F.count(F.lit(1)).alias("__dau")
+    )
+    per_month_dau = dau.groupBy("__m").agg(
+        F.sum("__dau").alias("__sum_dau"), F.count(F.lit(1)).alias("__days")
+    )
+    mau = withm.groupBy("__m").agg(
+        F.countDistinct("__e").alias("__mau")
+    )
+    return (
+        per_month_dau.join(mau, "__m")
+        .select(
+            F.col("__m").alias("month"),
+            F.col("__days").cast("long").alias("active_days"),
+            F.col("__mau").cast("long").alias("mau"),
+            (F.col("__sum_dau").cast("double") / F.col("__days")).alias("avg_dau"),
+            (
+                F.col("__sum_dau").cast("double")
+                / F.col("__days")
+                / F.col("__mau")
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+def missing_buckets(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    min_span_days: int = 30,
+) -> DataFrame:
+    """Calendar-completeness audit per entity: expected days between
+    first and last activity vs days actually observed — the series-
+    gap check a feature pipeline runs before trusting per-day rollups
+    (silent gaps turn 'daily average' features into lies).
+
+    One distinct-(entity, day) reduction, then a single entity
+    aggregate: span from min/max (exact integer datediff), observed =
+    count of distinct days, coverage = observed/span. Entities with a
+    span shorter than ``min_span_days`` are dropped (coverage on a
+    3-day account is noise).
+    """
+    ed = df.select(
+        F.col(entity_col).alias("__e"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).distinct()
+    agg = ed.groupBy("__e").agg(
+        F.min("__d").alias("__first"),
+        F.max("__d").alias("__last"),
+        F.count(F.lit(1)).alias("__observed"),
+    )
+    span = F.datediff(F.col("__last"), F.col("__first")) + F.lit(1)
+    return (
+        agg.where(span >= F.lit(min_span_days))
+        .select(
+            F.col("__e").alias(entity_col),
+            F.col("__first").alias("first_day"),
+            F.col("__last").alias("last_day"),
+            span.cast("long").alias("span_days"),
+            F.col("__observed").cast("long").alias("observed_days"),
+            (span - F.col("__observed")).cast("long").alias("missing_days"),
+            (F.col("__observed").cast("double") / span).alias("coverage"),
+        )
+        .orderBy("coverage", entity_col)
+    )

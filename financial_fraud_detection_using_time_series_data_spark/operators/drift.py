@@ -861,3 +861,70 @@ def pacf(
     return df.sparkSession.createDataFrame(
         out, f"{type_col} string, lag int, pacf double"
     )
+
+
+def seasonality_strength(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonality strength per series: share of hourly-total variance
+    explained by the hour-of-day profile, F_s = 1 − Var(residual) /
+    Var(total) over the bucketed series — the 0-to-1 "how seasonal is
+    this" companion to `spectral_entropy` (strength says HOW MUCH,
+    the spectrum says AT WHAT PERIOD).
+
+    The corpus collapses to the |series|·|buckets| decimal-exact
+    rollup; the hour-of-day means are a 24-row broadcast per series;
+    both variances fold integer micro-units (DECIMAL(38,0)) over the
+    rollup frame, so the statistic is order-invariant cross-engine.
+    """
+    b = F.date_trunc("hour", F.col(ts_col)).alias("__b")
+    ser = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__x")
+    )
+    ser = ser.withColumn("__hod", F.hour("__b"))
+    hod = ser.groupBy(type_col, "__hod").agg(
+        F.sum(
+            F.floor(F.col("__x") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__hs"),
+        F.count(F.lit(1)).alias("__hn"),
+    ).select(
+        type_col,
+        "__hod",
+        (F.col("__hs").cast("double") / F.lit(1e6) / F.col("__hn")).alias("__hmean"),
+    )
+    tot = ser.groupBy(type_col).agg(
+        F.sum(
+            F.floor(F.col("__x") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        type_col,
+        (F.col("__s").cast("double") / F.lit(1e6) / F.col("__n")).alias("__gmean"),
+        "__n",
+    )
+    j = ser.join(F.broadcast(hod), [type_col, "__hod"]).join(
+        F.broadcast(tot), type_col
+    )
+    micro = lambda c: F.sum(  # noqa: E731
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    ).cast("double") / F.lit(1e6)
+    res = F.col("__x") - F.col("__hmean")
+    dev = F.col("__x") - F.col("__gmean")
+    out = j.groupBy(type_col).agg(
+        micro(res * res).alias("__ssr"),
+        micro(dev * dev).alias("__sst"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return out.select(
+        type_col,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.when(
+            F.col("__sst") > 0,
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.col("__ssr") / F.col("__sst")
+            ),
+        ).alias("strength"),
+    ).orderBy(type_col)

@@ -98,3 +98,74 @@ def test_label_centroid_sim_orthogonal_vs_identical(spark):
            for r in similarity.label_centroid_similarity(emb).collect()}
     assert out[(0, 1)] == pytest.approx(0.0, abs=1e-9)
     assert out[(0, 2)] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_stickiness_daily_vs_monthly_users(spark):
+    """User 1 active every day of Jan (31 days), users 2-11 active one
+    day each: DAU avg = (31 + 10)/31, MAU = 11."""
+    import datetime as dt
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    rows = [(d, dt.datetime(2024, 1, 1 + d), 1, "view", 1.0) for d in range(31)]
+    rows += [(100 + u, dt.datetime(2024, 1, 1 + u), 2 + u, "view", 1.0) for u in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = behavior.stickiness(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["mau"] == 11 and r["active_days"] == 31
+    assert r["avg_dau"] == pytest.approx(41 / 31)
+    assert r["stickiness"] == pytest.approx(41 / 31 / 11)
+
+
+def test_missing_buckets_counts_gaps(spark):
+    import datetime as dt
+    from financial_fraud_detection_using_time_series_data_spark.operators import behavior
+
+    # user 1: days 0..39 minus a 5-day hole; user 2: too-short span
+    rows = [(d, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 1, "view", 1.0)
+            for d in range(40) if not (10 <= d < 15)]
+    rows += [(100, dt.datetime(2024, 1, 1), 2, "view", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = behavior.missing_buckets(ev, min_span_days=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["span_days"] == 40 and r["observed_days"] == 35 and r["missing_days"] == 5
+    assert r["coverage"] == pytest.approx(35 / 40)
+
+
+def test_two_hop_reach_path_graph(spark):
+    """Path 1-2-3-4-5: node 1 reaches {3} in two hops, node 3 reaches
+    {1, 5}."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    out = {r["u"]: r["reach_2hop"] for r in events_ops.two_hop_reach(edges).collect()}
+    assert out[1] == 1 and out[3] == 2 and out[5] == 1
+    assert out[2] == 1  # reaches 4 (3 is direct, 2 itself excluded)
+
+
+def test_seasonality_strength_separates_flat_from_cyclic(spark):
+    import datetime as dt
+    from financial_fraud_detection_using_time_series_data_spark.operators import drift
+
+    rows = []
+    eid = 0
+    for h in range(24 * 14):
+        # 'cyc': strong hour-of-day pattern; 'flat': constant
+        cyc_val = 100.0 if (h % 24) < 12 else 10.0
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), 1, "cyc", cyc_val)); eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), 1, "flat", 50.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_type"]: r["strength"] for r in drift.seasonality_strength(ev).collect()}
+    assert out["cyc"] == pytest.approx(1.0, abs=1e-6)
+    assert out["flat"] is None or out["flat"] == pytest.approx(0.0, abs=1e-6)
