@@ -9341,6 +9341,140 @@ FROM f ORDER BY 1
 """
 
 
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per user (sparse daily
+    demand; state recursion over demand occurrences only, bit-identical
+    to the recursive-CTE oracle)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    out = forecast.croston_forecast(
+        _events(spark, sf_dir), "user_id", "ts", "value", "day", alpha=0.2
+    )
+    return out.select(
+        "user_id",
+        "n_demands",
+        E.r6("z").alias("z"),
+        E.r6("p").alias("p"),
+        E.r6("forecast_rate").alias("forecast_rate"),
+    )
+
+
+_CROSTON_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+    sum(value::DECIMAL(25,2))::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+), dem AS (
+  SELECT user_id, y,
+    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+    date_diff('day',
+              lag(d) OVER (PARTITION BY user_id ORDER BY d), d)::DOUBLE AS gap
+  FROM daily WHERE y > 0
+), cr AS (
+  SELECT user_id, i, y AS z, 1.0::DOUBLE AS p FROM dem WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i,
+    k.z + 0.2::DOUBLE * (s.y - k.z),
+    k.p + 0.2::DOUBLE * (s.gap - k.p)
+  FROM cr k JOIN dem s ON s.user_id = k.user_id AND s.i = k.i + 1
+), lastd AS (
+  SELECT user_id, max(i) AS n FROM dem GROUP BY 1
+)
+SELECT c.user_id, l.n::BIGINT AS n_demands,
+  {_R6.format("c.z")} AS z,
+  {_R6.format("c.p")} AS p,
+  {_R6.format("c.z / c.p")} AS forecast_rate
+FROM cr c JOIN lastd l ON c.user_id = l.user_id AND c.i = l.n
+"""
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detector per event type over
+    the daily count stream (1e-9-grid integer cumulative folds)."""
+    out = drift.page_hinkley(
+        _events(spark, sf_dir), "ts", "event_type", delta=0.005, lam=50.0
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "x",
+        E.r6("running_mean").alias("running_mean"),
+        E.r6("ph_stat").alias("ph_stat"),
+        "alarm",
+    )
+
+
+_PAGE_HINKLEY_SQL = f"""
+WITH ser AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), s1 AS (
+  SELECT event_type, bucket, x,
+    (sum(x) OVER w)::DOUBLE / (count(*) OVER w) AS rm
+  FROM ser
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s2 AS (
+  SELECT event_type, bucket, x, rm,
+    sum(floor((x::DOUBLE - rm - 0.005::DOUBLE) * 1000000000.0 + 0.5)::BIGINT)
+      OVER w2 AS m
+  FROM s1
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s3 AS (
+  SELECT event_type, bucket, x, rm,
+    (m - min(m) OVER w3)::DOUBLE / 1000000000.0 AS ph
+  FROM s2
+  WINDOW w3 AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, x,
+  {_R6.format("rm")} AS running_mean,
+  {_R6.format("ph")} AS ph_stat,
+  (ph > 50.0)::INT AS alarm
+FROM s3 ORDER BY 1, 2
+"""
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) part classification by revenue contribution —
+    chunked descending prefix sum (no partitionless window), exact
+    decimal cumulative."""
+    out = tpch.abc_classification(
+        load_table(spark, sf_dir, "lineitem"), a_share=0.7, b_share=0.9
+    )
+    return out.select(
+        "l_partkey",
+        E.r6("revenue").alias("revenue"),
+        E.r6("cum_share").alias("cum_share"),
+        "abc_class",
+    )
+
+
+_ABC_SQL = f"""
+WITH per AS (
+  SELECT l_partkey,
+    sum(l_extendedprice::DECIMAL(18,2)
+        * (1 - l_discount::DECIMAL(18,2))) AS r
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(r) AS t FROM per),
+c AS (
+  SELECT l_partkey, r::DOUBLE AS rd,
+    sum(r) OVER (ORDER BY r::DOUBLE DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per
+)
+SELECT l_partkey,
+  {_R6.format("rd")} AS revenue,
+  {_R6.format("cum::DOUBLE / t::DOUBLE")} AS cum_share,
+  CASE WHEN cum::DOUBLE / t::DOUBLE <= 0.7 THEN 'A'
+       WHEN cum::DOUBLE / t::DOUBLE <= 0.9 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM c CROSS JOIN tot
+ORDER BY rd DESC, l_partkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -9638,6 +9772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_buckets": q_missing_buckets,
         "two_hop_reach": q_two_hop_reach,
         "seasonality_strength": q_seasonality_strength,
+        "croston_forecast": q_croston,
+        "page_hinkley": q_page_hinkley,
+        "abc_classification": q_abc_classification,
         # rows-only: Newton iterations driver-looped
         "platt_scaling": q_platt_scaling,
         # rows-only: Levinson recursion / EM / absorption solve on
@@ -9888,6 +10025,9 @@ def oracle_sql() -> dict[str, str]:
         "missing_buckets": _MISSING_BUCKETS_SQL,
         "two_hop_reach": _TWO_HOP_SQL,
         "seasonality_strength": _SEASONALITY_STRENGTH_SQL,
+        "croston_forecast": _CROSTON_SQL,
+        "page_hinkley": _PAGE_HINKLEY_SQL,
+        "abc_classification": _ABC_SQL,
         # platt_scaling: rows-only (Newton loop, no SQL twin)
         # pacf / attribution_markov / em_weights: rows-only (driver-side
         # recursions on aggregate-sized frames, no SQL twins)

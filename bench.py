@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     "missing_buckets",
     "two_hop_reach",
     "seasonality_strength",
+    "croston_forecast",
+    "page_hinkley",
+    "abc_classification",
 ]
 
 

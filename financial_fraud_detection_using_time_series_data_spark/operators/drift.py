@@ -928,3 +928,63 @@ def seasonality_strength(
             ),
         ).alias("strength"),
     ).orderBy(type_col)
+
+
+def page_hinkley(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    delta: float = 0.005,
+    lam: float = 50.0,
+    bucket: str = "day",
+) -> DataFrame:
+    """Page–Hinkley changepoint test per series over the daily count
+    stream: the sequential mean-shift detector (the streaming-world
+    standard next to CUSUM — CUSUM here scans a fixed window, PH runs
+    cumulatively and alarms the first time the drift statistic clears
+    λ). PH_t = m_t − min_{i≤t} m_i with m_t = Σ(x_i − x̄_i − δ), x̄_i
+    the running mean.
+
+    The corpus collapses to the |series|·|days| count rollup; all four
+    cumulatives (sum, running mean, m, running min of m) are ordered
+    windows over that calendar-bounded frame. The drift terms are
+    quantized to a 1e-9 integer grid before the cumulative fold —
+    window-sum implementations are free to combine partial sums in any
+    tree order, and a float fold would drift between engines; integer
+    folds cannot. Returns per (series, day): x, running mean,
+    ph statistic, alarm.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ser = df.groupBy(type_col, b).agg(F.count(F.lit(1)).alias("__x"))
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mean = F.sum("__x").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    staged = ser.select(
+        type_col,
+        F.col("__b").alias("bucket"),
+        F.col("__x").cast("long").alias("x"),
+        mean.alias("running_mean"),
+        (F.col("__x").cast("double") - mean - F.lit(float(delta))).alias("__term"),
+    )
+    w2 = (
+        Window.partitionBy(type_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tq = F.floor(F.col("__term") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    m = F.sum(tq).over(w2)
+    staged2 = staged.select(
+        type_col, "bucket", "x", "running_mean", m.alias("__m")
+    )
+    ph = (F.col("__m") - F.min("__m").over(w2)).cast("double") / F.lit(1e9)
+    return staged2.select(
+        type_col,
+        "bucket",
+        "x",
+        "running_mean",
+        ph.alias("ph_stat"),
+        (ph > F.lit(float(lam))).cast("int").alias("alarm"),
+    ).orderBy(type_col, "bucket")

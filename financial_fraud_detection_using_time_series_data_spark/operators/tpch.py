@@ -704,3 +704,68 @@ def price_dispersion_screen(
         )
         .orderBy(F.desc("cv"), "l_partkey")
     )
+
+
+def abc_classification(
+    lineitem: DataFrame,
+    a_share: float = 0.7,
+    b_share: float = 0.9,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue contribution:
+    class A = parts covering the top ``a_share`` of revenue, B up to
+    ``b_share``, C the tail — the inventory-policy segmentation every
+    ops team keeps pinned.
+
+    The cumulative share needs a revenue-descending prefix sum over the
+    parts dim; that is the classic partitionless-window trap at dim
+    scale, so it runs on the chunked primitives (range chunks + exact
+    offset fold — the `_pr_points`/`gini` discipline). Revenue sums are
+    decimal-exact; the class boundary compares the exact cumulative
+    against share × exact total, both as doubles of exact decimals —
+    deterministic cross-engine.
+    """
+    from .chunked import chunk_offsets, range_chunk
+
+    per = lineitem.groupBy("l_partkey").agg(F.sum(_rev()).alias("__r"))
+    per = per.select(
+        "l_partkey", F.col("__r").cast("double").alias("__rd"), "__r"
+    )
+    chunked = range_chunk(per, "__rd", n_chunks, descending=True)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(F.col("__rd").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = chunked.select(
+        "l_partkey",
+        "__rd",
+        "__chunk",
+        F.sum("__r").over(w_in).alias("__cum_in"),
+    )
+    totals = within.groupBy("__chunk").agg(F.max("__cum_in").alias("__ct"))
+    offsets = chunk_offsets(totals, ["__ct"])
+    tot = totals.agg(F.sum("__ct").alias("__tot"))
+    cum = (
+        within.join(F.broadcast(offsets), "__chunk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "__rd",
+            (
+                (F.col("__ct_off") + F.col("__cum_in")).cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= F.lit(a_share), "A")
+        .when(F.col("cum_share") <= F.lit(b_share), "B")
+        .otherwise("C")
+    )
+    return cum.select(
+        "l_partkey",
+        F.col("__rd").alias("revenue"),
+        "cum_share",
+        cls.alias("abc_class"),
+    ).orderBy(F.desc("revenue"), "l_partkey")

@@ -169,3 +169,59 @@ def test_seasonality_strength_separates_flat_from_cyclic(spark):
     out = {r["event_type"]: r["strength"] for r in drift.seasonality_strength(ev).collect()}
     assert out["cyc"] == pytest.approx(1.0, abs=1e-6)
     assert out["flat"] is None or out["flat"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_croston_closed_form_two_demands(spark):
+    """Two demands 10 and 20, 4 days apart: z = 10 + .2*(20-10) = 12,
+    p = 1 + .2*(4-1) = 1.6."""
+    import datetime as dt
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "view", 10.0),
+        (1, dt.datetime(2024, 1, 5), 1, "view", 20.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = forecast.croston_forecast(ev, alpha=0.2).collect()[0]
+    assert out["z"] == pytest.approx(12.0)
+    assert out["p"] == pytest.approx(1.6)
+    assert out["forecast_rate"] == pytest.approx(12.0 / 1.6)
+    assert out["n_demands"] == 2
+
+
+def test_page_hinkley_alarms_on_level_shift(spark):
+    """30 quiet days then 30 loud days: PH must alarm after the shift
+    and never before."""
+    import datetime as dt
+    from financial_fraud_detection_using_time_series_data_spark.operators import drift
+
+    rows = []
+    eid = 0
+    for d in range(60):
+        n = 5 if d < 30 else 50
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1, i % 24) + dt.timedelta(days=d), 1, "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = drift.page_hinkley(ev, lam=50.0).orderBy("bucket").collect()
+    alarms = [r["alarm"] for r in out]
+    assert max(alarms[:30]) == 0
+    assert alarms[-1] == 1
+
+
+def test_abc_classes_partition_revenue(spark):
+    rows = []
+    # part 1: 70 revenue, part 2: 20, parts 3..12: 1 each
+    rows += [(1, 70.0, 0.0)]
+    rows += [(2, 20.0, 0.0)]
+    rows += [(k, 1.0, 0.0) for k in range(3, 13)]
+    li = spark.createDataFrame(rows, "l_partkey long, l_extendedprice double, l_discount double")
+    out = {r["l_partkey"]: r for r in tpch.abc_classification(li, 0.7, 0.9).collect()}
+    assert out[1]["abc_class"] == "A"
+    assert out[2]["abc_class"] == "B"
+    assert all(out[k]["abc_class"] == "C" for k in range(3, 13))
+    assert out[12]["cum_share"] == pytest.approx(1.0)
