@@ -1282,7 +1282,12 @@ def attribution_markov(
         F.row_number().over(wj).alias("__rn"),
     )
     starts = seq.where(F.col("__rn") == 1).select(
-        F.lit("START").alias("cur"), F.col("cur").alias("nxt")
+        F.lit("START").alias("cur"),
+        # a journey whose first event IS the conversion converts
+        # immediately: START→CONV, not START→<conv_type-as-channel>
+        F.when(F.col("cur") == conv_type, F.lit("CONV"))
+        .otherwise(F.col("cur"))
+        .alias("nxt"),
     )
     mids = seq.where(F.col("nxt").isNotNull()).select(
         "cur",

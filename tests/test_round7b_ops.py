@@ -258,3 +258,24 @@ def test_platt_scaling_recovers_sigmoid(spark):
     # determinism
     (a2, b2), _ = evaluation.platt_scaling(df, "label", "score")
     assert (a, b) == (a2, b2)
+
+
+def test_attribution_markov_instant_conversions_count(spark):
+    """Journeys whose FIRST event is the purchase must credit the
+    baseline conversion probability (START->CONV), not invent a
+    pseudo-channel."""
+    rows = []
+    eid = 0
+    for u in range(10):  # instant converters
+        rows.append((eid, _ts(eid), u, "purchase", 1.0)); eid += 1
+    for u in range(10, 20):  # click -> purchase
+        rows.append((eid, _ts(eid), u, "click", 1.0)); eid += 1
+        rows.append((eid, _ts(eid), u, "purchase", 1.0)); eid += 1
+    out = events_ops.attribution_markov(_ev(spark, rows)).collect()
+    chans = {r["channel"] for r in out}
+    assert "purchase" not in chans and chans == {"click"}
+    r = out[0]
+    # 20 journeys, all convert -> baseline 1.0; removing click still
+    # leaves the 10 instant conversions -> removal effect = 0.5
+    assert r["p_conv_base"] == pytest.approx(1.0)
+    assert r["removal_effect"] == pytest.approx(0.5, abs=1e-9)
