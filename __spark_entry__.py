@@ -9475,6 +9475,68 @@ ORDER BY rd DESC, l_partkey
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 10-90% value-trimmed mean: exact percentile bounds
+    broadcast, map-only membership, decimal-exact in-band sum — the
+    sort-free robust center."""
+    out = relational.trimmed_mean(
+        _events(spark, sf_dir), "event_type", "value", lo=0.1, hi=0.9
+    )
+    return out.select(
+        "event_type",
+        "n_total",
+        "n_kept",
+        E.r6("lo_bound").alias("lo_bound"),
+        E.r6("hi_bound").alias("hi_bound"),
+        E.r6("trimmed_mean").alias("trimmed_mean"),
+    )
+
+
+_TRIMMED_MEAN_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi,
+    count(*)::BIGINT AS n_total
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, b.n_total,
+  sum((e.value BETWEEN b.lo AND b.hi)::INT)::BIGINT AS n_kept,
+  {_R6.format("b.lo")} AS lo_bound,
+  {_R6.format("b.hi")} AS hi_bound,
+  {_R6.format(
+      "sum(CASE WHEN e.value BETWEEN b.lo AND b.hi"
+      " THEN e.value::DECIMAL(25,6) ELSE 0::DECIMAL(25,6) END)::DOUBLE"
+      " / sum((e.value BETWEEN b.lo AND b.hi)::INT)"
+  )} AS trimmed_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY 1, 2, b.lo, b.hi
+ORDER BY 1
+"""
+
+
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-KLL-sketch quantile audit per event type (the
+    governance table behind every exact→sketch switch). Rows-only: the
+    sketch side is engine-specific by nature; error bounds pinned by
+    test."""
+    from financial_fraud_detection_using_time_series_data_spark.sources import (
+        profiler,
+    )
+
+    out = profiler.sketch_accuracy_audit(
+        _events(spark, sf_dir), "event_type", "value"
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        E.r6("p").alias("p"),
+        E.r6("exact_q").alias("exact_q"),
+        E.r6("approx_q").alias("approx_q"),
+        E.r6("abs_err").alias("abs_err"),
+        E.r6("rel_err").alias("rel_err"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -9775,6 +9837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston_forecast": q_croston,
         "page_hinkley": q_page_hinkley,
         "abc_classification": q_abc_classification,
+        "trimmed_mean": q_trimmed_mean,
+        # rows-only: the sketch side is engine-specific by design
+        "sketch_accuracy": q_sketch_accuracy,
         # rows-only: Newton iterations driver-looped
         "platt_scaling": q_platt_scaling,
         # rows-only: Levinson recursion / EM / absorption solve on
@@ -10028,6 +10093,8 @@ def oracle_sql() -> dict[str, str]:
         "croston_forecast": _CROSTON_SQL,
         "page_hinkley": _PAGE_HINKLEY_SQL,
         "abc_classification": _ABC_SQL,
+        "trimmed_mean": _TRIMMED_MEAN_SQL,
+        # sketch_accuracy: rows-only (engine-specific sketch output)
         # platt_scaling: rows-only (Newton loop, no SQL twin)
         # pacf / attribution_markov / em_weights: rows-only (driver-side
         # recursions on aggregate-sized frames, no SQL twins)

@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "croston_forecast",
     "page_hinkley",
     "abc_classification",
+    "trimmed_mean",
+    "sketch_accuracy",
 ]
 
 

@@ -157,3 +157,57 @@ def schema_diff(before: DataFrame, after: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, change string, before string, after string"
     )
+
+
+def sketch_accuracy_audit(
+    df,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    probs=(0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+):
+    """Exact-vs-sketch quantile audit: per group and probability, the
+    exact interpolated percentile, the KLL-sketch estimate
+    (``percentile_approx`` at the given accuracy), and their absolute /
+    relative gap. This is the governance table behind every
+    exact↔sketch switch in the engine (`psi_bins(exact_edges=False)`,
+    `_edges`, approx profiling): before flipping a 100 TB pipeline to
+    the sketch path, measure what the sketch costs on YOUR
+    distribution. Rows-only by design — the sketch side is
+    engine-specific (that is the point of auditing it).
+
+    Both statistics ride ONE aggregate over the group key; output is
+    |groups|·|probs| rows.
+    """
+    from pyspark.sql import functions as F
+
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), parr).alias("__exact"),
+        F.percentile_approx(F.col(value_col), parr, accuracy).alias("__approx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    fan = agg.select(
+        group_col,
+        F.col("__n").cast("long").alias("n_rows"),
+        F.posexplode(
+            F.arrays_zip(
+                F.lit(list(float(p) for p in probs)).alias("p"),
+                F.col("__exact").alias("exact"),
+                F.col("__approx").cast("array<double>").alias("approx"),
+            )
+        ).alias("__i", "__z"),
+    )
+    exact = F.col("__z.exact")
+    approx = F.col("__z.approx")
+    return fan.select(
+        group_col,
+        "n_rows",
+        F.col("__z.p").alias("p"),
+        exact.alias("exact_q"),
+        approx.alias("approx_q"),
+        F.abs(approx - exact).alias("abs_err"),
+        F.when(
+            exact != 0, F.abs(approx - exact) / F.abs(exact)
+        ).alias("rel_err"),
+    ).orderBy(group_col, "p")

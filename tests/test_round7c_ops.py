@@ -225,3 +225,37 @@ def test_abc_classes_partition_revenue(spark):
     assert out[2]["abc_class"] == "B"
     assert all(out[k]["abc_class"] == "C" for k in range(3, 13))
     assert out[12]["cum_share"] == pytest.approx(1.0)
+
+
+def test_trimmed_mean_drops_tails(spark):
+    """Values 1..100 with one outlier 1e6: trim to [p10,p90] must kill
+    the outlier and land near the mid-band mean."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import relational
+
+    rows = [(i, "g", float(i + 1)) for i in range(100)]
+    rows.append((100, "g", 1e6))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = relational.trimmed_mean(df, "event_type", "value", 0.1, 0.9).collect()[0]
+    assert out["n_total"] == 101
+    assert out["trimmed_mean"] < 120  # outlier excluded
+    assert out["lo_bound"] < out["hi_bound"] < 1e5
+    # sanity: brute force over the same band
+    import numpy as np
+    vals = np.array([v for _, _, v in rows])
+    lo, hi = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
+    band = vals[(vals >= lo) & (vals <= hi)]
+    assert out["trimmed_mean"] == pytest.approx(band.mean(), rel=1e-9)
+    assert out["n_kept"] == len(band)
+
+
+def test_sketch_accuracy_bounded_error(spark):
+    from financial_fraud_detection_using_time_series_data_spark.sources import profiler
+
+    rows = [(i, "g", float((i * 7919) % 10000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = profiler.sketch_accuracy_audit(df, "event_type", "value").collect()
+    assert len(out) == 3
+    # KLL at accuracy 10k on 20k rows: relative rank error <= 1e-4,
+    # so value error stays well under 1% of the range here
+    assert all(r["abs_err"] <= 100.0 for r in out)
+    assert all(r["exact_q"] > 0 for r in out)
