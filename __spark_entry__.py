@@ -5838,9 +5838,9 @@ FROM s WHERE status IS NOT NULL
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 7-day Holt forecast over daily spend rollups. Recursive
     smoother — the documented applyInPandas escape hatch over the
-    bucket rollup, never the raw events. Rows-only (no SQL twin: the
-    state recursion is not expressible in one SQL pass); pinned by
-    numpy-reference parity tests instead."""
+    bucket rollup, never the raw events. Oracle-backed since round 8:
+    plain-Python float recursion in the same op order as the DuckDB
+    recursive CTE is bit-identical (the croston_forecast pattern)."""
     from financial_fraud_detection_using_time_series_data_spark.operators import forecast
 
     out = forecast.holt_forecast(
@@ -5856,6 +5856,46 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.r6("sse").alias("sse"),
         "n_obs",
     )
+
+
+# Holt recursion as a recursive CTE: state after consuming series index
+# i is (lev, tr, sse); the float literals embed 1-alpha / 1-beta exactly
+# as Python computes them, and every arithmetic expression mirrors the
+# mapInPandas loop's op order, so iterates are bit-identical.
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+    sum(value::DECIMAL(25,2))::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT user_id, y,
+    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+), st AS (
+  SELECT s1.user_id, s1.n, 1::BIGINT AS i,
+    s1.y AS lev, s2.y - s1.y AS tr, 0.0::DOUBLE AS sse
+  FROM ser s1 JOIN ser s2 ON s2.user_id = s1.user_id AND s2.i = 2
+  WHERE s1.i = 1 AND s1.n >= 2
+  UNION ALL
+  SELECT st.user_id, st.n, st.i + 1,
+    {0.3!r}::DOUBLE * s.y + {1.0 - 0.3!r}::DOUBLE * (st.lev + st.tr),
+    {0.1!r}::DOUBLE * (({0.3!r}::DOUBLE * s.y
+        + {1.0 - 0.3!r}::DOUBLE * (st.lev + st.tr)) - st.lev)
+      + {1.0 - 0.1!r}::DOUBLE * st.tr,
+    st.sse + (s.y - (st.lev + st.tr)) * (s.y - (st.lev + st.tr))
+  FROM st JOIN ser s ON s.user_id = st.user_id AND s.i = st.i + 1
+), fin AS (
+  SELECT * FROM st WHERE i = n
+)
+SELECT f.user_id, k.step::INT AS step,
+  {_R6.format("f.lev + k.step * f.tr")} AS forecast,
+  {_R6.format("f.lev")} AS level,
+  {_R6.format("f.tr")} AS trend,
+  {_R6.format("f.sse")} AS sse,
+  f.n::BIGINT AS n_obs
+FROM fin f CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) k
+"""
 
 
 def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6089,8 +6129,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user additive Holt-Winters over hourly spend rollups with a
     24-hour season — the seasonal completion of `holt_forecast`.
-    Rows-only (recursive seasonal state); pinned by numpy-reference
-    parity + planted-cycle tests."""
+    Oracle-backed since round 8: the recursive CTE carries the 24-slot
+    seasonal vector as a LIST column; init means fold exact integer
+    cents on both engines, so the whole fit is bit-identical."""
     from financial_fraud_detection_using_time_series_data_spark.operators import forecast
 
     out = forecast.holt_winters_forecast(
@@ -6107,6 +6148,69 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.r6("sse").alias("sse"),
         "n_obs",
     )
+
+
+# Additive Holt-Winters as a recursive CTE: the per-entity state is
+# (lev, tr, sse, seas LIST<DOUBLE>[24]); one list slot is rewritten per
+# consumed bucket via slice||[new]||slice. Season-mean inits fold exact
+# integer cents (matching the mapInPandas impl), every float expression
+# mirrors the Python loop's op order — bit-identical iterates.
+_HW_NEW_LEV = (
+    f"{0.3!r}::DOUBLE * (s.y - st.seas[(st.i % 24) + 1]) "
+    f"+ {1.0 - 0.3!r}::DOUBLE * (st.lev + st.tr)"
+)
+_HW_SQL = f"""
+WITH RECURSIVE hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS b,
+    sum(value::DECIMAL(25,2)) AS ydec
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT user_id, ydec::DOUBLE AS y, (ydec * 100)::BIGINT AS cents,
+    row_number() OVER (PARTITION BY user_id ORDER BY b) AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM hourly
+), init AS (
+  SELECT user_id, max(n) AS n,
+    sum(CASE WHEN i <= 24 THEN cents ELSE 0 END) / 100.0 / 24 AS s1,
+    sum(CASE WHEN i > 24 AND i <= 48 THEN cents ELSE 0 END) / 100.0 / 24 AS s2
+  FROM ser WHERE n >= 48 GROUP BY user_id
+), seas0 AS (
+  SELECT s.user_id, i0.n, i0.s1, i0.s2,
+    list(s.y - i0.s1 ORDER BY s.i) AS seas
+  FROM ser s JOIN init i0 ON s.user_id = i0.user_id
+  WHERE s.i <= 24
+  GROUP BY s.user_id, i0.n, i0.s1, i0.s2
+), st AS (
+  SELECT user_id, n, 24::BIGINT AS i,
+    s1 AS lev, (s2 - s1) / 24 AS tr, 0.0::DOUBLE AS sse, seas
+  FROM seas0
+  UNION ALL
+  SELECT st.user_id, st.n, st.i + 1,
+    {_HW_NEW_LEV},
+    {0.05!r}::DOUBLE * (({_HW_NEW_LEV}) - st.lev)
+      + {1.0 - 0.05!r}::DOUBLE * st.tr,
+    st.sse
+      + (s.y - ((st.lev + st.tr) + st.seas[(st.i % 24) + 1]))
+      * (s.y - ((st.lev + st.tr) + st.seas[(st.i % 24) + 1])),
+    list_concat(list_concat(
+      list_slice(st.seas, 1, st.i % 24),
+      [{0.2!r}::DOUBLE * (s.y - ({_HW_NEW_LEV}))
+       + {1.0 - 0.2!r}::DOUBLE * st.seas[(st.i % 24) + 1]]),
+      list_slice(st.seas, (st.i % 24) + 2, 24))
+  FROM st JOIN ser s ON s.user_id = st.user_id AND s.i = st.i + 1
+), fin AS (
+  SELECT * FROM st WHERE i = n
+)
+SELECT f.user_id, k.step::INT AS step,
+  {_R6.format(
+      "(f.lev + k.step * f.tr) + f.seas[((f.n + k.step - 1) % 24) + 1]"
+  )} AS forecast,
+  {_R6.format("f.lev")} AS level,
+  {_R6.format("f.tr")} AS trend,
+  {_R6.format("f.sse")} AS sse,
+  f.n::BIGINT AS n_obs
+FROM fin f CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS step) k
+"""
 
 
 def q_new_entity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8201,9 +8305,19 @@ WITH daily AS (
 )
 SELECT bucket, n, s, cum_n, cum_s,
   {_R6.format("llr")} AS llr,
-  CASE WHEN max((llr >= {hi!r}::DOUBLE)::INT) OVER w2 = 1 THEN 'accept_h1'
-       WHEN max((llr <= {lo!r}::DOUBLE)::INT) OVER w2 = 1 THEN 'accept_h0'
-       ELSE 'continue' END AS verdict
+  -- verdict frozen at the FIRST boundary crossing (round-8 fix: a later
+  -- hi crossing must not overturn an earlier lo verdict)
+  CASE
+    WHEN min(CASE WHEN llr >= {hi!r}::DOUBLE THEN bucket END) OVER w2
+           IS NULL
+     AND min(CASE WHEN llr <= {lo!r}::DOUBLE THEN bucket END) OVER w2
+           IS NULL THEN 'continue'
+    WHEN min(CASE WHEN llr <= {lo!r}::DOUBLE THEN bucket END) OVER w2
+           IS NULL
+      OR min(CASE WHEN llr >= {hi!r}::DOUBLE THEN bucket END) OVER w2
+         <= min(CASE WHEN llr <= {lo!r}::DOUBLE THEN bucket END) OVER w2
+         THEN 'accept_h1'
+    ELSE 'accept_h0' END AS verdict
 FROM l
 WINDOW w2 AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW)
@@ -8429,12 +8543,81 @@ FROM m
 
 def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial autocorrelation (Durbin-Levinson on the decimal-exact
-    ACF) per event type, lags 1-6. Rows-only: the Levinson recursion
-    has no SQL twin; the ACF inputs are themselves oracle-checked via
-    the `acf` entry."""
-    return drift.pacf(
+    ACF) per event type, lags 1-6. Oracle-backed since round 8: with
+    max_lag fixed at 6 the Levinson recursion unrolls to closed-form
+    column algebra over the pivoted (already bit-exact) ACF — same op
+    order as the driver-side Python loop, so iterates are identical."""
+    out = drift.pacf(
         _events(spark, sf_dir), "ts", "event_type", "value", "hour", max_lag=6
     )
+    return out.select("event_type", "lag", E.r6("pacf").alias("pacf"))
+
+
+def _pacf_sql() -> str:
+    """Durbin-Levinson unrolled to max_lag=6 over the pivoted ACF.
+
+    Generated programmatically so the SQL provably follows the SAME
+    recurrence as `drift.pacf`: num_k = c_k − Σ_j φ_{k-1,j}·c_{k-1-j}
+    (left-assoc sum order), a_k = num_k/v guarded on v≠0,
+    φ_{k,j} = φ_{k-1,j} − a_k·φ_{k-1,k-2-j}, v *= (1 − a_k²).
+    """
+    steps = []
+    # phi expressions carried as SQL text; phi[j] for j in 0..k-2
+    phi: list = []
+    v_expr = "1.0::DOUBLE"
+    outs = []
+    for k in range(1, 7):
+        terms = [f"({phi[j]}) * c{k - 1 - j}" for j in range(k - 1)]
+        num = f"c{k}" if not terms else f"c{k} - ({' + '.join(terms)})"
+        a = f"a{k}"
+        steps.append(
+            f"CASE WHEN ({v_expr}) != 0 THEN ({num}) / ({v_expr}) "
+            f"ELSE 0.0 END AS {a}"
+        )
+        new_phi = [
+            f"({phi[j]}) - {a} * ({phi[k - 2 - j]})" for j in range(k - 1)
+        ] + [a]
+        # materialize each level in its own CTE so later levels reference
+        # the COMPUTED a_k column, not a re-expansion
+        phi = [f"p{k}_{j}" for j in range(k)]
+        steps.extend(
+            f"{expr} AS p{k}_{j}" for j, expr in enumerate(new_phi[:-1])
+        )
+        steps.append(f"{a} AS p{k}_{k - 1}")
+        v_expr = f"v{k}"
+        steps.append(f"__V_PREV__ * (1.0 - {a} * {a}) AS v{k}")
+        outs.append(a)
+    # build chained CTEs: k1 uses v0=1.0; k_i uses v_{i-1}
+    ctes = []
+    prev = "f"
+    v_prev = "1.0::DOUBLE"
+    idx = 0
+    for k in range(1, 7):
+        # each level contributes: a_k, p{k}_*, v_k  (3 + (k-1) items)
+        n_items = 1 + k + 1
+        level_items = steps[idx : idx + n_items]
+        idx += n_items
+        level_items = [s.replace("__V_PREV__", f"({v_prev})") for s in level_items]
+        ctes.append(f"k{k} AS (SELECT *, {', '.join(level_items)} FROM {prev})")
+        prev = f"k{k}"
+        v_prev = f"v{k}"
+    sel = "\nUNION ALL\n".join(
+        f"SELECT event_type, {k} AS lag, {_R6.format(f'a{k}')} AS pacf FROM k6"
+        for k in range(1, 7)
+    )
+    pivots = ",\n    ".join(
+        f"max(CASE WHEN lag = {k} THEN acf END) AS c{k}" for k in range(1, 7)
+    )
+    return f"""
+WITH acfv AS ({_ACF_SQL}),
+p AS (
+  SELECT event_type, {pivots}, count(acf) AS n_ok
+  FROM acfv WHERE lag BETWEEN 1 AND 6 GROUP BY event_type
+),
+f AS (SELECT * FROM p WHERE n_ok = 6),
+{','.join(ctes)}
+SELECT event_type, lag::INT AS lag, pacf FROM ({sel})
+"""
 
 
 def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9769,7 +9952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "volume_anomaly": q_volume_anomaly,
         "reconcile_totals": q_reconcile_totals,
-        # holt_forecast / holt_winters: rows-only (recursive per-entity state)
+        # holt_forecast / holt_winters: recursive-CTE oracles since r8
         "holt_forecast": q_holt_forecast,
         "holt_winters": q_holt_winters,
         # MMR diversity rerank: rows-only (sequential greedy per query)
@@ -9850,8 +10033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         # rows-only: Newton iterations driver-looped
         "platt_scaling": q_platt_scaling,
-        # rows-only: Levinson recursion / EM / absorption solve on
-        # driver-side aggregate-sized frames
+        # pacf: unrolled Durbin-Levinson oracle since r8; the EM /
+        # absorption solves below stay rows-only (driver-side iterates
+        # on aggregate-sized frames)
         "pacf": q_pacf,
         "attribution_markov": q_attribution_markov,
         "em_weights": q_em_weights,
@@ -10026,6 +10210,9 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_stats": _INTERARRIVAL_SQL,
         "cramers_v": _CRAMERS_V_SQL,
         "acf": _ACF_SQL,
+        "pacf": _pacf_sql(),
+        "holt_forecast": _HOLT_SQL,
+        "holt_winters": _HW_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,
         "gini": _GINI_SQL,
         "linear_trend": _LINEAR_TREND_SQL,

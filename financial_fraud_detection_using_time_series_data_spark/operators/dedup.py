@@ -712,12 +712,86 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema=f"node {id_type}, component {id_type}")
 
 
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", Algorithm 2): the
+    published answer for EXTREME-diameter or giant-component graphs,
+    where min-label propagation's per-round edge×label join keeps the
+    full edge set alive every round. Each alternation REWRITES the edge
+    set toward a star per component, so the working set shrinks as it
+    converges and no per-node label frame is carried at all.
+
+    large-star(u): every strictly-larger neighbor v>u re-attaches to
+    m = min(Γ(u) ∪ {u}). small-star(u): all strictly-smaller neighbors
+    (and u itself) re-attach to m = min of the smaller neighborhood.
+    Both are one groupBy + one join over the current edge set. O(log²)
+    rounds; convergence via the monotone (count, Σsrc, Σdst) triple on
+    the canonicalized edge set (endpoint sums only ever decrease —
+    every rewrite points an endpoint at a ≤ label — so an unchanged
+    triple is a fixpoint, one scalar agg per round).
+
+    Takes the SYMMETRIC deduped edge list (src, dst); returns
+    (node, component) with component = min reachable id, identical to
+    the pointer-jump and driver paths (equivalence test-pinned).
+    """
+    e = edges  # symmetric, distinct, checkpointed by the caller
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star: (v, m(u)) for v ∈ Γ(u), v > u ----
+        nbmin = e.groupBy("src").agg(F.min("dst").alias("__mn"))
+        m = F.least(F.col("__mn"), F.col("src"))
+        large = (
+            e.join(nbmin, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # re-symmetrize for the small-star pass
+        sym = large.unionAll(
+            large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # ---- small-star: over Γ⁻(u) = {v < u}: (v, m) ∪ {(u, m)} ----
+        smaller = sym.where(F.col("dst") < F.col("src"))
+        nbmin2 = smaller.groupBy("src").agg(F.min("dst").alias("__m2"))
+        attach = (
+            smaller.join(nbmin2, "src")
+            .where(F.col("dst") != F.col("__m2"))
+            .select(F.col("dst").alias("src"), F.col("__m2").alias("dst"))
+        )
+        selfe = nbmin2.select("src", F.col("__m2").alias("dst"))
+        canon = attach.unionAll(selfe).distinct().localCheckpoint()
+        stats = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("src").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("dst").cast("decimal(38,0)")).alias("sd"),
+        ).collect()[0]
+        cur = (stats["n"], stats["ss"], stats["sd"])
+        e = canon.unionAll(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().localCheckpoint()
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+    # converged edge set is a star per component: each node's component
+    # is the min of itself and its neighbors
+    return (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("component"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
     driver_threshold: int = 2_000_000,
+    algorithm: str = "pointer-jump",
 ) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate CLUSTERS: (node, component)
     where component = min node id reachable through the pair graph — the
@@ -732,8 +806,11 @@ def connected_components(
     `localCheckpoint` breaks the iterative lineage each round (the plan
     would otherwise double per iteration); on a real cluster use a
     checkpoint dir. At extreme scale the large-star/small-star edge
-    rewriting (Kiveris et al.) also shrinks the EDGE set per round; dedup
-    graphs rarely need it.
+    rewriting (Kiveris et al. 2014) also shrinks the EDGE set per round;
+    dedup graphs rarely need it — pass ``algorithm="star"`` to opt in
+    for extreme-diameter / giant-component graphs (the published 100 TB
+    answer; equivalence to this path is test-pinned on a planted-cluster
+    corpus).
 
     Convergence detection exploits monotonicity: every node's label is
     non-increasing across rounds (least of own/neighbors, then the jump
@@ -762,6 +839,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if algorithm == "star":
+        return _cc_star(edges, max_iter)
+    if algorithm != "pointer-jump":
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'pointer-jump' or 'star')"
+        )
     if edges.count() <= driver_threshold:
         return _cc_driver(pairs.sparkSession, edges)
     labels = edges.select(F.col("src").alias("node")).distinct().select(

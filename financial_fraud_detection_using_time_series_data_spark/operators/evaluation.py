@@ -605,15 +605,19 @@ def sprt_decision(
         cum_s.cast("long").alias("cum_s"),
         llr.alias("llr"),
     )
-    # sticky verdict: the test STOPS at the first crossing; later
-    # buckets report the decision already taken
+    # sticky verdict: the test STOPS at the FIRST crossing; later buckets
+    # report the decision taken THERE. The verdict is frozen to whichever
+    # boundary was hit at the earliest crossing bucket — an LLR that dips
+    # through the low boundary and later rises through the high one stays
+    # accept_h0 (round-8 fix: the old max-flag form let a later hi
+    # crossing overturn an earlier lo verdict).
     w2 = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    crossed_hi = F.max((F.col("llr") >= hi).cast("int")).over(w2)
-    crossed_lo = F.max((F.col("llr") <= lo).cast("int")).over(w2)
+    first_hi = F.min(F.when(F.col("llr") >= hi, F.col("bucket"))).over(w2)
+    first_lo = F.min(F.when(F.col("llr") <= lo, F.col("bucket"))).over(w2)
     verdict = (
-        F.when(crossed_hi == 1, F.lit("accept_h1"))
-        .when(crossed_lo == 1, F.lit("accept_h0"))
-        .otherwise(F.lit("continue"))
+        F.when(first_hi.isNull() & first_lo.isNull(), F.lit("continue"))
+        .when(first_lo.isNull() | (first_hi <= first_lo), F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
     )
     return staged.withColumn("verdict", verdict).orderBy("bucket")
 
@@ -810,59 +814,81 @@ def platt_scaling(
     isotonic (PAV) calibrator (monotone-smooth instead of stepwise,
     safe to extrapolate past the observed score range).
 
-    Each Newton step is ONE corpus aggregate: gradient and Hessian
-    entries fold as integer micro-units (DECIMAL(38,0)), so every
-    iterate — and therefore the fitted (a, b) — is bit-deterministic
-    across partitionings and engines; the 2×2 solve runs driver-side.
-    Cost: max_iter map-side-combined aggregates over (score, label)
-    only. Returns ((a, b), diagnostics DataFrame row) — one row:
-    (a, b, n_iter, n_rows, log_loss).
+    Each Newton step is ONE aggregate over the PERSISTED (score, label)
+    projection — the source is scanned exactly once, every later pass
+    hits the cached 2-column frame (at 100 TB the projection is the
+    only corpus read; 9 re-scans was the round-7 perf nit). Gradient
+    and Hessian entries fold as integer micro-units (DECIMAL(38,0)),
+    so every iterate — and therefore the fitted (a, b) — is
+    bit-deterministic across partitionings and engines; the 2×2 solve
+    runs driver-side. Quasi-separable inputs are guarded: each Newton
+    step is clamped to ±4 per coordinate and (a, b) to ±60 (past
+    |z|≈36 the sigmoid saturates in float64, so the bound never binds
+    on a fittable dataset), and the loop breaks on convergence
+    (step < 1e-9) or a near-singular Hessian. Returns
+    ((a, b), diagnostics DataFrame row) — one row:
+    (a, b, n_iter, n_rows, log_loss) where n_iter is the number of
+    Newton aggregates actually run, not max_iter.
     """
     s = F.col(score).cast("double")
     y = F.col(label).cast("double")
-    proj = df.select(s.alias("__s"), y.alias("__y"))
+    proj = df.select(s.alias("__s"), y.alias("__y")).persist()
 
     def micro(c):
         return F.sum(
             F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
         ).cast("double") / F.lit(1e9)
 
+    def clamp(x: float, lim: float) -> float:
+        return lim if x > lim else (-lim if x < -lim else x)
+
     a, b = 0.0, 0.0
-    n_rows = None
-    for _ in range(max_iter):
+    n_rows, n_iter = None, 0
+    try:
+        for _ in range(max_iter):
+            z = F.lit(a) * F.col("__s") + F.lit(b)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            w_ = p * (F.lit(1.0) - p)
+            row = proj.agg(
+                micro((p - F.col("__y"))).alias("g_b"),
+                micro((p - F.col("__y")) * F.col("__s")).alias("g_a"),
+                micro(w_).alias("h_bb"),
+                micro(w_ * F.col("__s")).alias("h_ab"),
+                micro(w_ * F.col("__s") * F.col("__s")).alias("h_aa"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            n_iter += 1
+            n_rows = int(row["n"])
+            det = row["h_aa"] * row["h_bb"] - row["h_ab"] * row["h_ab"]
+            if abs(det) < 1e-12:
+                break
+            da = (row["h_bb"] * row["g_a"] - row["h_ab"] * row["g_b"]) / det
+            db = (row["h_aa"] * row["g_b"] - row["h_ab"] * row["g_a"]) / det
+            # damped, bounded update: separable score distributions push
+            # the MLE to infinity; the clamps keep the iterates finite
+            # without disturbing any fittable problem's trajectory
+            da, db = clamp(da, 4.0), clamp(db, 4.0)
+            a = clamp(a - da, 60.0)
+            b = clamp(b - db, 60.0)
+            if max(abs(da), abs(db)) < 1e-9:
+                break
         z = F.lit(a) * F.col("__s") + F.lit(b)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        w_ = p * (F.lit(1.0) - p)
-        row = proj.agg(
-            micro((p - F.col("__y"))).alias("g_b"),
-            micro((p - F.col("__y")) * F.col("__s")).alias("g_a"),
-            micro(w_).alias("h_bb"),
-            micro(w_ * F.col("__s")).alias("h_ab"),
-            micro(w_ * F.col("__s") * F.col("__s")).alias("h_aa"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        n_rows = int(row["n"])
-        det = row["h_aa"] * row["h_bb"] - row["h_ab"] * row["h_ab"]
-        if abs(det) < 1e-12:
-            break
-        da = (row["h_bb"] * row["g_a"] - row["h_ab"] * row["g_b"]) / det
-        db = (row["h_aa"] * row["g_b"] - row["h_ab"] * row["g_a"]) / det
-        a, b = a - da, b - db
-    z = F.lit(a) * F.col("__s") + F.lit(b)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    eps = F.lit(1e-12)
-    ll = proj.agg(
-        (
-            -micro(
-                F.col("__y") * F.log(F.greatest(p, eps))
-                + (F.lit(1.0) - F.col("__y"))
-                * F.log(F.greatest(F.lit(1.0) - p, eps))
-            )
-            / F.count(F.lit(1))
-        ).alias("log_loss")
-    ).collect()[0]["log_loss"]
+        eps = F.lit(1e-12)
+        ll = proj.agg(
+            (
+                -micro(
+                    F.col("__y") * F.log(F.greatest(p, eps))
+                    + (F.lit(1.0) - F.col("__y"))
+                    * F.log(F.greatest(F.lit(1.0) - p, eps))
+                )
+                / F.count(F.lit(1))
+            ).alias("log_loss")
+        ).collect()[0]["log_loss"]
+    finally:
+        proj.unpersist()
     diag = df.sparkSession.createDataFrame(
-        [(float(a), float(b), int(max_iter), int(n_rows), float(ll))],
+        [(float(a), float(b), int(n_iter), int(n_rows), float(ll))],
         "a double, b double, n_iter int, n_rows long, log_loss double",
     )
     return (a, b), diag

@@ -610,8 +610,6 @@ def pagerank(
     Returns (entity, rank, rank_norm, out_degree) for every node in the
     capped graph.
     """
-    from pyspark.sql import Window
-
     a = df.select(
         attr.alias("attr"), F.col(entity_col).alias("u")
     ).where(F.col("attr").isNotNull()).distinct()
@@ -648,13 +646,18 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
-    wall = Window.partitionBy()
+    # normalization via 1-row agg + broadcast crossJoin — NOT a
+    # partitionless window: the rank frame is |nodes|-sized (corpus-scale
+    # for a near-unique entity column), so a single-partition Window here
+    # would funnel every node through one task at 100 TB.
+    tot = ranks.agg(F.sum("rank").alias("__rank_total"))
     return (
         ranks.join(outdeg, "u")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("u").alias(entity_col),
             "rank",
-            (F.col("rank") / F.sum("rank").over(wall)).alias("rank_norm"),
+            (F.col("rank") / F.col("__rank_total")).alias("rank_norm"),
             F.col("outdeg").cast("long").alias("out_degree"),
         )
     )
@@ -1242,6 +1245,7 @@ def attribution_markov(
     ts_col: str = "ts",
     order_col: str = "event_id",
     conv_type: str = "purchase",
+    max_channels: int = 512,
 ) -> DataFrame:
     """Markov removal-effect attribution — the data-driven alternative
     to ``attribution_last_touch``: model journeys as a first-order
@@ -1256,8 +1260,17 @@ def attribution_markov(
     (journey never converts) transitions. The corpus collapses to the
     ≤(|channels|+2)² transition-count matrix in one window pass + one
     groupBy; the absorption solve and the per-channel removal re-solves
-    run driver-side on that tiny matrix (pure-Python Gaussian
-    elimination — deterministic, no numpy dependency in the hot path).
+    run driver-side on that tiny matrix via numpy ``linalg.solve``
+    (LAPACK, O(k³) per re-solve with a far smaller constant than the
+    previous pure-Python elimination; singular systems fall back to the
+    zero-pivot-tolerant elimination so degenerate chains keep their
+    t=0 convention).
+
+    The driver solve is O(|channels|·k³): ``max_channels`` (default 512)
+    bounds it so a pathological ``type_col`` cardinality (IDs leaking
+    into the channel column, say) raises a clear ValueError instead of
+    wedging the driver for hours — at 512 the re-solve loop is ~10⁸ flops
+    in LAPACK, well under a second.
 
     Returns one row per channel: transitions through it, its removal
     effect (1 − p_conv_without / p_conv_base), and the normalized
@@ -1313,13 +1326,22 @@ def attribution_markov(
         {c for c, _ in counts} | {n for _, n in counts} - {"CONV", "NULL", "START"}
     )
     channels = [c for c in channels if c not in ("CONV", "NULL", "START")]
+    if len(channels) > max_channels:
+        raise ValueError(
+            f"attribution_markov: {len(channels)} channels exceeds "
+            f"max_channels={max_channels}; the per-channel removal "
+            "re-solve is O(k^3) on the driver. Bucket the channel column "
+            "or raise max_channels explicitly."
+        )
+
+    import numpy as np
 
     def _p_conv(removed: str | None) -> float:
         states = ["START"] + [c for c in channels if c != removed]
         idx = {s: i for i, s in enumerate(states)}
         k = len(states)
-        q = [[0.0] * k for _ in range(k)]
-        r_conv = [0.0] * k
+        q = np.zeros((k, k))
+        r_conv = np.zeros(k)
         for s in states:
             row = {
                 n: c for (cc, n), c in counts.items() if cc == s
@@ -1335,26 +1357,26 @@ def attribution_markov(
                     r_conv[idx[s]] += p
                 elif n in idx:
                     q[idx[s]][idx[n]] += p
-        # solve (I - Q) t = r_conv by Gaussian elimination
-        a = [
-            [(1.0 if i == j else 0.0) - q[i][j] for j in range(k)] + [r_conv[i]]
-            for i in range(k)
-        ]
-        for col in range(k):
-            piv = max(range(col, k), key=lambda i: abs(a[i][col]))
-            if abs(a[piv][col]) < 1e-12:
-                continue
-            a[col], a[piv] = a[piv], a[col]
-            for i in range(k):
-                if i != col and a[i][col] != 0.0:
-                    f = a[i][col] / a[col][col]
-                    for j in range(col, k + 1):
-                        a[i][j] -= f * a[col][j]
-        t = [
-            a[i][k] / a[i][i] if abs(a[i][i]) > 1e-12 else 0.0
-            for i in range(k)
-        ]
-        return t[idx["START"]]
+        # absorption probabilities: solve (I - Q) t = r_conv
+        m = np.eye(k) - q
+        try:
+            t = np.linalg.solve(m, r_conv)
+        except np.linalg.LinAlgError:
+            # singular chain (disconnected states): zero-pivot-tolerant
+            # elimination preserving the t=0 convention for unreachable
+            # rows — matches the pre-numpy behavior exactly
+            a = np.concatenate([m, r_conv[:, None]], axis=1)
+            for col in range(k):
+                piv = col + int(np.argmax(np.abs(a[col:, col])))
+                if abs(a[piv, col]) < 1e-12:
+                    continue
+                a[[col, piv]] = a[[piv, col]]
+                for i in range(k):
+                    if i != col and a[i, col] != 0.0:
+                        a[i, col:] -= (a[i, col] / a[col, col]) * a[col, col:]
+            t = np.where(np.abs(np.diag(a[:, :k])) > 1e-12,
+                         a[:, k] / np.diag(a[:, :k]), 0.0)
+        return float(t[idx["START"]])
 
     base = _p_conv(None)
     effects = []

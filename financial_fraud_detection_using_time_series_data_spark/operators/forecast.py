@@ -127,11 +127,15 @@ def holt_winters_forecast(
 
     Initialization (standard additive HW): level = mean of the first
     season; trend = (mean of season 2 − mean of season 1)/m; seasonals =
-    first-season deviations from its mean. Entities with fewer than
-    2·``season_length`` buckets are dropped (the seasonal profile is
-    not estimable). Missing buckets are treated as gaps in the index
-    (no zero-fill) — compose with `resample_ffill` upstream when a
-    dense grid is wanted.
+    first-season deviations from its mean. The two season means are
+    computed on exact integer cent sums (the bucket totals come from
+    DECIMAL(25,2), so cents are exact int64) — order-invariant and
+    bit-identical to the recursive-CTE SQL twin; a float mean would
+    leak numpy's pairwise-summation order into the fit. Entities with
+    fewer than 2·``season_length`` buckets are dropped (the seasonal
+    profile is not estimable). Missing buckets are treated as gaps in
+    the index (no zero-fill) — compose with `resample_ffill` upstream
+    when a dense grid is wanted.
     """
     a, b_, g_, m, h = float(alpha), float(beta), float(gamma), int(season_length), int(horizon)
     rolled = df.groupBy(
@@ -158,8 +162,11 @@ def holt_winters_forecast(
             n = len(y)
             if n < 2 * m:
                 continue
-            s1 = float(y[:m].mean())
-            s2 = float(y[m : 2 * m].mean())
+            # exact cent sums: y is a DECIMAL(25,2) total as double, so
+            # round(y*100) recovers the integer cents losslessly
+            cents = np.rint(y * 100.0).astype(np.int64)
+            s1 = int(cents[:m].sum()) / 100.0 / m
+            s2 = int(cents[m : 2 * m].sum()) / 100.0 / m
             lev = s1
             tr = (s2 - s1) / m
             seas = (y[:m] - s1).astype(np.float64)

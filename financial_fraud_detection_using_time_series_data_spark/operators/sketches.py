@@ -92,19 +92,22 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact heavy hitters: values of ``col`` whose frequency is at least
     ``min_frac`` of all rows, top-``k`` by count (ties broken by value for
-    determinism). One corpus exchange (map-side combined groupBy); the
-    total, support filter, and ranking all run on the aggregated frame —
-    the single-partition window below sees |distinct values| rows, never
-    the corpus.
+    determinism). One corpus exchange (map-side combined groupBy). The
+    grand total comes from a 1-row agg broadcast back onto the counts
+    frame — NOT a partitionless window: for a near-unique column the
+    distinct-value frame is corpus-scale, and the support filter can only
+    run after the total, so a single-partition window over it would be a
+    100 TB funnel. The remaining rank window runs AFTER the ``min_frac``
+    filter, whose survivor set is ≤ 1/min_frac rows by pigeonhole —
+    provably bounded regardless of column cardinality.
     """
     counts = df.groupBy(F.col(col).alias("value")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    # window over the AGGREGATE frame (cardinality-bounded, not corpus)
-    wall = Window.partitionBy()
+    tot = counts.agg(F.sum("n").alias("total"))
     wrank = Window.orderBy(F.col("n").desc(), F.col("value"))
     return (
-        counts.withColumn("total", F.sum("n").over(wall))
+        counts.crossJoin(F.broadcast(tot))
         .withColumn("frac", F.col("n") / F.col("total"))
         .where(F.col("frac") >= min_frac)
         .withColumn("rank", F.row_number().over(wrank))

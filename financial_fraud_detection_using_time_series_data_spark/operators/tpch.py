@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "abc_classification",
     "customer_distribution",
     "fulfillment_latency",
     "order_backlog",

@@ -172,3 +172,43 @@ def test_simhash_near_dup_identical_docs_and_no_dup_pairs(spark):
         (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
     ]
     assert all(r.hamming == 0 for r in pairs)
+
+
+def test_connected_components_star_matches_pointer_jump(spark):
+    """Round-8 flag (VERDICT r07 #8): the large-star/small-star edge
+    rewriting (Kiveris et al.) must produce identical (node, component)
+    labels to the pointer-jump and driver union-find paths on a planted
+    corpus mixing a long chain (diameter stress), a dense clique, a star,
+    and 2-node islands."""
+    from financial_fraud_detection_using_time_series_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = []
+    # 40-node chain: 100..139
+    pairs += [(100 + i, 101 + i) for i in range(39)]
+    # 12-node clique: 200..211
+    pairs += [(200 + i, 200 + j) for i in range(12) for j in range(i + 1, 12)]
+    # star: hub 300, leaves 301..320
+    pairs += [(300, 300 + i) for i in range(1, 21)]
+    # islands
+    pairs += [(400, 401), (500, 501)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    star = {
+        r.node: r.component
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    jump = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    drv = {r.node: r.component for r in connected_components(df).collect()}
+    assert star == jump == drv
+    assert star[139] == 100 and star[211] == 200 and star[320] == 300
+
+    # unknown algorithm name is a clear error, not silent fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(df, algorithm="banana")

@@ -495,3 +495,31 @@ def test_plan_metrics_census_and_gate(spark, sf_dir):
     # a pushdown query reports its filters
     mm = plan_metrics(spark_entry.q_filter_project(spark, sf_dir))
     assert mm["pushed_filters"] == 1
+
+
+def test_pagerank_normalization_has_no_window(spark, sf_dir):
+    """Round-8 fix (VERDICT r07 #2): pagerank's rank_norm is a 1-row agg
+    broadcast back onto the |nodes| rank frame, NOT a partitionless
+    window — the rank frame is corpus-scale for a near-unique entity
+    column, so any Window node in this plan is a 100 TB funnel."""
+    df = spark_entry.q_pagerank(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_total_is_broadcast_window_is_post_filter(spark, sf_dir):
+    """Round-8 fix (VERDICT r07 #2): heavy_hitters' grand total comes from
+    a broadcast 1-row agg; the ONE remaining partitionless window (the
+    rank) must sit ABOVE the min_frac filter, whose survivor set is
+    pigeonhole-bounded at <= 1/min_frac rows regardless of cardinality."""
+    df = spark_entry.q_heavy_hitters(spark, sf_dir)
+    plan = _plan(df)
+    # exactly one Window node, and the support filter is its child
+    # (printed tree is top-down: the filter line appears after it)
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if " Window " in f" {l.strip()} " or l.strip().startswith("Window ")]
+    assert len(win_idx) == 1, plan
+    post = "\n".join(lines[win_idx[0]:])
+    assert ">= 0.005" in post or ">= 5.0E-3" in post, post
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

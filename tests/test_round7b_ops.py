@@ -97,6 +97,42 @@ def test_sprt_accepts_h1_on_high_rate_and_is_sticky(spark):
     assert all(v == "continue" for v in verdicts[:first])
 
 
+def test_sprt_verdict_frozen_at_first_crossing(spark):
+    """Round-8 fix: an LLR that first crosses the LOW boundary and later
+    swings through the HIGH one must stay accept_h0 from the first
+    crossing on — the test stopped there; later data can't reopen it."""
+    rows = []
+    eid = 0
+    # 10 days of 0% success: LLR dives through the low boundary fast
+    for d in range(10):
+        for i in range(200):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, i % 24), 1, "view", 1.0))
+            eid += 1
+    # then 20 days of 100% success: cumulative LLR recovers and would
+    # cross the high boundary if later data could reopen the test
+    for d in range(10, 30):
+        for i in range(200):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, i % 24), 1, "purchase", 1.0))
+            eid += 1
+    ev = _ev(spark, rows).select(
+        "ts", (F.col("event_type") == "purchase").cast("int").alias("success")
+    )
+    out = (
+        evaluation.sprt_decision(ev, "ts", "success", 0.18, 0.22)
+        .orderBy("bucket")
+        .collect()
+    )
+    verdicts = [r["verdict"] for r in out]
+    assert "accept_h0" in verdicts
+    first = verdicts.index("accept_h0")
+    # sanity: the raw LLR really does cross the high boundary later
+    hi = math.log(0.8 / 0.05)
+    assert any(r["llr"] >= hi for r in out[first:])
+    # ...but the verdict stays frozen at the first crossing's decision
+    assert all(v == "accept_h0" for v in verdicts[first:])
+    assert all(v == "continue" for v in verdicts[:first])
+
+
 def test_wasserstein_shift_beats_identical(spark):
     base = [(i, _ts(i), 1, "view", float(i % 100)) for i in range(2000)]
     ref = _ev(spark, base)
@@ -279,3 +315,21 @@ def test_attribution_markov_instant_conversions_count(spark):
     # leaves the 10 instant conversions -> removal effect = 0.5
     assert r["p_conv_base"] == pytest.approx(1.0)
     assert r["removal_effect"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_attribution_markov_channel_cap_raises(spark):
+    """Round-8 guard: a pathological channel cardinality (IDs leaking
+    into event_type) must raise, not wedge the driver in the O(k^3)
+    removal re-solve loop."""
+    rows = []
+    eid = 0
+    for u in range(8):
+        rows.append((eid, _ts(eid), u, f"ch_{u}", 1.0)); eid += 1
+        rows.append((eid, _ts(eid), u, "purchase", 1.0)); eid += 1
+    # 8 distinct channels, cap at 4 -> clear error naming the knob
+    with pytest.raises(ValueError, match="max_channels"):
+        events_ops.attribution_markov(_ev(spark, rows), max_channels=4)
+    # at the default cap the same input solves fine (numpy path)
+    out = events_ops.attribution_markov(_ev(spark, rows)).collect()
+    assert len(out) == 8
+    assert all(r["p_conv_base"] == pytest.approx(1.0) for r in out)
