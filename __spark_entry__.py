@@ -2008,10 +2008,48 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8: 32-bit SimHash signatures (rows-only: bit arithmetic is
-    Spark-side only)."""
+    """M8: 32-bit SimHash signatures. Oracle-backed since round 8: the
+    token hash is the md5-prefix BIGINT (DuckDB-reproducible by
+    construction, dedup._md5_hash64) and the per-bit ±1 contributions
+    are commutative integer sums — the signature is order-invariant."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
+
+
+_SIMHASH_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(string_split(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    ('0x' || substring(md5('9999:' || tok), 1, 15))::BIGINT AS hv
+  FROM t
+), bits AS (
+  SELECT doc_id, b.b,
+    sum(CASE WHEN (hv & (1::BIGINT << b.b)) != 0 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+  sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+_SIMHASH_ND_SQL = f"""
+WITH sigs AS ({_SIMHASH_SQL}),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+    (simhash >> (b.band * 8)) & 255 AS slice
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+  bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6402,9 +6440,9 @@ FROM i JOIN d ON i.segment = d.segment
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded slice bucket-join (pigeonhole-
-    exact recall at hamming ≤ bands−1) + bit_count verify. Rows-only:
-    the md5 token hashing inside the signature has no DuckDB twin;
-    pinned by planted-mutation tests instead."""
+    exact recall at hamming ≤ bands−1) + bit_count verify. Oracle-backed
+    since round 8 (the signature's md5-prefix hash IS DuckDB-
+    reproducible); also pinned by planted-mutation tests."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dup(
         docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
@@ -6542,13 +6580,52 @@ WHERE mad > 0 AND abs(0.6745 * (adjusted - med) / mad) > 1.3
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the shared-exact-amount user graph: 5
     synchronous label-propagation rounds with min-label tie-break — all
-    integer arithmetic, deterministic. Rows-only: iterative graph
-    algorithm (no single-pass SQL form); pinned by planted-clique
-    tests."""
+    integer arithmetic, deterministic. Oracle-backed since round 8: the
+    synchronous rounds replay as a recursive CTE whose per-round argmax
+    uses the same lexicographic (count, -label) struct max; also pinned
+    by planted-clique tests."""
     ev = _events(spark, sf_dir)
     return events_ops.label_propagation(
         ev, F.col("value"), min_degree=2, max_degree=10, n_iter=5
     )
+
+
+# Synchronous LPA as a recursive CTE: the working table is the full
+# (node, label) frame; each round joins it to the symmetric edge set,
+# counts neighbor labels per node, and takes the (count desc, label asc)
+# argmax via the same lexicographic struct-max trick as the Spark
+# operator — integer arithmetic end to end, so rounds are exact.
+_LPA_SQL = """
+WITH RECURSIVE a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e0 AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+lp AS (
+  SELECT DISTINCT u, u AS label, 0 AS it FROM sym
+  UNION ALL
+  SELECT g.u,
+    -((max(struct_pack(c := g.cnt, nl := -g.label))).nl) AS label,
+    min(g.it) + 1 AS it
+  FROM (
+    SELECT e.u AS u, p.label AS label, count(*) AS cnt, min(p.it) AS it
+    FROM lp p JOIN sym e ON e.v = p.u
+    WHERE p.it < 5
+    GROUP BY e.u, p.label
+  ) g
+  GROUP BY g.u
+),
+fin AS (SELECT u, label FROM lp WHERE it = 5),
+sz AS (SELECT label, count(*)::BIGINT AS community_size FROM fin GROUP BY label)
+SELECT f.u AS user_id, f.label AS community, sz.community_size
+FROM fin f JOIN sz USING (label)
+"""
 
 
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7532,9 +7609,10 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full entity-resolution composition: Fellegi-Sunter 'match'-class
     pairs (q_record_linkage's blocking + scoring) collapsed into
     canonical entity clusters via connected components — the step that
-    turns pairwise linkage into dedup'd golden records. Rows-only
-    (iterative CC); the linkage scoring itself is oracle-backed via
-    record_linkage, and CC exactness is pinned by the dedup tests.
+    turns pairwise linkage into dedup'd golden records. Oracle-backed
+    since round 8: CC labels are a canonical integer fixpoint, so a
+    recursive-CTE min-label peel lands on identical rows regardless of
+    algorithm; CC exactness is additionally pinned by the dedup tests.
     Returns multi-member clusters only (canonical id = min member)."""
     from financial_fraud_detection_using_time_series_data_spark.operators import (
         linkage,
@@ -7700,8 +7778,9 @@ _W_BUCKET = _fs_w(0.85, 0.12)
 _W_CLOSE = _fs_w(0.7, 0.02)
 _W_SUFFIX = _fs_w(0.9, 0.01)
 
-_LINKAGE_SQL = f"""
-WITH pairs AS (
+# shared blocking + FS-scoring CTE body (used by record_linkage AND the
+# entity_clusters CC oracle, which consumes the match class)
+_LINKAGE_CTES = f"""pairs AS (
   SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
     a.c_acctbal::DECIMAL(12,2) AS bal_a, b.c_acctbal::DECIMAL(12,2) AS bal_b,
     a.c_name AS name_a, b.c_name AS name_b
@@ -7722,7 +7801,10 @@ weighted AS (
      + CASE WHEN agree_close THEN {_W_CLOSE[0]}::DOUBLE ELSE {_W_CLOSE[1]}::DOUBLE END
      + CASE WHEN agree_suffix THEN {_W_SUFFIX[0]}::DOUBLE ELSE {_W_SUFFIX[1]}::DOUBLE END) AS fs_weight
   FROM scored
-)
+)"""
+
+_LINKAGE_SQL = f"""
+WITH {_LINKAGE_CTES}
 SELECT cust_a, cust_b, agree_bucket, agree_close, agree_suffix,
   {_R6.format("fs_weight")} AS fs_weight,
   CASE WHEN fs_weight >= 6.0 THEN 'match'
@@ -7730,6 +7812,35 @@ SELECT cust_a, cust_b, agree_bucket, agree_close, agree_suffix,
        ELSE 'non_match' END AS fs_class
 FROM weighted
 WHERE fs_weight >= 0.0
+"""
+
+# Connected components over the FS match pairs as a recursive CTE:
+# synchronous min-label rounds (comp := min(comp, neighbors' comps)) to
+# the canonical fixpoint — CC labels are algorithm-independent, so the
+# SQL peel and Spark's pointer-jump/union-find land on identical integer
+# rows. 64 rounds bounds any within-block diameter at the attested SFs;
+# post-fixpoint rounds re-emit the stable frame, so "it = 64" IS the
+# answer.
+_ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_LINKAGE_CTES},
+matches AS (
+  SELECT cust_a AS a, cust_b AS b FROM weighted WHERE fs_weight >= 6.0
+),
+sym AS (SELECT a AS u, b AS v FROM matches UNION ALL SELECT b, a FROM matches),
+cc AS (
+  SELECT DISTINCT u AS node, u AS comp, 0 AS it FROM sym
+  UNION ALL
+  SELECT p.node,
+    least(p.comp, coalesce((
+      SELECT min(q.comp) FROM cc q JOIN sym e ON e.v = q.node
+      WHERE e.u = p.node), p.comp)) AS comp,
+    p.it + 1
+  FROM cc p WHERE p.it < 64
+),
+fin AS (SELECT node, comp FROM cc WHERE it = 64),
+sz AS (SELECT comp, count(*)::BIGINT AS cluster_size FROM fin GROUP BY comp)
+SELECT f.node AS c_custkey, f.comp AS entity_id, sz.cluster_size
+FROM fin f JOIN sz USING (comp)
 """
 
 
@@ -7831,15 +7942,50 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-backbone extraction: the 3-core of the shared-amount user
     graph (iterative peel until every survivor keeps >= 3 in-core
-    neighbors). Rows-only: the peel is iterative-until-fixpoint with no
-    SQL twin; exact semantics are pinned against brute-force peeling in
-    test_events.py."""
+    neighbors). Oracle-backed since round 8: the k-core is a CANONICAL
+    fixpoint (peeling order never changes the survivor set — Batagelj &
+    Zaversnik), so a recursive-CTE peel in DuckDB lands on the identical
+    integer (node, degree) rows; exact semantics are additionally pinned
+    against brute-force peeling in test_events.py."""
     ev = _events(spark, sf_dir)
     edges = events_ops.shared_attr_edges(
         ev, F.col("value"), min_degree=2, max_degree=10
     )
     out = events_ops.kcore(edges, k=3)
     return out.select(F.col("u").alias("user_id"), "core_degree")
+
+
+# k-core peel as a recursive CTE: the working table is the surviving
+# SYMMETRIZED edge set; each round keeps edges whose BOTH endpoints
+# retain degree >= k over the current survivors (aggregate subqueries
+# over the working table). After the fixpoint each round re-emits the
+# stable set until the iteration cap, so "rows at it = cap" IS the core
+# (and is empty when the core is empty — the early-death case).
+_KCORE_SQL = """
+WITH RECURSIVE a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e0 AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+peel AS (
+  SELECT u, v, 0 AS it FROM sym
+  UNION ALL
+  SELECT p.u, p.v, p.it + 1
+  FROM peel p
+  WHERE p.it < 50
+    AND p.u IN (SELECT u FROM peel GROUP BY u HAVING count(*) >= 3)
+    AND p.v IN (SELECT u FROM peel GROUP BY u HAVING count(*) >= 3)
+)
+SELECT u AS user_id, count(*)::BIGINT AS core_degree
+FROM peel WHERE it = 50
+GROUP BY u HAVING count(*) >= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -8432,8 +8578,11 @@ FROM staged GROUP BY dow ORDER BY dow
 
 def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Platt calibrator fit by Newton-Raphson with micro-unit gradient
-    folds (bit-deterministic iterates). Rows-only: the iterative fit
-    has no SQL twin; recovery + determinism pinned by tests."""
+    folds (bit-deterministic iterates). Oracle-backed since round 8:
+    the driver loop becomes a recursive CTE whose per-iteration corpus
+    aggregates run as correlated scalar subqueries — the 1e-9-grid
+    integer folds make every iterate order-invariant, so the whole fit
+    is reproducible cross-engine."""
     out = evaluation.platt_scaling(
         _scored_events(spark, sf_dir), "label", "score", max_iter=8
     )[1]
@@ -8444,6 +8593,76 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         E.r6("log_loss").alias("log_loss"),
     )
+
+
+def _platt_sql() -> str:
+    """Newton-Raphson Platt fit as a recursive CTE: state (it, a, b),
+    each step's gradient/Hessian entries are correlated scalar
+    subqueries folding the SAME 1e-9-grid integer micro-units as
+    `evaluation.platt_scaling`, and the update/damping/stop logic
+    mirrors the Python loop expression-for-expression."""
+    def micro(c: str) -> str:
+        return (
+            f"(SELECT sum(floor(({c}) * 1000000000.0 + 0.5)"
+            f"::DECIMAL(38,0))::DOUBLE / 1000000000.0 FROM scored)"
+        )
+
+    z = "(st.a * score + st.b)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    w = f"({p} * (1.0 - {p}))"
+    y = "label::DOUBLE"
+    zf = "(fin.a * score + fin.b)"
+    pf = f"(1.0 / (1.0 + exp(-{zf})))"
+    ll = (
+        f"-(SELECT sum(floor(({y} * ln(greatest({pf}, 1e-12)) "
+        f"+ (1.0 - {y}) * ln(greatest(1.0 - {pf}, 1e-12))) "
+        f"* 1000000000.0 + 0.5)::DECIMAL(38,0))::DOUBLE / 1000000000.0 "
+        f"FROM scored) / (SELECT count(*) FROM scored)"
+    )
+    return f"""
+WITH RECURSIVE scored AS ({_SCORED_SQL}),
+st AS (
+  SELECT 0 AS it, 0.0::DOUBLE AS a, 0.0::DOUBLE AS b, FALSE AS stop
+  UNION ALL
+  SELECT
+    u.it + 1 AS it,
+    CASE WHEN u.sing THEN u.a ELSE u.a2 END AS a,
+    CASE WHEN u.sing THEN u.b ELSE u.b2 END AS b,
+    (u.sing OR u.small) AS stop
+  FROM (
+    SELECT g.it, g.a, g.b,
+      abs(g.h_aa * g.h_bb - g.h_ab * g.h_ab) < 1e-12 AS sing,
+      (g.h_aa * g.h_bb - g.h_ab * g.h_ab) AS det,
+      CASE WHEN (g.h_bb * g.g_a - g.h_ab * g.g_b) / det > 4.0 THEN 4.0
+           WHEN (g.h_bb * g.g_a - g.h_ab * g.g_b) / det < -4.0 THEN -4.0
+           ELSE (g.h_bb * g.g_a - g.h_ab * g.g_b) / det END AS dac,
+      CASE WHEN (g.h_aa * g.g_b - g.h_ab * g.g_a) / det > 4.0 THEN 4.0
+           WHEN (g.h_aa * g.g_b - g.h_ab * g.g_a) / det < -4.0 THEN -4.0
+           ELSE (g.h_aa * g.g_b - g.h_ab * g.g_a) / det END AS dbc,
+      CASE WHEN g.a - dac > 60.0 THEN 60.0
+           WHEN g.a - dac < -60.0 THEN -60.0 ELSE g.a - dac END AS a2,
+      CASE WHEN g.b - dbc > 60.0 THEN 60.0
+           WHEN g.b - dbc < -60.0 THEN -60.0 ELSE g.b - dbc END AS b2,
+      greatest(abs(dac), abs(dbc)) < 1e-9 AS small
+    FROM (
+      SELECT st.it, st.a, st.b,
+        {micro(f"{p} - {y}")} AS g_b,
+        {micro(f"({p} - {y}) * score")} AS g_a,
+        {micro(w)} AS h_bb,
+        {micro(f"{w} * score")} AS h_ab,
+        {micro(f"{w} * score * score")} AS h_aa
+      FROM st WHERE NOT st.stop AND st.it < 8
+    ) g
+  ) u
+)
+SELECT
+  {_R6.format("fin.a")} AS a,
+  {_R6.format("fin.b")} AS b,
+  fin.it::INT AS n_iter,
+  (SELECT count(*) FROM scored)::BIGINT AS n_rows,
+  {_R6.format(ll)} AS log_loss
+FROM (SELECT * FROM st ORDER BY it DESC LIMIT 1) fin
+"""
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8641,8 +8860,9 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter EM: learn per-field m/u from the record_linkage
     candidate pairs' agreement-pattern counts (one aggregate; EM on
-    ≤2^k sufficient-statistic rows driver-side). Rows-only: iterative
-    mixture fit has no SQL twin; determinism pinned by test."""
+    ≤2^k sufficient-statistic rows driver-side). Oracle-backed since
+    round 8: the micro-unit accumulation folds make each iterate
+    pattern-order invariant, so the fit replays as a recursive CTE."""
     from financial_fraud_detection_using_time_series_data_spark.operators import (
         linkage,
     )
@@ -8683,6 +8903,96 @@ def q_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.r6("w_disagree").alias("w_disagree"),
         E.r6("lambda").alias("lambda_match"),
     )
+
+
+def _em_weights_sql() -> str:
+    """Fellegi-Sunter EM as a recursive CTE (oracle for `q_em_weights`,
+    k=3 fields, 30 iterations): the pattern-count sufficient statistics
+    are a ≤8-row CTE; each EM iterate's accumulations run as correlated
+    scalar subqueries folding the SAME 1e-9-grid integer micro-units as
+    `linkage.em_weights`, so the fit is bit-reproducible cross-engine.
+    The update/clamp/early-stop logic mirrors the Python loop
+    expression-for-expression (clamps to [1e-6, 1-1e-6], stop on
+    tot=0 / sw=0 / sw=tot BEFORE updating)."""
+    k = 3
+    # pm/pu products in field order j=1..3, left-associated like Python
+    pm = "st.lam"
+    pu = "(1.0 - st.lam)"
+    for j in range(1, k + 1):
+        pm = f"({pm} * CASE WHEN g{j} = 1 THEN st.m{j} ELSE 1.0 - st.m{j} END)"
+        pu = f"({pu} * CASE WHEN g{j} = 1 THEN st.u{j} ELSE 1.0 - st.u{j} END)"
+    w = f"CASE WHEN {pm} + {pu} > 0 THEN {pm} / ({pm} + {pu}) ELSE 0.0 END"
+    wn = f"floor(({w}) * n * 1000000000.0 + 0.5)::BIGINT"
+    cn = f"floor((1.0 - ({w})) * n * 1000000000.0 + 0.5)::BIGINT"
+    aggs = [
+        f"(SELECT sum({wn}) FROM pat) AS sw_u",
+        "(SELECT sum(n) FROM pat) AS tot",
+    ]
+    for j in range(1, k + 1):
+        aggs.append(
+            f"(SELECT sum(CASE WHEN g{j} = 1 THEN {wn} ELSE 0 END) "
+            f"FROM pat) AS sm{j}"
+        )
+        aggs.append(
+            f"(SELECT sum(CASE WHEN g{j} = 1 THEN {cn} ELSE 0 END) "
+            f"FROM pat) AS su{j}"
+        )
+    hi = repr(1.0 - 1e-6)
+    upd_m = ", ".join(
+        f"least(greatest((u.sm{j} / 1000000000.0) / u.sw, 1e-6), {hi}) AS m{j}"
+        for j in range(1, k + 1)
+    )
+    upd_u = ", ".join(
+        f"least(greatest((u.su{j} / 1000000000.0) / (u.tot - u.sw), 1e-6), "
+        f"{hi}) AS u{j}"
+        for j in range(1, k + 1)
+    )
+    outs = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS field, {_R6.format(f'fin.m{j}')} AS m, "
+        f"{_R6.format(f'fin.u{j}')} AS u, "
+        f"{_R6.format(f'log2(fin.m{j} / fin.u{j})')} AS w_agree, "
+        f"{_R6.format(f'log2((1.0 - fin.m{j}) / (1.0 - fin.u{j}))')} "
+        f"AS w_disagree, "
+        f"{_R6.format('fin.lam')} AS lambda_match FROM fin"
+        for j, name in ((1, "bucket"), (2, "close"), (3, "suffix"))
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.c_acctbal::DECIMAL(12,2) AS bal_a,
+         b.c_acctbal::DECIMAL(12,2) AS bal_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+), pat AS (
+  SELECT
+    coalesce(floor(bal_a::DOUBLE / 1000.0)
+             = floor(bal_b::DOUBLE / 1000.0), false)::INT AS g1,
+    coalesce(abs(bal_a - bal_b) < 100, false)::INT AS g2,
+    coalesce(substring(name_a, -2, 2)
+             = substring(name_b, -2, 2), false)::INT AS g3,
+    count(*)::DOUBLE AS n
+  FROM pairs GROUP BY 1, 2, 3
+), st AS (
+  SELECT 0 AS it, 0.1::DOUBLE AS lam,
+    0.8::DOUBLE AS m1, 0.8::DOUBLE AS m2, 0.8::DOUBLE AS m3,
+    0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3
+  UNION ALL
+  SELECT u.it + 1, u.sw / u.tot, {upd_m}, {upd_u}
+  FROM (
+    SELECT g.*, g.sw_u / 1000000000.0 AS sw
+    FROM (
+      SELECT st.it, st.lam, st.m1, st.m2, st.m3, st.u1, st.u2, st.u3,
+        {", ".join(aggs)}
+      FROM st WHERE st.it < 30
+    ) g
+  ) u
+  WHERE NOT (u.tot = 0 OR u.sw = 0 OR u.sw = u.tot)
+), fin AS (
+  SELECT * FROM st ORDER BY it DESC LIMIT 1
+)
+{outs}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -10031,7 +10341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_strength": q_seasonality_strength,
         # rows-only: the sketch side is engine-specific by design
         "sketch_accuracy": q_sketch_accuracy,
-        # rows-only: Newton iterations driver-looped
+        # platt_scaling: recursive-CTE Newton oracle since r8
         "platt_scaling": q_platt_scaling,
         # pacf: unrolled Durbin-Levinson oracle since r8; the EM /
         # absorption solves below stay rows-only (driver-side iterates
@@ -10249,6 +10559,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood": _SNM_SQL,
         "theil_sen_trend": _THEIL_SEN_SQL,
         "record_linkage": _LINKAGE_SQL,
+        "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "rake_keywords": _RAKE_SQL,
         "bigram_logprob": _BIGRAM_SQL,
         "lead_lag_corr": _LEAD_LAG_SQL,
@@ -10284,15 +10595,19 @@ def oracle_sql() -> dict[str, str]:
         "stickiness": _STICKINESS_SQL,
         "missing_buckets": _MISSING_BUCKETS_SQL,
         "two_hop_reach": _TWO_HOP_SQL,
+        "kcore": _KCORE_SQL,
+        "label_propagation": _LPA_SQL,
+        "simhash": _SIMHASH_SQL,
+        "simhash_near_dup": _SIMHASH_ND_SQL,
         "seasonality_strength": _SEASONALITY_STRENGTH_SQL,
         "croston_forecast": _CROSTON_SQL,
         "page_hinkley": _PAGE_HINKLEY_SQL,
         "abc_classification": _ABC_SQL,
         "trimmed_mean": _TRIMMED_MEAN_SQL,
         # sketch_accuracy: rows-only (engine-specific sketch output)
-        # platt_scaling: rows-only (Newton loop, no SQL twin)
-        # pacf / attribution_markov / em_weights: rows-only (driver-side
-        # recursions on aggregate-sized frames, no SQL twins)
+        # attribution_markov: rows-only (driver-side linear solve)
+        "platt_scaling": _platt_sql(),
+        "em_weights": _em_weights_sql(),
         "round_amount_screen": _ROUND_AMOUNT_SQL,
         "off_hours_screen": _OFF_HOURS_SQL,
         "peer_group_anomaly": _PEER_GROUP_SQL,

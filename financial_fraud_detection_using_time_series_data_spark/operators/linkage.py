@@ -126,6 +126,12 @@ def em_weights(
     implementation E-steps over every pair per iteration; pattern
     aggregation makes iteration cost independent of corpus size.
 
+    The per-iteration accumulations (Σ w·n and its per-field splits)
+    fold as 1e-9-grid integer micro-units, so every EM iterate is
+    independent of pattern enumeration order — which makes the whole
+    fit reproducible as a recursive-CTE SQL twin (round 8; the float
+    accumulation it replaces depended on collect() row order).
+
     Returns one row per field: learned m, u and the log2 agreement /
     disagreement weights ready to feed back into ``fellegi_sunter``.
     ``m`` columns use NULL-as-disagree, matching the scorer.
@@ -149,10 +155,10 @@ def em_weights(
     u = [float(u0)] * k
     lam = float(lambda0)
     for _ in range(max_iter):
-        sw = 0.0
+        sw_u = 0
         tot = 0.0
-        sm = [0.0] * k
-        su = [0.0] * k
+        sm_u = [0] * k
+        su_u = [0] * k
         for g, n in patterns:
             pm = lam
             pu = 1.0 - lam
@@ -160,18 +166,22 @@ def em_weights(
                 pm *= m[j] if g[j] else (1.0 - m[j])
                 pu *= u[j] if g[j] else (1.0 - u[j])
             w = pm / (pm + pu) if (pm + pu) > 0 else 0.0
-            sw += w * n
+            # integer micro-unit folds: iterate is pattern-order invariant
+            wn = math.floor(w * n * 1e9 + 0.5)
+            cn = math.floor((1.0 - w) * n * 1e9 + 0.5)
+            sw_u += wn
             tot += n
             for j in range(k):
                 if g[j]:
-                    sm[j] += w * n
-                    su[j] += (1.0 - w) * n
+                    sm_u[j] += wn
+                    su_u[j] += cn
+        sw = sw_u / 1e9
         if tot == 0 or sw == 0 or sw == tot:
             break
         lam = sw / tot
         for j in range(k):
-            m[j] = min(max(sm[j] / sw, 1e-6), 1.0 - 1e-6)
-            u[j] = min(max(su[j] / (tot - sw), 1e-6), 1.0 - 1e-6)
+            m[j] = min(max(sm_u[j] / 1e9 / sw, 1e-6), 1.0 - 1e-6)
+            u[j] = min(max(su_u[j] / 1e9 / (tot - sw), 1e-6), 1.0 - 1e-6)
     out = [
         (
             names[j],
