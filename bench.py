@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "theil_sen_trend",
     "isotonic_calibration",
     "record_linkage",
+    "record_linkage_fine",
     "rake_keywords",
     "holt_winters",
     "mmr_rerank",
