@@ -4360,6 +4360,127 @@ FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
 """
 
 
+_RETRIEVAL_QUERIES = [
+    (1, ["spark", "join", "window"]),
+    (2, ["hash", "scan", "dup"]),
+    (3, ["stream", "sort"]),
+]
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics (recall@10 / MRR / nDCG@10) for three
+    fixed BM25 queries against exact conjunctive term relevance. DCG
+    discounts are precomputed integer 1e-9 units shared with the oracle,
+    so DCG/IDCG are exact integer sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.retrieval_metrics(docs, _RETRIEVAL_QUERIES, k=10)
+    return out.select(
+        "query_id",
+        "query",
+        "n_relevant",
+        "hits_at_k",
+        E.r6("recall_at_k").alias("recall_at_k"),
+        E.r6("mrr").alias("mrr"),
+        E.r6("ndcg_at_k").alias("ndcg_at_k"),
+    )
+
+
+def _retrieval_metrics_sql() -> str:
+    """Per-query BM25 top-10 + conjunctive relevance + integer-unit
+    DCG/IDCG, UNION ALL'd over the same fixed query list as the Spark
+    entry. Discounts/prefixes come from the SAME `text.DCG_DISC_U`
+    tuple, so both engines do identical exact integer arithmetic."""
+    from financial_fraud_detection_using_time_series_data_spark.operators.text import (
+        DCG_DISC_U,
+    )
+
+    disc_cases = " ".join(
+        f"WHEN {i + 1} THEN {u}" for i, u in enumerate(DCG_DISC_U)
+    )
+    prefix = [0]
+    for u in DCG_DISC_U:
+        prefix.append(prefix[-1] + u)
+    idcg_cases = " ".join(
+        f"WHEN {n} THEN {prefix[n]}" for n in range(1, 11)
+    )
+    blocks = []
+    for qid, terms in _RETRIEVAL_QUERIES:
+        tl = ", ".join(f"'{t.lower()}'" for t in terms)
+        qstr = " ".join(t.lower() for t in terms)
+        blocks.append(rf"""
+SELECT {qid} AS query_id, '{qstr}' AS query,
+  n_rel.n_relevant::BIGINT AS n_relevant,
+  m.hits::BIGINT AS hits_at_k,
+  CASE WHEN n_rel.n_relevant > 0 THEN
+    floor(m.hits::DOUBLE / n_rel.n_relevant * 1000000 + 0.5) / 1000000.0
+  END AS recall_at_k,
+  floor(coalesce(1.0 / m.first_rel, 0.0) * 1000000 + 0.5) / 1000000.0 AS mrr,
+  CASE WHEN n_rel.n_relevant > 0 THEN
+    floor(m.dcg_u::DOUBLE
+          / (CASE least(n_rel.n_relevant, 10) {idcg_cases} END)::DOUBLE
+          * 1000000 + 0.5) / 1000000.0
+  END AS ndcg_at_k
+FROM (
+  SELECT
+    coalesce(sum(rel), 0) AS hits,
+    coalesce(sum(rel * (CASE rank {disc_cases} END)), 0) AS dcg_u,
+    min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+  FROM (
+    SELECT t.rank,
+      CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+    FROM (
+      SELECT doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM (
+        SELECT tf.doc_id,
+          sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl)))
+            AS score
+        FROM (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filtered
+          WHERE term IN ({tl}) GROUP BY doc_id, term
+        ) tf
+        JOIN doclen USING (doc_id)
+        JOIN (
+          SELECT term, count(*)::DOUBLE AS df FROM (
+            SELECT doc_id, term FROM filtered WHERE term IN ({tl})
+            GROUP BY doc_id, term
+          ) GROUP BY term
+        ) dfreq USING (term)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id LIMIT 10
+      )
+    ) t
+    LEFT JOIN (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(DISTINCT term) AS nt FROM filtered
+        WHERE term IN ({tl}) GROUP BY doc_id
+      ) WHERE nt = {len(terms)}
+    ) r USING (doc_id)
+  )
+) m
+CROSS JOIN (
+  SELECT count(*) AS n_relevant FROM (
+    SELECT doc_id, count(DISTINCT term) AS nt FROM filtered
+    WHERE term IN ({tl}) GROUP BY doc_id
+  ) WHERE nt = {len(terms)}
+) n_rel""")
+    body = "\nUNION ALL\n".join(blocks)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+filtered AS (SELECT * FROM toks WHERE length(term) > 0),
+doclen AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM doclen)
+{body}
+"""
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token-pair PMI (within-doc co-occurrence): distinct (doc,
     term) self-join sharing one doc_id exchange; unigram dims broadcast."""
@@ -8828,6 +8949,54 @@ FROM m
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (25-point centered-MA trend,
+    hour-of-day seasonal profile via micro-unit folds, residual) of the
+    hourly value totals per event type."""
+    out = drift.seasonal_decompose(
+        _events(spark, sf_dir), "ts", "event_type", "value", "hour", half=12
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        E.r6("x").alias("x"),
+        E.r6("trend").alias("trend"),
+        E.r6("seasonal").alias("seasonal"),
+        E.r6("residual").alias("residual"),
+    )
+
+
+_SEASONAL_DECOMP_SQL = f"""
+WITH ser AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY 1, 2
+), staged AS (
+  SELECT event_type, bucket, x_dec::DOUBLE AS x,
+    CASE WHEN count(*) OVER w = 25
+         THEN (sum(x_dec) OVER w)::DOUBLE / 25.0 END AS trend,
+    hour(bucket)::INT AS phase
+  FROM ser
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), detr AS (
+  SELECT *, x - trend AS d FROM staged
+), seas AS (
+  SELECT event_type, phase,
+    sum(floor(d * 1000000000.0 + 0.5)::DECIMAL(38,0))::DOUBLE
+      / 1000000000.0 / count(*) AS seasonal
+  FROM detr WHERE d IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.event_type, t.bucket,
+  {_R6.format("t.x")} AS x,
+  {_R6.format("t.trend")} AS trend,
+  {_R6.format("s.seasonal")} AS seasonal,
+  {_R6.format("t.d - s.seasonal")} AS residual
+FROM detr t LEFT JOIN seas s
+  ON s.event_type = t.event_type AND s.phase = t.phase
+"""
+
+
 def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial autocorrelation (Durbin-Levinson on the decimal-exact
     ACF) per event type, lags 1-6. Oracle-backed since round 8: with
@@ -10275,6 +10444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         # lexical retrieval / collocation mining (beyond-reference)
         "token_pmi": q_token_pmi,
+        "retrieval_metrics": q_retrieval_metrics,
         "entity_link_degree": q_entity_link_degree,
         "fraud_rings": q_fraud_rings,
         "conversion_latency": q_conversion_latency,
@@ -10416,6 +10586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # absorption solves below stay rows-only (driver-side iterates
         # on aggregate-sized frames)
         "pacf": q_pacf,
+        "seasonal_decompose": q_seasonal_decompose,
         "attribution_markov": q_attribution_markov,
         "em_weights": q_em_weights,
         "round_amount_screen": q_round_amount_screen,
@@ -10545,6 +10716,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _FUNNEL_SQL,
         "cohort_retention": _COHORT_SQL,
         "bm25_search": _BM25_SQL,
+        "retrieval_metrics": _retrieval_metrics_sql(),
         "token_pmi": _TOKEN_PMI_SQL,
         "entity_link_degree": _ENTITY_LINK_SQL,
         "fraud_rings": _FRAUD_RINGS_SQL,
@@ -10590,6 +10762,7 @@ def oracle_sql() -> dict[str, str]:
         "cramers_v": _CRAMERS_V_SQL,
         "acf": _ACF_SQL,
         "pacf": _pacf_sql(),
+        "seasonal_decompose": _SEASONAL_DECOMP_SQL,
         "holt_forecast": _HOLT_SQL,
         "holt_winters": _HW_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,

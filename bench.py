@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "isotonic_calibration",
     "record_linkage",
     "record_linkage_fine",
+    "retrieval_metrics",
+    "seasonal_decompose",
     "rake_keywords",
     "holt_winters",
     "mmr_rerank",

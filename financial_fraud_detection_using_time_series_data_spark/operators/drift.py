@@ -988,3 +988,76 @@ def page_hinkley(
         ph.alias("ph_stat"),
         (ph > F.lit(float(lam))).cast("int").alias("alarm"),
     ).orderBy(type_col, "bucket")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    half: int = 12,
+) -> DataFrame:
+    """Classical additive decomposition of each series' bucketed totals
+    into trend + seasonal + residual — the explainability step between
+    raw series and the anomaly screens (a residual spike means something
+    happened; a raw spike may just be Friday evening). `seasonal_adjust`
+    removes the cycle row-wise; this returns all three components per
+    bucket for inspection/plotting.
+
+    - trend_t: centered (2·half+1)-point moving average — a decimal-
+      exact window SUM divided by the window count, NULL at the series
+      edges where the full window isn't available (the standard
+      convention, keeps the trend unbiased).
+    - seasonal_p: mean of the detrended values per (series, hour-of-day
+      phase), folded as 1e-9-grid integer micro-units (order-invariant).
+    - residual_t = detrended_t − seasonal_p.
+
+    Scale shape: the corpus collapses to the |series|·|buckets| rollup in
+    one map-side-combined shuffle; the moving average is ONE partitioned
+    window pass over that frame; the 24-row-per-series seasonal profile
+    is broadcast back. Positional (row-based) window: missing buckets
+    are gaps, same contract as `holt_winters` — compose with a resampler
+    upstream when a dense grid is wanted.
+    """
+    width = 2 * half + 1
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ser = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    w = Window.partitionBy(type_col).orderBy("bucket").rowsBetween(-half, half)
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == width,
+        F.sum("x_dec").over(w).cast("double") / F.lit(float(width)),
+    )
+    staged = ser.select(
+        type_col,
+        "bucket",
+        F.col("x_dec").cast("double").alias("x"),
+        trend.alias("trend"),
+        F.hour("bucket").cast("int").alias("__phase"),
+    ).withColumn("__detr", F.col("x") - F.col("trend"))
+    seas = staged.where(F.col("__detr").isNotNull()).groupBy(
+        type_col, "__phase"
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("__detr") * F.lit(1e9) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return (
+        staged.join(F.broadcast(seas), [type_col, "__phase"], "left")
+        .select(
+            type_col,
+            "bucket",
+            "x",
+            "trend",
+            "seasonal",
+            (F.col("__detr") - F.col("seasonal")).alias("residual"),
+        )
+    )

@@ -1214,3 +1214,168 @@ def log_odds_tokens(
         .where(F.col("rank") <= top_k)
         .select("grp", "rank", "tok", "n_in_group", "n_corpus", "log_odds")
     )
+
+
+# 1e-9-grid integer DCG discount units for ranks 1..10: quantizing each
+# 1/log2(i+1) BEFORE summation makes DCG/IDCG exact integer arithmetic —
+# the sums are order-invariant and reproducible cross-engine, with no
+# libm log2 in the hot path at all.
+import math as _math
+
+DCG_DISC_U = tuple(
+    int(_math.floor(1.0 / _math.log2(i + 1) * 1e9 + 0.5)) for i in range(1, 11)
+)
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality evaluation of the lexical search stack: for each
+    (query_id, terms) pair, score the corpus with Okapi BM25 (identical
+    term-level math to `bm25_search`), take the top-``k``, and grade the
+    ranking against CONJUNCTIVE term relevance (a doc is relevant iff it
+    contains EVERY query term — exact, binary, engine-independent ground
+    truth). Emits the three metrics every retrieval regression suite
+    watches:
+
+    - ``recall_at_k``  = |relevant ∩ top-k| / |relevant|
+    - ``mrr``          = 1 / rank of the first relevant hit (0 if none)
+    - ``ndcg_at_k``    = DCG@k / IDCG@k with binary gains
+
+    DCG discounts are precomputed 1e-9-grid INTEGER units
+    (``DCG_DISC_U``), so DCG and IDCG are exact integer sums and nDCG a
+    single exact division — no float summation order anywhere.
+
+    Scale shape: ALL queries are evaluated in ONE corpus pass — the
+    (query_id, term) map is a broadcast dim joined onto a single
+    posting-filtered explode, so cost is independent of |queries| (the
+    per-query-loop form paid 2 corpus scans PER query). Per-(query, doc)
+    scores reduce by map-side combine; the top-k rank window partitions
+    by query_id over the scored frame; everything after the top-k filter
+    is |queries|·k rows. Relevance reuses the same tf frame (presence of
+    all |terms| postings), reduced to |queries| one-row counts before
+    the final join.
+    """
+    spark = df.sparkSession
+    qmap = spark.createDataFrame(
+        [(qid, t.lower()) for qid, ts in queries for t in ts],
+        "query_id int, term string",
+    )
+    qinfo = spark.createDataFrame(
+        [(qid, " ".join(t.lower() for t in ts), len(ts)) for qid, ts in queries],
+        "query_id int, query string, n_terms int",
+    )
+    all_terms = sorted({t.lower() for _, ts in queries for t in ts})
+
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") > 0)
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_len.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = 1.2, 0.75
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qmap), "term")
+        .join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    topk = scored.select(
+        "query_id", id_col, F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+    # conjunctive relevance straight off the same tf frame: a doc is
+    # relevant to q iff it has a posting for EVERY one of q's terms
+    matched = tf.join(F.broadcast(qmap), "term").groupBy(
+        "query_id", id_col
+    ).agg(F.count(F.lit(1)).alias("__nm"))
+    relevant = matched.join(F.broadcast(qinfo), "query_id").where(
+        F.col("__nm") == F.col("n_terms")
+    ).select("query_id", id_col)
+    n_rel = relevant.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+
+    disc = F.array(*[F.lit(u) for u in DCG_DISC_U])
+    graded = topk.join(
+        relevant.withColumn("__rel", F.lit(1)), ["query_id", id_col], "left"
+    ).select(
+        "query_id",
+        "rank",
+        F.coalesce(F.col("__rel"), F.lit(0)).alias("rel"),
+    )
+    per_q = graded.groupBy("query_id").agg(
+        F.coalesce(F.sum("rel"), F.lit(0)).alias("hits"),
+        F.coalesce(
+            F.sum(
+                F.col("rel").cast("long")
+                * F.element_at(disc, F.col("rank")).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dcg_u"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("__fr"),
+    )
+
+    idcg_prefix = [0]
+    for u in DCG_DISC_U:
+        idcg_prefix.append(idcg_prefix[-1] + u)
+    idcg = F.element_at(
+        F.array(*[F.lit(u) for u in idcg_prefix]),
+        (F.least(F.col("n_relevant"), F.lit(k)) + F.lit(1)).cast("int"),
+    )
+    return (
+        qinfo.join(per_q, "query_id", "left")
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            "query",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits_at_k"),
+            F.when(
+                F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
+                F.col("hits").cast("double") / F.col("n_relevant"),
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("__fr").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            F.when(
+                F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
+                F.coalesce(F.col("dcg_u"), F.lit(0)).cast("double")
+                / idcg.cast("double"),
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Round-8 operators: retrieval-quality metrics (nDCG/MRR/recall) and
+classical seasonal decomposition — closed-form fixtures."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    drift,
+    text,
+)
+
+
+def test_retrieval_metrics_perfect_and_miss(spark):
+    """Docs engineered so both conjunctive-relevant docs outrank the
+    single-term matches: relevant at ranks 1-2 -> recall=1, mrr=1,
+    ndcg=1. A query with no postings at all yields zeroed hits and NULL
+    recall/ndcg (undefined without relevant docs), mrr=0."""
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple banana"),
+            (1, "apple apple apple"),
+            (2, "banana"),
+            (3, "apple banana"),
+            (4, "cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["query_id"]: r
+        for r in text.retrieval_metrics(
+            docs, [(1, ["apple", "banana"]), (2, ["zzz"])], k=10
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_relevant"] == 2 and r1["hits_at_k"] == 2
+    assert r1["recall_at_k"] == pytest.approx(1.0)
+    assert r1["mrr"] == pytest.approx(1.0)
+    assert r1["ndcg_at_k"] == pytest.approx(1.0)
+    r2 = out[2]
+    assert r2["n_relevant"] == 0 and r2["hits_at_k"] == 0
+    assert r2["recall_at_k"] is None and r2["ndcg_at_k"] is None
+    assert r2["mrr"] == 0.0
+
+
+def test_retrieval_metrics_first_hit_at_rank_two(spark):
+    """One relevant doc ranked below an irrelevant high-tf doc: mrr=1/2
+    and ndcg = disc2/disc1 (single relevant, rank 2)."""
+    # 'noise' doc 0 matches only the RARE query term with high tf (rare
+    # term -> big idf, high tf -> saturated but largest contribution),
+    # so BM25 puts it first; the conjunctive doc lands at rank 2
+    docs = spark.createDataFrame(
+        [
+            (0, "beta beta beta beta beta"),
+            (1, "alpha beta"),
+            (2, "alpha fill"),
+            (3, "alpha fill"),
+            (4, "alpha fill"),
+            (5, "alpha fill"),
+        ],
+        "doc_id long, text string",
+    )
+    row = text.retrieval_metrics(docs, [(1, ["alpha", "beta"])], k=10).collect()[0]
+    assert row["n_relevant"] == 1
+    assert row["mrr"] == pytest.approx(0.5)
+    expected_ndcg = text.DCG_DISC_U[1] / text.DCG_DISC_U[0]
+    assert row["ndcg_at_k"] == pytest.approx(expected_ndcg, abs=1e-9)
+
+
+def _hourly(spark, values):
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "a", float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_seasonal_decompose_constant_series(spark):
+    """Constant series: interior trend == level, seasonal == 0,
+    residual == 0; the first/last `half` buckets have NULL trend."""
+    ev = _hourly(spark, [100.0] * 72)
+    out = (
+        drift.seasonal_decompose(ev, "ts", "event_type", "value", "hour", half=12)
+        .orderBy("bucket")
+        .collect()
+    )
+    assert len(out) == 72
+    for i, r in enumerate(out):
+        if i < 12 or i >= 60:
+            assert r["trend"] is None and r["residual"] is None
+        else:
+            assert r["trend"] == pytest.approx(100.0)
+            assert r["seasonal"] == pytest.approx(0.0, abs=1e-9)
+            assert r["residual"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """x_t = 100 + s(hour) with a zero-mean 24-periodic bump: over full
+    cycles the centered 25-point MA wobbles only by the duplicated
+    phase (±bump/25), so the recovered seasonal profile tracks the
+    planted bump within that ripple."""
+    bump = {3: 24.0, 15: -24.0}
+    vals = [100.0 + bump.get(i % 24, 0.0) for i in range(24 * 5)]
+    ev = _hourly(spark, vals)
+    out = drift.seasonal_decompose(
+        ev, "ts", "event_type", "value", "hour", half=12
+    ).collect()
+    seas = {}
+    for r in out:
+        if r["seasonal"] is not None:
+            seas[r["bucket"].hour] = r["seasonal"]
+    assert seas[3] == pytest.approx(24.0, abs=2.0)
+    assert seas[15] == pytest.approx(-24.0, abs=2.0)
+    assert seas[9] == pytest.approx(0.0, abs=2.0)
+    # residuals stay within the MA ripple everywhere
+    for r in out:
+        if r["residual"] is not None:
+            assert abs(r["residual"]) < 3.0
