@@ -8949,6 +8949,85 @@ FROM m
 """
 
 
+def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step backtest scorecard (MAE / sMAPE / MASE) of the naive,
+    seasonal-naive and expanding-mean baselines over daily value totals
+    per event type — time-shifted joins, micro-unit error folds."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    out = forecast.forecast_accuracy(
+        _events(spark, sf_dir), "ts", "event_type", "value",
+        bucket="day", season_lag_days=7,
+    )
+    return out.select(
+        "event_type",
+        "method",
+        "n_evals",
+        E.r6("mae").alias("mae"),
+        E.r6("smape").alias("smape"),
+        E.r6("mase").alias("mase"),
+    )
+
+
+_FORECAST_ACC_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, bucket, x_dec::DOUBLE AS y, x_dec,
+    CASE WHEN count(*) OVER wp > 0
+         THEN (sum(x_dec) OVER wp)::DOUBLE / (count(*) OVER wp)
+    END AS m_mean
+  FROM daily
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), nshift AS (
+  SELECT event_type, bucket + INTERVAL 1 DAY AS bucket,
+    x_dec::DOUBLE AS m_naive
+  FROM daily
+), sshift AS (
+  SELECT event_type, bucket + INTERVAL 7 DAY AS bucket,
+    x_dec::DOUBLE AS m_snaive
+  FROM daily
+), joined AS (
+  SELECT b.event_type, b.y, n.m_naive, s.m_snaive, b.m_mean
+  FROM base b
+  LEFT JOIN nshift n ON n.event_type = b.event_type AND n.bucket = b.bucket
+  LEFT JOIN sshift s ON s.event_type = b.event_type AND s.bucket = b.bucket
+), long AS (
+  SELECT event_type, y, 'naive' AS method, m_naive AS yhat FROM joined
+   WHERE m_naive IS NOT NULL
+  UNION ALL
+  SELECT event_type, y, 'snaive', m_snaive FROM joined
+   WHERE m_snaive IS NOT NULL
+  UNION ALL
+  SELECT event_type, y, 'mean', m_mean FROM joined
+   WHERE m_mean IS NOT NULL
+), per AS (
+  SELECT event_type, method, count(*)::BIGINT AS n_evals,
+    sum(floor(abs(y - yhat) * 1000000000.0 + 0.5)::DECIMAL(38,0))::DOUBLE
+      / 1000000000.0 / count(*) AS mae,
+    sum(floor(CASE WHEN abs(y) + abs(yhat) > 0
+                   THEN 2.0 * abs(y - yhat) / (abs(y) + abs(yhat))
+                   ELSE 0.0 END * 1000000000.0 + 0.5)::DECIMAL(38,0))::DOUBLE
+      / 1000000000.0 / count(*) AS smape
+  FROM long GROUP BY 1, 2
+), sc AS (
+  SELECT event_type,
+    sum(floor(abs(y - yhat) * 1000000000.0 + 0.5)::DECIMAL(38,0))::DOUBLE
+      / 1000000000.0 / count(*) AS scale
+  FROM long WHERE method = 'naive' GROUP BY 1
+)
+SELECT p.event_type, p.method, p.n_evals,
+  {_R6.format("p.mae")} AS mae,
+  {_R6.format("p.smape")} AS smape,
+  CASE WHEN sc.scale > 0
+       THEN {_R6.format("p.mae / sc.scale")} END AS mase
+FROM per p LEFT JOIN sc ON sc.event_type = p.event_type
+"""
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition (25-point centered-MA trend,
     hour-of-day seasonal profile via micro-unit folds, residual) of the
@@ -10587,6 +10666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on aggregate-sized frames)
         "pacf": q_pacf,
         "seasonal_decompose": q_seasonal_decompose,
+        "forecast_accuracy": q_forecast_accuracy,
         "attribution_markov": q_attribution_markov,
         "em_weights": q_em_weights,
         "round_amount_screen": q_round_amount_screen,
@@ -10763,6 +10843,7 @@ def oracle_sql() -> dict[str, str]:
         "acf": _ACF_SQL,
         "pacf": _pacf_sql(),
         "seasonal_decompose": _SEASONAL_DECOMP_SQL,
+        "forecast_accuracy": _FORECAST_ACC_SQL,
         "holt_forecast": _HOLT_SQL,
         "holt_winters": _HW_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "record_linkage_fine",
     "retrieval_metrics",
     "seasonal_decompose",
+    "forecast_accuracy",
     "rake_keywords",
     "holt_winters",
     "mmr_rerank",

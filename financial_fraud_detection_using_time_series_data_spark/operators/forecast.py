@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -352,3 +352,113 @@ def croston_forecast(
         )
 
     return rolled.groupBy("__g").applyInPandas(_run, schema=schema)
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    season_lag_days: int = 7,
+) -> DataFrame:
+    """Rolling one-step-ahead backtest scorecard for the three baselines
+    every forecasting pipeline must beat — the go/no-go table a model
+    review actually reads:
+
+    - ``naive``   ŷ_t = y_{t−1 bucket}
+    - ``snaive``  ŷ_t = y_{t−season} (default one week of days)
+    - ``mean``    ŷ_t = mean of ALL prior buckets (expanding)
+
+    scored by MAE, sMAPE (2|e|/(|y|+|ŷ|), a 0/0 bucket contributes 0 —
+    both sides zero IS a perfect forecast), and MASE (MAE / in-sample
+    naive MAE, so ``naive`` scores exactly 1 by construction and <1
+    means "beats naive").
+
+    Alignment is TIME-SHIFTED self-joins on (type, bucket−lag) over the
+    rollup frame — not row lags, which silently misalign on sparse
+    series (same contract as `seasonal_naive_backtest`). Buckets without
+    the required predecessor are excluded per method; ``n_evals``
+    reports coverage.
+
+    Scale shape: one map-side-combined rollup collapses the corpus to
+    |types|·|buckets| exact-decimal actuals; the two shifted joins and
+    the expanding-mean window all run on that frame; every error metric
+    folds 1e-9-grid integer micro-units (order-invariant, oracle-exact).
+    Output is |types|·3 rows.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    daily = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    base = daily.select(
+        type_col, "bucket", F.col("x_dec").cast("double").alias("y"), "x_dec"
+    )
+    shift1 = base.select(
+        type_col,
+        (F.col("bucket") + F.expr("INTERVAL 1 DAY")).alias("bucket"),
+        F.col("y").alias("__naive"),
+    )
+    shifts = base.select(
+        type_col,
+        (F.col("bucket") + F.expr(f"INTERVAL {int(season_lag_days)} DAY")).alias(
+            "bucket"
+        ),
+        F.col("y").alias("__snaive"),
+    )
+    w_prior = Window.partitionBy(type_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    joined = (
+        base.join(shift1, [type_col, "bucket"], "left")
+        .join(shifts, [type_col, "bucket"], "left")
+        .withColumn(
+            "__mean",
+            F.when(
+                F.count(F.lit(1)).over(w_prior) > 0,
+                F.sum("x_dec").over(w_prior).cast("double")
+                / F.count(F.lit(1)).over(w_prior),
+            ),
+        )
+    )
+    methods = F.explode(
+        F.array(
+            F.struct(F.lit("naive").alias("method"), F.col("__naive").alias("yhat")),
+            F.struct(F.lit("snaive").alias("method"), F.col("__snaive").alias("yhat")),
+            F.struct(F.lit("mean").alias("method"), F.col("__mean").alias("yhat")),
+        )
+    ).alias("m")
+    long = (
+        joined.select(type_col, "y", methods)
+        .select(type_col, "y", F.col("m.method").alias("method"), F.col("m.yhat").alias("yhat"))
+        .where(F.col("yhat").isNotNull())
+    )
+
+    def micro(c):
+        return F.sum(
+            F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(1e9)
+
+    ae = F.abs(F.col("y") - F.col("yhat"))
+    denom = F.abs(F.col("y")) + F.abs(F.col("yhat"))
+    smape_term = F.when(denom > 0, F.lit(2.0) * ae / denom).otherwise(F.lit(0.0))
+    per = long.groupBy(type_col, "method").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        (micro(ae) / F.count(F.lit(1))).alias("mae"),
+        (micro(smape_term) / F.count(F.lit(1))).alias("smape"),
+    )
+    scale = (
+        long.where(F.col("method") == "naive")
+        .groupBy(type_col)
+        .agg((micro(ae) / F.count(F.lit(1))).alias("__scale"))
+    )
+    return per.join(F.broadcast(scale), type_col, "left").select(
+        type_col,
+        "method",
+        F.col("n_evals").cast("long").alias("n_evals"),
+        "mae",
+        "smape",
+        F.when(F.col("__scale") > 0, F.col("mae") / F.col("__scale")).alias(
+            "mase"
+        ),
+    )

@@ -120,3 +120,36 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     for r in out:
         if r["residual"] is not None:
             assert abs(r["residual"]) < 3.0
+
+
+def test_forecast_accuracy_periodic_series(spark):
+    """Weekly-periodic daily series: seasonal-naive is a PERFECT
+    forecaster (mase=0, mae=0) while naive pays the day-to-day cycle;
+    mase(naive) == 1 by construction."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        forecast,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pattern = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "a", pattern[i % 7])
+        for i in range(35)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["method"]: r
+        for r in forecast.forecast_accuracy(
+            ev, "ts", "event_type", "value", bucket="day", season_lag_days=7
+        ).collect()
+    }
+    assert out["naive"]["mase"] == pytest.approx(1.0)
+    assert out["naive"]["n_evals"] == 34
+    assert out["snaive"]["mae"] == pytest.approx(0.0, abs=1e-9)
+    assert out["snaive"]["mase"] == pytest.approx(0.0, abs=1e-9)
+    assert out["snaive"]["n_evals"] == 28
+    assert out["mean"]["n_evals"] == 34
+    # the expanding mean is a real (imperfect) forecaster here
+    assert out["mean"]["mae"] > 0
