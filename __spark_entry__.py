@@ -8949,6 +8949,65 @@ FROM m
 """
 
 
+def q_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: buckets whose decomposition
+    residual is a |robust z| > 3.5 outlier for its series."""
+    out = drift.residual_anomaly(
+        _events(spark, sf_dir), "ts", "event_type", "value",
+        bucket="hour", half=12, z_threshold=3.5,
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        E.r6("x").alias("x"),
+        E.r6("residual").alias("residual"),
+        E.r6("robust_z").alias("robust_z"),
+    )
+
+
+_RESIDUAL_ANOMALY_SQL = f"""
+WITH ser AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY 1, 2
+), staged AS (
+  SELECT event_type, bucket, x_dec::DOUBLE AS x,
+    CASE WHEN count(*) OVER w = 25
+         THEN (sum(x_dec) OVER w)::DOUBLE / 25.0 END AS trend,
+    hour(bucket)::INT AS phase
+  FROM ser
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), detr AS (
+  SELECT *, x - trend AS d FROM staged
+), seas AS (
+  SELECT event_type, phase,
+    sum(floor(d * 1000000000.0 + 0.5)::DECIMAL(38,0))::DOUBLE
+      / 1000000000.0 / count(*) AS seasonal
+  FROM detr WHERE d IS NOT NULL GROUP BY 1, 2
+), res AS (
+  SELECT t.event_type, t.bucket, t.x, t.d - s.seasonal AS residual
+  FROM detr t JOIN seas s
+    ON s.event_type = t.event_type AND s.phase = t.phase
+  WHERE t.d IS NOT NULL
+), med AS (
+  SELECT event_type, median(residual) AS m FROM res GROUP BY event_type
+), mad AS (
+  SELECT r.event_type, median(abs(r.residual - med.m)) AS mad
+  FROM res r JOIN med USING (event_type) GROUP BY r.event_type
+), z AS (
+  SELECT r.event_type, r.bucket, r.x, r.residual,
+    0.6745 * (r.residual - med.m) / nullif(mad.mad, 0.0) AS robust_z
+  FROM res r JOIN med USING (event_type) JOIN mad USING (event_type)
+)
+SELECT event_type, bucket,
+  {_R6.format("x")} AS x,
+  {_R6.format("residual")} AS residual,
+  {_R6.format("robust_z")} AS robust_z
+FROM z WHERE abs(robust_z) > 3.5
+"""
+
+
 def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step backtest scorecard (MAE / sMAPE / MASE) of the naive,
     seasonal-naive and expanding-mean baselines over daily value totals
@@ -10667,6 +10726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf": q_pacf,
         "seasonal_decompose": q_seasonal_decompose,
         "forecast_accuracy": q_forecast_accuracy,
+        "residual_anomaly": q_residual_anomaly,
         "attribution_markov": q_attribution_markov,
         "em_weights": q_em_weights,
         "round_amount_screen": q_round_amount_screen,
@@ -10844,6 +10904,7 @@ def oracle_sql() -> dict[str, str]:
         "pacf": _pacf_sql(),
         "seasonal_decompose": _SEASONAL_DECOMP_SQL,
         "forecast_accuracy": _FORECAST_ACC_SQL,
+        "residual_anomaly": _RESIDUAL_ANOMALY_SQL,
         "holt_forecast": _HOLT_SQL,
         "holt_winters": _HW_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "retrieval_metrics",
     "seasonal_decompose",
     "forecast_accuracy",
+    "residual_anomaly",
     "rake_keywords",
     "holt_winters",
     "mmr_rerank",

@@ -1061,3 +1061,46 @@ def seasonal_decompose(
             (F.col("__detr") - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+def residual_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    half: int = 12,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonality-aware anomaly screen: flag buckets whose
+    `seasonal_decompose` RESIDUAL is a robust outlier — the composition
+    a monitoring stack actually pages on. Screening on raw totals flags
+    every Friday evening; screening on residuals flags what the trend
+    and the daily cycle can't explain. The score is the median/MAD
+    robust z (0.6745·(r − median)/MAD) per series, so a burst of genuine
+    anomalies can't inflate its own yardstick the way mean/std would.
+
+    Pure composition: the decomposition's one rollup + one window pass,
+    then two |series|-row median aggregates broadcast back onto the
+    |series|·|buckets| residual frame. Series with MAD = 0 (constant
+    residuals) yield NULL scores and are never flagged. Returns flagged
+    buckets only: (series, bucket, x, residual, robust_z).
+    """
+    dec = seasonal_decompose(df, ts_col, type_col, value_col, bucket, half)
+    res = dec.where(F.col("residual").isNotNull())
+    med = res.groupBy(type_col).agg(F.median("residual").alias("__med"))
+    with_med = res.join(F.broadcast(med), type_col)
+    mad = with_med.groupBy(type_col).agg(
+        F.median(F.abs(F.col("residual") - F.col("__med"))).alias("__mad")
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("residual") - F.col("__med"))
+        / F.nullif(F.col("__mad"), F.lit(0.0))
+    )
+    return (
+        with_med.join(F.broadcast(mad), type_col)
+        .withColumn("robust_z", z)
+        .where(F.abs(F.col("robust_z")) > float(z_threshold))
+        .select(type_col, "bucket", "x", "residual", "robust_z")
+    )

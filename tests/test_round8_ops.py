@@ -153,3 +153,42 @@ def test_forecast_accuracy_periodic_series(spark):
     assert out["mean"]["n_evals"] == 34
     # the expanding mean is a real (imperfect) forecaster here
     assert out["mean"]["mae"] > 0
+
+
+def test_residual_anomaly_flags_planted_spike_not_cycle(spark):
+    """A strong 24-h cycle plus ONE planted spike: the raw-value screen
+    would flag every cycle peak; the residual screen flags only the
+    spike bucket."""
+    bump = {h: 30.0 * (1 if h < 12 else -1) for h in range(24)}
+    # deterministic hash-noise keeps MAD meaningful (an EXACTLY periodic
+    # series has all-zero clean residuals, MAD -> float dust, z -> inf)
+    vals = [
+        200.0 + bump[i % 24] + ((i * 2654435761) % 7 - 3) * 0.5
+        for i in range(24 * 6)
+    ]
+    spike_at = 24 * 3 + 5
+    vals[spike_at] += 500.0
+    ev = _hourly(spark, vals)
+    out = drift.residual_anomaly(
+        ev, "ts", "event_type", "value", bucket="hour", half=12, z_threshold=3.5
+    ).collect()
+    flagged = {r["bucket"]: r["robust_z"] for r in out}
+    spike_bucket = dt.datetime(2024, 3, 1) + dt.timedelta(hours=spike_at)
+    assert spike_bucket in flagged
+    spike_z = abs(flagged[spike_bucket])
+    # the spike towers over everything; its collateral (same-phase
+    # siblings via the contaminated seasonal mean, MA-window neighbours
+    # via the contaminated trend) may also flag, but far below it
+    assert spike_z > 50.0
+    assert all(
+        abs(z) < spike_z / 2.0 for b, z in flagged.items() if b != spike_bucket
+    )
+    # the clean cycle itself stays unflagged: every flag is the spike,
+    # its phase siblings, or inside its 25-bucket trend window
+    for b in flagged:
+        ok = (
+            b == spike_bucket
+            or b.hour == spike_bucket.hour
+            or abs((b - spike_bucket).total_seconds()) <= 12 * 3600
+        )
+        assert ok, b
