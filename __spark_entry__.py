@@ -8949,6 +8949,109 @@ FROM m
 """
 
 
+def q_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-portfolio census over four screening rules (high-value,
+    off-hours, round-amount, weekend): pairwise overlap Jaccard and
+    Cohen's kappa from one corpus aggregate of exact integer counts."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import screens
+
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    rules = [
+        ("high_value", F.col("value") > 50.0),
+        ("off_hours", F.hour("ts") < 6),
+        ("round_amount", (cents % F.lit(1000)) == 0),
+        ("weekend", ((F.dayofweek("ts") + F.lit(5)) % 7) >= 5),
+    ]
+    out = screens.rule_census(ev, rules)
+    return out.select(
+        "rule_a", "rule_b", "n", "n_a", "n_b", "n_both",
+        E.r6("jaccard").alias("jaccard"),
+        E.r6("kappa").alias("kappa"),
+    )
+
+
+def _rule_census_sql() -> str:
+    rules = {
+        "high_value": "(value > 50.0)::INT",
+        "off_hours": "(hour(ts) < 6)::INT",
+        "round_amount": "(floor(value * 100.0 + 0.5)::BIGINT % 1000 = 0)::INT",
+        "weekend": "(((dayofweek(ts) + 6) % 7) >= 5)::INT",
+    }
+    names = list(rules)
+    flag_sel = ", ".join(f"{e} AS r_{n}" for n, e in rules.items())
+    aggs = ["count(*)::BIGINT AS n"] + [
+        f"sum(r_{n})::BIGINT AS h_{n}" for n in names
+    ]
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(f"sum(r_{a} * r_{b})::BIGINT AS b_{a}_{b}")
+            rows.append(
+                f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, n, "
+                f"h_{a} AS n_a, h_{b} AS n_b, b_{a}_{b} AS n_both FROM c"
+            )
+    body = "\nUNION ALL\n".join(rows)
+    jac = "n_both::DOUBLE / (n_a + n_b - n_both)"
+    po = "((n_both + (n - (n_a + n_b - n_both)))::DOUBLE / n)"
+    pe = ("((n_a::DOUBLE * n_b + (n - n_a)::DOUBLE * (n - n_b)) "
+          "/ (n::DOUBLE * n))")
+    return f"""
+WITH f AS (SELECT {flag_sel} FROM events),
+c AS (SELECT {', '.join(aggs)} FROM f),
+p AS ({body})
+SELECT rule_a, rule_b, n, n_a, n_b, n_both,
+  CASE WHEN n_a + n_b - n_both > 0
+       THEN {_R6.format(jac)} END AS jaccard,
+  CASE WHEN {pe} < 1.0
+       THEN {_R6.format(f"({po} - {pe}) / (1.0 - {pe})")} END AS kappa
+FROM p
+"""
+
+
+def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week spend-decile migration matrix: threshold-based
+    decile assignment (exact percentiles broadcast — no per-period rank
+    window), calendar +7 DAY transition join, share per from-decile."""
+    out = behavior.decile_migration(
+        _events(spark, sf_dir), "user_id", "ts", "value", grain="week"
+    )
+    return out.select(
+        "from_decile", "to_decile", "n_entities",
+        E.r6("share_of_from").alias("share_of_from"),
+    )
+
+
+_DECILE_MIGRATION_SQL = f"""
+WITH spend AS (
+  SELECT user_id, date_trunc('week', ts) AS month,
+    sum(value::DECIMAL(25,2))::DOUBLE AS s
+  FROM events GROUP BY 1, 2
+), qs AS (
+  SELECT month,
+    quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+  FROM spend GROUP BY 1
+), dec AS (
+  SELECT sp.user_id, sp.month,
+    1 + list_sum(list_transform(qs.q,
+        e -> CASE WHEN sp.s > e THEN 1 ELSE 0 END)) AS decile
+  FROM spend sp JOIN qs ON qs.month = sp.month
+), trans AS (
+  SELECT a.decile AS from_decile, b.decile AS to_decile,
+    count(*)::BIGINT AS n_entities
+  FROM dec a JOIN dec b
+    ON b.user_id = a.user_id AND b.month = a.month + INTERVAL 7 DAY
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_decile, sum(n_entities) AS t FROM trans GROUP BY 1
+)
+SELECT tr.from_decile::INT AS from_decile, tr.to_decile::INT AS to_decile,
+  tr.n_entities,
+  {_R6.format("tr.n_entities::DOUBLE / tot.t")} AS share_of_from
+FROM trans tr JOIN tot USING (from_decile)
+"""
+
+
 def q_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly screen: buckets whose decomposition
     residual is a |robust z| > 3.5 outlier for its series."""
@@ -10727,6 +10830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "forecast_accuracy": q_forecast_accuracy,
         "residual_anomaly": q_residual_anomaly,
+        "rule_census": q_rule_census,
+        "decile_migration": q_decile_migration,
         "attribution_markov": q_attribution_markov,
         "em_weights": q_em_weights,
         "round_amount_screen": q_round_amount_screen,
@@ -10905,6 +11010,8 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": _SEASONAL_DECOMP_SQL,
         "forecast_accuracy": _FORECAST_ACC_SQL,
         "residual_anomaly": _RESIDUAL_ANOMALY_SQL,
+        "rule_census": _rule_census_sql(),
+        "decile_migration": _DECILE_MIGRATION_SQL,
         "holt_forecast": _HOLT_SQL,
         "holt_winters": _HW_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,

@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "forecast_accuracy",
     "residual_anomaly",
+    "rule_census",
+    "decile_migration",
     "rake_keywords",
     "holt_winters",
     "mmr_rerank",

@@ -921,3 +921,77 @@ def missing_buckets(
         )
         .orderBy("coverage", entity_col)
     )
+
+
+def decile_migration(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "week",
+) -> DataFrame:
+    """Period-over-period spend-decile migration matrix: where did last
+    period's decile-k entities land this period — the portfolio-risk view
+    behind vintage analysis and limit management (a heavy top-decile →
+    bottom-decile flow is churn; upward drift is growth or bust-out).
+
+    Decile assignment is THRESHOLD-based, not rank-based: per period the
+    nine exact deciles of the entity-spend distribution are ONE
+    |periods|×9 aggregate broadcast back, and an entity's decile is
+    1 + Σ [spend > q_k] — so the big frame never feeds a per-period rank
+    window (periods are low-cardinality: a rank window would funnel each
+    period's entire entity population through one task; SURVEY §2's
+    chunked-rank trap). Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share linear interpolation, so thresholds — and
+    therefore every assignment — match bit-exactly. At extreme scale
+    swap in `percentile_approx` (documented sketch twin discipline).
+
+    Consecutive periods join per entity (calendar step — +7 DAY for
+    ``grain="week"``, +1 MONTH for ``grain="month"`` — not a row lag);
+    entities absent either period drop out. Output: one row per
+    observed (from_decile, to_decile) with the transition count and its
+    share of the from-decile's total.
+    """
+    if grain not in ("week", "month"):
+        raise ValueError(f"decile_migration: unsupported grain {grain!r}")
+    step = "INTERVAL 7 DAY" if grain == "week" else "INTERVAL 1 MONTH"
+    m = F.date_trunc(grain, F.col(ts_col)).alias("month")
+    spend = df.groupBy(F.col(entity_col).alias("__e"), m).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__s")
+    )
+    qs = spend.groupBy("month").agg(
+        F.percentile("__s", F.array(*[F.lit(k / 10.0) for k in range(1, 10)])).alias(
+            "__q"
+        )
+    )
+    dec = spend.join(F.broadcast(qs), "month").select(
+        "__e",
+        "month",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "__q",
+                F.lit(0),
+                lambda acc, q: acc + F.when(F.col("__s") > q, 1).otherwise(0),
+            )
+        ).alias("decile"),
+    )
+    nxt = dec.select(
+        "__e",
+        (F.col("month") + F.expr(step)).alias("month"),
+        F.col("decile").alias("from_decile"),
+    )
+    trans = (
+        nxt.join(dec, ["__e", "month"])
+        .groupBy("from_decile", F.col("decile").alias("to_decile"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+    tot = trans.groupBy("from_decile").agg(
+        F.sum("n_entities").alias("__tot")
+    )
+    return trans.join(F.broadcast(tot), "from_decile").select(
+        F.col("from_decile").cast("int").alias("from_decile"),
+        F.col("to_decile").cast("int").alias("to_decile"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+        (F.col("n_entities").cast("double") / F.col("__tot")).alias("share_of_from"),
+    )

@@ -446,3 +446,83 @@ def peer_group_anomaly(
             F.when(std > 0, (F.col("user_avg") - mean) / std).alias("z"),
         )
     )
+
+
+def rule_census(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Rule-portfolio census: per-pair hit counts, overlap Jaccard, and
+    Cohen's kappa for a set of boolean screening rules — the table a
+    fraud-ops team reads before pruning its rule engine (two rules with
+    kappa ≈ 1 are one rule paying double review cost; a rule with near-
+    zero hits is dead weight).
+
+    ONE corpus aggregate: every rule evaluates to an int flag in a
+    single projection; the census needs only Σflagᵢ, Σflagᵢ·flagⱼ and n
+    (k + C(k,2) + 1 sums, all map-side combined — cost independent of
+    corpus size for any sane rule count). All statistics derive from
+    those exact integer counts driver-free:
+
+        jaccard = n₁₁ / (nᵢ + nⱼ − n₁₁)
+        κ = (p_o − p_e) / (1 − p_e),  p_o = (n₁₁ + n₀₀)/n,
+        p_e = (nᵢ·nⱼ + (n−nᵢ)·(n−nⱼ))/n²
+
+    Returns one row per unordered rule pair (rule_a < rule_b by list
+    order): (rule_a, rule_b, n, n_a, n_b, n_both, jaccard, kappa).
+    Degenerate pairs (p_e = 1: both rules constant) yield NULL kappa;
+    empty unions yield NULL jaccard.
+    """
+    names = [n for n, _ in rules]
+    flags = df.select(
+        *[expr.cast("int").alias(f"__r_{n}") for n, expr in rules]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for n in names:
+        aggs.append(F.sum(f"__r_{n}").alias(f"__h_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f"__r_{a}") * F.col(f"__r_{b}")).alias(
+                    f"__b_{a}_{b}"
+                )
+            )
+    row = flags.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("rule_a"),
+                    F.lit(b).alias("rule_b"),
+                    F.col(f"__h_{a}").alias("n_a"),
+                    F.col(f"__h_{b}").alias("n_b"),
+                    F.col(f"__b_{a}_{b}").alias("n_both"),
+                )
+            )
+    long = row.select(
+        "__n", F.explode(F.array(*pairs)).alias("p")
+    ).select(
+        F.col("p.rule_a").alias("rule_a"),
+        F.col("p.rule_b").alias("rule_b"),
+        F.col("__n").cast("long").alias("n"),
+        F.col("p.n_a").cast("long").alias("n_a"),
+        F.col("p.n_b").cast("long").alias("n_b"),
+        F.col("p.n_both").cast("long").alias("n_both"),
+    )
+    n = F.col("n").cast("double")
+    na, nb, n11 = (F.col(c).cast("double") for c in ("n_a", "n_b", "n_both"))
+    union = na + nb - n11
+    n00 = n - union
+    po = (n11 + n00) / n
+    pe = (na * nb + (n - na) * (n - nb)) / (n * n)
+    return long.select(
+        "rule_a",
+        "rule_b",
+        "n",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(union > 0, n11 / union).alias("jaccard"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

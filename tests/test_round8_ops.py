@@ -192,3 +192,66 @@ def test_residual_anomaly_flags_planted_spike_not_cycle(spark):
             or abs((b - spike_bucket).total_seconds()) <= 12 * 3600
         )
         assert ok, b
+
+
+def test_rule_census_closed_form(spark):
+    """10 rows, A hits 1-4, B hits 3-6, C hits none: hand-computed
+    jaccard/kappa per pair; a dead rule pairs at jaccard 0/kappa 0."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        screens,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "i long")
+    rules = [
+        ("a", (F.col("i") >= 1) & (F.col("i") <= 4)),
+        ("b", (F.col("i") >= 3) & (F.col("i") <= 6)),
+        ("c", F.lit(False)),
+    ]
+    out = {
+        (r["rule_a"], r["rule_b"]): r
+        for r in screens.rule_census(df, rules).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["n"], ab["n_a"], ab["n_b"], ab["n_both"]) == (10, 4, 4, 2)
+    assert ab["jaccard"] == pytest.approx(2 / 6)
+    # po = 0.6, pe = (16 + 36)/100 = 0.52 -> kappa = 0.08/0.48
+    assert ab["kappa"] == pytest.approx(0.08 / 0.48)
+    ac = out[("a", "c")]
+    assert ac["jaccard"] == pytest.approx(0.0)
+    assert ac["kappa"] == pytest.approx(0.0)
+
+
+def test_rule_census_identical_rules_kappa_one(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        screens,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "i long")
+    same = (F.col("i") % 2) == 0
+    out = screens.rule_census(df, [("x", same), ("y", same)]).collect()[0]
+    assert out["kappa"] == pytest.approx(1.0)
+    assert out["jaccard"] == pytest.approx(1.0)
+
+
+def test_decile_migration_stable_portfolio_is_diagonal(spark):
+    """Identical spends two weeks running: every entity stays in its
+    decile — the matrix is purely diagonal with share 1.0."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        behavior,
+    )
+
+    rows = []
+    eid = 0
+    for week in (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)):
+        for u in range(20):
+            rows.append((eid, week + dt.timedelta(hours=u), u, "view",
+                         float((u + 1) * 10)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = behavior.decile_migration(ev, "user_id", "ts", "value", grain="week").collect()
+    assert sum(r["n_entities"] for r in out) == 20
+    for r in out:
+        assert r["from_decile"] == r["to_decile"]
+        assert r["share_of_from"] == pytest.approx(1.0)
