@@ -523,3 +523,49 @@ def test_heavy_hitters_total_is_broadcast_window_is_post_filter(spark, sf_dir):
     post = "\n".join(lines[win_idx[0]:])
     assert ">= 0.005" in post or ">= 5.0E-3" in post, post
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_retrieval_metrics_single_pass_broadcasts(spark, sf_dir):
+    """Round-8: ALL queries are evaluated in one corpus pass — the
+    (query, term) map, dfreq and (N, avgdl) ride broadcasts; the plan
+    must not contain a Python UDF or a cartesian product, and the
+    documents relation is scanned a bounded number of times regardless
+    of |queries| (shared postings, not per-query re-scans)."""
+    df = spark_entry.q_retrieval_metrics(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # bounded scans: tokenize/doc_len/tf/relevance branches reuse the
+    # same projection shape; the count must not scale with |queries| (3)
+    assert plan.count("FileScan") <= 8, plan
+
+
+def test_decile_migration_has_no_rank_window(spark, sf_dir):
+    """Round-8: decile assignment is threshold-based — a per-period rank
+    window would funnel each period's whole entity population through
+    one task. The plan must contain NO Window node at all; the decile
+    thresholds join must be a broadcast."""
+    df = spark_entry.q_decile_migration(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_rule_census_is_one_aggregate(spark, sf_dir):
+    """Round-8: the census is ONE map-side-combined aggregate over the
+    flag projection — a single pair of partial/final HashAggregates over
+    one exchange, then constant-size derivation."""
+    df = spark_entry.q_rule_census(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one shuffle of the 1-row partials
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_forecast_accuracy_time_shifted_joins_no_python(spark, sf_dir):
+    df = spark_entry.q_forecast_accuracy(spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
