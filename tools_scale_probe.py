@@ -97,11 +97,15 @@ def probe(name: str) -> dict:
 
 def main() -> None:
     names = sys.argv[1:] or TOP20
+    path = os.path.join(HERE, "SCALE_PROBE.json")
     out = {}
+    if os.path.exists(path):  # merge: accumulate probes across runs
+        with open(path) as f:
+            out = json.load(f)
     for name in names:
         out[name] = probe(name)
         print(f"{name}: {out[name]}", flush=True)
-        with open(os.path.join(HERE, "SCALE_PROBE.json"), "w") as f:
+        with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     flagged = sorted(
         k for k, v in out.items()
