@@ -7734,15 +7734,26 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     since round 8: CC labels are a canonical integer fixpoint, so a
     recursive-CTE min-label peel lands on identical rows regardless of
     algorithm; CC exactness is additionally pinned by the dedup tests.
-    Returns multi-member clusters only (canonical id = min member)."""
+    Returns multi-member clusters only (canonical id = min member).
+
+    Round 9: blocked on the FINE (nation, segment, balance-bucket) key
+    — the coarse key measured e >= 1.74 (sf1.0 timeout) in the round-8
+    scale probe. Recall trade is explicit and narrow: the only match
+    pairs the fine key can drop are bucket-DISagreeing pairs that still
+    clear 6.0, i.e. balances straddling a $1000 boundary within $100
+    AND sharing the name suffix — a vanishing stratum the coarse key
+    bought at quadratic cost."""
     from financial_fraud_detection_using_time_series_data_spark.operators import (
         linkage,
     )
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 1000.0),
+    )
     pairs = linkage.block_pairs(
         cust,
-        ["c_nationkey", "c_mktsegment"],
+        ["c_nationkey", "c_mktsegment", "bal_bucket"],
         "c_custkey",
         ["c_acctbal", "c_name"],
     )
@@ -7840,68 +7851,20 @@ LIMIT 15
 
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter entity resolution over customers blocked by
-    (nation, segment): per-field m/u log-likelihood weights (balance
-    bucket, balance tolerance, name-suffix) folded into one codegen'd
-    projection; only pairs clearing the 'possible' floor are returned.
-    The weight literals are computed once in Python and embedded
-    identically in the oracle."""
-    from financial_fraud_detection_using_time_series_data_spark.operators import (
-        linkage,
-    )
+    """Fellegi-Sunter entity resolution over customers blocked by the
+    FINE (nation, segment, balance-bucket) key: per-field m/u
+    log-likelihood weights (balance bucket, balance tolerance,
+    name-suffix) folded into one codegen'd projection; only pairs
+    clearing the 'possible' floor are returned. The weight literals are
+    computed once in Python and embedded identically in the oracle.
 
-    cust = load_table(spark, sf_dir, "customer")
-    pairs = linkage.block_pairs(
-        cust,
-        ["c_nationkey", "c_mktsegment"],
-        "c_custkey",
-        ["c_acctbal", "c_name"],
-    )
-    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
-    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
-    comps = [
-        linkage.FieldComparison(
-            "bucket",
-            F.floor(bal_a.cast("double") / 1000.0)
-            == F.floor(bal_b.cast("double") / 1000.0),
-            m=0.85,
-            u=0.12,
-        ),
-        linkage.FieldComparison(
-            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
-        ),
-        linkage.FieldComparison(
-            "suffix",
-            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
-            m=0.9,
-            u=0.01,
-        ),
-    ]
-    out = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
-    return out.where(F.col("fs_class") != "non_match").select(
-        F.col("id_a").alias("cust_a"),
-        F.col("id_b").alias("cust_b"),
-        "agree_bucket",
-        "agree_close",
-        "agree_suffix",
-        E.r6("fs_weight").alias("fs_weight"),
-        "fs_class",
-    )
-
-
-def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The measured fix for the round-8 SCALE_PROBE finding: the same
-    Fellegi-Sunter scoring, but BLOCKED on (nation, segment, balance
-    bucket). Measured across the sf0.1→sf1.0 decade: e = 1.17 vs the
-    coarse key's e ≥ 1.89 (timeout) — the extra key dimension divides
-    every block ~11× and with it the quadratic constant; pushing e to
-    ~1.0 requires a key whose cardinality grows with the data (finer
-    value buckets, name prefixes), which is a data-model choice this
-    entry demonstrates rather than hides. Recall trade is explicit and
-    bounded: only pairs already agreeing on the balance bucket survive
-    blocking, i.e. exactly the coarse variant's agree_bucket=true
-    stratum — the dominant match mass, since bucket agreement carries
-    the largest single FS weight."""
+    Round 9: re-pointed from the coarse (nation, segment) key after the
+    round-8 scale probe measured it super-linear (decade exponent
+    >= 1.89, sf1.0 timeout — 125 blocks of FIXED cardinality means 10x
+    rows -> ~100x candidate pairs). The fine key divides every block by
+    the ~11 balance buckets (measured e = 1.17); the recall trade is
+    explicit: surviving pairs are exactly the coarse variant's
+    agree_bucket=true stratum, the dominant match mass."""
     from financial_fraud_detection_using_time_series_data_spark.operators import (
         linkage,
     )
@@ -7948,6 +7911,88 @@ def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 measured fix for the coarse-key SCALE_PROBE finding:
+    Fellegi-Sunter scoring blocked on (nation, segment, balance
+    bucket). Measured across the sf0.1→sf1.0 decade: e = 1.17 vs the
+    coarse key's e ≥ 1.89 (timeout) — the extra key dimension divides
+    every block ~11× and with it the quadratic constant. Since round 9
+    `record_linkage` itself runs this plan (coarse key retired), and
+    this entry delegates to it; `record_linkage_scaled` is the
+    follow-on whose key cardinality GROWS with the data (e ≈ 1.0)."""
+    return q_record_linkage(spark, sf_dir)
+
+
+def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-REFINING blocking: the round-8 probe showed any FIXED-
+    cardinality blocking key is eventually quadratic (block size grows
+    with n). Here the balance-bucket COUNT is derived from the corpus
+    size — nb = max(1, n // 15000) equal-width buckets over the TPC-H
+    acctbal envelope — so expected block size stays ~constant and
+    candidate-pair volume is O(n): the e ≈ 1.0 design. Bucketing is
+    exact integer arithmetic on clamped cents (no float boundaries to
+    disagree across engines); n comes from one count() job and embeds
+    as a plan literal, exactly as the oracle's scalar subquery computes
+    it. Same Fellegi-Sunter scoring and thresholds as record_linkage;
+    the recall trade moves from "same $1000 bucket" to "same adaptive
+    bucket" (wider than $1000 below sf≈1.6, narrower above)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        linkage,
+    )
+
+    cust_raw = load_table(spark, sf_dir, "customer")
+    nb = max(1, cust_raw.count() // 15000)
+    cust = cust_raw.withColumn(
+        "cents",
+        F.least(
+            F.greatest(
+                (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"),
+                F.lit(-99999),
+            ),
+            F.lit(999999),
+        ),
+    ).withColumn(
+        "scaled_bucket",
+        F.expr(f"CAST(((cents + 99999) * {nb}) DIV 1100000 AS BIGINT)"),
+    )
+    pairs = linkage.block_pairs(
+        cust,
+        ["c_nationkey", "c_mktsegment", "scaled_bucket"],
+        "c_custkey",
+        ["c_acctbal", "c_name"],
+    )
+    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
+    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
+    comps = [
+        linkage.FieldComparison(
+            "bucket",
+            F.floor(bal_a.cast("double") / 1000.0)
+            == F.floor(bal_b.cast("double") / 1000.0),
+            m=0.85,
+            u=0.12,
+        ),
+        linkage.FieldComparison(
+            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
+        ),
+        linkage.FieldComparison(
+            "suffix",
+            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
+            m=0.9,
+            u=0.01,
+        ),
+    ]
+    out = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
+    return out.where(F.col("fs_class") != "non_match").select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        "agree_bucket",
+        "agree_close",
+        "agree_suffix",
+        E.r6("fs_weight").alias("fs_weight"),
+        "fs_class",
+    )
+
+
 def _fs_w(m: float, u: float) -> tuple[str, str]:
     import math as _m
 
@@ -7959,15 +8004,28 @@ _W_CLOSE = _fs_w(0.7, 0.02)
 _W_SUFFIX = _fs_w(0.9, 0.01)
 
 # shared blocking + FS-scoring CTE body (used by record_linkage AND the
-# entity_clusters CC oracle, which consumes the match class)
-_LINKAGE_CTES = f"""pairs AS (
+# entity_clusters CC oracle, which consumes the match class). Round 9:
+# the blocking key is the FINE (nation, segment, balance-bucket) key —
+# the coarse (nation, segment) key measured e >= 1.89 across the
+# sf0.1->sf1.0 decade (fixed block cardinality => quadratic pairs) and
+# was retired per the round-8 scale probe. `_linkage_ctes` parametrizes
+# the extra blocking predicate so the scaled variant reuses the exact
+# same scoring text.
+
+
+def _linkage_ctes(block_cond: str) -> str:
+    return f"""pairs AS (
   SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
     a.c_acctbal::DECIMAL(12,2) AS bal_a, b.c_acctbal::DECIMAL(12,2) AS bal_b,
     a.c_name AS name_a, b.c_name AS name_b
   FROM customer a JOIN customer b
     ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND {block_cond}
    AND a.c_custkey < b.c_custkey
-),
+),"""
+
+
+_LINKAGE_SCORING = f"""
 scored AS (
   SELECT cust_a, cust_b,
     coalesce(floor(bal_a::DOUBLE / 1000.0) = floor(bal_b::DOUBLE / 1000.0), false) AS agree_bucket,
@@ -7983,8 +8041,7 @@ weighted AS (
   FROM scored
 )"""
 
-_LINKAGE_SQL = f"""
-WITH {_LINKAGE_CTES}
+_LINKAGE_SELECT = f"""
 SELECT cust_a, cust_b, agree_bucket, agree_close, agree_suffix,
   {_R6.format("fs_weight")} AS fs_weight,
   CASE WHEN fs_weight >= 6.0 THEN 'match'
@@ -7994,14 +8051,44 @@ FROM weighted
 WHERE fs_weight >= 0.0
 """
 
-# fine-blocked variant: identical scoring, blocking key extended with
-# the balance bucket (floor(bal/1000) on the same decimal-cast double)
-_LINKAGE_FINE_SQL = _LINKAGE_SQL.replace(
-    "AND a.c_custkey < b.c_custkey",
-    "AND floor(a.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)"
-    " = floor(b.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)\n"
-    "   AND a.c_custkey < b.c_custkey",
+_LINKAGE_CTES = _linkage_ctes(
+    "floor(a.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)\n"
+    "     = floor(b.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)"
+) + _LINKAGE_SCORING
+
+_LINKAGE_SQL = f"""
+WITH {_LINKAGE_CTES}
+{_LINKAGE_SELECT}
+"""
+
+# scaled variant: the blocking-bucket COUNT grows with the data
+# (nb = max(1, n // 15000)), holding expected block size ~constant, so
+# candidate-pair volume is O(n) — the e ≈ 1.0 design SCALE.md asked
+# for. Bucketing is exact integer arithmetic over cents clamped to the
+# TPC-H acctbal envelope [-999.99, 9999.99].
+_LINKAGE_SCALED_BUCKET = (
+    "((least(greatest(CAST({t}.c_acctbal::DECIMAL(12,2) * 100 AS BIGINT),"
+    " -99999), 999999) + 99999) * (SELECT nb FROM params)) // 1100000"
 )
+
+_LINKAGE_SCALED_COND = (
+    _LINKAGE_SCALED_BUCKET.format(t="a")
+    + "\n     = "
+    + _LINKAGE_SCALED_BUCKET.format(t="b")
+)
+
+_LINKAGE_SCALED_SQL = f"""
+WITH params AS (
+  SELECT greatest(1, count(*) // 15000)::BIGINT AS nb FROM customer
+),
+{_linkage_ctes(_LINKAGE_SCALED_COND)}{_LINKAGE_SCORING}
+{_LINKAGE_SELECT}
+"""
+
+# record_linkage_fine is the same fine-blocked plan (kept as a named
+# registry entry for driver-window continuity after record_linkage was
+# re-pointed onto the fine key in round 9)
+_LINKAGE_FINE_SQL = _LINKAGE_SQL
 
 # Connected components over the FS match pairs as a recursive CTE:
 # synchronous min-label rounds (comp := min(comp, neighbors' comps)) to
@@ -9119,7 +9206,7 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = forecast.forecast_accuracy(
         _events(spark, sf_dir), "ts", "event_type", "value",
-        bucket="day", season_lag_days=7,
+        bucket="day", season_lag=7,
     )
     return out.select(
         "event_type",
@@ -9340,15 +9427,26 @@ def q_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs' agreement-pattern counts (one aggregate; EM on
     ≤2^k sufficient-statistic rows driver-side). Oracle-backed since
     round 8: the micro-unit accumulation folds make each iterate
-    pattern-order invariant, so the fit replays as a recursive CTE."""
+    pattern-order invariant, so the fit replays as a recursive CTE.
+
+    Round 9: candidate pairs come from the FINE (nation, segment,
+    balance-bucket) blocking key — the coarse key measured e = 1.62
+    (106.9s at sf1.0) in the round-8 scale probe. Because the $1000
+    bucket is now part of the blocking key (constant-true on every
+    candidate pair — degenerate as an EM field), the first comparison
+    is the $500 SUB-bucket, which varies within blocks and keeps all
+    three fields informative."""
     from financial_fraud_detection_using_time_series_data_spark.operators import (
         linkage,
     )
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 1000.0),
+    )
     pairs = linkage.block_pairs(
         cust,
-        ["c_nationkey", "c_mktsegment"],
+        ["c_nationkey", "c_mktsegment", "bal_bucket"],
         "c_custkey",
         ["c_acctbal", "c_name"],
     )
@@ -9356,9 +9454,9 @@ def q_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
     comps = [
         linkage.FieldComparison(
-            "bucket",
-            F.floor(bal_a.cast("double") / 1000.0)
-            == F.floor(bal_b.cast("double") / 1000.0),
+            "sub_bucket",
+            F.floor(bal_a.cast("double") / 500.0)
+            == F.floor(bal_b.cast("double") / 500.0),
             m=0.85,
             u=0.12,
         ),
@@ -9432,7 +9530,7 @@ def _em_weights_sql() -> str:
         f"{_R6.format(f'log2((1.0 - fin.m{j}) / (1.0 - fin.u{j}))')} "
         f"AS w_disagree, "
         f"{_R6.format('fin.lam')} AS lambda_match FROM fin"
-        for j, name in ((1, "bucket"), (2, "close"), (3, "suffix"))
+        for j, name in ((1, "sub_bucket"), (2, "close"), (3, "suffix"))
     )
     return f"""
 WITH RECURSIVE pairs AS (
@@ -9441,11 +9539,13 @@ WITH RECURSIVE pairs AS (
          a.c_name AS name_a, b.c_name AS name_b
   FROM customer a JOIN customer b
     ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND floor(a.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)
+     = floor(b.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)
    AND a.c_custkey < b.c_custkey
 ), pat AS (
   SELECT
-    coalesce(floor(bal_a::DOUBLE / 1000.0)
-             = floor(bal_b::DOUBLE / 1000.0), false)::INT AS g1,
+    coalesce(floor(bal_a::DOUBLE / 500.0)
+             = floor(bal_b::DOUBLE / 500.0), false)::INT AS g1,
     coalesce(abs(bal_a - bal_b) < 100, false)::INT AS g2,
     coalesce(substring(name_a, -2, 2)
              = substring(name_b, -2, 2), false)::INT AS g3,
@@ -10571,9 +10671,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M8: LLM-data-pipeline (oracle-backed picks)
         "exact_dedup": q_exact_dedup,
         "text_features": q_text_features,
+        # round-9 rotation-ins: round-8 families never driver-checked
+        # (decomposition/backtest/census/migration/linkage/retrieval) +
+        # round-6/7 finance/sequence/decision entries + the new
+        # scale-refining linkage key
+        "seasonal_decompose": q_seasonal_decompose,
+        "forecast_accuracy": q_forecast_accuracy,
+        "residual_anomaly": q_residual_anomaly,
+        "rule_census": q_rule_census,
+        "decile_migration": q_decile_migration,
+        "record_linkage_fine": q_record_linkage_fine,
+        "record_linkage_scaled": q_record_linkage_scaled,
+        "retrieval_metrics": q_retrieval_metrics,
+        "var_es": q_var_es,
+        "twap": q_twap,
+        "ohlc_bars": q_ohlc_bars,
+        "match_pattern": q_match_pattern,
+        "cohort_ltv": q_cohort_ltv,
+        "heavy_hitters": q_heavy_hitters,
+        "sprt_decision": q_sprt_decision,
+        "transition_entropy": q_transition_entropy,
+        # -- entry 51+: still oracle-backed (local parity tests cover) ---
+        # round-9 rotation-outs (externally hash-verified in r08)
         "embedding_near_dup": q_embedding_near_dup,
-        # round-8 rotation-ins: sequential state machines (recursive-CTE
-        # oracles), drift, decision-support, encodings, retrieval
         "kalman_smooth": q_kalman_smooth,
         "croston_forecast": q_croston,
         "page_hinkley": q_page_hinkley,
@@ -10589,7 +10709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode": q_woe_encode,
         "asof_join_tolerance": q_asof_join_tolerance,
         "bm25_search": q_bm25_search,
-        # -- entry 51+: still oracle-backed (local parity tests cover) ---
         # round-8 rotation-outs (externally hash-verified r02-r07; now
         # audited by attest.py like the rest of the tail)
         "pct_rank_pandas": q_pct_rank_pandas,
@@ -10679,13 +10798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-sequence analytics (beyond-reference)
         "event_transitions": q_event_transitions,
         "funnel": q_funnel,
-        "match_pattern": q_match_pattern,
         "cooccurrence_lift": q_cooccurrence_lift,
         "session_paths": q_session_paths,
         "cohort_retention": q_cohort_retention,
         # lexical retrieval / collocation mining (beyond-reference)
         "token_pmi": q_token_pmi,
-        "retrieval_metrics": q_retrieval_metrics,
         "entity_link_degree": q_entity_link_degree,
         "fraud_rings": q_fraud_rings,
         "conversion_latency": q_conversion_latency,
@@ -10702,7 +10819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "peak_concurrency": q_peak_concurrency,
         "triangle_count": q_triangle_count,
-        "heavy_hitters": q_heavy_hitters,
         # rows-only: DataSketches HLL binary is engine-specific
         "hll_rollup": q_hll_rollup,
         # incremental-pipeline primitives (round 6)
@@ -10747,7 +10863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MMR diversity rerank: rows-only (sequential greedy per query)
         "mmr_rerank": q_mmr_rerank,
         # cohort LTV curve + walk-forward backtest assignment
-        "cohort_ltv": q_cohort_ltv,
         "walk_forward": q_walk_forward,
         # one-way ANOVA F relevance + point-in-time dimension join
         "anova_f": q_anova_f,
@@ -10774,10 +10889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": q_survival_curve,
         "behavior_mart": q_behavior_mart,
         # financial time-series primitives
-        "ohlc_bars": q_ohlc_bars,
         "realized_volatility": q_realized_volatility,
         "max_drawdown": q_max_drawdown,
-        "twap": q_twap,
         # skyline / joint-outlier screens
         "pareto_frontier": q_pareto_frontier,
         "mahalanobis_outliers": q_mahalanobis_outliers,
@@ -10791,7 +10904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         # Fellegi-Sunter entity resolution (+ cluster composition)
         "record_linkage": q_record_linkage,
-        "record_linkage_fine": q_record_linkage_fine,
         "entity_clusters": q_entity_clusters,
         # RAKE keyword extraction + bigram LM fluency
         "rake_keywords": q_rake_keywords,
@@ -10801,16 +10913,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": q_periodogram,
         # pooled-grid quantile normalization + tail risk
         "quantile_normalize": q_quantile_normalize,
-        "var_es": q_var_es,
         "audience_overlap": q_audience_overlap,
         # rows-only: cross-generator dedup candidate agreement
         "dedup_method_agreement": q_dedup_method_agreement,
         # rows-only: iterative float power method
         "pagerank": q_pagerank,
         # information-theory / AML screens / microstructure (round 7)
-        "transition_entropy": q_transition_entropy,
         "neighbor_jaccard": q_neighbor_jaccard,
-        "sprt_decision": q_sprt_decision,
         "bootstrap_auc": q_bootstrap_auc,
         "price_dispersion": q_price_dispersion,
         "log_odds_tokens": q_log_odds_tokens,
@@ -10827,11 +10936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # absorption solves below stay rows-only (driver-side iterates
         # on aggregate-sized frames)
         "pacf": q_pacf,
-        "seasonal_decompose": q_seasonal_decompose,
-        "forecast_accuracy": q_forecast_accuracy,
-        "residual_anomaly": q_residual_anomaly,
-        "rule_census": q_rule_census,
-        "decile_migration": q_decile_migration,
         "attribution_markov": q_attribution_markov,
         "em_weights": q_em_weights,
         "round_amount_screen": q_round_amount_screen,
@@ -11051,6 +11155,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_trend": _THEIL_SEN_SQL,
         "record_linkage": _LINKAGE_SQL,
         "record_linkage_fine": _LINKAGE_FINE_SQL,
+        "record_linkage_scaled": _LINKAGE_SCALED_SQL,
         "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "rake_keywords": _RAKE_SQL,
         "bigram_logprob": _BIGRAM_SQL,

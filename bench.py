@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "isotonic_calibration",
     "record_linkage",
     "record_linkage_fine",
+    "record_linkage_scaled",
     "retrieval_metrics",
     "seasonal_decompose",
     "forecast_accuracy",

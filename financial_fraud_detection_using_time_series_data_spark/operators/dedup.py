@@ -725,10 +725,13 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     m = min(Γ(u) ∪ {u}). small-star(u): all strictly-smaller neighbors
     (and u itself) re-attach to m = min of the smaller neighborhood.
     Both are one groupBy + one join over the current edge set. O(log²)
-    rounds; convergence via the monotone (count, Σsrc, Σdst) triple on
-    the canonicalized edge set (endpoint sums only ever decrease —
-    every rewrite points an endpoint at a ≤ label — so an unchanged
-    triple is a fixpoint, one scalar agg per round).
+    rounds; convergence via an ORDER-INVARIANT strong digest of the
+    canonicalized edge set — (count, Σ xxhash64(src, dst)) — one scalar
+    agg per round. A plain (count, Σsrc, Σdst) triple is NOT a sound
+    fixpoint test (two different edge sets can share endpoint sums,
+    e.g. {(3,1),(5,2)} vs {(5,1),(3,2)}); summing a 64-bit hash of the
+    (src, dst) PAIR makes digest collision between distinct sets
+    astronomically unlikely, so an unchanged digest is a fixpoint.
 
     Takes the SYMMETRIC deduped edge list (src, dst); returns
     (node, component) with component = min reachable id, identical to
@@ -763,10 +766,9 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         canon = attach.unionAll(selfe).distinct().localCheckpoint()
         stats = canon.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("src").cast("decimal(38,0)")).alias("ss"),
-            F.sum(F.col("dst").cast("decimal(38,0)")).alias("sd"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        cur = (stats["n"], stats["ss"], stats["sd"])
+        cur = (stats["n"], stats["h"])
         e = canon.unionAll(
             canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct().localCheckpoint()

@@ -1009,8 +1009,12 @@ def seasonal_decompose(
       exact window SUM divided by the window count, NULL at the series
       edges where the full window isn't available (the standard
       convention, keeps the trend unbiased).
-    - seasonal_p: mean of the detrended values per (series, hour-of-day
-      phase), folded as 1e-9-grid integer micro-units (order-invariant).
+    - seasonal_p: mean of the detrended values per (series, phase),
+      folded as 1e-9-grid integer micro-units (order-invariant). The
+      PHASE follows the bucket grain: hour-of-day for 'hour' buckets,
+      day-of-week for 'day', week-of-year for 'week', month-of-year
+      for 'month'; other grains raise ValueError (a constant phase
+      would silently degenerate 'seasonal' to one global offset).
     - residual_t = detrended_t − seasonal_p.
 
     Scale shape: the corpus collapses to the |series|·|buckets| rollup in
@@ -1020,6 +1024,18 @@ def seasonal_decompose(
     are gaps, same contract as `holt_winters` — compose with a resampler
     upstream when a dense grid is wanted.
     """
+    phase_fns = {
+        "hour": F.hour,
+        "day": F.dayofweek,
+        "week": F.weekofyear,
+        "month": F.month,
+    }
+    try:
+        phase_fn = phase_fns[bucket]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; one of {sorted(phase_fns)}"
+        ) from None
     width = 2 * half + 1
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     ser = df.groupBy(type_col, b).agg(
@@ -1035,7 +1051,7 @@ def seasonal_decompose(
         "bucket",
         F.col("x_dec").cast("double").alias("x"),
         trend.alias("trend"),
-        F.hour("bucket").cast("int").alias("__phase"),
+        phase_fn("bucket").cast("int").alias("__phase"),
     ).withColumn("__detr", F.col("x") - F.col("trend"))
     seas = staged.where(F.col("__detr").isNotNull()).groupBy(
         type_col, "__phase"

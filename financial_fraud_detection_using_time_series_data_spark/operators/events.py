@@ -1357,14 +1357,24 @@ def attribution_markov(
                     r_conv[idx[s]] += p
                 elif n in idx:
                     q[idx[s]][idx[n]] += p
-        # absorption probabilities: solve (I - Q) t = r_conv
+        # absorption probabilities: solve (I - Q) t = r_conv. The LAPACK
+        # fast path is gated on a conditioning check, not just the
+        # exact-singular LinAlgError: a NEAR-singular chain (disconnected
+        # states plus float dust) passes solve() but returns
+        # ill-conditioned garbage, and must take the zero-pivot-tolerant
+        # elimination that preserves the t=0 convention instead.
         m = np.eye(k) - q
-        try:
-            t = np.linalg.solve(m, r_conv)
-        except np.linalg.LinAlgError:
-            # singular chain (disconnected states): zero-pivot-tolerant
-            # elimination preserving the t=0 convention for unreachable
-            # rows — matches the pre-numpy behavior exactly
+        t = None
+        # SVD-based cond: returns inf (never raises) on exact singularity
+        if 1.0 / np.linalg.cond(m) >= 1e-12:
+            try:
+                t = np.linalg.solve(m, r_conv)
+            except np.linalg.LinAlgError:
+                t = None
+        if t is None:
+            # (near-)singular chain: zero-pivot-tolerant elimination
+            # preserving the t=0 convention for unreachable rows —
+            # matches the pre-numpy behavior exactly
             a = np.concatenate([m, r_conv[:, None]], axis=1)
             for col in range(k):
                 piv = col + int(np.argmax(np.abs(a[col:, col])))

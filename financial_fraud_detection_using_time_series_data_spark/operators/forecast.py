@@ -360,15 +360,23 @@ def forecast_accuracy(
     type_col: str = "event_type",
     value_col: str = "value",
     bucket: str = "day",
-    season_lag_days: int = 7,
+    season_lag: int = 7,
 ) -> DataFrame:
     """Rolling one-step-ahead backtest scorecard for the three baselines
     every forecasting pipeline must beat — the go/no-go table a model
     review actually reads:
 
     - ``naive``   ŷ_t = y_{t−1 bucket}
-    - ``snaive``  ŷ_t = y_{t−season} (default one week of days)
+    - ``snaive``  ŷ_t = y_{t−season_lag buckets} (default one week of
+      days)
     - ``mean``    ŷ_t = mean of ALL prior buckets (expanding)
+
+    Both shifts are expressed in BUCKET units derived from ``bucket``
+    (the `seasonal_naive_backtest` grain→interval map): with
+    bucket='hour' the naive baseline is the previous HOUR, not silently
+    the same hour yesterday, and week/month grains shift by whole
+    weeks/months so the shifted join always aligns with the
+    date_trunc'd buckets. Unsupported grains raise ValueError.
 
     scored by MAE, sMAPE (2|e|/(|y|+|ŷ|), a 0/0 bucket contributes 0 —
     both sides zero IS a perfect forecast), and MASE (MAE / in-sample
@@ -387,6 +395,19 @@ def forecast_accuracy(
     folds 1e-9-grid integer micro-units (order-invariant, oracle-exact).
     Output is |types|·3 rows.
     """
+    units = {
+        "minute": "MINUTES",
+        "hour": "HOURS",
+        "day": "DAYS",
+        "week": "WEEKS",
+        "month": "MONTHS",
+    }
+    try:
+        unit = units[bucket]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; one of {sorted(units)}"
+        ) from None
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     daily = df.groupBy(type_col, b).agg(
         F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
@@ -396,12 +417,12 @@ def forecast_accuracy(
     )
     shift1 = base.select(
         type_col,
-        (F.col("bucket") + F.expr("INTERVAL 1 DAY")).alias("bucket"),
+        (F.col("bucket") + F.expr(f"INTERVAL 1 {unit}")).alias("bucket"),
         F.col("y").alias("__naive"),
     )
     shifts = base.select(
         type_col,
-        (F.col("bucket") + F.expr(f"INTERVAL {int(season_lag_days)} DAY")).alias(
+        (F.col("bucket") + F.expr(f"INTERVAL {int(season_lag)} {unit}")).alias(
             "bucket"
         ),
         F.col("y").alias("__snaive"),

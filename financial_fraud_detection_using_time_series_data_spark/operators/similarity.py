@@ -674,6 +674,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    max_pool: int = 4096,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): from each query's top-``pool`` cosine candidates, greedily
@@ -690,10 +691,24 @@ def mmr_rerank(
 
     Deterministic: ties on the MMR score break on lowest id (exact
     match with the reference greedy pinned in tests).
+
+    ``max_pool`` bounds the per-query task: the greedy materializes a
+    pool² float similarity matrix inside one Arrow group, so an
+    unbounded pool balloons a single task (4096² ≈ 134 MB is the loud
+    ceiling). Oversized pools are a knob defect, not data — raise
+    rather than silently truncate (same contract as
+    `events.attribution_markov`'s ``max_channels``).
     """
     import numpy as np
     import pandas as pd
 
+    if pool > max_pool:
+        raise ValueError(
+            f"mmr_rerank: pool={pool} exceeds max_pool={max_pool}; the "
+            "per-query greedy holds a pool^2 similarity matrix in one "
+            "task. Rerank a smaller candidate pool (IVF/PQ upstream) or "
+            "raise max_pool explicitly."
+        )
     cands = brute_force_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col, qid_col=qid_col
     )

@@ -1260,6 +1260,14 @@ def retrieval_metrics(
     all |terms| postings), reduced to |queries| one-row counts before
     the final join.
     """
+    if not 1 <= k <= len(DCG_DISC_U):
+        # the integer discount table covers ranks 1..len(DCG_DISC_U);
+        # element_at past the array end errors under ANSI mode and would
+        # silently drop ranks otherwise — refuse loudly instead
+        raise ValueError(
+            f"k={k} outside the precomputed DCG discount table "
+            f"(1..{len(DCG_DISC_U)}); extend DCG_DISC_U to use a larger k"
+        )
     spark = df.sparkSession
     qmap = spark.createDataFrame(
         [(qid, t.lower()) for qid, ts in queries for t in ts],

@@ -142,7 +142,7 @@ def test_forecast_accuracy_periodic_series(spark):
     out = {
         r["method"]: r
         for r in forecast.forecast_accuracy(
-            ev, "ts", "event_type", "value", bucket="day", season_lag_days=7
+            ev, "ts", "event_type", "value", bucket="day", season_lag=7
         ).collect()
     }
     assert out["naive"]["mase"] == pytest.approx(1.0)
