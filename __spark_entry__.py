@@ -1585,13 +1585,74 @@ SELECT qid, vec_id, cos_sim, rank::INT AS rank FROM ranked WHERE rank <= 5
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant — Spark-only (rows-only check): recall<1 by design."""
+    """Hyperplane-LSH ANN top-k. Oracle-backed since round 9: the
+    planes are deterministic md5-seeded literals, so the oracle embeds
+    the IDENTICAL plane matrix and recomputes the same bucket
+    signatures — recall < 1 vs brute force is part of the contract and
+    reproduces exactly (sign flips would need a plane dot within
+    ~1e-13 of zero; the recall floor itself is pinned in
+    test_similarity_kmeans)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
     out = similarity.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=6)
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0))"
+    )
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    """LSH oracle: embeds the same md5-seeded plane literals as
+    `similarity.rh_signature`, so bucket signatures — and hence the
+    candidate sets — are engine-identical."""
+    from financial_fraud_detection_using_time_series_data_spark.operators.similarity import (
+        _plane,
+    )
+
+    def bucket(col: str) -> str:
+        terms = []
+        for b in range(n_planes):
+            lit = (
+                "["
+                + ", ".join(repr(float(v)) for v in _plane(dim, b))
+                + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0"
+                f" THEN {2 ** b} ELSE 0 END)"
+            )
+        return "(" + "\n   + ".join(terms) + ")"
+
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+    {bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+    {bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT qb.qid, cb.vec_id,
+    {_R6.format(_duck_cos("cb.vec", "qb.qvec"))} AS cos_sim
+  FROM cb JOIN qb USING (bucket)
+  WHERE cb.vec_id <> qb.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1861,7 +1922,15 @@ FROM banded a JOIN banded b ON a.doc_id < b.doc_id
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: full banded-LSH candidate generation over all documents — the
     100 TB-shaped pipeline (map-only signatures → bucket groupBy join).
-    Rows-only check: candidate sets are recall<1 by construction."""
+    Oracle-backed since round 9 by running the operator's md5 ORACLE
+    MODE (fast=False): h_i(s) = md5(i || ':' || s) with lexicographic
+    string-min, so signatures, band buckets, and the capped star pair
+    emission all replay bit-exactly in SQL. The xxhash64 scale mode
+    (fast=True, ~10× cheaper hashing, Spark-only) stays exercised by
+    `dedup_clusters_lsh` / `dedup_incremental` / the dedup tests —
+    candidate-set EQUIVALENCE between the modes is not expected (they
+    are different hash families); what this entry pins is the full
+    banding/bucketing/capping machinery."""
     # the test corpus is ONE small parquet file -> one scan partition; the
     # signature stage is embarrassingly parallel, so spread it (at real
     # scale the scan already has thousands of splits and this is a no-op
@@ -1869,7 +1938,48 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=2)
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=2, fast=False)
+
+
+_MINHASH_LSH_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, s.i, 5) AS g
+  FROM norm, UNNEST(generate_series(1, greatest(length(t) - 4, 1))) AS s(i)
+),
+sig AS (
+  SELECT doc_id, [{mins}] AS signature
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band,
+    md5(array_to_string(signature[1:8], ',')) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1,
+    md5(array_to_string(signature[9:16], ',')) FROM sig
+),
+ranked AS (
+  SELECT doc_id, band, bucket,
+    row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY band, bucket) AS n,
+    min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+  FROM banded
+),
+capped AS (SELECT * FROM ranked WHERE n <= 64 OR rn <= 64),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT hub, doc_id FROM ranked WHERE n > 64 AND doc_id <> hub
+)
+SELECT DISTINCT id_a, id_b FROM pairs
+""".format(
+    mins=", ".join(f"min(md5('{i}:' || g))" for i in range(16))
+)
 
 
 _SIG_INDEX_CACHE: dict = {}
@@ -1997,14 +2107,80 @@ WHERE ('0x' || substring(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: the full 100 TB embedding-dedup composition — banded
     random-hyperplane LSH prefilter, exact BLAS verify inside buckets,
-    cross-band dedup. Rows-only check (recall < 1 by design; the recall
-    floor vs the exact all-pairs path is pinned by
-    tests/test_dedup_composition.py)."""
+    cross-band pair dedup. Oracle-backed since round 9: the 16×4 band
+    planes are deterministic md5-seeded literals (the `lsh_topk`
+    pattern), the oversized-bucket head/star cap replays as a rank
+    predicate (a.rn ≤ cap OR b.rn ≤ cap), and the verify threshold +
+    r6 output sit far from any float boundary — so candidate sets and
+    emitted pairs are engine-identical. Recall < 1 vs exact all-pairs
+    stays pinned by tests/test_dedup_composition.py."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
     out = dedup.embedding_near_dup_lsh(emb, dim=64, threshold=0.4)
     return out.select("id_a", "id_b", E.r6("cos_sim").alias("cos_sim"))
+
+
+def _emb_lsh_sql(
+    dim: int = 64,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    threshold: float = 0.4,
+    cap: int = 1024,
+) -> str:
+    """Banded-LSH dedup oracle: per-band signatures from the SAME
+    md5-seeded planes as `similarity.rh_signature` (band b uses global
+    planes b·n_planes … b·n_planes+n_planes−1, matching the packed-word
+    slicing in `dedup.embedding_near_dup_lsh`); within-bucket pairs obey
+    the head/star cap via rank predicates; cross-band dedup is DISTINCT
+    on the pair (cosines are pair-intrinsic, so max == any)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators.similarity import (
+        _plane,
+    )
+
+    def sig(b: int) -> str:
+        terms = []
+        for j in range(n_planes):
+            lit = (
+                "["
+                + ", ".join(repr(float(v)) for v in _plane(dim, b * n_planes + j))
+                + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                f" THEN {2 ** j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT {b} AS band, {sig(b)} AS sig, id, v FROM base"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+mem0 AS (
+{bands}
+),
+mem AS (
+  SELECT band, sig, id,
+    row_number() OVER (PARTITION BY band, sig ORDER BY id) AS rn
+  FROM mem0
+),
+prs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mem a JOIN mem b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+  WHERE (a.rn <= {cap} OR b.rn <= {cap})
+),
+scored AS (
+  SELECT p.id_a, p.id_b, {_duck_cos("x.v", "y.v")} AS c
+  FROM prs p JOIN base x ON x.id = p.id_a JOIN base y ON y.id = p.id_b
+)
+SELECT id_a, id_b, {_R6.format("c")} AS cos_sim
+FROM scored WHERE c >= {threshold!r}
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2880,13 +3056,59 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-k (rows-only: recall < 1 by design)."""
+    """IVF-bucketed ANN top-k with deterministic seed centroids (first
+    nlist vectors by id — no RNG, no k-means state). Oracle-backed since
+    round 9: seeds, argmax cell assignment (ties to the lower cell_id),
+    top-nprobe probing, and the r6 cosine re-rank all replay exactly in
+    SQL; recall < 1 vs brute force is part of the contract (floor
+    pinned in test_similarity_kmeans). `ivf_topk_trained` (k-means
+    centroids, engine-specific float means) remains rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
     out = similarity.ivf_topk(emb, queries_df, nlist=16, nprobe=4, k=5)
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def _ivf_topk_sql(nlist: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+    embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+ac AS (
+  SELECT vec_id, vec, cell_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_duck_cos("e.embedding::DOUBLE[]", "c.cvec")} DESC,
+                 c.cell_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pr AS (
+  SELECT qid, qvec, cell_id FROM (
+    SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qvec, c.cell_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_duck_cos("q.embedding::DOUBLE[]", "c.cvec")} DESC,
+                 c.cell_id) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 3
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT pr.qid, ac.vec_id,
+    {_R6.format(_duck_cos("ac.vec", "pr.qvec"))} AS cos_sim
+  FROM ac JOIN pr USING (cell_id)
+  WHERE ac.vec_id <> pr.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7288,9 +7510,12 @@ FROM d WHERE rn = 1
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the shared-exact-amount user graph
     (degree-capped 2..10, C(10,2)-bounded pair emission): 10 fixed
-    power-iteration rounds, no driver actions, final window
-    normalization. Rows-only: float ranks are summation-order sensitive
-    at ~1e-15, below any r6-able signal but above hash-exactness."""
+    power-iteration rounds of the unnormalized teleport form, no driver
+    actions, 1-row-agg normalization. Oracle-backed since round 9: each
+    round's in-contributions fold as 1e-9-grid integer micro-units, so
+    every iterate is bit-identical across partitionings and engines and
+    the fit replays as a recursive CTE (same contract as `em_weights` /
+    `kalman_smooth`)."""
     ev = _events(spark, sf_dir)
     out = events_ops.pagerank(
         ev, F.col("value"), min_degree=2, max_degree=10, n_iter=10
@@ -7298,9 +7523,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         E.r6("rank").alias("rank"),
-        "rank_norm",
+        E.r6("rank_norm").alias("rank_norm"),
         "out_degree",
     )
+
+
+# PageRank as a recursive CTE: the working table carries (u, rank, it);
+# each round's update is a correlated aggregate subquery over the
+# working table joined to the symmetric edge list, folding the SAME
+# 1e-9-grid integer micro-units as `events.pagerank` — identical
+# doubles on both engines at every iterate. Graph CTEs are shared with
+# the `label_propagation` oracle (same capped shared-amount graph).
+_PAGERANK_SQL = """
+WITH RECURSIVE a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e0 AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+outdeg AS (SELECT u, count(*)::BIGINT AS outdeg FROM sym GROUP BY u),
+pr AS (
+  SELECT u, 1.0::DOUBLE AS rank, 0 AS it FROM outdeg
+  UNION ALL
+  SELECT p.u,
+    (1.0 - 0.85) + 0.85 * ((
+      SELECT sum(floor(q.rank / d.outdeg * 1000000000.0 + 0.5)::BIGINT)
+      FROM pr q JOIN sym e ON e.u = q.u JOIN outdeg d ON d.u = q.u
+      WHERE e.v = p.u
+    )::DOUBLE / 1000000000.0) AS rank,
+    p.it + 1
+  FROM pr p WHERE p.it < 10
+),
+fin AS (SELECT u, rank FROM pr WHERE it = 10),
+tot AS (
+  SELECT sum(floor(rank * 1000000000.0 + 0.5)::BIGINT)::DOUBLE
+         / 1000000000.0 AS t
+  FROM fin
+)
+SELECT f.u AS user_id,
+  {r6_rank} AS rank,
+  {r6_norm} AS rank_norm,
+  d.outdeg AS out_degree
+FROM fin f JOIN outdeg d USING (u), tot
+""".format(r6_rank=_R6.format("f.rank"), r6_norm=_R6.format("f.rank / tot.t"))
 
 
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10783,10 +11053,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_by_hash": q_sample_by_hash,
         "csv_roundtrip": q_csv_roundtrip,
         "dtype_project": q_dtype_project,
-        # -- rows-only tail: approximate / env-seeded / sketch outputs ---
+        # oracle-backed since r9 (md5-seeded planes / md5 oracle-mode
+        # minhash); the rows-only tail proper starts at dedup_clusters_lsh
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        # -- rows-only tail: approximate / env-seeded / sketch outputs ---
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "multimodal_features": q_multimodal_features,
         "lsh_topk": q_lsh_topk,
@@ -10916,7 +11188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         # rows-only: cross-generator dedup candidate agreement
         "dedup_method_agreement": q_dedup_method_agreement,
-        # rows-only: iterative float power method
+        # oracle-backed since r9: 1e-9-grid folded power iteration
         "pagerank": q_pagerank,
         # information-theory / AML screens / microstructure (round 7)
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -11020,7 +11292,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash": _SAMPLE_HASH_SQL,
         "near_dup_pairs": _NEAR_DUP_SQL,
         "brute_force_topk": _BRUTE_TOPK_SQL,
-        # lsh_topk, synthetic_source: rows-only (approximate / env-seeded)
+        # synthetic_source: rows-only (env-seeded generator)
+        "lsh_topk": _lsh_topk_sql(),
+        "embedding_near_dup_lsh": _emb_lsh_sql(),
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "asof_join": _ASOF_SQL,
         "range_join_count": _RANGE_JOIN_SQL,
         "sessionize": _SESSIONIZE_SQL,
@@ -11074,7 +11349,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_zscore": _ROBUST_Z_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
-        # ivf_topk: rows-only (recall < 1 by design)
+        "ivf_topk": _ivf_topk_sql(),
         "semi_anti_join": _SEMI_ANTI_SQL,
         "full_outer_join": _FULL_OUTER_SQL,
         "ntile_deciles": _NTILE_SQL,
@@ -11194,6 +11469,7 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_reach": _TWO_HOP_SQL,
         "kcore": _KCORE_SQL,
         "label_propagation": _LPA_SQL,
+        "pagerank": _PAGERANK_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_near_dup": _SIMHASH_ND_SQL,
         "seasonality_strength": _SEASONALITY_STRENGTH_SQL,

@@ -595,17 +595,24 @@ def pagerank(
     Power iteration with a FIXED ``n_iter`` round count and the
     unnormalized teleport form rank' = (1−d) + d·Σ_in rank/outdeg (ranks
     sum to N instead of 1), which needs no driver-side count() or
-    collect() anywhere — the final rank is normalized by a single window
-    sum over the |nodes|-sized result. Every node in an undirected graph
-    has in-edges, so no dangling-mass term is needed. Per round: one
-    join of the edge list against the |nodes| rank frame + one
-    map-side-combined groupBy; lineage is broken with localCheckpoint
-    every ``checkpoint_every`` rounds (the same discipline as
-    `dedup.connected_components`; pass 0 to disable — results are
-    IDENTICAL either way, test-pinned, the cadence only trades plan
-    depth against the checkpoint jobs Spark runs for the compact rank
-    frame). Deterministic up to float summation order; callers compare
-    at ~1e-9.
+    collect() anywhere — the final rank is normalized by a single
+    1-row aggregate broadcast over the |nodes|-sized result. Every node
+    in an undirected graph has in-edges, so no dangling-mass term is
+    needed. Per round: one join of the edge list against the |nodes|
+    rank frame + one map-side-combined groupBy; lineage is broken with
+    localCheckpoint every ``checkpoint_every`` rounds (the same
+    discipline as `dedup.connected_components`; pass 0 to disable —
+    results are IDENTICAL either way, test-pinned, the cadence only
+    trades plan depth against the checkpoint jobs Spark runs for the
+    compact rank frame).
+
+    ORDER-INVARIANT iterates (round 9): each round's in-contributions
+    fold as 1e-9-grid integer micro-units (floor(rank/outdeg·1e9 + 0.5)
+    summed exactly as decimal), so every iterate — and hence the final
+    ranks — is bit-identical across partitionings AND engines; a
+    recursive-CTE SQL twin replaying the same fixed-iteration folds
+    lands on identical rows (the same contract as `em_weights` /
+    `kalman_smooth`). The normalization total folds the same way.
 
     Returns (entity, rank, rank_norm, out_degree) for every node in the
     capped graph.
@@ -633,24 +640,43 @@ def pagerank(
     outdeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = outdeg.select("u", F.lit(1.0).alias("rank"))
     for i in range(n_iter):
+        # 1e-9-grid integer fold: the per-edge contribution is floored
+        # to micro-units BEFORE the sum, so the reduction is exact
+        # integer arithmetic — order-invariant and engine-reproducible
         contribs = (
             both.join(ranks, "u")
             .join(outdeg, "u")
             .select(
                 F.col("v").alias("u"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                F.floor(
+                    F.col("rank") / F.col("outdeg") * F.lit(1e9) + F.lit(0.5)
+                ).cast("decimal(38,0)").alias("cu"),
             )
         )
         ranks = contribs.groupBy("u").agg(
-            (F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank")
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (F.sum("cu").cast("double") / F.lit(1e9))
+            ).alias("rank")
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     # normalization via 1-row agg + broadcast crossJoin — NOT a
     # partitionless window: the rank frame is |nodes|-sized (corpus-scale
     # for a near-unique entity column), so a single-partition Window here
-    # would funnel every node through one task at 100 TB.
-    tot = ranks.agg(F.sum("rank").alias("__rank_total"))
+    # would funnel every node through one task at 100 TB. The total
+    # folds the same 1e-9 grid as the iterates (order-invariant).
+    tot = ranks.agg(
+        (
+            F.sum(
+                F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("__rank_total")
+    )
     return (
         ranks.join(outdeg, "u")
         .crossJoin(F.broadcast(tot))
