@@ -8,7 +8,11 @@ sort rows, hash values) — and writes one line per entry to
 ``ATTESTATION.md``. Entries without an oracle (approximate / env-seeded
 operators) get a rows-only execution check, marked as such.
 
-Usage: python attest.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python attest.py [sf_dir] [limit-or-names]
+  sf_dir          parquet dir (default /root/testdata/sf0.01)
+  limit-or-names  integer N -> first N entries (the driver window is 50);
+                  else comma-separated entry names (sf1.0 spot checks)
+Non-default runs write ATTESTATION_<sfdir>.md instead of ATTESTATION.md.
 """
 
 from __future__ import annotations
@@ -48,12 +52,24 @@ def _canon_hash(df: pd.DataFrame) -> int:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # optional 2nd arg: integer -> first-N window; else comma-separated
+    # entry names (used for sf1.0 spot attestation over .scale/sf1.0)
+    limit = names = None
+    if len(sys.argv) > 2:
+        if sys.argv[2].isdigit():
+            limit = int(sys.argv[2])
+        else:
+            names = sys.argv[2].split(",")
     spark = get_spark(app_name="attest")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
+    if limit is not None:
+        queries = dict(list(queries.items())[:limit])
+    elif names is not None:
+        queries = {n: queries[n] for n in names}
     oracles = entrymod.oracle_sql()
     lines = []
     n_pass = n_fail = 0
@@ -80,8 +96,18 @@ def main() -> None:
         lines.append(f"| {pos} | {name} | {mode} | {status} | {detail} | {dt:.1f}s |")
         print(lines[-1], flush=True)
 
-    window = "first-50 (driver-checked)"
-    with open("ATTESTATION.md", "w") as f:
+    if limit is not None:
+        window = f"first-{limit} window"
+    elif names is not None:
+        window = "named spot-check"
+    else:
+        window = "first-50 (driver-checked)"
+    out_name = (
+        "ATTESTATION.md"
+        if sf_dir.rstrip("/").endswith("sf0.01") and limit is None and names is None
+        else f"ATTESTATION_{os.path.basename(sf_dir.rstrip('/'))}.md"
+    )
+    with open(out_name, "w") as f:
         f.write(
             "# Registry attestation\n\n"
             f"Full `queries()` sweep at `{sf_dir}`, driver-style canonical\n"
@@ -94,7 +120,7 @@ def main() -> None:
             "|---|-------|------|--------|------|------|\n"
         )
         f.write("\n".join(lines) + "\n")
-    print(f"\n{n_pass} PASS / {n_fail} FAIL -> ATTESTATION.md")
+    print(f"\n{n_pass} PASS / {n_fail} FAIL -> {out_name}")
 
 
 if __name__ == "__main__":
