@@ -2680,18 +2680,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB: big decimal sums convert to DOUBLE via ::VARCHAR. DuckDB's direct
+# decimal->double cast computes (double)unscaled_int128 / (double)10^scale
+# — TWO roundings — which drifts one ulp from the correctly-rounded value
+# once the unscaled sum exceeds 2^53 (measured: sum_charge at sf1.0,
+# 2.8e16 unscaled; Spark's BigDecimal.doubleValue rounds correctly).
+# VARCHAR->DOUBLE is strtod, correctly rounded, so both engines agree at
+# every scale. Harmless at sf0.01/sf0.1 where sums sit far below 2^53.
 _PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
-  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+  sum(l_quantity::DECIMAL(18,2))::VARCHAR::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::VARCHAR::DOUBLE AS sum_base_price,
   sum((l_extendedprice::DECIMAL(18,2)
-       * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE
+       * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::VARCHAR::DOUBLE
     AS sum_disc_price,
   sum((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
-       * (1 + l_tax::DECIMAL(18,2)))::DECIMAL(38,6))::DOUBLE AS sum_charge,
-  sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
-  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*) AS avg_price,
-  sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*) AS avg_disc,
+       * (1 + l_tax::DECIMAL(18,2)))::DECIMAL(38,6))::VARCHAR::DOUBLE
+    AS sum_charge,
+  sum(l_quantity::DECIMAL(18,2))::VARCHAR::DOUBLE / count(*) AS avg_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::VARCHAR::DOUBLE / count(*) AS avg_price,
+  sum(l_discount::DECIMAL(18,2))::VARCHAR::DOUBLE / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

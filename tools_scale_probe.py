@@ -5,7 +5,8 @@ at this absolute size, >1.3 flags super-linear behavior (a join/window
 whose cost grows faster than the data).
 
 The sf1.0 corpus is a 10× key-shifted replication of the driver's sf0.1
-(generated into .scale/sf1.0: every entity domain gets replica-offset
+(regenerate any time with `python tools_scale_gen.py`, which writes
+.scale/sf1.0: every entity domain gets replica-offset
 keys so FK joins stay consistent; entity COUNT scales 10× with constant
 per-entity group sizes — the "more users" growth axis; time-bucketed
 rollups instead densify — the "same days, more rows" axis. Fixed-
