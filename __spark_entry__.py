@@ -34,6 +34,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
     finance,
 )
 from financial_fraud_detection_using_time_series_data_spark.operators import (
+    privacy,
+)
+from financial_fraud_detection_using_time_series_data_spark.operators import (
     sketches,
 )
 from financial_fraud_detection_using_time_series_data_spark.operators import (
@@ -4577,9 +4580,10 @@ tf AS (
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-    sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+    sum(floor(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
         * (tf.tf * 2.2)
-        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))) AS score,
+        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))
+        * 1000000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000000.0 AS score,
     count(*)::BIGINT AS n_terms_matched
   FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY tf.doc_id
@@ -4663,9 +4667,11 @@ FROM (
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
       FROM (
         SELECT tf.doc_id,
-          sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+          sum(floor(
+              ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
               * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl)))
+              / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))
+              * 1000000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000000.0
             AS score
         FROM (
           SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filtered
@@ -5440,10 +5446,13 @@ tf AS (
 ),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 bm25 AS (
+  -- 1e-9 micro-grid fold like the operator: order-invariant per-doc
+  -- score so clone-corpus score TIES rank identically on both engines
   SELECT tf.doc_id,
-    sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+    sum(floor(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
         * (tf.tf * 2.2)
-        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))) AS score
+        / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))
+        * 1000000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000000.0 AS score
   FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY tf.doc_id
 ),
@@ -10886,6 +10895,138 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (beyond-reference §2.13): k-anonymity equivalence
+    classes of customers on the quasi-identifier (nation, segment,
+    $1000 balance band) with k=10 — every class an adversary joining on
+    those three innocuous columns can narrow a target into. One exact
+    map-side-combined groupBy; |classes| output rows; linear at any SF."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(
+            F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 1000.0
+        ).cast("long"),
+    )
+    return privacy.k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=10
+    )
+
+
+_K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment,
+  floor(c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)::BIGINT AS bal_band,
+  count(*)::BIGINT AS class_size,
+  count(*) >= 10 AS meets_k
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: l-diversity of the sensitive $2000 balance band
+    within each (nation, segment) equivalence class — k-anonymity alone
+    misses the homogeneity attack where a class is large but everyone in
+    it shares the secret. Emits distinct-l, entropy-l (exp of the class
+    entropy, micro-grid folded), and the l>=5 flag. Two-phase exact
+    aggregation, 125 output rows at every SF."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_sv",
+        F.floor(
+            F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 2000.0
+        ).cast("long"),
+    )
+    return privacy.l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_sv", l=5
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH cell AS (
+  SELECT c_nationkey, c_mktsegment,
+    floor(c_acctbal::DECIMAL(12,2)::DOUBLE / 2000.0)::BIGINT AS bal_sv,
+    count(*)::BIGINT AS n_sv
+  FROM customer GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+    count(*)::BIGINT AS distinct_l,
+    sum(n_sv)::BIGINT AS class_size,
+    sum(floor(n_sv::DOUBLE * ln(n_sv) * 1000000000.0 + 0.5)::BIGINT)::DOUBLE
+      / 1000000000.0 AS nlogn
+  FROM cell GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size, distinct_l,
+  floor(exp(ln(class_size) - nlogn / class_size) * 1000000.0 + 0.5)
+    / 1000000.0 AS entropy_l,
+  distinct_l >= 5 AS meets_l
+FROM cls
+"""
+
+
+def q_qi_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: quasi-identifier uniqueness risk of orders on
+    (priority, status, order day) — the size-1 band is the directly
+    re-identifiable population. Rows -> |classes| -> 4 risk bands; the
+    record share divides exact counts and lands on the 1e-6 grid. The
+    corpus total embeds as a literal from one count() job (the oracle
+    computes it as a scalar subquery), like record_linkage_scaled's nb."""
+    ords = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.date_trunc("day", F.col("o_orderdate"))
+    )
+    return privacy.qi_uniqueness(
+        ords, ["o_orderpriority", "o_orderstatus", "order_day"]
+    )
+
+
+_QI_UNIQUENESS_SQL = """
+WITH cls AS (
+  SELECT o_orderpriority, o_orderstatus,
+    date_trunc('day', o_orderdate) AS order_day,
+    count(*)::BIGINT AS sz
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT
+  CASE WHEN sz = 1 THEN '1' WHEN sz <= 5 THEN '2-5'
+       WHEN sz <= 20 THEN '6-20' ELSE '>20' END AS class_size_band,
+  count(*)::BIGINT AS n_classes,
+  sum(sz)::BIGINT AS n_records,
+  floor(sum(sz)::DOUBLE / (SELECT count(*) FROM orders)::DOUBLE
+        * 1000000.0 + 0.5) / 1000000.0 AS record_share
+FROM cls GROUP BY 1
+"""
+
+
+def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP release mechanism demo: per-event-type counts + Laplace(1/eps)
+    noise at eps=0.5 via inverse-CDF sampling of a SEEDED md5-prefix
+    uniform (`sample_by_hash`'s engine-portable construction), floored at
+    0 by post-processing. Deterministic by design so the mechanism is
+    testable and oracle-exact; a production release swaps the seeded u
+    for a secure RNG and keeps everything else."""
+    ev = _events(spark, sf_dir)
+    return privacy.dp_noisy_count(ev, ["event_type"], epsilon=0.5, seed="dp")
+
+
+_DP_NOISY_COUNT_SQL = """
+WITH counts AS (
+  SELECT event_type, count(*)::BIGINT AS true_count FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, true_count,
+    (('0x' || substring(md5('dp:' || event_type), 1, 8))::BIGINT::DOUBLE
+     + 0.5) / 4294967296.0 AS u
+  FROM counts
+)
+SELECT event_type, true_count,
+  greatest(
+    floor((true_count
+           + (-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))))
+          * 1000000.0 + 0.5) / 1000000.0,
+    0.0) AS noisy_count
+FROM noised
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -11238,6 +11379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_revenue": q_discounted_revenue,
         "idle_customers": q_idle_customers,
         "min_cost_supplier": q_min_cost_supplier,
+        # privacy-audit family (round 9, beyond-reference §2.13)
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "qi_uniqueness": q_qi_uniqueness,
+        "dp_noisy_count": q_dp_noisy_count,
     }
 
 
@@ -11508,4 +11654,8 @@ def oracle_sql() -> dict[str, str]:
         "discounted_revenue": _DISCOUNTED_REVENUE_SQL,
         "idle_customers": _IDLE_CUSTOMERS_SQL,
         "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+        "k_anonymity": _K_ANONYMITY_SQL,
+        "l_diversity": _L_DIVERSITY_SQL,
+        "qi_uniqueness": _QI_UNIQUENESS_SQL,
+        "dp_noisy_count": _DP_NOISY_COUNT_SQL,
     }

@@ -241,6 +241,10 @@ BENCH_QUERIES = [
     "abc_classification",
     "trimmed_mean",
     "sketch_accuracy",
+    "k_anonymity",
+    "l_diversity",
+    "qi_uniqueness",
+    "dp_noisy_count",
 ]
 
 

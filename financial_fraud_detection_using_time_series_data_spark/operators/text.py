@@ -747,13 +747,25 @@ def bm25_search(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    # per-doc score folds on the 1e-9 micro-grid: a raw float sum is
+    # summation-order sensitive in the last ulp, and on corpora with
+    # exact-duplicate documents (score TIES) that ulp decides the
+    # ranking — measured as a cross-engine top-k membership flip at
+    # sf1.0 (10x clone corpus) before this fold
     scored = (
         tf.join(doc_len, id_col)
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
-            F.sum(contrib).alias("score"),
+            (
+                F.sum(
+                    F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("score"),
             F.count(F.lit(1)).alias("n_terms_matched"),
         )
     )
@@ -1306,6 +1318,8 @@ def retrieval_metrics(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    # same 1e-9 micro-grid fold as bm25_search: order-invariant per-doc
+    # score, so clone-corpus ties rank identically on both engines
     scored = (
         tf.join(F.broadcast(qmap), "term")
         .join(doc_len, id_col)
@@ -1313,7 +1327,14 @@ def retrieval_metrics(
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)
         .agg(
-            F.sum(contrib).alias("score"),
+            (
+                F.sum(
+                    F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("score"),
             F.count(F.lit(1)).alias("n_matched"),
         )
     )
