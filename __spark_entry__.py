@@ -11027,6 +11027,203 @@ FROM noised
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between purchase and
+    click event values — the nonparametric two-sample test for skewed
+    metrics. 2·U folds as a pure integer over distinct values (chunked
+    cumulative ref-counts, no partitionless window); z assembles from
+    integer aggregates with the standard tie correction in +,−,×,/,sqrt
+    only, so it is bit-identical cross-engine with no rounding fold."""
+    ev = _events(spark, sf_dir)
+    return drift.mann_whitney(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        "value",
+    )
+
+
+# NB: the two big integer folds leave DuckDB via ::VARCHAR::DOUBLE per
+# the round-9 audit rule (direct int128->double double-rounds past 2^53)
+_MANN_WHITNEY_SQL = """
+WITH tagged AS (
+  SELECT value AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (SELECT v, sum(r)::BIGINT AS nr, sum(c)::BIGINT AS nc FROM tagged GROUP BY v),
+cum AS (
+  SELECT v, nr, nc,
+    coalesce(sum(nr) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ref_less
+  FROM g
+),
+s AS (
+  SELECT sum(nr)::DOUBLE AS nrs, sum(nc)::DOUBLE AS ncs,
+    sum(nc * (2 * ref_less + nr))::VARCHAR::DOUBLE AS u2,
+    sum((nr + nc) * (nr + nc) * (nr + nc) - (nr + nc))::VARCHAR::DOUBLE AS tie
+  FROM cum
+)
+SELECT nrs::BIGINT AS n_ref, ncs::BIGINT AS n_cur,
+  u2 / 2.0 AS u_cur,
+  CASE WHEN nrs > 0 AND ncs > 0
+        AND nrs * ncs / 12.0 * ((nrs + ncs + 1.0)
+            - tie / ((nrs + ncs) * (nrs + ncs - 1.0))) > 0
+  THEN (u2 / 2.0 - nrs * ncs / 2.0)
+       / sqrt(nrs * ncs / 12.0 * ((nrs + ncs + 1.0)
+              - tie / ((nrs + ncs) * (nrs + ncs - 1.0))))
+  END AS z
+FROM s
+"""
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: calibrate on
+    events before Jan 22, grade empirical coverage on the rest. q̂ is the
+    exact ⌈(n+1)(1−α)⌉-th order statistic of calibration residuals
+    (integer cumulative counts over distinct residuals — chunked, no
+    partitionless window); target coverage 90%."""
+    ev = _events(spark, sf_dir)
+    split = F.lit("2024-01-22").cast("timestamp")
+    return evaluation.conformal_intervals(
+        ev.where(F.col("ts") < split),
+        ev.where(F.col("ts") >= split),
+        "value",
+        "event_type",
+        alpha=0.1,
+    )
+
+
+_CONFORMAL_SQL = """
+WITH calib AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-22'
+),
+tst AS (
+  SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+),
+centers AS (
+  SELECT event_type, median(value) AS center, count(*)::BIGINT AS n_cal
+  FROM calib GROUP BY 1
+),
+resid AS (
+  SELECT calib.event_type, abs(calib.value - centers.center) AS r
+  FROM calib JOIN centers USING (event_type)
+),
+rg AS (SELECT event_type, r, count(*)::BIGINT AS cnt FROM resid GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, r,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY r) AS cum
+  FROM rg
+),
+ks AS (
+  SELECT event_type,
+    least(ceil((n_cal + 1) * (1.0::DOUBLE - 0.1::DOUBLE))::BIGINT, n_cal) AS k
+  FROM centers
+),
+qhat AS (
+  SELECT cum.event_type, min(cum.r) AS q_hat
+  FROM cum JOIN ks USING (event_type)
+  WHERE cum.cum >= ks.k GROUP BY 1
+),
+cov AS (
+  SELECT tst.event_type, count(*)::BIGINT AS n_test,
+    sum(CASE WHEN abs(tst.value - centers.center) <= qhat.q_hat
+        THEN 1 ELSE 0 END)::BIGINT AS covd
+  FROM tst JOIN centers USING (event_type) JOIN qhat USING (event_type)
+  GROUP BY 1
+)
+SELECT event_type, n_cal, center, q_hat,
+  center - q_hat AS lo, center + q_hat AS hi, n_test,
+  floor(covd::DOUBLE / n_test * 1000000.0 + 0.5) / 1000000.0 AS coverage
+FROM centers JOIN qhat USING (event_type) JOIN cov USING (event_type)
+"""
+
+
+def q_hbos_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS unsupervised anomaly top-20 over events (value histogram ×
+    hour-of-day × day-of-week): linear-time histogram scoring with every
+    −ln(p) micro-rounded on its tiny bins frame before the fixed-arity
+    sum — no order-sensitive fold. Oracle maps DuckDB's Sunday=0 dow to
+    Spark's Sunday=1 convention."""
+    ev = _events(spark, sf_dir)
+    return screens.hbos_scores(ev, "value", "ts", "event_id", n_bins=20, top_n=20)
+
+
+_HBOS_SQL = """
+WITH mm AS (
+  SELECT min(value) AS mn, max(value) AS mx, count(*)::BIGINT AS n FROM events
+),
+b AS (
+  SELECT event_id,
+    least(floor((value - mm.mn) / ((mm.mx - mm.mn) / 20.0))::BIGINT, 19) AS vb,
+    hour(ts)::BIGINT AS hb,
+    (dayofweek(ts) + 1)::BIGINT AS db,
+    mm.n AS n
+  FROM events CROSS JOIN mm
+),
+vh AS (SELECT vb, floor(-ln(count(*)::DOUBLE / any_value(n)) * 1000000000.0
+                        + 0.5) / 1000000000.0 AS vnll FROM b GROUP BY vb),
+hh AS (SELECT hb, floor(-ln(count(*)::DOUBLE / any_value(n)) * 1000000000.0
+                        + 0.5) / 1000000000.0 AS hnll FROM b GROUP BY hb),
+dh AS (SELECT db, floor(-ln(count(*)::DOUBLE / any_value(n)) * 1000000000.0
+                        + 0.5) / 1000000000.0 AS dnll FROM b GROUP BY db)
+SELECT event_id, vb AS value_bin, hb AS hour_bin, db AS dow_bin,
+  vnll + hnll + dnll AS hbos_score
+FROM b JOIN vh USING (vb) JOIN hh USING (hb) JOIN dh USING (db)
+ORDER BY hbos_score DESC, event_id
+LIMIT 20
+"""
+
+
+def q_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting) of the event_type ×
+    hour-of-day mixture to uniform margins on both axes — 10 exact
+    micro-unit iterations on the ≤|types|·24 cell frame (driver-side,
+    `em_weights` contract). The oracle replays the identical integer
+    arithmetic as a recursive CTE with per-iteration margin windows."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hour_bin", F.hour("ts").cast("long")
+    )
+    return behavior.ipf_weights(ev, "event_type", "hour_bin", iters=10)
+
+
+_IPF_SQL = """
+WITH RECURSIVE cells AS (
+  SELECT event_type, hour(ts)::BIGINT AS hour_bin, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+params AS (
+  SELECT (SELECT count(*) FROM events)::BIGINT AS n_total,
+    (SELECT count(DISTINCT event_type) FROM cells)::BIGINT AS k_rows,
+    (SELECT count(DISTINCT hour_bin) FROM cells)::BIGINT AS k_cols
+),
+targets AS (
+  SELECT (n_total * 1000000000 + k_rows // 2) // k_rows AS rt,
+         (n_total * 1000000000 + k_cols // 2) // k_cols AS ct
+  FROM params
+),
+it AS (
+  SELECT 0 AS i, event_type, hour_bin, n, n * 1000000000 AS w FROM cells
+  UNION ALL
+  SELECT i + 1, event_type, hour_bin, n,
+    floor(wr::DOUBLE * (SELECT ct FROM targets)
+          / (sum(wr) OVER (PARTITION BY hour_bin))::DOUBLE + 0.5)::BIGINT AS w
+  FROM (
+    SELECT i, event_type, hour_bin, n,
+      floor(w::DOUBLE * (SELECT rt FROM targets)
+            / (sum(w) OVER (PARTITION BY event_type))::DOUBLE + 0.5)::BIGINT
+        AS wr
+    FROM it WHERE i < 10
+  )
+)
+SELECT event_type, hour_bin, n AS n_obs,
+  w::DOUBLE / 1000000000.0 AS weight,
+  floor(w::DOUBLE / 1000000000.0 / n * 1000000.0 + 0.5) / 1000000.0
+    AS raking_factor
+FROM it WHERE i = 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -11384,6 +11581,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "qi_uniqueness": q_qi_uniqueness,
         "dp_noisy_count": q_dp_noisy_count,
+        # statistical-rigor family (round 9)
+        "mann_whitney": q_mann_whitney,
+        "conformal_intervals": q_conformal_intervals,
+        "hbos_scores": q_hbos_scores,
+        "ipf_weights": q_ipf_weights,
     }
 
 
@@ -11658,4 +11860,8 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": _L_DIVERSITY_SQL,
         "qi_uniqueness": _QI_UNIQUENESS_SQL,
         "dp_noisy_count": _DP_NOISY_COUNT_SQL,
+        "mann_whitney": _MANN_WHITNEY_SQL,
+        "conformal_intervals": _CONFORMAL_SQL,
+        "hbos_scores": _HBOS_SQL,
+        "ipf_weights": _IPF_SQL,
     }

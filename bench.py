@@ -245,6 +245,10 @@ BENCH_QUERIES = [
     "l_diversity",
     "qi_uniqueness",
     "dp_noisy_count",
+    "mann_whitney",
+    "conformal_intervals",
+    "hbos_scores",
+    "ipf_weights",
 ]
 
 

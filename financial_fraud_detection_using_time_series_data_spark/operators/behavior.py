@@ -995,3 +995,78 @@ def decile_migration(
         F.col("n_entities").cast("long").alias("n_entities"),
         (F.col("n_entities").cast("double") / F.col("__tot")).alias("share_of_from"),
     )
+
+
+def ipf_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iters: int = 10,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming-Stephan 1940):
+    reweight the observed (row, col) contingency table so BOTH margins
+    hit uniform targets — the survey-statistics move a training-data
+    pipeline uses to balance a corpus mixture across two axes at once
+    (e.g. source × time bucket) without resampling.
+
+    Exactness: cell weights live as 1e-9-grid INTEGER micro-units end
+    to end — margin sums are exact integer folds, each scaling step is
+    floor(w·target/margin + ½) in IEEE double over exact integers (no
+    libm), so every iterate is bit-reproducible and the recursive-CTE
+    oracle replays it identically. Uniform targets compute as rounded
+    integer division, overflow-safe past 2^53.
+
+    Scale shape: ONE map-side-combined corpus rollup to |rows|·|cols|
+    cells; the ``iters`` IPF iterations run driver-side on that bounded
+    frame (same contract as `em_weights`' sufficient-statistic EM and
+    `attribution_markov`'s chain solve — ``max_cells`` makes the bound
+    loud, not silent). Returns one row per observed cell: n_obs, the
+    fitted weight, and the raking factor weight/n_obs.
+    """
+    cells = [
+        (r[0], r[1], r[2])
+        for r in df.groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"ipf_weights: {len(cells)} cells exceeds max_cells={max_cells}; "
+            "coarsen the axes or raise max_cells explicitly."
+        )
+    rows = sorted({c[0] for c in cells})
+    cols = sorted({c[1] for c in cells})
+    n_total = sum(c[2] for c in cells)
+    # uniform targets in micro-units, exact integer arithmetic
+    rt = {r: (n_total * 1_000_000_000 + len(rows) // 2) // len(rows) for r in rows}
+    ct = {c: (n_total * 1_000_000_000 + len(cols) // 2) // len(cols) for c in cols}
+    w = {(r, c): n * 1_000_000_000 for r, c, n in cells}
+    for _ in range(int(iters)):
+        rsum: dict = {}
+        for (r, c), v in w.items():
+            rsum[r] = rsum.get(r, 0) + v
+        w = {
+            (r, c): int((float(v) * float(rt[r]) / float(rsum[r])) + 0.5)
+            for (r, c), v in w.items()
+        }
+        csum: dict = {}
+        for (r, c), v in w.items():
+            csum[c] = csum.get(c, 0) + v
+        w = {
+            (r, c): int((float(v) * float(ct[c]) / float(csum[c])) + 0.5)
+            for (r, c), v in w.items()
+        }
+    spark = df.sparkSession
+    out = [
+        (r, c, int(n), w[(r, c)] / 1e9, None)
+        for r, c, n in cells
+    ]
+    out = [
+        (r, c, n, wt, (float(int(wt / n * 1e6 + 0.5)) / 1e6) if n else None)
+        for r, c, n, wt, _ in out
+    ]
+    return spark.createDataFrame(
+        out, f"{row_col} string, {col_col} long, n_obs long, "
+        "weight double, raking_factor double"
+    )

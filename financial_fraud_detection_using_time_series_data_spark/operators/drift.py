@@ -158,6 +158,97 @@ def ks_statistic(
     )
 
 
+def mann_whitney(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U test (Wilcoxon rank-sum),
+    distributed — the NONPARAMETRIC sibling of `ab_test`'s z and
+    `ks_statistic`'s D: does ``cur`` stochastically dominate ``ref``,
+    without assuming any distribution shape? The workhorse for skewed
+    metrics (revenue per user, latency) where a mean test misleads.
+
+    Exactness: ranks never materialize. U_cur = Σ_v n_cur(v) ·
+    (A_less(v) + ½·n_ref(v)) over DISTINCT values v, so 2·U_cur is a
+    pure INTEGER fold (tie midpoints ×2) — reduction-order invariant,
+    oracle-exact. The normal approximation applies the standard tie
+    correction: σ² = (n_r·n_c/12)·((n+1) − Σ(t³−t)/(n(n−1))), built
+    from integer aggregates; z then assembles in closed-form IEEE
+    arithmetic (+,−,×,/,sqrt only — no libm), so it is bit-identical
+    across engines with no rounding fold needed.
+
+    Scale shape: same chunked-cumsum plan as `ks_statistic` — one
+    groupBy on value, per-chunk cumulative of ref counts + triangular
+    offsets (NO partitionless window), then one integer-exact global
+    agg. Every post-shuffle frame is bounded by |distinct values|.
+    Returns one row: (n_ref, n_cur, u_cur, z) — z NULL when either
+    side is empty or every value ties (σ = 0).
+    """
+    from . import chunked as C
+    from pyspark.sql import Window
+
+    tagged = ref.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("r"), F.lit(0).alias("c")
+    ).unionAll(
+        cur.select(
+            F.col(value_col).alias("v"), F.lit(0).alias("r"), F.lit(1).alias("c")
+        )
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("r").alias("n_ref_v"), F.sum("c").alias("n_cur_v")
+    )
+    ch = C.range_chunk(g, "v", n_chunks)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ch.withColumn("__cr_in", F.sum("n_ref_v").over(w_in))
+    totals = within.groupBy("__chunk").agg(F.max("__cr_in").alias("__cr"))
+    offsets = C.chunk_offsets(totals, ["__cr"])
+    # 2·U_cur contribution of value v: n_cur(v)·(2·ref_less(v) + n_ref(v));
+    # tie term: (t³ − t) with t = n_ref(v) + n_cur(v). Both pure BIGINT.
+    t = (F.col("n_ref_v") + F.col("n_cur_v")).cast("long")
+    ref_less = (F.col("__cr_off") + F.col("__cr_in") - F.col("n_ref_v")).cast(
+        "long"
+    )
+    stats = (
+        within.join(F.broadcast(offsets), "__chunk")
+        .select(
+            F.col("n_ref_v").cast("long").alias("nr"),
+            F.col("n_cur_v").cast("long").alias("nc"),
+            (F.col("n_cur_v") * (F.lit(2) * ref_less + F.col("n_ref_v")))
+            .cast("decimal(38,0)")
+            .alias("u2"),
+            (t * t * t - t).cast("decimal(38,0)").alias("tie"),
+        )
+        .agg(
+            F.sum("nr").cast("double").alias("__nr"),
+            F.sum("nc").cast("double").alias("__nc"),
+            F.sum("u2").cast("double").alias("__u2"),
+            F.sum("tie").cast("double").alias("__tie"),
+        )
+    )
+    nr, nc = F.col("__nr"), F.col("__nc")
+    n = nr + nc
+    u = F.col("__u2") / F.lit(2.0)
+    var = (
+        nr
+        * nc
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__tie") / (n * (n - F.lit(1.0))))
+    )
+    z = (u - nr * nc / F.lit(2.0)) / F.sqrt(var)
+    return stats.select(
+        nr.cast("long").alias("n_ref"),
+        nc.cast("long").alias("n_cur"),
+        u.alias("u_cur"),
+        F.when((nr > 0) & (nc > 0) & (var > 0), z).alias("z"),
+    )
+
+
 def benford_profile(
     df: DataFrame,
     value_col: str = "value",

@@ -503,6 +503,111 @@ def ab_test(
     )
 
 
+def conformal_intervals(
+    cal: DataFrame,
+    test: DataFrame,
+    value_col: str,
+    group_col: str,
+    alpha: float = 0.1,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group with finite-sample
+    coverage ≥ 1−α (Vovk; Lei et al.): the distribution-free uncertainty
+    wrapper every scored pipeline should report next to its point
+    predictions. Point predictor here is the per-group CALIBRATION
+    median; nonconformity is the absolute residual; the conformal
+    quantile q̂ is the k-th smallest calibration residual with
+    k = ⌈(n_cal+1)(1−α)⌉ — an exact ORDER STATISTIC, not an
+    interpolated quantile, per the conformal guarantee.
+
+    Exactness: q̂ = min{r : #(residuals ≤ r) ≥ k} resolves from integer
+    cumulative counts over distinct residuals — no float folds anywhere;
+    k's one float product is the same IEEE expression on both engines
+    (and any k ≥ ⌈·⌉ stays conservatively valid). Coverage divides two
+    exact counts and lands on the 1e-6 grid.
+
+    Scale shape: the per-group cumulative runs on chunked primitives —
+    residual-distinct rows get a GLOBAL range chunk id, the running sum
+    windows over (group, chunk) partitions, and the exclusive offsets
+    window over the |groups|·n_chunks-row totals frame (bounded, NOT the
+    partitionless trap). Centers/q̂/k ride |groups|-row broadcasts.
+    Returns one row per group: n_cal, center, q_hat, lo, hi, n_test,
+    coverage.
+    """
+    centers = cal.groupBy(group_col).agg(
+        F.median(value_col).alias("__center"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    r_cal = cal.join(F.broadcast(centers), group_col).select(
+        group_col, F.abs(F.col(value_col) - F.col("__center")).alias("__r")
+    )
+    g = r_cal.groupBy(group_col, "__r").agg(F.count(F.lit(1)).alias("__cnt"))
+    ch = _range_chunk(g, "__r", n_chunks)
+    w_in = (
+        Window.partitionBy(group_col, "__chunk")
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ch.withColumn("__c_in", F.sum("__cnt").over(w_in))
+    totals = within.groupBy(group_col, "__chunk").agg(
+        F.max("__c_in").alias("__ct")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__ct").over(w_off), F.lit(0).cast("long"))
+    ).select(group_col, "__chunk", "__off")
+    ks = centers.select(
+        group_col,
+        F.least(
+            F.ceil((F.col("n_cal") + F.lit(1)) * F.lit(1.0 - alpha)).cast("long"),
+            F.col("n_cal").cast("long"),
+        ).alias("__k"),
+    )
+    qhat = (
+        within.join(F.broadcast(offsets), [group_col, "__chunk"])
+        .join(F.broadcast(ks), group_col)
+        .where(F.col("__off") + F.col("__c_in") >= F.col("__k"))
+        .groupBy(group_col)
+        .agg(F.min("__r").alias("q_hat"))
+    )
+    params = centers.join(qhat, group_col)
+    covered = (
+        test.join(
+            F.broadcast(params.select(group_col, "__center", "q_hat")), group_col
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col(value_col) - F.col("__center"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            ).alias("__cov"),
+        )
+    )
+    return params.join(covered, group_col).select(
+        group_col,
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("__center").alias("center"),
+        "q_hat",
+        (F.col("__center") - F.col("q_hat")).alias("lo"),
+        (F.col("__center") + F.col("q_hat")).alias("hi"),
+        F.col("n_test").cast("long").alias("n_test"),
+        (
+            F.floor(
+                F.col("__cov") / F.col("n_test") * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("coverage"),
+    )
+
+
 def anova_f(
     df: DataFrame,
     value_col: str,

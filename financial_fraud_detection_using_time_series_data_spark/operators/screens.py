@@ -526,3 +526,80 @@ def rule_census(
         F.when(union > 0, n11 / union).alias("jaccard"),
         F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_bins: int = 20,
+    top_n: int = 20,
+) -> DataFrame:
+    """HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    the linear-time unsupervised anomaly score that assumes feature
+    independence, score(x) = Σ_f −ln p_f(bin_f(x)). Features here:
+    equal-width ``n_bins`` histogram of ``value_col`` plus the discrete
+    hour-of-day and day-of-week histograms of ``ts_col`` — the shape a
+    transaction screen wants (rare amount in a rare time slot).
+
+    Determinism: bin edges derive from the corpus min/max (one 1-row
+    broadcast agg); bin = least(floor((x−min)/w), n_bins−1) is pure IEEE
+    arithmetic, identical cross-engine. Each histogram's −ln(p) lands on
+    the 1e-9 micro-grid in the |bins|-row frame BEFORE broadcasting
+    back, so the final 3-addend sum is the same fixed-arity expression
+    on both engines — no order-sensitive fold anywhere. Top-``top_n``
+    ties break on ``id_col``.
+
+    Scale shape: three map-side-combined histogram aggs (1-row, 24-row,
+    7-row, ≤n_bins-row frames, all broadcast), one scan to score, and a
+    TakeOrderedAndProject for the top-k. Linear, one pass over the
+    corpus after the stats pass.
+    """
+    mm = df.agg(
+        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    binned = df.crossJoin(F.broadcast(mm)).select(
+        id_col,
+        F.least(
+            F.floor((F.col(value_col) - F.col("__mn")) / w).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("__vb"),
+        F.hour(ts_col).cast("long").alias("__hb"),
+        F.dayofweek(ts_col).cast("long").alias("__db"),
+        F.col("__n"),
+    )
+
+    def _hist(frame: DataFrame, col: str) -> DataFrame:
+        # -ln(count/n) per bin, micro-rounded on the tiny bins frame
+        return frame.groupBy(col).agg(
+            (
+                F.floor(
+                    -F.log(F.count(F.lit(1)) / F.first("__n"))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias(f"{col}_nll")
+        )
+
+    vb = _hist(binned, "__vb")
+    hb = _hist(binned, "__hb")
+    db = _hist(binned, "__db")
+    scored = (
+        binned.join(F.broadcast(vb), "__vb")
+        .join(F.broadcast(hb), "__hb")
+        .join(F.broadcast(db), "__db")
+        .select(
+            id_col,
+            F.col("__vb").alias("value_bin"),
+            F.col("__hb").alias("hour_bin"),
+            F.col("__db").alias("dow_bin"),
+            (
+                F.col("__vb_nll") + F.col("__hb_nll") + F.col("__db_nll")
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(F.col("hbos_score").desc(), F.col(id_col)).limit(top_n)
