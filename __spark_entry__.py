@@ -40,6 +40,9 @@ from financial_fraud_detection_using_time_series_data_spark.operators import (
     sketches,
 )
 from financial_fraud_detection_using_time_series_data_spark.operators import (
+    stats,
+)
+from financial_fraud_detection_using_time_series_data_spark.operators import (
     tpch,
 )
 from financial_fraud_detection_using_time_series_data_spark.sources import (
@@ -11224,6 +11227,189 @@ FROM it WHERE i = 10
 """
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of lineitem quantity vs extended price
+    (tie-averaged ranks). Doubled ranks (2r = 2·cnt_less + cnt + 1) are
+    exact BIGINTs, so all five moment sums fold as decimal(38,0)
+    integers — chunked distinct-value cumsums, no partitionless window;
+    ρ assembles bit-identically from the correctly-rounded sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+# NB: the BIGINT rank folds overflow int64 at scale, so DuckDB sums are
+# HUGEINT and leave via ::VARCHAR::DOUBLE per the round-9 audit rule
+_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+  FROM base
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n,
+    sum(rx)::VARCHAR::DOUBLE AS sx, sum(ry)::VARCHAR::DOUBLE AS sy,
+    sum(rx * rx)::VARCHAR::DOUBLE AS sxx,
+    sum(ry * ry)::VARCHAR::DOUBLE AS syy,
+    sum(rx * ry)::VARCHAR::DOUBLE AS sxy
+  FROM ranked
+)
+SELECT n::BIGINT AS n,
+  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+  THEN (n * sxy - sx * sy)
+       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  END AS rho
+FROM s
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types on value — the
+    rank-based (distribution-free) sibling of `anova_f`. R_g folds as
+    the exact BIGINT Σ n_gv·(2·avg rank); the per-group R_g²/n_g float
+    term micro-folds on the 1e-6 grid (anova_f convention); tie counts
+    come off the distinct-value frame as pure integers."""
+    ev = _events(spark, sf_dir)
+    return stats.kruskal_wallis(ev, "event_type", "value")
+
+
+_KRUSKAL_SQL = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT g,
+    2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS r2
+  FROM base
+),
+pg AS (
+  SELECT g, count(*)::BIGINT AS ng, sum(r2)::VARCHAR::DOUBLE AS r2g
+  FROM ranked GROUP BY g
+),
+gtot AS (
+  SELECT sum(ng)::DOUBLE AS N, count(*)::DOUBLE AS k,
+    sum(floor(r2g * r2g / (4.0 * ng::DOUBLE) * 1000000.0
+              + 0.5)::HUGEINT)::VARCHAR::DOUBLE AS r_micro
+  FROM pg
+),
+ties AS (
+  SELECT sum(t * t * t - t)::VARCHAR::DOUBLE AS tie
+  FROM (SELECT count(*)::BIGINT AS t FROM base GROUP BY v)
+)
+SELECT N::BIGINT AS n, k::BIGINT AS k,
+  CASE WHEN k > 1 AND N > 1
+  THEN 12.0 / (N * (N + 1.0)) * (r_micro / 1000000.0) - 3.0 * (N + 1.0)
+  END AS h,
+  CASE WHEN k > 1 AND N > 1 AND 1.0 - tie / (N * N * N - N) > 0
+  THEN (12.0 / (N * (N + 1.0)) * (r_micro / 1000000.0) - 3.0 * (N + 1.0))
+       / (1.0 - tie / (N * N * N - N))
+  END AS h_corrected
+FROM gtot, ties
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t test (purchase vs view event values)
+    plus Welch-Satterthwaite df and Cohen's d — ONE conditional-sum
+    aggregation pass (exact decimal moments, no second scan); the
+    statistic assembles in closed-form IEEE arithmetic."""
+    ev = _events(spark, sf_dir)
+    return stats.welch_ttest(ev, "event_type", "value", "purchase", "view")
+
+
+_WELCH_SQL = """
+WITH s AS (
+  SELECT
+    count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS na,
+    count(*) FILTER (WHERE event_type = 'view')::BIGINT AS nb,
+    (sum(value::DECIMAL(25,6)) FILTER (WHERE event_type = 'purchase'))::DOUBLE AS sa,
+    (sum(value::DECIMAL(25,6)) FILTER (WHERE event_type = 'view'))::DOUBLE AS sb,
+    (sum((value::DECIMAL(25,6) * value::DECIMAL(25,6))::DECIMAL(38,8))
+       FILTER (WHERE event_type = 'purchase'))::DOUBLE AS ssa,
+    (sum((value::DECIMAL(25,6) * value::DECIMAL(25,6))::DECIMAL(38,8))
+       FILTER (WHERE event_type = 'view'))::DOUBLE AS ssb
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+    (ssa - sa * sa / na) / (na - 1.0) AS va,
+    (ssb - sb * sb / nb) / (nb - 1.0) AS vb
+  FROM s
+),
+a AS (
+  SELECT na, nb, ma, mb, va, vb, va / na + vb / nb AS se2,
+    sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)) AS sp
+  FROM m
+)
+SELECT na AS n_a, nb AS n_b,
+  CASE WHEN na > 0 THEN ma END AS mean_a,
+  CASE WHEN nb > 0 THEN mb END AS mean_b,
+  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+    THEN (ma - mb) / sqrt(se2) END AS t_stat,
+  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+    THEN se2 * se2 / ((va / na) * (va / na) / (na - 1.0)
+                      + (vb / nb) * (vb / nb) / (nb - 1.0)) END AS df,
+  CASE WHEN na > 1 AND nb > 1 AND se2 > 0 AND sp > 0
+    THEN (ma - mb) / sp END AS cohens_d
+FROM a
+"""
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe spread-homogeneity test across event types
+    (Levene on group medians): |x − median_g| quantized to the 1e-9
+    micro-grid (cent inputs land exactly on-grid, so the interpolated
+    median's ulp cannot flip a bucket), then the anova_f micro-fold.
+    One percentile rollup (broadcast) + one moment pass."""
+    ev = _events(spark, sf_dir)
+    return stats.brown_forsythe(ev, "event_type", "value")
+
+
+_BROWN_FORSYTHE_SQL = """
+WITH meds AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type,
+    floor(abs(e.value - m.med) * 1e9 + 0.5)::BIGINT AS zmic
+  FROM events e JOIN meds m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    sum(zmic)::VARCHAR::DOUBLE / 1e9 AS s,
+    sum(zmic::HUGEINT * zmic::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS ss
+  FROM z GROUP BY event_type
+),
+tot AS (
+  SELECT sum(n)::DOUBLE AS N, count(*)::DOUBLE AS k,
+    sum(floor(s * 1000000.0 + 0.5)::HUGEINT)::VARCHAR::DOUBLE AS s_micro,
+    sum(floor(s * s / n::DOUBLE * 1000000.0 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE AS sb_micro,
+    sum(floor((ss - s * s / n::DOUBLE) * 1000000.0 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE AS sw_micro
+  FROM g
+),
+asm AS (
+  SELECT N, k,
+    sb_micro / 1000000.0
+      - (s_micro / 1000000.0) * (s_micro / 1000000.0) / N AS ssb,
+    sw_micro / 1000000.0 AS ssw
+  FROM tot
+)
+SELECT N::BIGINT AS n, k::BIGINT AS k,
+  CASE WHEN k > 1 AND ssw > 0
+    THEN (ssb / (k - 1.0)) / (ssw / (N - k)) END AS f_stat,
+  (k - 1.0)::BIGINT AS df1, (N - k)::BIGINT AS df2
+FROM asm
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -11586,6 +11772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_intervals": q_conformal_intervals,
         "hbos_scores": q_hbos_scores,
         "ipf_weights": q_ipf_weights,
+        # classical hypothesis tests (round 9b)
+        "spearman_corr": q_spearman_corr,
+        "kruskal_wallis": q_kruskal_wallis,
+        "welch_ttest": q_welch_ttest,
+        "brown_forsythe": q_brown_forsythe,
     }
 
 
@@ -11864,4 +12055,8 @@ def oracle_sql() -> dict[str, str]:
         "conformal_intervals": _CONFORMAL_SQL,
         "hbos_scores": _HBOS_SQL,
         "ipf_weights": _IPF_SQL,
+        "spearman_corr": _SPEARMAN_SQL,
+        "kruskal_wallis": _KRUSKAL_SQL,
+        "welch_ttest": _WELCH_SQL,
+        "brown_forsythe": _BROWN_FORSYTHE_SQL,
     }

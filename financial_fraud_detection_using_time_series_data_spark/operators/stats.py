@@ -1,0 +1,326 @@
+"""Classical hypothesis tests, distributed and reduction-order exact.
+
+The reference pipeline eyeballs per-type value distributions
+(train_pipeline.py's groupby describes); a production analytics engine
+needs the actual tests those eyeballs approximate. This module carries
+the rank-based and moment-based two/k-sample tests that complement
+`drift.mann_whitney` (rank two-sample) and `evaluation.anova_f`
+(moment k-sample):
+
+- `spearman_corr`  — rank correlation (monotone association, tie-aware)
+- `kruskal_wallis` — rank k-sample test (nonparametric ANOVA)
+- `welch_ttest`    — unequal-variance two-sample t + Cohen's d
+- `brown_forsythe` — variance-homogeneity test (Levene on medians)
+
+Exactness contract (shared with the rest of the repo): every
+cross-partition fold is an INTEGER or exact-decimal sum. Average ranks
+with ties are half-integers, so DOUBLED ranks (2·r = 2·cnt_less +
+cnt_eq + 1) fold as pure integers; the final statistic assembles from
+those integer aggregates in closed-form IEEE arithmetic (+,−,×,/,sqrt
+only), bit-identical across engines and partitionings.
+
+Scale shape: ranks never materialize a partitionless window — the
+distinct-value frame is chunk-cumsummed (`chunked.range_chunk` /
+`chunk_offsets`: |chunks| parallel tasks), then joined back. Every
+post-shuffle frame is bounded by |distinct values| or |groups|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import chunked as C
+
+
+def _rank2(df: DataFrame, col: str, n_chunks: int) -> DataFrame:
+    """(v, cnt, r2) per DISTINCT value of ``col``: cnt = multiplicity,
+    r2 = 2·(average rank of v in the full sorted order) — an exact
+    BIGINT (ties make average ranks half-integers; doubling clears the
+    half). Chunked cumulative count, no partitionless window."""
+    g = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    ch = C.range_chunk(g, "v", n_chunks)
+    w = (
+        Window.partitionBy("__chunk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ch.withColumn("__c_in", F.sum("cnt").over(w))
+    totals = within.groupBy("__chunk").agg(F.max("__c_in").alias("__c"))
+    offs = C.chunk_offsets(totals, ["__c"])
+    less = F.col("__c_off") + F.col("__c_in") - F.col("cnt")
+    return within.join(F.broadcast(offs), "__chunk").select(
+        "v",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.lit(2) * less + F.col("cnt") + F.lit(1)).cast("long").alias("r2"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, with the
+    standard average-rank tie treatment — the monotone-association
+    complement to `corr_vector`'s Pearson (which the reference's
+    feature screen uses and which misses any nonlinear-but-monotone
+    relation).
+
+    ρ is Pearson on the (tie-averaged) ranks. Doubled ranks are exact
+    BIGINTs, so all five moment sums (Σrx, Σry, Σrx², Σry², Σrx·ry)
+    fold as decimal(38,0) integers — reduction-order invariant,
+    oracle-exact — and the factors of 2 cancel in the closed form.
+
+    Scale shape: two distinct-value rank frames (chunked cumsum, no
+    partitionless window), two hash joins back onto the row frame keyed
+    by value, one global integer aggregate. Rows with a NULL on either
+    side are dropped (pandas `corr(method='spearman')` semantics).
+    Returns one row: (n, rho) — rho NULL when n < 2 or either side is
+    constant.
+    """
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    rx = _rank2(base, "__x", n_chunks).select(
+        F.col("v").alias("__x"), F.col("r2").alias("__rx")
+    )
+    ry = _rank2(base, "__y", n_chunks).select(
+        F.col("v").alias("__y"), F.col("r2").alias("__ry")
+    )
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__rx").cast(d38)).alias("__sx"),
+        F.sum(F.col("__ry").cast(d38)).alias("__sy"),
+        F.sum((F.col("__rx") * F.col("__rx")).cast(d38)).alias("__sxx"),
+        F.sum((F.col("__ry") * F.col("__ry")).cast(d38)).alias("__syy"),
+        F.sum((F.col("__rx") * F.col("__ry")).cast(d38)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = n * F.col("__sxy").cast("double") - sx * sy
+    vx = n * F.col("__sxx").cast("double") - sx * sx
+    vy = n * F.col("__syy").cast("double") - sy * sy
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.when((n > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias(
+            "rho"
+        ),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Kruskal-Wallis H test: do k groups share one value distribution?
+    The rank-based (distribution-free) sibling of `anova_f`, and the
+    k-group generalization of `mann_whitney` — the right screen when a
+    numeric metric is skewed and groups number more than two.
+
+    H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(N³−N). R_g folds as the exact BIGINT Σ n_gv·r2(v)
+    (doubled average ranks); the per-group float term R_g²/n_g is
+    micro-scaled to a 1e-6 integer grid before the cross-group fold
+    (the `anova_f` convention — a float Σ over groups varies with
+    aggregation order). Tie counts come off the distinct-value frame
+    as pure integers.
+
+    Scale shape: one (group, value) rollup, one distinct-value rank
+    frame (chunked cumsum), a hash join between the two on value, one
+    |groups|-row aggregate. Returns one row: (n, k, h, h_corrected) —
+    NULL statistics when k < 2 or every value ties (C = 0).
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).where(F.col(value_col).isNotNull())
+    gv = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__ngv"))
+    ranks = _rank2(base, "__v", n_chunks)
+    per_group = (
+        gv.join(ranks.select(F.col("v").alias("__v"), "r2"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__ngv")).cast("long").alias("__ng"),
+            F.sum((F.col("__ngv") * F.col("r2")).cast("decimal(38,0)")).alias(
+                "__r2g"
+            ),
+        )
+    )
+    # R_g²/n_g = (R2_g/2)²/n_g, micro-folded per the anova_f convention
+    r2g = F.col("__r2g").cast("double")
+    ng = F.col("__ng").cast("double")
+    rterm_micro = F.floor(
+        r2g * r2g / (F.lit(4.0) * ng) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    gtot = per_group.agg(
+        F.sum("__ng").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum(rterm_micro).alias("__r_micro"),
+    )
+    t = F.col("cnt").cast("long")
+    ties = ranks.agg(
+        F.sum((t * t * t - t).cast("decimal(38,0)")).alias("__tie")
+    )
+    tot = gtot.crossJoin(F.broadcast(ties))
+    N = F.col("__N")
+    k = F.col("__k")
+    rsum = F.col("__r_micro").cast("double") / F.lit(1_000_000.0)
+    h = F.lit(12.0) / (N * (N + F.lit(1.0))) * rsum - F.lit(3.0) * (
+        N + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("__tie").cast("double") / (N * N * N - N)
+    return tot.select(
+        N.cast("long").alias("n"),
+        k.cast("long").alias("k"),
+        F.when((k > 1) & (N > 1), h).alias("h"),
+        F.when((k > 1) & (N > 1) & (corr > 0), h / corr).alias("h_corrected"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    value_scale: str = "decimal(25,6)",
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test between two named
+    groups, plus the Welch-Satterthwaite degrees of freedom and Cohen's
+    d (pooled-SD effect size) — the parametric partner of
+    `mann_whitney` and the pairwise drill-down after `anova_f` flags a
+    k-group difference.
+
+    ONE map-side-combined aggregation pass computes both groups'
+    sufficient statistics via conditional sums (n, Σv, Σv² as exact
+    decimals — no second scan, no join); t, df and d assemble in
+    closed-form IEEE arithmetic. Returns one row:
+    (n_a, n_b, mean_a, mean_b, t_stat, df, cohens_d) — NULLs when
+    either group has < 2 rows or both variances are zero.
+    """
+    v = F.col(value_col).cast(value_scale)
+    vv = (v * v).cast("decimal(38,8)")
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    agg = df.where(F.col(value_col).isNotNull() & (is_a | is_b)).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(is_a, v)).alias("__sa"),
+        F.sum(F.when(is_b, v)).alias("__sb"),
+        F.sum(F.when(is_a, vv)).alias("__ssa"),
+        F.sum(F.when(is_b, vv)).alias("__ssb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    # ANSI-safe denominators: the gated outputs below only surface when
+    # na > 1 and nb > 1, where these equal the plain n and n − 1
+    na_d = F.greatest(na, F.lit(1.0))
+    nb_d = F.greatest(nb, F.lit(1.0))
+    na_1 = F.greatest(na - F.lit(1.0), F.lit(1.0))
+    nb_1 = F.greatest(nb - F.lit(1.0), F.lit(1.0))
+    ma = sa / na_d
+    mb = sb / nb_d
+    va = (F.col("__ssa").cast("double") - sa * sa / na_d) / na_1
+    vb = (F.col("__ssb").cast("double") - sb * sb / nb_d) / nb_1
+    se2 = va / na_d + vb / nb_d
+    t = (ma - mb) / F.sqrt(F.abs(se2) + F.lit(1e-300))
+    dof = (se2 * se2) / (
+        (va / na_d) * (va / na_d) / na_1
+        + (vb / nb_d) * (vb / nb_d) / nb_1
+        + F.lit(1e-300)
+    )
+    sp = F.sqrt(
+        F.abs((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb)
+        / F.greatest(na + nb - F.lit(2.0), F.lit(1.0))
+    )
+    ok = (na > 1) & (nb > 1) & (se2 > 0)
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.when(na > 0, ma).alias("mean_a"),
+        F.when(nb > 0, mb).alias("mean_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("df"),
+        F.when(ok & (sp > 0), (ma - mb) / (sp + F.lit(1e-300))).alias(
+            "cohens_d"
+        ),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene's test with the
+    group MEDIAN center — the robust form): do k groups share one
+    SPREAD? The gatekeeper before trusting `anova_f`'s equal-variance
+    assumption, and a drift screen in its own right (a fraud regime
+    often shifts dispersion before it shifts the mean).
+
+    z_ig = |x_ig − median_g| per row, then one-way ANOVA on z. Group
+    medians come from one exact `percentile` rollup (tiny, broadcast
+    back); z is quantized to the repo's 1e-9 micro-grid before the
+    moment sums so the interpolated-median ulp cannot leak into the
+    fold (cent-valued inputs put every z exactly on-grid). The ANOVA
+    assembly reuses the `anova_f` micro-fold convention.
+
+    Scale shape: one |groups|-row percentile aggregate (broadcast), one
+    map-side-combined moment pass, one |groups|-row fold. Returns one
+    row: (n, k, f_stat, df1, df2).
+    """
+    meds = df.where(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    z_raw = F.abs(F.col(value_col) - F.col("__med"))
+    z = F.floor(z_raw * F.lit(1e9) + F.lit(0.5)).cast("decimal(25,0)")
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(meds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(z).alias("__s"),
+            F.sum((z * z).cast("decimal(38,0)")).alias("__ss"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double") / F.lit(1e9)
+    ss = F.col("__ss").cast("double") / F.lit(1e18)
+    sb_micro = F.floor(s * s / n * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    sw_micro = F.floor(
+        (ss - s * s / n) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s_micro = F.floor(s * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    tot = g.agg(
+        F.sum("__n").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum(s_micro).alias("__S_micro"),
+        F.sum(sb_micro).alias("__sb_micro"),
+        F.sum(sw_micro).alias("__sw_micro"),
+    )
+    N = F.col("__N")
+    k = F.col("__k")
+    S = F.col("__S_micro").cast("double") / F.lit(1_000_000.0)
+    ssb = F.col("__sb_micro").cast("double") / F.lit(1_000_000.0) - S * S / N
+    ssw = F.col("__sw_micro").cast("double") / F.lit(1_000_000.0)
+    f = (ssb / (k - F.lit(1.0))) / (ssw / (N - k))
+    return tot.select(
+        N.cast("long").alias("n"),
+        k.cast("long").alias("k"),
+        F.when((k > 1) & (ssw > 0), f).alias("f_stat"),
+        (k - F.lit(1.0)).cast("long").alias("df1"),
+        (N - k).cast("long").alias("df2"),
+    )
