@@ -53,6 +53,15 @@ from financial_fraud_detection_using_time_series_data_spark.sources import (
     load_table,
     null_profile,
 )
+from financial_fraud_detection_using_time_series_data_spark.sources import (
+    freshness_lag as profiler_fresh,
+)
+from financial_fraud_detection_using_time_series_data_spark.sources import (
+    pk_candidates as profiler_pk,
+)
+from financial_fraud_detection_using_time_series_data_spark.sources import (
+    referential_integrity as profiler_ri,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -11410,6 +11419,494 @@ FROM asm
 """
 
 
+def q_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month and anchored (cumulative) VWAP of lineitem fills per
+    return flag: Σ extendedprice / Σ quantity, both sums exact decimals
+    end-to-end (windows run on the |flags|·|months| rollup) — only the
+    final ratio is float, r6-rounded on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = finance.vwap_bars(li)
+    return out.select(
+        "l_returnflag",
+        "bucket",
+        "n_fills",
+        E.r6("bar_vwap").alias("bar_vwap"),
+        E.r6("cum_vwap").alias("cum_vwap"),
+    )
+
+
+_VWAP_SQL = f"""
+WITH rolled AS (
+  SELECT l_returnflag, date_trunc('month', l_shipdate::TIMESTAMP) AS bucket,
+    sum(l_extendedprice::DECIMAL(25,2)) AS notional,
+    sum(l_quantity::DECIMAL(25,2)) AS qty,
+    count(*)::BIGINT AS n_fills
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT l_returnflag, bucket, n_fills,
+    notional::DOUBLE AS bar_n, qty::DOUBLE AS bar_q,
+    (sum(notional) OVER win)::DOUBLE AS cum_n,
+    (sum(qty) OVER win)::DOUBLE AS cum_q
+  FROM rolled
+  WINDOW win AS (PARTITION BY l_returnflag ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_returnflag, bucket, n_fills,
+  {_R6.format("CASE WHEN bar_q > 0 THEN bar_n / bar_q END")} AS bar_vwap,
+  {_R6.format("CASE WHEN cum_q > 0 THEN cum_n / cum_q END")} AS cum_vwap
+FROM w
+"""
+
+
+# shared oracle CTE: per-series daily rollup -> 1e-9-grid quantized log
+# returns (the finance-II operators all fold on this frame)
+_RET_CTE = """
+rolled AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY 1, 2
+),
+ret AS (
+  SELECT event_type, bucket, x_dec::DOUBLE AS total, n_rows,
+    CASE WHEN x_dec::DOUBLE > 0 AND (lag(x_dec) OVER win)::DOUBLE > 0
+    THEN floor(ln(x_dec::DOUBLE / (lag(x_dec) OVER win)::DOUBLE) * 1e9
+               + 0.5)::BIGINT END AS q
+  FROM rolled
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket)
+)
+"""
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day OLS beta of each event type's daily log returns
+    vs the aggregate market curve (summed across types, folded off the
+    SAME rollup — no second corpus scan). Returns quantize to the 1e-9
+    grid at the source, so every rolling regression sum is an integer
+    fold; β assembles bit-identically and is r6-rounded."""
+    ev = _events(spark, sf_dir)
+    out = finance.rolling_beta(ev, window=7, min_obs=3)
+    return out.select(
+        "event_type",
+        "bucket",
+        "log_return",
+        "market_return",
+        "n_obs",
+        E.r6("beta").alias("beta"),
+    )
+
+
+_ROLLING_BETA_SQL = f"""
+WITH rolled AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT event_type, bucket, x_dec,
+    sum(x_dec) OVER (PARTITION BY bucket) AS m_dec
+  FROM rolled
+),
+joined AS (
+  SELECT event_type, bucket, q, qm FROM (
+    SELECT event_type, bucket,
+      CASE WHEN x_dec::DOUBLE > 0 AND (lag(x_dec) OVER ws)::DOUBLE > 0
+      THEN floor(ln(x_dec::DOUBLE / (lag(x_dec) OVER ws)::DOUBLE) * 1e9
+                 + 0.5)::BIGINT END AS q,
+      CASE WHEN m_dec::DOUBLE > 0 AND (lag(m_dec) OVER ws)::DOUBLE > 0
+      THEN floor(ln(m_dec::DOUBLE / (lag(m_dec) OVER ws)::DOUBLE) * 1e9
+                 + 0.5)::BIGINT END AS qm
+    FROM staged
+    WINDOW ws AS (PARTITION BY event_type ORDER BY bucket)
+  ) WHERE q IS NOT NULL AND qm IS NOT NULL
+),
+w AS (
+  SELECT event_type, bucket, q, qm,
+    count(*) OVER win AS n,
+    (sum(qm) OVER win)::VARCHAR::DOUBLE AS sx,
+    (sum(q) OVER win)::VARCHAR::DOUBLE AS sy,
+    (sum(qm::HUGEINT * q::HUGEINT) OVER win)::VARCHAR::DOUBLE AS sxy,
+    (sum(qm::HUGEINT * qm::HUGEINT) OVER win)::VARCHAR::DOUBLE AS sxx
+  FROM joined
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket,
+  q::DOUBLE / 1e9 AS log_return, qm::DOUBLE / 1e9 AS market_return,
+  n::BIGINT AS n_obs,
+  {_R6.format(
+      "CASE WHEN n >= 3 AND n::DOUBLE * sxx - sx * sx > 0 "
+      "THEN (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) END"
+  )} AS beta
+FROM w
+"""
+
+
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Sharpe and Sortino over the daily log-return series
+    (risk-free 0, population downside deviation vs a 0 target): all
+    moment sums fold as exact integers on the 1e-9 return grid in one
+    aggregation pass; ratios r6-rounded on both engines."""
+    ev = _events(spark, sf_dir)
+    out = finance.sharpe_sortino(ev)
+    return out.select(
+        "event_type",
+        "n_returns",
+        E.r6("mean_return").alias("mean_return"),
+        E.r6("vol").alias("vol"),
+        E.r6("sharpe").alias("sharpe"),
+        E.r6("downside_dev").alias("downside_dev"),
+        E.r6("sortino").alias("sortino"),
+    )
+
+
+_SHARPE_SQL = f"""
+WITH {_RET_CTE},
+s AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+    sum(q)::VARCHAR::DOUBLE / 1e9 AS s,
+    sum(q::HUGEINT * q::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS ss,
+    sum(CASE WHEN q < 0 THEN q::HUGEINT * q::HUGEINT ELSE 0 END)
+      ::VARCHAR::DOUBLE / 1e18 AS ssneg,
+    sum(CASE WHEN q < 0 THEN 1 ELSE 0 END)::BIGINT AS nneg
+  FROM ret WHERE q IS NOT NULL GROUP BY event_type
+),
+a AS (
+  SELECT event_type, n, nneg, s / n AS mean,
+    (ss - s * s / n) / greatest(n - 1.0, 1.0) AS var,
+    sqrt(ssneg / n) AS dstd
+  FROM s
+)
+SELECT event_type, n::BIGINT AS n_returns,
+  {_R6.format("mean")} AS mean_return,
+  {_R6.format("CASE WHEN n > 1 THEN sqrt(abs(var)) END")} AS vol,
+  {_R6.format(
+      "CASE WHEN n > 1 AND var > 0 THEN mean / sqrt(abs(var)) * 1.0 END"
+  )} AS sharpe,
+  {_R6.format("CASE WHEN nneg > 0 THEN dstd END")} AS downside_dev,
+  {_R6.format(
+      "CASE WHEN nneg > 0 AND dstd > 0 THEN mean / dstd * 1.0 END"
+  )} AS sortino
+FROM a
+"""
+
+
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's λ per event type: OLS slope of |daily log return| (1e-9
+    grid) on daily row-count volume — price impact per unit of flow.
+    All six regression sums are exact integer folds over the rollup
+    frame; λ, intercept, r² assemble in closed form, r6-rounded."""
+    ev = _events(spark, sf_dir)
+    out = finance.kyle_lambda(ev, min_buckets=5)
+    return out.select(
+        "event_type",
+        "n_buckets",
+        E.r6("kyle_lambda").alias("kyle_lambda"),
+        E.r6("intercept").alias("intercept"),
+        E.r6("r2").alias("r2"),
+    )
+
+
+_KYLE_SQL = f"""
+WITH {_RET_CTE},
+s AS (
+  SELECT event_type, count(*)::BIGINT AS nb, count(*)::DOUBLE AS n,
+    sum(n_rows)::VARCHAR::DOUBLE AS sx,
+    sum(n_rows::HUGEINT * n_rows::HUGEINT)::VARCHAR::DOUBLE AS sxx,
+    sum(abs(q))::VARCHAR::DOUBLE AS sy,
+    sum(abs(q)::HUGEINT * abs(q)::HUGEINT)::VARCHAR::DOUBLE AS syy,
+    sum(n_rows::HUGEINT * abs(q)::HUGEINT)::VARCHAR::DOUBLE AS sxy
+  FROM ret WHERE q IS NOT NULL GROUP BY event_type
+),
+a AS (
+  SELECT event_type, nb, n,
+    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+    n * sxy - sx * sy AS cov, sx, sy
+  FROM s WHERE nb >= 5
+),
+b AS (
+  SELECT event_type, nb, vx, vy, cov,
+    cov / (CASE WHEN vx > 0 THEN vx ELSE 1.0 END) / 1e9 AS lam, sx, sy, n
+  FROM a
+)
+SELECT event_type, nb AS n_buckets,
+  {_R6.format("CASE WHEN vx > 0 THEN lam END")} AS kyle_lambda,
+  {_R6.format(
+      "CASE WHEN vx > 0 THEN (sy / 1e9 - lam * sx) / n END"
+  )} AS intercept,
+  {_R6.format(
+      "CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END"
+  )} AS r2
+FROM b
+"""
+
+
+def q_garch_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter (ω=1e-6, α=0.1, β=0.85)
+    per event type over daily log returns. The sequential state
+    recursion runs in mapInPandas over the |types|·|days| rollup
+    (holt_forecast contract); returns quantize to the 1e-9 grid BEFORE
+    the recursion so both engines iterate identical doubles — the
+    oracle replays it as a recursive CTE."""
+    ev = _events(spark, sf_dir)
+    out = finance.garch_variance(
+        ev, omega=1e-6, alpha=0.1, beta=0.85
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "log_return",
+        E.r6("cond_var").alias("cond_var"),
+        E.r6("std_resid").alias("std_resid"),
+    )
+
+
+_GARCH_SQL = f"""
+WITH RECURSIVE {_RET_CTE},
+ser AS (
+  SELECT event_type, bucket, q,
+    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM ret WHERE q IS NOT NULL
+),
+st AS (
+  SELECT event_type, n, 1::BIGINT AS i, q,
+    ({1e-6!r}::DOUBLE / (1.0 - {0.1!r}::DOUBLE - {0.85!r}::DOUBLE)) AS v
+  FROM ser WHERE i = 1
+  UNION ALL
+  SELECT st.event_type, st.n, st.i + 1, s.q,
+    {1e-6!r}::DOUBLE
+      + {0.1!r}::DOUBLE * ((st.q::DOUBLE / 1e9) * (st.q::DOUBLE / 1e9))
+      + {0.85!r}::DOUBLE * st.v
+  FROM st JOIN ser s ON s.event_type = st.event_type AND s.i = st.i + 1
+  WHERE st.i < st.n
+)
+SELECT st.event_type, ser.bucket,
+  st.q::DOUBLE / 1e9 AS log_return,
+  {_R6.format("st.v")} AS cond_var,
+  {_R6.format(
+      "CASE WHEN st.v > 0 THEN (st.q::DOUBLE / 1e9) / sqrt(st.v) END"
+  )} AS std_resid
+FROM st JOIN ser ON ser.event_type = st.event_type AND ser.i = st.i
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of per-user value distributions vs the global
+    one: ordered EMD over a 20-bin fixed-width grid (Li et al. 2007),
+    |CumP_class − CumP_global| micro-folded per class. One (user, bin)
+    rollup is the only corpus-sized pass; the checkpointed rollup fans
+    into class sizes, the densify join and the global histogram."""
+    ev = _events(spark, sf_dir)
+    return privacy.t_closeness(ev, ["user_id"], "value", t=0.1, n_bins=20)
+
+
+_T_CLOSENESS_SQL = """
+WITH rng AS (
+  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT user_id,
+    CASE WHEN hi - lo > 0
+    THEN least(floor((value::DOUBLE - lo) / (hi - lo) * 20.0)::INT, 19)
+    ELSE 0 END AS bin,
+    count(*)::BIGINT AS n
+  FROM events, rng WHERE value IS NOT NULL GROUP BY 1, 2
+),
+classes AS (SELECT user_id, sum(n)::BIGINT AS class_size FROM counts GROUP BY 1),
+binrange AS (SELECT unnest(generate_series(0, 19)) AS bin),
+dense AS (
+  SELECT c.user_id, c.class_size, b.bin, coalesce(ct.n, 0) AS n
+  FROM classes c CROSS JOIN binrange b
+  LEFT JOIN counts ct ON ct.user_id = c.user_id AND ct.bin = b.bin
+),
+staged AS (
+  SELECT user_id, class_size, bin,
+    (sum(n) OVER (PARTITION BY user_id ORDER BY bin
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+      / class_size::DOUBLE AS cum_c
+  FROM dense
+),
+gt AS (SELECT bin, sum(n)::BIGINT AS gn FROM counts GROUP BY 1),
+gdense AS (
+  SELECT b.bin, coalesce(gt.gn, 0) AS gn FROM binrange b LEFT JOIN gt USING (bin)
+),
+gcum AS (
+  SELECT bin,
+    (sum(gn) OVER (ORDER BY bin
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+      / (sum(gn) OVER ())::DOUBLE AS cum_g
+  FROM gdense
+),
+e AS (
+  SELECT s.user_id, max(s.class_size) AS class_size,
+    sum(floor(abs(s.cum_c - g.cum_g) * 1e9 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE / 1e9 / 19.0 AS emd_raw
+  FROM staged s JOIN gcum g USING (bin) GROUP BY s.user_id
+)
+SELECT user_id, class_size,
+  floor(emd_raw * 1e6 + 0.5) / 1e6 AS emd,
+  (floor(emd_raw * 1e6 + 0.5) / 1e6) <= 0.1 AS meets_t
+FROM e
+"""
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit over five TPC-H edges (lineitem→orders,
+    orders→customer, customer→nation, supplier→nation, nation→region):
+    each child collapses to its distinct-fk count frame (map-side
+    combined) before the LEFT ANTI probe, so orphan totals fold off
+    |keys| rows, never the raw corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region")
+    out = profiler_ri(
+        {
+            "lineitem->orders": (li, "l_orderkey", od, "o_orderkey"),
+            "orders->customer": (od, "o_custkey", cu, "c_custkey"),
+            "customer->nation": (cu, "c_nationkey", na, "n_nationkey"),
+            "supplier->nation": (su, "s_nationkey", na, "n_nationkey"),
+            "nation->region": (na, "n_regionkey", re_, "r_regionkey"),
+        }
+    )
+    return out.select(
+        "edge", "n_child", "n_orphans", "n_null_fk", E.r6("orphan_rate").alias("orphan_rate")
+    )
+
+
+_REF_INTEGRITY_SQL = """
+WITH e1 AS (
+  SELECT 'lineitem->orders' AS edge, count(*)::BIGINT AS n_child,
+    sum(CASE WHEN l_orderkey IS NOT NULL
+         AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk
+  FROM lineitem
+),
+e2 AS (
+  SELECT 'orders->customer', count(*)::BIGINT,
+    sum(CASE WHEN o_custkey IS NOT NULL
+         AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+),
+e3 AS (
+  SELECT 'customer->nation', count(*)::BIGINT,
+    sum(CASE WHEN c_nationkey IS NOT NULL
+         AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM customer
+),
+e4 AS (
+  SELECT 'supplier->nation', count(*)::BIGINT,
+    sum(CASE WHEN s_nationkey IS NOT NULL
+         AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM supplier
+),
+e5 AS (
+  SELECT 'nation->region', count(*)::BIGINT,
+    sum(CASE WHEN n_regionkey IS NOT NULL
+         AND n_regionkey NOT IN (SELECT r_regionkey FROM region)
+        THEN 1 ELSE 0 END)::BIGINT,
+    sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM nation
+),
+u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5
+)
+SELECT edge, n_child, n_orphans, n_null_fk,
+  floor(CASE WHEN n_child > 0 THEN n_orphans::DOUBLE / n_child::DOUBLE END
+        * 1000000 + 0.5) / 1000000.0 AS orphan_rate
+FROM u
+"""
+
+
+def q_pk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key candidate audit on orders: o_orderkey (a true key),
+    o_custkey (not), (o_custkey, o_orderdate) (usually not) — one hash
+    aggregate per candidate folding the distinct frame."""
+    od = load_table(spark, sf_dir, "orders")
+    return profiler_pk(
+        od,
+        [["o_orderkey"], ["o_custkey"], ["o_custkey", "o_orderdate"]],
+    )
+
+
+_PK_CANDIDATES_SQL = """
+WITH c1 AS (
+  SELECT 'o_orderkey' AS candidate, sum(n)::BIGINT AS n_rows,
+    count(*)::BIGINT AS n_distinct,
+    sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_duplicated_rows,
+    sum(CASE WHEN has_null = 1 THEN n ELSE 0 END)::BIGINT AS n_null_rows
+  FROM (SELECT count(*)::BIGINT AS n,
+          max(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS has_null
+        FROM orders GROUP BY o_orderkey)
+),
+c2 AS (
+  SELECT 'o_custkey', sum(n)::BIGINT, count(*)::BIGINT,
+    sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT,
+    sum(CASE WHEN has_null = 1 THEN n ELSE 0 END)::BIGINT
+  FROM (SELECT count(*)::BIGINT AS n,
+          max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS has_null
+        FROM orders GROUP BY o_custkey)
+),
+c3 AS (
+  SELECT 'o_custkey,o_orderdate', sum(n)::BIGINT, count(*)::BIGINT,
+    sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT,
+    sum(CASE WHEN has_null = 1 THEN n ELSE 0 END)::BIGINT
+  FROM (SELECT count(*)::BIGINT AS n,
+          max(CASE WHEN o_custkey IS NULL OR o_orderdate IS NULL
+              THEN 1 ELSE 0 END) AS has_null
+        FROM orders GROUP BY o_custkey, o_orderdate)
+)
+SELECT *, (n_distinct = n_rows AND n_null_rows = 0) AS is_key
+FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+"""
+
+
+def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type freshness vs the dataset watermark: latest ts, exact
+    integer-microsecond lag, event count on the watermark's calendar
+    day, staleness verdict (>1 h). One corpus pass to the (type, day)
+    rollup; everything else folds off that checkpointed frame."""
+    ev = _events(spark, sf_dir)
+    return profiler_fresh(ev, "event_type", "ts", stale_after_s=3600.0)
+
+
+_FRESHNESS_SQL = """
+WITH rolled AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+    max(ts) AS last_b, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, max(last_b) AS last_ts, sum(n)::BIGINT AS n_total
+  FROM rolled GROUP BY 1
+),
+wm AS (SELECT max(last_ts) AS w FROM per),
+wmday AS (
+  SELECT r.event_type, sum(r.n)::BIGINT AS n_watermark_day
+  FROM rolled r, wm
+  WHERE r.d = date_trunc('day', wm.w)
+  GROUP BY 1
+)
+SELECT p.event_type, p.last_ts, p.n_total,
+  coalesce(wd.n_watermark_day, 0)::BIGINT AS n_watermark_day,
+  (epoch_us(wm.w) - epoch_us(p.last_ts))::DOUBLE / 1e6 AS lag_s,
+  ((epoch_us(wm.w) - epoch_us(p.last_ts))::DOUBLE / 1e6 > 3600.0) AS is_stale
+FROM per p CROSS JOIN wm LEFT JOIN wmday wd USING (event_type)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -11777,6 +12274,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "welch_ttest": q_welch_ttest,
         "brown_forsythe": q_brown_forsythe,
+        # market-microstructure II (round 9b)
+        "vwap_bars": q_vwap_bars,
+        "rolling_beta": q_rolling_beta,
+        "sharpe_sortino": q_sharpe_sortino,
+        "kyle_lambda": q_kyle_lambda,
+        "garch_variance": q_garch_variance,
+        # data-quality / privacy II (round 9b)
+        "t_closeness": q_t_closeness,
+        "referential_integrity": q_referential_integrity,
+        "pk_candidates": q_pk_candidates,
+        "freshness_lag": q_freshness_lag,
     }
 
 
@@ -12059,4 +12567,13 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": _KRUSKAL_SQL,
         "welch_ttest": _WELCH_SQL,
         "brown_forsythe": _BROWN_FORSYTHE_SQL,
+        "vwap_bars": _VWAP_SQL,
+        "rolling_beta": _ROLLING_BETA_SQL,
+        "sharpe_sortino": _SHARPE_SQL,
+        "kyle_lambda": _KYLE_SQL,
+        "garch_variance": _GARCH_SQL,
+        "t_closeness": _T_CLOSENESS_SQL,
+        "referential_integrity": _REF_INTEGRITY_SQL,
+        "pk_candidates": _PK_CANDIDATES_SQL,
+        "freshness_lag": _FRESHNESS_SQL,
     }

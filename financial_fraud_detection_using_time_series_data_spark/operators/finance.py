@@ -477,3 +477,371 @@ def amihud_illiquidity(
             ),
         )
     )
+
+
+def _bucket_returns(
+    df: DataFrame,
+    ts_col: str,
+    series_col: str,
+    value_col: str,
+    bucket: str,
+) -> DataFrame:
+    """(series, bucket, total, n_rows, q) rollup with the per-series
+    one-step log return QUANTIZED to the repo's 1e-9 grid (``q`` =
+    round(r·1e9) as BIGINT, NULL when either endpoint is non-positive).
+    Quantizing at the source makes every downstream fold — rolling
+    regression sums, Sharpe moments, GARCH recursions — a pure integer
+    (or identical-double) computation on both engines, so a 1-ulp
+    difference in the two engines' ``ln`` cannot leak into any
+    statistic. One map-side-combined shuffle; the lag window runs on
+    the |series|·|buckets| rollup."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    rolled = df.groupBy(series_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return _returns_from_rollup(rolled, series_col)
+
+
+def _returns_from_rollup(rolled: DataFrame, series_col: str) -> DataFrame:
+    """Lag + quantize stage of `_bucket_returns`, reusable on any
+    (series, bucket, __x_dec, n_rows) rollup frame."""
+    w = Window.partitionBy(series_col).orderBy("bucket")
+    x = F.col("__x_dec").cast("double")
+    prev = F.lag("__x_dec").over(w).cast("double")
+    r = F.when((x > 0) & (prev > 0), F.log(x / prev))
+    return rolled.select(
+        series_col,
+        "bucket",
+        x.alias("total"),
+        "n_rows",
+        F.floor(r * F.lit(1e9) + F.lit(0.5)).cast("long").alias("q"),
+    )
+
+
+def vwap_bars(
+    df: DataFrame,
+    series_col: str = "l_returnflag",
+    ts_col: str = "l_shipdate",
+    notional_col: str = "l_extendedprice",
+    qty_col: str = "l_quantity",
+    bucket: str = "month",
+) -> DataFrame:
+    """Per-bucket and anchored (session-cumulative) volume-weighted
+    average price per series — the execution-quality benchmark every
+    trading/fill pipeline reports next to `twap` (which weights by time,
+    not size).
+
+    bar_vwap = Σ notional / Σ qty within the bucket; cum_vwap carries
+    both sums cumulatively from the series start (the classic anchored
+    VWAP). Both numerator and denominator are exact decimals end-to-end
+    — the windows run on the |series|·|buckets| rollup, partitioned by
+    series — so every ratio divides two reduction-order-invariant
+    decimals; only the final division is float.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp")).alias("bucket")
+    rolled = df.groupBy(series_col, b).agg(
+        F.sum(F.col(notional_col).cast("decimal(25,2)")).alias("__notional"),
+        F.sum(F.col(qty_col).cast("decimal(25,2)")).alias("__qty"),
+        F.count(F.lit(1)).cast("long").alias("n_fills"),
+    )
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qty = F.col("__qty").cast("double")
+    cum_notional = F.sum("__notional").over(w).cast("double")
+    cum_qty = F.sum("__qty").over(w).cast("double")
+    return rolled.select(
+        series_col,
+        "bucket",
+        "n_fills",
+        F.when(
+            qty > 0, F.col("__notional").cast("double") / qty
+        ).alias("bar_vwap"),
+        F.when(cum_qty > 0, cum_notional / cum_qty).alias("cum_vwap"),
+    )
+
+
+def rolling_beta(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    window: int = 7,
+    min_obs: int = 3,
+) -> DataFrame:
+    """Trailing OLS beta of each series' log returns against the
+    aggregate "market" return (the summed value curve across ALL
+    series) — the systematic-vs-idiosyncratic decomposition that turns
+    `realized_volatility`'s raw σ into a co-movement diagnostic (a
+    fraud burst is idiosyncratic; a marketing campaign moves beta).
+
+    β_t = cov(r_s, r_m)/var(r_m) over the trailing ``window`` buckets.
+    Returns are quantized to the 1e-9 grid at the source, so all five
+    rolling sums (Σx, Σy, Σxy, Σx², n) are INTEGER folds — segment-tree
+    vs sequential window evaluation cannot diverge.
+
+    The market curve is a WINDOW over the same rollup (Σ x_dec
+    partitioned by bucket — exact decimals, no second branch), and its
+    return is lagged along EACH SERIES' own observation points: a
+    series with bucket gaps pairs its gap return with the market's
+    return over the same two endpoints, which is the consistent
+    regression pairing (plan-pinned: exactly ONE corpus scan).
+
+    Scale shape: one corpus shuffle (the rollup), then two window
+    exchanges on |series|·|buckets| rows (by bucket, then by series).
+    β is NULL until ``min_obs`` paired returns exist or when market
+    variance is zero.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    rolled = df.groupBy(series_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    wb = Window.partitionBy("bucket")
+    staged = rolled.withColumn("__m_dec", F.sum("__x_dec").over(wb))
+    ws = Window.partitionBy(series_col).orderBy("bucket")
+
+    def _qret(cur: str, prev_c) -> "F.Column":
+        x = F.col(cur).cast("double")
+        p = prev_c.cast("double")
+        r = F.when((x > 0) & (p > 0), F.log(x / p))
+        return F.floor(r * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    joined = staged.select(
+        series_col,
+        "bucket",
+        _qret("__x_dec", F.lag("__x_dec").over(ws)).alias("q"),
+        _qret("__m_dec", F.lag("__m_dec").over(ws)).alias("qm"),
+    ).where(F.col("q").isNotNull() & F.col("qm").isNotNull())
+    wroll = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    d38 = "decimal(38,0)"
+    n = F.count(F.lit(1)).over(wroll).cast("double")
+    sx = F.sum(F.col("qm").cast(d38)).over(wroll).cast("double")
+    sy = F.sum(F.col("q").cast(d38)).over(wroll).cast("double")
+    qmd = F.col("qm").cast(d38)
+    qd = F.col("q").cast(d38)
+    sxy = F.sum(qmd * qd).over(wroll).cast("double")
+    sxx = F.sum(qmd * qmd).over(wroll).cast("double")
+    var_m = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / F.when(var_m > 0, var_m).otherwise(F.lit(1.0))
+    return joined.select(
+        series_col,
+        "bucket",
+        (F.col("q").cast("double") / F.lit(1e9)).alias("log_return"),
+        (F.col("qm").cast("double") / F.lit(1e9)).alias("market_return"),
+        n.cast("long").alias("n_obs"),
+        F.when((n >= min_obs) & (var_m > 0), beta).alias("beta"),
+    )
+
+
+def sharpe_sortino(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    annualization: float = 1.0,
+) -> DataFrame:
+    """Per-series Sharpe and Sortino ratios over the bucketed log-return
+    series (risk-free rate 0): mean/σ and mean/downside-σ, the two
+    risk-adjusted summaries a portfolio report pairs with
+    `max_drawdown`'s path stat. Downside deviation uses the population
+    form √(Σ min(r,0)²/n) against a 0 target (the common convention).
+
+    Returns quantize to the 1e-9 grid at the source, so all moment sums
+    (Σq, Σq², Σ_neg q², n, n_neg) fold as exact integers in one
+    aggregation pass; ratios assemble in closed-form IEEE arithmetic ×
+    √annualization. NULL Sharpe when σ = 0, NULL Sortino when no
+    negative return exists (the textbook undefined case).
+    """
+    per = _bucket_returns(df, ts_col, series_col, value_col, bucket).where(
+        F.col("q").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    qd = F.col("q").cast(d38)
+    neg = F.when(F.col("q") < 0, qd * qd).otherwise(F.lit(0).cast(d38))
+    agg = per.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(qd).alias("__s"),
+        F.sum(qd * qd).alias("__ss"),
+        F.sum(neg).alias("__ssneg"),
+        F.sum(F.when(F.col("q") < 0, 1).otherwise(0)).alias("__nneg"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double") / F.lit(1e9)
+    ss = F.col("__ss").cast("double") / F.lit(1e18)
+    ssneg = F.col("__ssneg").cast("double") / F.lit(1e18)
+    mean = s / n
+    var = (ss - s * s / n) / F.greatest(n - F.lit(1.0), F.lit(1.0))
+    dstd = F.sqrt(ssneg / n)
+    ann = F.lit(float(annualization) ** 0.5)
+    return agg.select(
+        series_col,
+        F.col("__n").cast("long").alias("n_returns"),
+        mean.alias("mean_return"),
+        F.when(n > 1, F.sqrt(F.abs(var))).alias("vol"),
+        F.when((n > 1) & (var > 0), mean / F.sqrt(F.abs(var)) * ann).alias(
+            "sharpe"
+        ),
+        F.when(F.col("__nneg") > 0, dstd).alias("downside_dev"),
+        F.when((F.col("__nneg") > 0) & (dstd > 0), mean / dstd * ann).alias(
+            "sortino"
+        ),
+    )
+
+
+def kyle_lambda(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    min_buckets: int = 5,
+) -> DataFrame:
+    """Kyle's λ per series: the OLS slope of |log return| on bucket
+    volume (row count) — the price-impact regression behind
+    `amihud_illiquidity`'s ratio form. A high λ series moves a lot per
+    unit of flow; in the fraud domain, a λ regime break flags value
+    moves decoupled from activity.
+
+    x = integer bucket counts, y = |r| on the 1e-9 grid, so all six
+    regression sums fold as exact decimal(38,0) integers in ONE
+    aggregation over the rollup frame; λ, intercept and r² assemble in
+    closed form (the 1e9 y-scale divides out of λ and cancels in r²).
+    Series with fewer than ``min_buckets`` paired observations or zero
+    x-variance are dropped.
+    """
+    per = _bucket_returns(df, ts_col, series_col, value_col, bucket).where(
+        F.col("q").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    x = F.col("n_rows").cast(d38)
+    y = F.abs(F.col("q")).cast(d38)
+    agg = per.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    lam = cov / F.when(vx > 0, vx).otherwise(F.lit(1.0)) / F.lit(1e9)
+    icpt = (sy / F.lit(1e9) - lam * sx) / n
+    r2 = (cov * cov) / F.when((vx > 0) & (vy > 0), vx * vy).otherwise(
+        F.lit(1.0)
+    )
+    ok = (F.col("__n") >= min_buckets) & (vx > 0)
+    return (
+        agg.where(F.col("__n") >= min_buckets)
+        .select(
+            series_col,
+            F.col("__n").cast("long").alias("n_buckets"),
+            F.when(ok, lam).alias("kyle_lambda"),
+            F.when(ok, icpt).alias("intercept"),
+            F.when(ok & (vy > 0), r2).alias("r2"),
+        )
+    )
+
+
+def garch_variance(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    omega: float = 1e-6,
+    alpha: float = 0.1,
+    beta: float = 0.85,
+) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter per series over the
+    bucketed log returns with FIXED (ω, α, β) — the volatility-
+    clustering answer to `realized_volatility`'s flat rolling window
+    (yesterday's shock should raise today's risk estimate more than a
+    shock a month ago; the rolling std weighs them equally).
+
+    v₁ = ω/(1−α−β) (the unconditional variance), then
+    v_t = ω + α·r²_{t−1} + β·v_{t−1}. Parameter FITTING is a driver-side
+    MLE over the |series|·|buckets| rollup and is out of scope — the
+    filter with fixed params is what a scoring pipeline replays.
+
+    The linear state recursion is inherently sequential per series, so
+    it runs in `mapInPandas` over the rollup frame repartitioned by
+    series (the repo's documented Arrow escape hatch, same contract as
+    `holt_forecast`: the heavy lifting — the corpus → rollup collapse —
+    happened in ONE map-side-combined shuffle; the Python loop touches
+    |buckets| rows per series). Returns are quantized to the 1e-9 grid
+    BEFORE the recursion, so both engines iterate identical doubles and
+    the recursion is bit-reproducible (oracle: recursive CTE).
+    Emits per (series, bucket): log_return, cond_var, std_resid.
+    Buckets without a defined return are dropped (they carry no shock).
+    """
+    if not 0.0 < float(alpha) + float(beta) < 1.0:
+        raise ValueError(
+            f"garch_variance: alpha + beta = {alpha + beta} must be in "
+            "(0, 1) for a finite unconditional variance"
+        )
+    om, al, be = float(omega), float(alpha), float(beta)
+    per = _bucket_returns(df, ts_col, series_col, value_col, bucket).where(
+        F.col("q").isNotNull()
+    ).select(series_col, "bucket", "q")
+
+    schema = (
+        f"{series_col} string, bucket timestamp, log_return double, "
+        "cond_var double, std_resid double"
+    )
+
+    def _filter_partition(batches):
+        import math
+
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        sers, buckets, rets, cvars, resids = [], [], [], [], []
+        for ser, g in pdf.sort_values([series_col, "bucket"]).groupby(
+            series_col, sort=False
+        ):
+            v = om / (1.0 - al - be)
+            prev_r = None
+            for bkt, qi in zip(g["bucket"], g["q"]):
+                if prev_r is not None:
+                    v = om + al * (prev_r * prev_r) + be * v
+                r = float(qi) / 1e9
+                sers.append(ser)
+                buckets.append(bkt)
+                rets.append(r)
+                cvars.append(v)
+                resids.append(r / math.sqrt(v) if v > 0 else None)
+                prev_r = r
+        yield pd.DataFrame(
+            {
+                series_col: pd.Series(sers, dtype="object"),
+                "bucket": pd.Series(buckets),
+                "log_return": pd.Series(rets, dtype="float64"),
+                "cond_var": pd.Series(cvars, dtype="float64"),
+                "std_resid": pd.Series(resids, dtype="float64"),
+            }
+        )
+
+    return per.repartition(series_col).mapInPandas(
+        _filter_partition, schema=schema
+    )

@@ -1408,3 +1408,161 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document — the
+    classic readability screens an LLM-data quality pipeline runs next
+    to `quality_score` (keep prose, drop keyword soup and legalese).
+
+    Counts are pure regexp built-ins (scan-speed, no Python):
+    words = whitespace tokens of the normalized text; sentences =
+    ``[.!?]+`` runs (min 1); syllables ≈ ``[aeiouy]+`` vowel-group runs
+    of the lowercased text (the standard heuristic), floored at one per
+    word. FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W);
+    FKGL = 0.39·(W/S) + 11.8·(Syl/W) − 15.59. Empty docs yield NULLs.
+    Map-only plan; both scores r6-rounded for cross-engine parity.
+    """
+    words = token_count(F.col(text_col)).cast("double")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    syl = F.greatest(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")),
+        token_count(F.col(text_col)),
+    ).cast("double")
+    wps = words / sentences
+    spw = syl / F.when(words > 0, words).otherwise(F.lit(1.0))
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fkgl = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    ok = words > 0
+    return df.select(
+        id_col,
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        r6(F.when(ok, fre)).alias("flesch_reading_ease"),
+        r6(F.when(ok, fkgl)).alias("fk_grade"),
+    )
+
+
+def hapax_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary-frequency profile: vocabulary size, hapax
+    legomena (frequency-1 types), dis legomena (frequency-2), their
+    ratios, and the type-token ratio — the lexical-richness numbers
+    behind `zipf_slope`'s exponent (a scraped corpus full of serial
+    numbers shows as a hapax spike; boilerplate shows as a collapse).
+
+    One explode + token groupBy (map-side combined) collapses the
+    corpus to |vocab| rows; the profile folds that frame in a single
+    exact-integer aggregate. Returns one row.
+    """
+    tok = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__t")
+    ).where(F.length("__t") > 0)
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    agg = freq.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("__f").alias("__n"),
+        F.sum((F.col("__f") == 1).cast("long")).alias("__h1"),
+        F.sum((F.col("__f") == 2).cast("long")).alias("__h2"),
+    )
+    v = F.col("__v").cast("double")
+    n = F.col("__n").cast("double")
+    return agg.select(
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__v").cast("long").alias("vocab_size"),
+        F.col("__h1").cast("long").alias("n_hapax"),
+        F.col("__h2").cast("long").alias("n_dis"),
+        r6(F.when(v > 0, F.col("__h1") / v)).alias("hapax_ratio"),
+        r6(F.when(n > 0, v / n)).alias("type_token_ratio"),
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^β over the corpus in document-id order:
+    how fast does vocabulary grow as tokens accumulate? β far above the
+    English-corpus ~0.4–0.6 band means unbounded junk vocabulary
+    (serial numbers, hashes); β collapsing toward 0 means the crawl is
+    re-reading itself — both the macro companions to `hapax_stats`.
+
+    Exact distributed construction, no partitionless window: each
+    token's FIRST document is min(doc_id) per type (one token groupBy);
+    per-doc new-type counts and token counts then cumulate along the
+    doc order via ONE shared chunk decomposition (`range_chunk` + per-
+    chunk windows + triangular offsets). The log-log OLS folds ln-point
+    coordinates quantized to the 1e-9 grid, so Σx, Σxy, Σx² are exact
+    integers. Returns one row: (n_docs, beta, k).
+    """
+    from . import chunked as C
+
+    tok = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.length("__t") > 0)
+    per_doc = tok.groupBy("__d").agg(F.count(F.lit(1)).alias("__nt"))
+    first_docs = (
+        tok.groupBy("__t")
+        .agg(F.min("__d").alias("__d"))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__nv"))
+    )
+    docs = per_doc.join(first_docs, "__d", "left").withColumn(
+        "__nv", F.coalesce(F.col("__nv"), F.lit(0))
+    )
+    ch = C.range_chunk(docs, "__d", n_chunks)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ch.withColumn("__ct_in", F.sum("__nt").over(w_in)).withColumn(
+        "__cv_in", F.sum("__nv").over(w_in)
+    )
+    totals = within.groupBy("__chunk").agg(
+        F.max("__ct_in").alias("__ct"), F.max("__cv_in").alias("__cv")
+    )
+    offs = C.chunk_offsets(totals, ["__ct", "__cv"])
+    pts = within.join(F.broadcast(offs), "__chunk").select(
+        (F.col("__ct_off") + F.col("__ct_in")).alias("__N"),
+        (F.col("__cv_off") + F.col("__cv_in")).alias("__V"),
+    ).where((F.col("__N") > 0) & (F.col("__V") > 0))
+    qx = F.floor(F.log(F.col("__N").cast("double")) * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    qy = F.floor(F.log(F.col("__V").cast("double")) * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    agg = pts.select(qx.alias("__x"), qy.alias("__y")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double") / F.lit(1e9)
+    sy = F.col("__sy").cast("double") / F.lit(1e9)
+    sxy = F.col("__sxy").cast("double") / F.lit(1e18)
+    sxx = F.col("__sxx").cast("double") / F.lit(1e18)
+    vx = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / F.when(vx > 0, vx).otherwise(F.lit(1.0))
+    k = F.exp((sy - beta * sx) / n)
+    ok = (n > 1) & (vx > 0)
+    return agg.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        r6(F.when(ok, beta)).alias("beta"),
+        r6(F.when(ok, k)).alias("k"),
+    )

@@ -9,9 +9,12 @@ from .synthetic import generate_transactions
 from .profiler import (
     check_expectations,
     fd_check,
+    freshness_lag,
     kfold_assign,
     null_profile,
+    pk_candidates,
     profile,
+    referential_integrity,
     schema_diff,
 )
 
@@ -28,4 +31,7 @@ __all__ = [
     "null_profile",
     "schema_diff",
     "profile",
+    "referential_integrity",
+    "pk_candidates",
+    "freshness_lag",
 ]

@@ -211,3 +211,185 @@ def sketch_accuracy_audit(
             exact != 0, F.abs(approx - exact) / F.abs(exact)
         ).alias("rel_err"),
     ).orderBy(group_col, "p")
+
+
+def referential_integrity(
+    edges: dict[str, tuple[DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit over a schema's FK graph: for each named
+    edge (child_df, fk_col, parent_df, pk_col), how many child rows
+    reference a missing parent? The precondition check for every join
+    the warehouse assumes lossless — an inner join silently DROPS
+    orphans, which reads as "pipeline works" while rows vanish.
+
+    Scale shape: each child first collapses to its DISTINCT fk frame
+    with counts (map-side combined — the only corpus-sized pass), then
+    LEFT ANTI joins the parent's key projection; orphan totals fold off
+    the |distinct keys| frame. NULL fks are counted separately
+    (`n_null_fk`) — SQL FK semantics exempt NULLs from the constraint.
+    One output row per edge, unioned on the driver (|edges| plans).
+    """
+    if not edges:
+        raise ValueError("referential_integrity: edges must be non-empty")
+    outs = []
+    for name, (child, fk, parent, pk) in edges.items():
+        keyed = child.groupBy(F.col(fk).alias("__fk")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        nulls = keyed.where(F.col("__fk").isNull()).agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_null_fk")
+        )
+        total = keyed.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_child")
+        )
+        orphans = (
+            keyed.where(F.col("__fk").isNotNull())
+            .join(
+                parent.select(F.col(pk).alias("__fk")).distinct(),
+                "__fk",
+                "left_anti",
+            )
+            .agg(
+                F.coalesce(F.sum("__n"), F.lit(0))
+                .cast("long")
+                .alias("n_orphans")
+            )
+        )
+        outs.append(
+            total.crossJoin(orphans)
+            .crossJoin(nulls)
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_orphans",
+                "n_null_fk",
+                F.when(
+                    F.col("n_child") > 0,
+                    F.col("n_orphans") / F.col("n_child"),
+                ).alias("orphan_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def pk_candidates(
+    df: DataFrame,
+    candidates: list[list[str]],
+) -> DataFrame:
+    """Primary-key candidate audit: for each candidate column set, is it
+    unique (and non-null) enough to be a key? Reports row count,
+    distinct count, duplicate rows, null-bearing rows, and the verdict
+    — the discovery step before `fd_check` pins a dependency and before
+    any MERGE/upsert keys on a column that only LOOKS unique.
+
+    One hash aggregate per candidate (map-side combined to the distinct
+    frame, then a single fold); candidates run as separate bounded
+    plans unioned on the driver.
+    """
+    if not candidates:
+        raise ValueError("pk_candidates: candidates must be non-empty")
+    outs = []
+    for cols in candidates:
+        any_null = None
+        for c in cols:
+            cond = F.col(c).isNull()
+            any_null = cond if any_null is None else (any_null | cond)
+        per = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(any_null.cast("int")).alias("__has_null"),
+        )
+        outs.append(
+            per.agg(
+                F.lit(",".join(cols)).alias("candidate"),
+                F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__n") > 1, F.col("__n"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_duplicated_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__has_null") == 1, F.col("__n"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_null_rows"),
+            ).select(
+                "*",
+                (
+                    (F.col("n_distinct") == F.col("n_rows"))
+                    & (F.col("n_null_rows") == 0)
+                ).alias("is_key"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def freshness_lag(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    stale_after_s: float = 86400.0,
+) -> DataFrame:
+    """Per-series freshness audit against the dataset watermark: every
+    series' latest timestamp, its lag behind the GLOBAL max (the
+    "high-water mark" an incremental pipeline just wrote), event count
+    on the watermark's CALENDAR DAY, and a staleness verdict — the
+    first thing an on-call checks when one source silently stops.
+
+    ONE corpus pass collapses to the (series, day) rollup (map-side
+    combined); the per-series stats, the 1-row watermark fold, and the
+    watermark-day counts all derive from that frame (the watermark-day
+    definition is deliberately calendar-anchored so it folds off the
+    rollup instead of re-scanning the corpus for a sliding 24 h). Lags
+    are exact integer microseconds.
+    """
+    ts = F.col(ts_col).cast("timestamp")  # NTZ-robust for unix_micros
+    rolled = df.groupBy(
+        F.col(series_col).alias("__s"),
+        F.date_trunc("day", ts).alias("__d"),
+    ).agg(
+        F.max(ts).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    # the rollup fans out into three consumers (per-series stats, the
+    # watermark fold, the watermark-day counts); checkpointing the tiny
+    # |series|·|days| frame keeps the corpus scan single instead of
+    # letting Catalyst inline the subtree per branch
+    rolled = rolled.localCheckpoint()
+    per = rolled.groupBy("__s").agg(
+        F.max("__last").alias("last_ts"),
+        F.sum("__n").cast("long").alias("n_total"),
+    )
+    glob = per.agg(F.max("last_ts").alias("__wm"))
+    staged = per.crossJoin(F.broadcast(glob))
+    wm_day = rolled.join(F.broadcast(glob)).where(
+        F.col("__d") == F.date_trunc("day", F.col("__wm"))
+    ).groupBy("__s").agg(
+        F.sum("__n").cast("long").alias("n_watermark_day")
+    )
+    lag_us = F.unix_micros(F.col("__wm")) - F.unix_micros(F.col("last_ts"))
+    return (
+        staged.join(wm_day, "__s", "left")
+        .select(
+            F.col("__s").alias(series_col),
+            "last_ts",
+            "n_total",
+            F.coalesce(F.col("n_watermark_day"), F.lit(0))
+            .cast("long")
+            .alias("n_watermark_day"),
+            (lag_us.cast("double") / F.lit(1e6)).alias("lag_s"),
+            (
+                lag_us.cast("double") / F.lit(1e6)
+                > F.lit(float(stale_after_s))
+            ).alias("is_stale"),
+        )
+    )
