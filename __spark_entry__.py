@@ -11907,6 +11907,143 @@ FROM per p CROSS JOIN wm LEFT JOIN wmday wd USING (event_type)
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + FK grade per document via pure regexp
+    built-ins (vowel-group syllable heuristic, sentence = [.!?]+ runs)
+    — map-only at scan speed, r6-rounded scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.readability(docs)
+
+
+_READABILITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(string_split(norm, ' ')) END AS w,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+             CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END) AS syl
+  FROM base
+),
+a AS (
+  SELECT doc_id, w, s, syl,
+    w::DOUBLE / s::DOUBLE AS wps,
+    syl::DOUBLE / (CASE WHEN w > 0 THEN w ELSE 1 END)::DOUBLE AS spw
+  FROM c
+)
+SELECT doc_id, w::BIGINT AS n_words, s::BIGINT AS n_sentences,
+  syl::BIGINT AS n_syllables,
+  floor(CASE WHEN w > 0 THEN 206.835 - 1.015 * wps - 84.6 * spw END
+        * 1000000 + 0.5) / 1000000.0 AS flesch_reading_ease,
+  floor(CASE WHEN w > 0 THEN 0.39 * wps + 11.8 * spw - 15.59 END
+        * 1000000 + 0.5) / 1000000.0 AS fk_grade
+FROM a
+"""
+
+
+def q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-richness profile: vocab size, hapax/dis legomena,
+    type-token ratio — one explode + token groupBy collapses the corpus
+    to |vocab| rows, one exact-integer fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hapax_stats(docs)
+
+
+_HAPAX_SQL = r"""
+WITH base AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT t FROM (SELECT unnest(string_split(norm, ' ')) AS t FROM base)
+  WHERE length(t) > 0
+),
+freq AS (SELECT t, count(*)::BIGINT AS f FROM tok GROUP BY t),
+s AS (
+  SELECT count(*)::BIGINT AS v, sum(f)::BIGINT AS n,
+    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
+    sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS h2
+  FROM freq
+)
+SELECT n AS n_tokens, v AS vocab_size, h1 AS n_hapax, h2 AS n_dis,
+  floor(CASE WHEN v > 0 THEN h1::DOUBLE / v::DOUBLE END
+        * 1000000 + 0.5) / 1000000.0 AS hapax_ratio,
+  floor(CASE WHEN n > 0 THEN v::DOUBLE / n::DOUBLE END
+        * 1000000 + 0.5) / 1000000.0 AS type_token_ratio
+FROM s
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent V(N)=K·N^β over the corpus in doc-id order:
+    first-occurrence doc per token type, shared chunk decomposition for
+    both cumulatives (no partitionless window), log-log OLS on
+    1e-9-grid quantized coordinates (exact integer folds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heaps_law(docs)
+
+
+_HEAPS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT d, t FROM (
+    SELECT doc_id AS d, unnest(string_split(norm, ' ')) AS t FROM base
+  ) WHERE length(t) > 0
+),
+per_doc AS (SELECT d, count(*)::BIGINT AS nt FROM tok GROUP BY d),
+fd AS (SELECT min(d) AS d FROM tok GROUP BY t),
+nvd AS (SELECT d, count(*)::BIGINT AS nv FROM fd GROUP BY d),
+docs AS (
+  SELECT p.d, p.nt, coalesce(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN nvd n USING (d)
+),
+pts AS (
+  SELECT
+    sum(nt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS N,
+    sum(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS V
+  FROM docs
+),
+q AS (
+  SELECT floor(ln(N::DOUBLE) * 1e9 + 0.5)::BIGINT AS x,
+         floor(ln(V::DOUBLE) * 1e9 + 0.5)::BIGINT AS y
+  FROM pts WHERE N > 0 AND V > 0
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n,
+    sum(x)::VARCHAR::DOUBLE / 1e9 AS sx,
+    sum(y)::VARCHAR::DOUBLE / 1e9 AS sy,
+    sum(x::HUGEINT * y::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS sxy,
+    sum(x::HUGEINT * x::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS sxx
+  FROM q
+),
+a AS (
+  SELECT n, n * sxx - sx * sx AS vx,
+    (n * sxy - sx * sy)
+      / (CASE WHEN n * sxx - sx * sx > 0 THEN n * sxx - sx * sx
+         ELSE 1.0 END) AS beta,
+    sx, sy
+  FROM s
+)
+SELECT n::BIGINT AS n_docs,
+  floor(CASE WHEN n > 1 AND vx > 0 THEN beta END * 1000000 + 0.5)
+    / 1000000.0 AS beta,
+  floor(CASE WHEN n > 1 AND vx > 0 THEN exp((sy - beta * sx) / n) END
+        * 1000000 + 0.5) / 1000000.0 AS k
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -12285,6 +12422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": q_referential_integrity,
         "pk_candidates": q_pk_candidates,
         "freshness_lag": q_freshness_lag,
+        # text / corpus II (round 9b)
+        "readability": q_readability,
+        "hapax_stats": q_hapax_stats,
+        "heaps_law": q_heaps_law,
     }
 
 
@@ -12576,4 +12717,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_integrity": _REF_INTEGRITY_SQL,
         "pk_candidates": _PK_CANDIDATES_SQL,
         "freshness_lag": _FRESHNESS_SQL,
+        "readability": _READABILITY_SQL,
+        "hapax_stats": _HAPAX_SQL,
+        "heaps_law": _HEAPS_SQL,
     }
