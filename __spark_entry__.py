@@ -12044,6 +12044,191 @@ FROM a
 """
 
 
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness Q per event type over hourly totals (lags
+    1..6): r_k from the acf construction (decimal-exact deviation
+    products, one shared lag-window exchange); r_k²/(n−k) terms
+    micro-fold across lags."""
+    ev = _events(spark, sf_dir)
+    return drift.ljung_box(ev, "ts", "event_type", "value", "hour", max_lag=6)
+
+
+_LJUNG_SQL = f"""
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY event_type, bucket
+), s AS (
+  SELECT event_type,
+    x_dec::DOUBLE - (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt) AS d0,
+    ((x_dec::DOUBLE - (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt))
+     * (x_dec::DOUBLE - (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt))
+    )::DECIMAL(38,10) AS dd,
+    (sum(x_dec) OVER wt)::DOUBLE / (count(*) OVER wt) AS mean,
+    {_ACF_LAG_TERMS}
+  FROM a
+  WINDOW wt AS (PARTITION BY event_type),
+         wo AS (PARTITION BY event_type ORDER BY bucket)
+), pairs AS (
+  {_ACF_PAIR_SELECTS}
+), per_lag AS (
+  SELECT event_type, lag,
+    sum(num)::DOUBLE / sum(dd)::DOUBLE AS r,
+    count(*)::BIGINT AS n
+  FROM pairs GROUP BY event_type, lag
+), folded AS (
+  SELECT event_type, max(n) AS n_buckets, count(*)::BIGINT AS h,
+    sum(floor(r * r / (n::DOUBLE - lag) * 1e9 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE / 1e9 AS tsum
+  FROM per_lag GROUP BY event_type
+)
+SELECT event_type, n_buckets::BIGINT AS n_buckets, h,
+  CASE WHEN n_buckets > h
+  THEN floor(n_buckets::DOUBLE * (n_buckets::DOUBLE + 2.0) * tsum
+             * 1000000 + 0.5) / 1000000.0 END AS q_stat
+FROM folded
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type on hourly totals vs the
+    series median — 1e-3-grid quantized sign comparison (ulp-robust),
+    one lag window over the rollup, closed-form z."""
+    ev = _events(spark, sf_dir)
+    return drift.runs_test(ev, "ts", "event_type", "value", "hour")
+
+
+_RUNS_SQL = """
+WITH a AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY event_type, bucket
+),
+meds AS (
+  SELECT event_type, quantile_cont(x_dec::DOUBLE, 0.5) AS med
+  FROM a GROUP BY event_type
+),
+signed AS (
+  SELECT a.event_type, a.bucket,
+    (floor(a.x_dec::DOUBLE * 1e3 + 0.5) > floor(m.med * 1e3 + 0.5))::INT
+      AS sgn
+  FROM a JOIN meds m USING (event_type)
+  WHERE floor(a.x_dec::DOUBLE * 1e3 + 0.5) != floor(m.med * 1e3 + 0.5)
+),
+flips AS (
+  SELECT event_type, sgn,
+    CASE WHEN lag(sgn) OVER w IS NOT NULL AND sgn != lag(sgn) OVER w
+    THEN 1 ELSE 0 END AS flip
+  FROM signed WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+agg AS (
+  SELECT event_type, sum(sgn)::BIGINT AS n_pos,
+    sum(1 - sgn)::BIGINT AS n_neg, (sum(flip) + 1)::BIGINT AS n_runs
+  FROM flips GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n_pos, n_neg, n_runs,
+    2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+      / (CASE WHEN n_pos + n_neg > 0 THEN (n_pos + n_neg)::DOUBLE
+         ELSE 1.0 END) + 1.0 AS mu,
+    (n_pos + n_neg)::DOUBLE AS n
+  FROM agg
+)
+SELECT event_type, n_pos, n_neg, n_runs,
+  CASE WHEN n_pos > 0 AND n_neg > 0 AND n > 1
+        AND (mu - 1.0) * (mu - 2.0) / greatest(n - 1.0, 1.0) > 0
+  THEN floor((n_runs::DOUBLE - mu)
+             / sqrt(abs((mu - 1.0) * (mu - 2.0) / greatest(n - 1.0, 1.0))
+                    + 1e-300) * 1000000 + 0.5) / 1000000.0
+  END AS z
+FROM z
+"""
+
+
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss of the weekly seasonal-naive forecast on daily
+    totals at τ ∈ {0.1, 0.5, 0.9}: time-shifted self-join alignment,
+    decimal-exact actuals, per-row τ-weighted losses micro-folded."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    ev = _events(spark, sf_dir)
+    return forecast.pinball_loss(
+        ev, "ts", "event_type", "value", "day", season_lag=7
+    )
+
+
+_PINBALL_SQL = """
+WITH rolled AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT r.event_type, r.x_dec::DOUBLE AS y, s.x_dec::DOUBLE AS yhat
+  FROM rolled r
+  JOIN rolled s ON s.event_type = r.event_type
+    AND s.bucket + INTERVAL 7 DAYS = r.bucket
+),
+long AS (
+  SELECT event_type, y, yhat, unnest([0.1, 0.5, 0.9]) AS tau FROM joined
+),
+l AS (
+  SELECT event_type, tau, count(*)::BIGINT AS n_evals,
+    sum(floor(CASE WHEN y - yhat >= 0 THEN tau * (y - yhat)
+              ELSE (1.0 - tau) * (yhat - y) END * 1e9 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE / 1e9 AS lsum
+  FROM long GROUP BY 1, 2
+)
+SELECT event_type, tau, n_evals,
+  floor(lsum / n_evals::DOUBLE * 1000000 + 0.5) / 1000000.0 AS pinball
+FROM l
+"""
+
+
+def q_theil_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Atkinson(ε=0.5) inequality of per-user value totals
+    — decomposable companions to `gini`; ln/pow terms micro-fold on
+    the 1e-9 grid over the checkpointed per-entity frame."""
+    ev = _events(spark, sf_dir)
+    return behavior.theil_atkinson(ev, "user_id", "value", epsilon=0.5)
+
+
+_THEIL_SQL = """
+WITH per AS (
+  SELECT user_id, sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY user_id
+),
+pos AS (SELECT x_dec FROM per WHERE x_dec::DOUBLE > 0),
+mu AS (
+  SELECT sum(x_dec)::DOUBLE / count(*) AS mu, count(*)::BIGINT AS n
+  FROM pos
+),
+dropped AS (
+  SELECT sum((x_dec::DOUBLE <= 0)::BIGINT)::BIGINT AS n_dropped FROM per
+),
+terms AS (
+  SELECT
+    floor((x_dec::DOUBLE / mu.mu) * ln(x_dec::DOUBLE / mu.mu) * 1e9
+          + 0.5)::HUGEINT AS t_micro,
+    floor(pow(x_dec::DOUBLE / mu.mu, 0.5) * 1e9 + 0.5)::HUGEINT AS a_micro
+  FROM pos, mu
+),
+folded AS (
+  SELECT max(mu.n) AS n, max(mu.mu) AS mu,
+    sum(t_micro)::VARCHAR::DOUBLE / 1e9 AS t_sum,
+    sum(a_micro)::VARCHAR::DOUBLE / 1e9 AS a_sum
+  FROM terms, mu
+)
+SELECT n AS n_entities, (SELECT n_dropped FROM dropped) AS n_dropped,
+  floor(mu * 1000000 + 0.5) / 1000000.0 AS mean_value,
+  floor(CASE WHEN n > 0 THEN t_sum / n::DOUBLE END * 1000000 + 0.5)
+    / 1000000.0 AS theil_t,
+  floor(CASE WHEN n > 0 THEN 1.0 - pow(a_sum / n::DOUBLE, 2.0) END
+        * 1000000 + 0.5) / 1000000.0 AS atkinson
+FROM folded
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -12426,6 +12611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "hapax_stats": q_hapax_stats,
         "heaps_law": q_heaps_law,
+        # time-series diagnostics III (round 9b)
+        "ljung_box": q_ljung_box,
+        "runs_test": q_runs_test,
+        "pinball_loss": q_pinball_loss,
+        "theil_atkinson": q_theil_atkinson,
     }
 
 
@@ -12720,4 +12910,8 @@ def oracle_sql() -> dict[str, str]:
         "readability": _READABILITY_SQL,
         "hapax_stats": _HAPAX_SQL,
         "heaps_law": _HEAPS_SQL,
+        "ljung_box": _LJUNG_SQL,
+        "runs_test": _RUNS_SQL,
+        "pinball_loss": _PINBALL_SQL,
+        "theil_atkinson": _THEIL_SQL,
     }

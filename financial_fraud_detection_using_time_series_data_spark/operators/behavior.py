@@ -1070,3 +1070,71 @@ def ipf_weights(
         out, f"{row_col} string, {col_col} long, n_obs long, "
         "weight double, raking_factor double"
     )
+
+
+def theil_atkinson(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    epsilon: float = 0.5,
+) -> DataFrame:
+    """Theil T and Atkinson inequality indices over per-entity value
+    totals — the decomposable/welfare-weighted companions to `gini`
+    (Gini ranks; Theil weighs by share-of-total and ADDS across
+    subgroups; Atkinson makes the inequality-aversion ε explicit).
+
+    T = (1/n)·Σ (x/μ)·ln(x/μ);  A_ε = 1 − ((1/n)·Σ (x/μ)^(1−ε))^(1/(1−ε))
+    (ε ≠ 1). The corpus collapses to the per-entity decimal-exact total
+    frame in one map-side-combined shuffle (checkpointed: the 1-row
+    mean fold and the per-row terms both consume it); ln/pow terms
+    micro-fold on the 1e-9 grid. Non-positive totals drop (ln/pow
+    undefined) and are reported as ``n_dropped``. Returns one row.
+    """
+    if epsilon == 1.0:
+        raise ValueError(
+            "theil_atkinson: epsilon = 1 needs the geometric-mean form; "
+            "pass epsilon != 1"
+        )
+    per = df.groupBy(F.col(entity_col).alias("__e")).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x_dec")
+    )
+    per = per.localCheckpoint()
+    pos = per.where(F.col("__x_dec").cast("double") > 0)
+    mu = pos.agg(
+        (F.sum("__x_dec").cast("double") / F.count(F.lit(1))).alias("__mu"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    dropped = per.agg(
+        F.sum(
+            (F.col("__x_dec").cast("double") <= 0).cast("long")
+        ).alias("n_dropped")
+    )
+    ratio = F.col("__x_dec").cast("double") / F.col("__mu")
+    t_term = ratio * F.log(ratio)
+    a_term = F.pow(ratio, F.lit(1.0 - float(epsilon)))
+    micro = lambda c: F.sum(
+        F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    ).cast("double") / F.lit(1e9)
+    agg = (
+        pos.crossJoin(F.broadcast(mu))
+        .groupBy()
+        .agg(
+            F.max("__n").alias("__n"),
+            F.max("__mu").alias("__mu"),
+            micro(t_term).alias("__t_sum"),
+            micro(a_term).alias("__a_sum"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    theil = F.col("__t_sum") / n
+    atk = F.lit(1.0) - F.pow(
+        F.col("__a_sum") / n, F.lit(1.0 / (1.0 - float(epsilon)))
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.crossJoin(F.broadcast(dropped)).select(
+        F.col("__n").alias("n_entities"),
+        "n_dropped",
+        r6_(F.col("__mu")).alias("mean_value"),
+        r6_(F.when(n > 0, theil)).alias("theil_t"),
+        r6_(F.when(n > 0, atk)).alias("atkinson"),
+    )

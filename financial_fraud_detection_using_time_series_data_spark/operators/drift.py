@@ -1211,3 +1211,178 @@ def residual_anomaly(
         .where(F.abs(F.col("robust_z")) > float(z_threshold))
         .select(type_col, "bucket", "x", "residual", "robust_z")
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau Q per series: is there ANY autocorrelation
+    in the first ``max_lag`` lags? The one-number whiteness test a
+    model-residual review reads next to the full `acf` table —
+    Q = n(n+2)·Σ_k r_k²/(n−k), χ²(h) under the white-noise null.
+
+    Built on the identical rollup + shared-lag-window construction as
+    `acf` (one corpus shuffle, one window exchange): r_k folds from
+    decimal-exact deviation products; each r_k²/(n−k) term then
+    micro-folds on the 1e-6 grid across lags (the anova_f convention —
+    a float Σ over the lag frame is order-sensitive). Returns one row
+    per series: (n_buckets, h, q_stat).
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actuals = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    wt = Window.partitionBy(type_col)
+    word = Window.partitionBy(type_col).orderBy("bucket")
+    x = F.col("x_dec").cast("double")
+    mean = F.sum("x_dec").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    staged = actuals.select(
+        type_col,
+        (x - mean).alias("d0"),
+        *[
+            (F.lag("x_dec", k).over(word).cast("double") - mean).alias(
+                f"d{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    dev_sq = (F.col("d0") * F.col("d0")).cast("decimal(38,10)")
+    pairs = staged.select(
+        type_col,
+        dev_sq.alias("dd"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("d0") * F.col(f"d{k}"))
+                        .cast("decimal(38,10)")
+                        .alias("num"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("kv"),
+    ).select(
+        type_col, "dd", F.col("kv.lag").alias("lag"), F.col("kv.num").alias("num")
+    )
+    per_lag = pairs.groupBy(type_col, "lag").agg(
+        F.sum("num").alias("__num"),
+        F.sum("dd").alias("__den"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    r = F.col("__num").cast("double") / F.col("__den").cast("double")
+    n = F.col("__n").cast("double")
+    term = r * r / (n - F.col("lag").cast("double"))
+    term_micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    out = per_lag.groupBy(type_col).agg(
+        F.max("__n").cast("long").alias("n_buckets"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+        F.sum(term_micro).alias("__t_micro"),
+    )
+    nn = F.col("n_buckets").cast("double")
+    q = (
+        nn
+        * (nn + F.lit(2.0))
+        * (F.col("__t_micro").cast("double") / F.lit(1e9))
+    )
+    return out.select(
+        type_col,
+        "n_buckets",
+        "h",
+        F.when(nn > F.col("h"), F.floor(q * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "q_stat"
+        ),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per series on the bucketed totals vs the
+    series MEDIAN: too few runs = sticky regimes (level shifts,
+    clustering), too many = oscillation/overdifferencing — the
+    randomness screen that catches structure `acf`'s linear estimator
+    misses.
+
+    Signs compare 1e-3-grid quantized totals against the quantized
+    median (exact percentile over the rollup; the grid makes the
+    equality class ulp-robust cross-engine — cent sums and half-cent
+    medians land exactly on-grid). Ties (x = median) drop, the standard
+    treatment. R = 1 + Σ[sign_t ≠ sign_{t−1}] via one lag window;
+    z = (R − μ)/σ with μ = 2·n₊·n₋/n + 1, σ² = (μ−1)(μ−2)/(n−1).
+    One corpus shuffle + two bounded exchanges on the rollup. Returns
+    one row per series: (n_pos, n_neg, n_runs, z).
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actuals = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    meds = actuals.groupBy(type_col).agg(
+        F.expr("percentile(cast(x_dec as double), 0.5)").alias("__med")
+    )
+    xq = F.floor(F.col("x_dec").cast("double") * F.lit(1e3) + F.lit(0.5))
+    mq = F.floor(F.col("__med") * F.lit(1e3) + F.lit(0.5))
+    signed = (
+        actuals.join(F.broadcast(meds), type_col)
+        .where(xq != mq)
+        .select(
+            type_col,
+            "bucket",
+            (xq > mq).cast("int").alias("__sign"),
+        )
+    )
+    word = Window.partitionBy(type_col).orderBy("bucket")
+    flips = signed.select(
+        type_col,
+        "__sign",
+        F.when(
+            F.lag("__sign").over(word).isNotNull()
+            & (F.col("__sign") != F.lag("__sign").over(word)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__flip"),
+    )
+    agg = flips.groupBy(type_col).agg(
+        F.sum("__sign").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__sign")).cast("long").alias("n_neg"),
+        (F.sum("__flip") + F.lit(1)).cast("long").alias("n_runs"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = F.col("n_neg").cast("double")
+    n = np_ + nn
+    mu = F.lit(2.0) * np_ * nn / F.when(n > 0, n).otherwise(F.lit(1.0)) + F.lit(
+        1.0
+    )
+    var = (
+        (mu - F.lit(1.0))
+        * (mu - F.lit(2.0))
+        / F.greatest(n - F.lit(1.0), F.lit(1.0))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(
+        F.abs(var) + F.lit(1e-300)
+    )
+    ok = (np_ > 0) & (nn > 0) & (n > 1) & (var > 0)
+    return agg.select(
+        type_col,
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "z"
+        ),
+    )

@@ -483,3 +483,81 @@ def forecast_accuracy(
             "mase"
         ),
     )
+
+
+def pinball_loss(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    season_lag: int = 7,
+    quantiles: tuple = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Pinball (quantile) loss scorecard of the seasonal-naive forecast
+    ŷ_t = y_{t−season_lag} at each requested quantile — the metric that
+    grades a forecast as a QUANTILE estimate rather than a point
+    (`forecast_accuracy`'s MAE only scores the median; a capacity
+    planner cares about τ=0.9). L_τ = τ·(y−ŷ) if y ≥ ŷ else
+    (1−τ)·(ŷ−y).
+
+    Same time-shifted self-join alignment as `forecast_accuracy` (row
+    lags silently misalign on sparse series); y and ŷ are decimal-exact
+    bucket totals, the per-row τ-weighted loss micro-folds on the 1e-9
+    grid. One rollup shuffle; output |types|·|quantiles| rows.
+    """
+    units = {
+        "minute": "MINUTES",
+        "hour": "HOURS",
+        "day": "DAYS",
+        "week": "WEEKS",
+        "month": "MONTHS",
+    }
+    try:
+        unit = units[bucket]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; one of {sorted(units)}"
+        ) from None
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    rolled = df.groupBy(type_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
+    )
+    shifted = rolled.select(
+        type_col,
+        (F.col("bucket") + F.expr(f"INTERVAL {int(season_lag)} {unit}")).alias(
+            "bucket"
+        ),
+        F.col("x_dec").alias("__yhat_dec"),
+    )
+    joined = rolled.join(shifted, [type_col, "bucket"]).select(
+        type_col,
+        F.col("x_dec").cast("double").alias("__y"),
+        F.col("__yhat_dec").cast("double").alias("__yhat"),
+    )
+    taus = F.explode(
+        F.array(*[F.lit(float(t)) for t in quantiles])
+    ).alias("tau")
+    long = joined.select(type_col, "__y", "__yhat", taus)
+    err = F.col("__y") - F.col("__yhat")
+    loss = F.when(err >= 0, F.col("tau") * err).otherwise(
+        (F.lit(1.0) - F.col("tau")) * (-err)
+    )
+    loss_micro = F.floor(loss * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    out = long.groupBy(type_col, "tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.sum(loss_micro).alias("__l_micro"),
+    )
+    mean_loss = (
+        F.col("__l_micro").cast("double")
+        / F.lit(1e9)
+        / F.col("n_evals").cast("double")
+    )
+    return out.select(
+        type_col,
+        F.col("tau"),
+        "n_evals",
+        (F.floor(mean_loss * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "pinball"
+        ),
+    )
