@@ -12229,6 +12229,191 @@ FROM folded
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch χ² of the deterministic md5 5-fold
+    assignment against the designed uniform split — declared arms
+    densified (a dead arm still contributes), per-arm terms micro-
+    folded. The gate an experimentation stack runs before ab_test."""
+    ev = _events(spark, sf_dir)
+    assigned = kfold_assign(ev, "event_id", k=5)
+    return evaluation.srm_check(
+        assigned, "fold", {str(i): 0.2 for i in range(5)}
+    )
+
+
+_SRM_SQL = """
+WITH assigned AS (
+  SELECT (('0x' || substring(md5('fold:' || event_id::VARCHAR), 1, 8))
+          ::BIGINT % 5)::INT::VARCHAR AS arm
+  FROM events
+),
+counts AS (SELECT arm, count(*)::BIGINT AS o FROM assigned GROUP BY arm),
+declared AS (
+  SELECT unnest(['0', '1', '2', '3', '4']) AS arm, 0.2::DOUBLE AS share
+),
+arms AS (
+  SELECT d.arm, d.share, coalesce(c.o, 0) AS o
+  FROM declared d LEFT JOIN counts c USING (arm)
+),
+staged AS (
+  SELECT o, share,
+    (sum(o) OVER ())::DOUBLE AS n
+  FROM arms
+),
+folded AS (
+  SELECT sum(o)::BIGINT AS n_total, count(*)::BIGINT AS k,
+    sum(floor((o::DOUBLE - n * share) * (o::DOUBLE - n * share)
+              / (CASE WHEN n * share > 0 THEN n * share ELSE 1.0 END)
+              * 1e9 + 0.5)::HUGEINT)::VARCHAR::DOUBLE / 1e9 AS chi2,
+    max(floor((CASE WHEN n > 0 THEN abs(o::DOUBLE / n - share)
+               ELSE 0.0 END) * 1e9 + 0.5) / 1e9) AS msd
+  FROM staged
+)
+SELECT n_total, k,
+  floor(chi2 * 1000000 + 0.5) / 1000000.0 AS chi2,
+  (k - 1)::BIGINT AS dof,
+  msd AS max_abs_share_diff,
+  0::BIGINT AS n_unexpected,
+  false AS has_unknown_arm
+FROM folded
+"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction report over per-user value totals:
+    pre-period (before Jan 16) covariate vs post-period metric, θ* =
+    cov/var from exact decimal per-user sums micro-folded — the
+    pre-experiment-data trick that shrinks A/B sample size by corr²."""
+    ev = _events(spark, sf_dir)
+    return evaluation.cuped(ev, "user_id", "value", "ts", "2024-01-16")
+
+
+_CUPED_SQL = """
+WITH per AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN value::DECIMAL(25,2) END), 0) AS x_dec,
+    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN value::DECIMAL(25,2) END), 0) AS y_dec
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT count(*)::DOUBLE AS n,
+    sum(x_dec)::DOUBLE AS sx, sum(y_dec)::DOUBLE AS sy,
+    sum(floor(x_dec::DOUBLE * x_dec::DOUBLE * 1e6 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE / 1e6 AS sxx,
+    sum(floor(y_dec::DOUBLE * y_dec::DOUBLE * 1e6 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE / 1e6 AS syy,
+    sum(floor(x_dec::DOUBLE * y_dec::DOUBLE * 1e6 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE / 1e6 AS sxy
+  FROM per
+),
+a AS (
+  SELECT n,
+    (sxy - sx * sy / n) / greatest(n - 1.0, 1.0) AS cov,
+    (sxx - sx * sx / n) / greatest(n - 1.0, 1.0) AS var_x,
+    (syy - sy * sy / n) / greatest(n - 1.0, 1.0) AS var_y
+  FROM m
+),
+b AS (
+  SELECT n, var_y, cov, var_x,
+    cov / (CASE WHEN var_x > 0 THEN var_x ELSE 1.0 END) AS theta
+  FROM a
+)
+SELECT n::BIGINT AS n_entities,
+  floor(CASE WHEN n > 1 AND var_x > 0 AND var_y > 0 THEN theta END
+        * 1000000 + 0.5) / 1000000.0 AS theta,
+  floor(CASE WHEN n > 1 THEN var_y END * 1000000 + 0.5) / 1000000.0
+    AS var_y,
+  floor(CASE WHEN n > 1 AND var_x > 0 AND var_y > 0
+        THEN var_y - theta * cov END * 1000000 + 0.5) / 1000000.0
+    AS var_adj,
+  floor(CASE WHEN n > 1 AND var_x > 0 AND var_y > 0
+        THEN (var_y - (var_y - theta * cov)) / var_y * 100.0 END
+        * 1000000 + 0.5) / 1000000.0 AS variance_reduction_pct,
+  floor(CASE WHEN n > 1 AND var_x > 0 AND var_y > 0
+        THEN cov / sqrt(abs(var_x * var_y) + 1e-300) END
+        * 1000000 + 0.5) / 1000000.0 AS corr_xy
+FROM b
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman r) of the shared-exact-amount user
+    graph (degree-2..10 values): Pearson over endpoint degrees of the
+    doubled capped edge list — all moment sums exact BIGINT folds."""
+    ev = _events(spark, sf_dir)
+    return events_ops.assortativity(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+
+
+_ASSORT_SQL = """
+WITH a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+nd AS (SELECT u, count(*)::BIGINT AS deg FROM bidir GROUP BY u),
+pairs AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM bidir b JOIN nd du ON du.u = b.u JOIN nd dv ON dv.u = b.v
+),
+s AS (
+  SELECT count(*)::DOUBLE AS m,
+    sum(dx)::VARCHAR::DOUBLE AS sx, sum(dy)::VARCHAR::DOUBLE AS sy,
+    sum(dx::HUGEINT * dy::HUGEINT)::VARCHAR::DOUBLE AS sxy,
+    sum(dx::HUGEINT * dx::HUGEINT)::VARCHAR::DOUBLE AS sxx,
+    sum(dy::HUGEINT * dy::HUGEINT)::VARCHAR::DOUBLE AS syy
+  FROM pairs
+),
+nn AS (SELECT count(DISTINCT u)::BIGINT AS n_nodes FROM bidir)
+SELECT nn.n_nodes, (s.m / 2)::BIGINT AS n_edges,
+  floor(CASE WHEN s.m * s.sxx - s.sx * s.sx > 0
+              AND s.m * s.syy - s.sy * s.sy > 0
+  THEN (s.m * s.sxy - s.sx * s.sy)
+       / sqrt((s.m * s.sxx - s.sx * s.sx) * (s.m * s.syy - s.sy * s.sy))
+  END * 1000000 + 0.5) / 1000000.0 AS assortativity
+FROM nn, s
+"""
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + shares of the shared-exact-amount user graph:
+    capped edge list -> per-node degrees -> |degrees| histogram."""
+    ev = _events(spark, sf_dir)
+    return events_ops.degree_distribution(
+        ev, F.col("value"), min_degree=2, max_degree=10
+    )
+
+
+_DEGREE_DIST_SQL = """
+WITH a AS (
+  SELECT DISTINCT value AS attr, user_id AS u FROM events
+  WHERE value IS NOT NULL
+),
+k AS (SELECT attr FROM a GROUP BY attr HAVING count(*) BETWEEN 2 AND 10),
+e AS (
+  SELECT DISTINCT a1.u AS u, a2.u AS v
+  FROM k JOIN a a1 USING (attr) JOIN a a2 USING (attr)
+  WHERE a1.u < a2.u
+),
+bidir AS (SELECT u FROM e UNION ALL SELECT v FROM e),
+nd AS (SELECT u, count(*)::BIGINT AS deg FROM bidir GROUP BY u),
+hist AS (SELECT deg, count(*)::BIGINT AS n_nodes FROM nd GROUP BY deg)
+SELECT deg AS degree, n_nodes,
+  floor(n_nodes::DOUBLE / (sum(n_nodes) OVER ())::DOUBLE
+        * 1000000 + 0.5) / 1000000.0 AS share
+FROM hist ORDER BY degree
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -12260,17 +12445,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "left_join": q_left_join,
         "target_encode": q_target_encode,
-        "distinct_per_group": q_distinct_per_group,
-        "group_size_filter": q_group_size_filter,
         "time_split": q_time_split,
         "filter_project": q_filter_project,
-        "corr_vector": q_corr_vector,
-        # scalar/temporal library
-        "temporal_features": q_temporal_features,
-        "zscore_global": q_zscore_global,
-        "weighted_ensemble": q_weighted_ensemble,
-        "scoring_summary": q_scoring_summary,
-        "class_weights": q_class_weights,
+        # round-9b rotation: 8 long-stable head entries
+        # (distinct_per_group, group_size_filter, corr_vector,
+        # temporal_features, zscore_global, weighted_ensemble,
+        # scoring_summary, class_weights — all driver-green since rounds
+        # 2-5) moved to the tail; the round-9b hypothesis-test /
+        # finance-II / quality-II / text-II families take their window
+        # slots for first external hash contact
+        "spearman_corr": q_spearman_corr,
+        "kruskal_wallis": q_kruskal_wallis,
+        "welch_ttest": q_welch_ttest,
+        "vwap_bars": q_vwap_bars,
+        "rolling_beta": q_rolling_beta,
+        "t_closeness": q_t_closeness,
+        "referential_integrity": q_referential_integrity,
+        "readability": q_readability,
         # the flagship composed query sits INSIDE the driver window so the
         # end-to-end pipeline gets a hard external parity signal each round
         "fraud_feature_pipeline": q_fraud_feature_pipeline,
@@ -12591,31 +12782,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_intervals": q_conformal_intervals,
         "hbos_scores": q_hbos_scores,
         "ipf_weights": q_ipf_weights,
-        # classical hypothesis tests (round 9b)
-        "spearman_corr": q_spearman_corr,
-        "kruskal_wallis": q_kruskal_wallis,
-        "welch_ttest": q_welch_ttest,
+        # round-9b families not in the driver window
         "brown_forsythe": q_brown_forsythe,
-        # market-microstructure II (round 9b)
-        "vwap_bars": q_vwap_bars,
-        "rolling_beta": q_rolling_beta,
         "sharpe_sortino": q_sharpe_sortino,
         "kyle_lambda": q_kyle_lambda,
         "garch_variance": q_garch_variance,
-        # data-quality / privacy II (round 9b)
-        "t_closeness": q_t_closeness,
-        "referential_integrity": q_referential_integrity,
         "pk_candidates": q_pk_candidates,
         "freshness_lag": q_freshness_lag,
-        # text / corpus II (round 9b)
-        "readability": q_readability,
         "hapax_stats": q_hapax_stats,
         "heaps_law": q_heaps_law,
+        # rotated out of the head in round 9b (still attested each sweep)
+        "distinct_per_group": q_distinct_per_group,
+        "group_size_filter": q_group_size_filter,
+        "corr_vector": q_corr_vector,
+        "temporal_features": q_temporal_features,
+        "zscore_global": q_zscore_global,
+        "weighted_ensemble": q_weighted_ensemble,
+        "scoring_summary": q_scoring_summary,
+        "class_weights": q_class_weights,
         # time-series diagnostics III (round 9b)
         "ljung_box": q_ljung_box,
         "runs_test": q_runs_test,
         "pinball_loss": q_pinball_loss,
         "theil_atkinson": q_theil_atkinson,
+        # experimentation suite (round 9b)
+        "srm_check": q_srm_check,
+        "cuped": q_cuped,
+        # graph II (round 9b)
+        "assortativity": q_assortativity,
+        "degree_distribution": q_degree_distribution,
     }
 
 
@@ -12914,4 +13109,8 @@ def oracle_sql() -> dict[str, str]:
         "runs_test": _RUNS_SQL,
         "pinball_loss": _PINBALL_SQL,
         "theil_atkinson": _THEIL_SQL,
+        "srm_check": _SRM_SQL,
+        "cuped": _CUPED_SQL,
+        "assortativity": _ASSORT_SQL,
+        "degree_distribution": _DEGREE_DIST_SQL,
     }

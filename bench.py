@@ -249,6 +249,26 @@ BENCH_QUERIES = [
     "conformal_intervals",
     "hbos_scores",
     "ipf_weights",
+    "spearman_corr",
+    "kruskal_wallis",
+    "welch_ttest",
+    "brown_forsythe",
+    "vwap_bars",
+    "rolling_beta",
+    "sharpe_sortino",
+    "kyle_lambda",
+    "garch_variance",
+    "t_closeness",
+    "referential_integrity",
+    "pk_candidates",
+    "freshness_lag",
+    "readability",
+    "hapax_stats",
+    "heaps_law",
+    "ljung_box",
+    "runs_test",
+    "pinball_loss",
+    "theil_atkinson",
 ]
 
 

@@ -997,3 +997,174 @@ def platt_scaling(
         "a double, b double, n_iter int, n_rows long, log_loss double",
     )
     return (a, b), diag
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an experiment assignment: the χ²
+    goodness-of-fit of observed arm counts against the DESIGNED split —
+    the first gate before reading any A/B metric (a biased assignment
+    invalidates `ab_test` downstream; SRM is the single most common
+    experimentation bug). χ² = Σ (o_k − e_k)²/e_k over the DECLARED
+    arms — an expected arm with zero observations still contributes its
+    full term (a silently-dead arm IS an SRM), and arms observed in the
+    data but absent from ``expected`` surface as ``has_unknown_arm``
+    with their rows counted in ``n_unexpected``.
+
+    ONE map-side-combined count aggregate collapses the corpus to
+    |arms| rows; the declared-arm frame (a literal explode, no data
+    scan) left-joins those counts and the single-row fold micro-folds
+    each χ² term on the 1e-9 grid. Returns one row: (n_total, k, chi2,
+    dof, max_abs_share_diff, n_unexpected, has_unknown_arm).
+    """
+    if not expected:
+        raise ValueError("srm_check: expected must be non-empty")
+    tot_share = sum(expected.values())
+    if abs(tot_share - 1.0) > 1e-9:
+        raise ValueError(
+            f"srm_check: expected shares sum to {tot_share}, not 1"
+        )
+    counts = df.groupBy(
+        F.col(arm_col).cast("string").alias("__arm")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    counts = counts.localCheckpoint()  # consumed by two branches below
+    declared = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(str(a)).alias("__arm"),
+                    F.lit(float(s)).alias("__share"),
+                )
+                for a, s in sorted(expected.items())
+            ]
+        )
+    ).alias("kv")
+    arms = (
+        counts.sparkSession.range(1)
+        .select(declared)
+        .select("kv.__arm", "kv.__share")
+        .join(counts, "__arm", "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    unknown = counts.join(
+        arms.select("__arm"), "__arm", "left_anti"
+    ).agg(
+        F.coalesce(F.sum("__o"), F.lit(0)).cast("long").alias("n_unexpected")
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_declared = F.sum("__o").over(wtot).cast("double")
+    e = n_declared * F.col("__share")
+    o = F.col("__o").cast("double")
+    term = (o - e) * (o - e) / F.when(e > 0, e).otherwise(F.lit(1.0))
+    share_diff = F.when(
+        n_declared > 0, F.abs(o / n_declared - F.col("__share"))
+    ).otherwise(F.lit(0.0))
+    folded = arms.select(
+        "__o",
+        F.when(F.col("__share") > 0, term).alias("__term"),
+        share_diff.alias("__sd"),
+    ).agg(
+        F.sum("__o").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.sum(
+                F.floor(F.col("__term") * F.lit(1e9) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("__chi2"),
+        F.max(
+            F.floor(F.col("__sd") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        ).alias("__msd"),
+    )
+    return folded.crossJoin(F.broadcast(unknown)).select(
+        "n_total",
+        "k",
+        (F.floor(F.col("__chi2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "chi2"
+        ),
+        (F.col("k") - F.lit(1)).cast("long").alias("dof"),
+        F.col("__msd").alias("max_abs_share_diff"),
+        "n_unexpected",
+        (F.col("n_unexpected") > 0).alias("has_unknown_arm"),
+    )
+
+
+def cuped(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    ts_col: str,
+    split_ts: str,
+) -> DataFrame:
+    """CUPED variance reduction report: per-entity PRE-period totals as
+    the covariate X, POST-period totals as the metric Y, θ* =
+    cov(X,Y)/var(X), and the variance of the adjusted metric
+    Y − θ(X − x̄) — the standard pre-experiment-data trick that shrinks
+    an A/B test's required sample by the squared pre/post correlation
+    (Deng et al. 2013). Run it before `ab_test` to size the experiment.
+
+    ONE corpus pass builds per-entity (X, Y) via conditional decimal
+    sums (entities missing a period count as 0 — the standard
+    all-randomized-units frame); the moment fold is exact decimal
+    products micro-folded per entity. Returns one row: (n_entities,
+    theta, var_y, var_adj, variance_reduction_pct, corr_xy).
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    v = F.col(value_col).cast("decimal(25,2)")
+    per = df.groupBy(F.col(entity_col).alias("__e")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col(ts_col) < split, v)), F.lit(0).cast("decimal(25,2)")
+        ).alias("__x_dec"),
+        F.coalesce(
+            F.sum(F.when(F.col(ts_col) >= split, v)), F.lit(0).cast("decimal(25,2)")
+        ).alias("__y_dec"),
+    )
+    x = F.col("__x_dec").cast("double")
+    y = F.col("__y_dec").cast("double")
+
+    def micro(c):
+        return F.sum(
+            F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(1e6)
+
+    agg = per.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x_dec").cast("double").alias("__sx"),
+        F.sum("__y_dec").cast("double").alias("__sy"),
+        micro(x * x).alias("__sxx"),
+        micro(y * y).alias("__syy"),
+        micro(x * y).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    cov = (F.col("__sxy") - sx * sy / n) / F.greatest(
+        n - F.lit(1.0), F.lit(1.0)
+    )
+    var_x = (F.col("__sxx") - sx * sx / n) / F.greatest(
+        n - F.lit(1.0), F.lit(1.0)
+    )
+    var_y = (F.col("__syy") - sy * sy / n) / F.greatest(
+        n - F.lit(1.0), F.lit(1.0)
+    )
+    theta = cov / F.when(var_x > 0, var_x).otherwise(F.lit(1.0))
+    var_adj = var_y - theta * cov  # = var_y - cov^2/var_x
+    corr = cov / F.sqrt(F.abs(var_x * var_y) + F.lit(1e-300))
+    ok = (n > 1) & (var_x > 0) & (var_y > 0)
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        F.col("__n").cast("long").alias("n_entities"),
+        r6_(F.when(ok, theta)).alias("theta"),
+        r6_(F.when(n > 1, var_y)).alias("var_y"),
+        r6_(F.when(ok, var_adj)).alias("var_adj"),
+        r6_(
+            F.when(ok, (var_y - var_adj) / var_y * F.lit(100.0))
+        ).alias("variance_reduction_pct"),
+        r6_(F.when(ok, corr)).alias("corr_xy"),
+    )

@@ -1489,3 +1489,133 @@ def two_hop_reach(
         )
         .orderBy("u")
     )
+
+
+def _shared_attr_edges(
+    df: DataFrame,
+    attr,
+    entity_col: str,
+    min_degree: int,
+    max_degree: int,
+) -> DataFrame:
+    """Distinct undirected (u < v) edge list of the shared-attribute
+    entity graph under the repo's degree-cap discipline (attr values
+    held by min..max distinct entities; popular values are noise and
+    the cap bounds per-value pair emission at C(max_degree, 2)) — the
+    construction `fraud_rings` / `triangle_count` / `adamic_adar`
+    share."""
+    a = df.select(
+        attr.alias("attr"), F.col(entity_col).alias("u")
+    ).where(F.col("attr").isNotNull()).distinct()
+    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
+    keep = deg.where(
+        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
+    ).select("attr")
+    members = a.join(keep, "attr")
+    m2 = members.select("attr", F.col("u").alias("v"))
+    return (
+        members.join(m2, "attr")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def assortativity(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    min_degree: int = 2,
+    max_degree: int = 10,
+) -> DataFrame:
+    """Degree assortativity of the shared-attribute entity graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    edges — positive means hubs link to hubs (a coordinated ring built
+    around shared identifiers), negative means hub-and-spoke (one mule
+    account fanning out) — the one-number structure summary next to
+    `triangle_count`'s density.
+
+    Computed over the DOUBLED edge list (both directions, the standard
+    symmetric estimator): all five moment sums of (deg_u, deg_v) are
+    exact BIGINT folds (degrees are integers), so r assembles bit-
+    identically in closed form. The capped edge list is checkpointed
+    once and feeds degrees + the moment pass. Returns one row:
+    (n_nodes, n_edges, assortativity) — NULL r for a degree-regular
+    graph (zero variance).
+    """
+    edges = _shared_attr_edges(df, attr, entity_col, min_degree, max_degree)
+    edges = edges.localCheckpoint()
+    both = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ndeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        both.join(ndeg, "u")
+        .join(
+            ndeg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select(F.col("deg").alias("dx"), F.col("deg_v").alias("dy"))
+    )
+    d38 = "decimal(38,0)"
+    dx = F.col("dx").cast(d38)
+    dy = F.col("dy").cast(d38)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("__m2"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum(dx * dy).alias("__sxy"),
+        F.sum(dx * dx).alias("__sxx"),
+        F.sum(dy * dy).alias("__syy"),
+    )
+    m = F.col("__m2").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = m * F.col("__sxy").cast("double") - sx * sy
+    vx = m * F.col("__sxx").cast("double") - sx * sx
+    vy = m * F.col("__syy").cast("double") - sy * sy
+    nn = both.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    ok = (vx > 0) & (vy > 0)
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return nn.crossJoin(F.broadcast(agg)).select(
+        "n_nodes",
+        (F.col("__m2") / F.lit(2)).cast("long").alias("n_edges"),
+        r6_(F.when(ok, cov / F.sqrt(vx * vy))).alias("assortativity"),
+    )
+
+
+def degree_distribution(
+    df: DataFrame,
+    attr,
+    entity_col: str = "user_id",
+    min_degree: int = 2,
+    max_degree: int = 10,
+) -> DataFrame:
+    """Degree histogram of the shared-attribute entity graph: node
+    count and share per degree — the scale-free-vs-bounded fingerprint
+    read next to `assortativity` (fraud rings are dense-regular; mule
+    fan-outs put mass on degree 1 plus one hub).
+
+    The capped edge list collapses to per-node degrees (one groupBy),
+    then to the |distinct degrees| histogram (second tiny groupBy);
+    shares divide exact counts. Returns (degree, n_nodes, share)
+    ordered by degree.
+    """
+    edges = _shared_attr_edges(df, attr, entity_col, min_degree, max_degree)
+    both = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    ndeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    hist = ndeg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n_nodes").over(wtot).cast("double")
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return hist.select(
+        F.col("deg").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        r6_(F.col("n_nodes") / tot).alias("share"),
+    ).orderBy("degree")
