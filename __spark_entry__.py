@@ -12414,6 +12414,71 @@ FROM hist ORDER BY degree
 """
 
 
+def q_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-significant-digit Benford screen over event values:
+    string-based digit extraction on integer cents (ulp-proof), all 10
+    digits densified, marginal expectation Σ log10(1+1/(10d₁+d₂))."""
+    ev = _events(spark, sf_dir)
+    return drift.benford_second_digit(ev, "value")
+
+
+_BENFORD2_EXPECTED = " + ".join(
+    f"log10(1.0 + 1.0 / (10.0 * {d1} + digit))" for d1 in range(1, 10)
+)
+_BENFORD2_SQL = f"""
+WITH pos AS (
+  SELECT substring(floor(value * 100)::BIGINT::VARCHAR, 2, 1)::INT AS digit
+  FROM events
+  WHERE value > 0 AND length(floor(value * 100)::BIGINT::VARCHAR) >= 2
+),
+counts AS (SELECT digit, count(*)::BIGINT AS n FROM pos GROUP BY digit),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM counts),
+digits AS (SELECT unnest(generate_series(0, 9))::INT AS digit)
+SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n,
+  floor(coalesce(c.n, 0)::DOUBLE / tot.t * 1000000 + 0.5) / 1000000.0 AS p,
+  floor(({_BENFORD2_EXPECTED}) * 1000000 + 0.5) / 1000000.0 AS expected_p,
+  floor((coalesce(c.n, 0)::DOUBLE / tot.t - ({_BENFORD2_EXPECTED}))
+        * 1000000 + 0.5) / 1000000.0 AS deviation
+FROM digits d LEFT JOIN counts c USING (digit) CROSS JOIN tot
+"""
+
+
+def q_rapid_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-through screen: purchases followed within 24 h by an error
+    event of value within 5% — (entity, time-bucket) interval-join
+    bucketing (two candidate buckets per event, never a per-entity
+    cross join), integer-cent value matching, one hit per inbound."""
+    ev = _events(spark, sf_dir)
+    return screens.rapid_movement(
+        ev, in_type="purchase", out_type="error", max_gap_s=86400.0, tol=0.05
+    )
+
+
+_RAPID_SQL = """
+WITH ins AS (
+  SELECT user_id AS e, event_id AS iid, epoch_us(ts) / 1e6 AS t,
+    floor(value * 100)::BIGINT AS c
+  FROM events WHERE event_type = 'purchase'
+),
+outs AS (
+  SELECT user_id AS e, epoch_us(ts) / 1e6 AS t,
+    floor(value * 100)::BIGINT AS c
+  FROM events WHERE event_type = 'error'
+),
+per_in AS (
+  SELECT i.e, i.iid, i.c, min(o.t - i.t) AS gap
+  FROM ins i JOIN outs o ON o.e = i.e
+    AND o.t > i.t AND o.t <= i.t + 86400.0
+    AND abs(o.c - i.c) <= floor(i.c::DOUBLE * 0.05 + 0.5)::BIGINT
+  GROUP BY 1, 2, 3
+)
+SELECT e AS user_id, count(*)::BIGINT AS n_pass_through,
+  sum(c)::DOUBLE / 100.0 AS total_in_value,
+  floor(min(gap) * 1e6 + 0.5) / 1e6 AS min_gap_s
+FROM per_in GROUP BY e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -12811,6 +12876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph II (round 9b)
         "assortativity": q_assortativity,
         "degree_distribution": q_degree_distribution,
+        # AML III (round 9b)
+        "benford_second_digit": q_benford_second_digit,
+        "rapid_movement": q_rapid_movement,
     }
 
 
@@ -13113,4 +13181,6 @@ def oracle_sql() -> dict[str, str]:
         "cuped": _CUPED_SQL,
         "assortativity": _ASSORT_SQL,
         "degree_distribution": _DEGREE_DIST_SQL,
+        "benford_second_digit": _BENFORD2_SQL,
+        "rapid_movement": _RAPID_SQL,
     }

@@ -1386,3 +1386,53 @@ def runs_test(
             "z"
         ),
     )
+
+
+def benford_second_digit(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Second-significant-digit distribution vs Benford's law — the
+    follow-up screen after `benford_profile`: fabricated amounts often
+    pass the first-digit test (fraudsters know it) while the second
+    digit still betrays rounding habits (inflated 0s and 5s from
+    "psychological pricing").
+
+    Expected P(d₂ = d) = Σ_{d₁=1..9} log10(1 + 1/(10·d₁ + d)) — the
+    standard marginal. Digit extraction is STRING-based on integer
+    cents (the `benford_profile` contract: log10 near powers of 10 can
+    flip on a last-ulp difference; substring cannot). Values with only
+    one significant digit are excluded (no second digit exists).
+    Map-only digit tag + one ≤10-group agg; all 10 digits present.
+    """
+    spark = df.sparkSession
+    s = F.floor(F.col(value_col) * 100).cast("long").cast("string")
+    pos = (
+        df.filter(F.col(value_col) > 0)
+        .select(s.alias("__s"))
+        .where(F.length("__s") >= 2)
+        .select(F.substring("__s", 2, 1).cast("int").alias("digit"))
+    )
+    counts = pos.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    digits = spark.range(0, 10).select(F.col("id").cast("int").alias("digit"))
+    expected = None
+    for d1 in range(1, 10):
+        term = F.log10(
+            F.lit(1.0) + F.lit(1.0) / (F.lit(10.0) * d1 + F.col("digit"))
+        )
+        expected = term if expected is None else expected + term
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        digits.join(counts, "digit", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            r6_(F.col("n") / F.col("__t")).alias("p"),
+            r6_(expected).alias("expected_p"),
+            r6_(F.col("n") / F.col("__t") - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

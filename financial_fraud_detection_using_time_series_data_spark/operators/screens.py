@@ -603,3 +603,86 @@ def hbos_scores(
         )
     )
     return scored.orderBy(F.col("hbos_score").desc(), F.col(id_col)).limit(top_n)
+
+
+def rapid_movement(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    in_type: str = "purchase",
+    out_type: str = "error",
+    type_col: str = "event_type",
+    max_gap_s: float = 3600.0,
+    tol: float = 0.01,
+) -> DataFrame:
+    """Pass-through (rapid in-out) screen: per entity, count inbound
+    events followed within ``max_gap_s`` seconds by an outbound event of
+    nearly the same value (|Δ| ≤ tol·in_value) — the classic layering
+    pattern where funds touch an account only to leave it, which
+    per-event rules and daily rollups both miss.
+
+    Scale shape: the in- and out-legs are filtered projections; the
+    candidate join keys on (entity, time-bucket) with the in-leg
+    exploded to its own and the NEXT ``max_gap_s`` bucket — the
+    standard interval-join bucketing that bounds candidates to two
+    buckets per event instead of a per-entity cross join. Value
+    matching compares integer cents (exact). Output per entity:
+    (n_pass_through, total_in_value, min_gap_s) for entities with at
+    least one hit, ordered by count desc.
+    """
+    ebkt = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6))
+    gap = float(max_gap_s)
+    ins = (
+        df.where(F.col(type_col) == in_type)
+        .select(
+            F.col(entity_col).alias("__e"),
+            F.col(id_col).alias("__in_id"),
+            ebkt.alias("__in_t"),
+            F.floor(F.col(value_col) * 100).cast("long").alias("__in_c"),
+        )
+        .withColumn(
+            "__bkt",
+            F.explode(
+                F.array(
+                    F.floor(F.col("__in_t") / F.lit(gap)).cast("long"),
+                    F.floor(F.col("__in_t") / F.lit(gap)).cast("long")
+                    + F.lit(1),
+                )
+            ),
+        )
+    )
+    outs = df.where(F.col(type_col) == out_type).select(
+        F.col(entity_col).alias("__e"),
+        ebkt.alias("__out_t"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("__out_c"),
+        F.floor(ebkt / F.lit(gap)).cast("long").alias("__bkt"),
+    )
+    tol_c = F.floor(
+        F.col("__in_c").cast("double") * F.lit(float(tol)) + F.lit(0.5)
+    ).cast("long")
+    pairs = ins.join(outs, ["__e", "__bkt"]).where(
+        (F.col("__out_t") > F.col("__in_t"))
+        & (F.col("__out_t") <= F.col("__in_t") + F.lit(gap))
+        & (F.abs(F.col("__out_c") - F.col("__in_c")) <= tol_c)
+    )
+    # one hit per inbound event (the earliest matching outbound), so a
+    # burst of outbound legs cannot multiply-count one inbound
+    per_in = pairs.groupBy("__e", "__in_id", "__in_c").agg(
+        F.min(F.col("__out_t") - F.col("__in_t")).alias("__gap_s")
+    )
+    return (
+        per_in.groupBy(F.col("__e").alias(entity_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pass_through"),
+            (F.sum("__in_c").cast("double") / F.lit(100.0)).alias(
+                "total_in_value"
+            ),
+            (
+                F.floor(F.min("__gap_s") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("min_gap_s"),
+        )
+        .orderBy(F.col("n_pass_through").desc(), F.col(entity_col))
+    )
