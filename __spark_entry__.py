@@ -12479,6 +12479,114 @@ FROM per_in GROUP BY e
 """
 
 
+def q_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization fidelity audit per embedding: scale,
+    L2 reconstruction error, max abs error, saturated lanes — JVM array
+    built-ins only, sequential folds bit-identical to DuckDB list ops
+    (the embedding_near_dup contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_audit(emb, bits=8)
+
+
+_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> x::DOUBLE) AS v,
+    list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+      / 127.0 AS scale
+  FROM embeddings
+),
+staged AS (
+  SELECT vec_id, v, scale,
+    list_transform(
+      v, x -> greatest(least(round(x / scale, 0), 127.0), -127.0) * scale
+    ) AS r
+  FROM base
+),
+folded AS (
+  SELECT vec_id, len(v)::INT AS dim, scale,
+    list_sum(list_transform(v, x -> x * x)) AS nrm2,
+    list_sum([ (v[i] - r[i]) * (v[i] - r[i]) FOR i IN range(1, len(v) + 1) ])
+      AS err2,
+    list_aggregate(
+      [ abs(v[i] - r[i]) FOR i IN range(1, len(v) + 1) ], 'max'
+    ) AS maxerr,
+    list_sum(list_transform(
+      v, x -> CASE WHEN scale > 0
+              THEN (abs(round(x / scale, 0)) >= 127.0)::INT ELSE 0 END
+    ))::INT AS n_saturated
+  FROM staged
+)
+SELECT vec_id, dim,
+  floor(sqrt(nrm2) * 1000000 + 0.5) / 1000000.0 AS norm,
+  floor(scale * 1000000 + 0.5) / 1000000.0 AS scale,
+  floor(CASE WHEN nrm2 > 0 THEN sqrt(err2 / nrm2) END * 1000000 + 0.5)
+    / 1000000.0 AS rel_err_l2,
+  floor(CASE WHEN nrm2 > 0 THEN maxerr END * 1000000 + 0.5) / 1000000.0
+    AS max_abs_err,
+  coalesce(n_saturated, 0) AS n_saturated
+FROM folded
+"""
+
+
+def q_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day skewness + excess kurtosis per event type over
+    daily totals: all four rolling power sums are exact integer-cent
+    decimal folds; population g1/g2 assemble per row in closed form."""
+    ev = _events(spark, sf_dir)
+    return finance.rolling_skew_kurt(ev, window=14, min_obs=4)
+
+
+_SKEW_KURT_SQL = """
+WITH rolled AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+    sum(value::DECIMAL(25,2)) AS x_dec
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT event_type, bucket, x_dec::DOUBLE AS total,
+    (x_dec * 100)::HUGEINT AS c
+  FROM rolled
+),
+w AS (
+  SELECT event_type, bucket, total,
+    count(*) OVER win AS n,
+    (sum(c) OVER win)::VARCHAR::DOUBLE / 1e2 AS s1,
+    (sum(c * c) OVER win)::VARCHAR::DOUBLE / 1e4 AS s2,
+    (sum(c * c * c) OVER win)::VARCHAR::DOUBLE / 1e6 AS s3,
+    (sum(c * c * c * c) OVER win)::VARCHAR::DOUBLE / 1e8 AS s4
+  FROM staged
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT event_type, bucket, total, n::DOUBLE AS n,
+    s1 / n::DOUBLE AS mean,
+    s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE) AS m2,
+    s3 / n::DOUBLE - 3.0 * (s1 / n::DOUBLE) * s2 / n::DOUBLE
+      + 2.0 * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) AS m3,
+    s4 / n::DOUBLE - 4.0 * (s1 / n::DOUBLE) * s3 / n::DOUBLE
+      + 6.0 * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * s2 / n::DOUBLE
+      - 3.0 * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE)
+        * (s1 / n::DOUBLE) AS m4
+  FROM w
+)
+SELECT event_type, bucket, total, n::BIGINT AS n_obs,
+  floor(CASE WHEN n >= 4 THEN mean END * 1000000 + 0.5) / 1000000.0
+    AS roll_mean,
+  floor(CASE WHEN n >= 4 AND m2 > 0 THEN sqrt(abs(m2)) END
+        * 1000000 + 0.5) / 1000000.0 AS roll_std,
+  floor(CASE WHEN n >= 4 AND m2 > 0
+        THEN m3 / pow(CASE WHEN m2 > 0 THEN m2 ELSE 1.0 END, 1.5) END
+        * 1000000 + 0.5) / 1000000.0 AS roll_skew,
+  floor(CASE WHEN n >= 4 AND m2 > 0
+        THEN m4 / (CASE WHEN m2 > 0 THEN m2 ELSE 1.0 END
+                   * CASE WHEN m2 > 0 THEN m2 ELSE 1.0 END) - 3.0 END
+        * 1000000 + 0.5) / 1000000.0 AS roll_kurt_excess
+FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -12879,6 +12987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AML III (round 9b)
         "benford_second_digit": q_benford_second_digit,
         "rapid_movement": q_rapid_movement,
+        # embeddings / moments II (round 9b)
+        "quantize_audit": q_quantize_audit,
+        "rolling_skew_kurt": q_rolling_skew_kurt,
     }
 
 
@@ -13183,4 +13294,6 @@ def oracle_sql() -> dict[str, str]:
         "degree_distribution": _DEGREE_DIST_SQL,
         "benford_second_digit": _BENFORD2_SQL,
         "rapid_movement": _RAPID_SQL,
+        "quantize_audit": _QUANTIZE_SQL,
+        "rolling_skew_kurt": _SKEW_KURT_SQL,
     }

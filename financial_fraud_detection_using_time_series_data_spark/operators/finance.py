@@ -845,3 +845,76 @@ def garch_variance(
     return per.repartition(series_col).mapInPandas(
         _filter_partition, schema=schema
     )
+
+
+def rolling_skew_kurt(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "day",
+    window: int = 14,
+    min_obs: int = 4,
+) -> DataFrame:
+    """Trailing skewness and excess kurtosis of each series' bucket
+    totals — the fat-tail / asymmetry regime monitor that completes the
+    rolling-moment family (`realized_volatility` watches the 2nd
+    moment; fraud campaigns and flash events move the 3rd and 4th
+    first). Population estimators g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3 over
+    the trailing ``window`` buckets.
+
+    Bucket totals quantize to exact integer cents, so all four rolling
+    power sums (Σc, Σc², Σc³, Σc⁴) are pure decimal(38,0) integer folds
+    — window evaluation order cannot move them — and the central
+    moments assemble per row in closed-form IEEE arithmetic. One corpus
+    shuffle (the rollup) + one window exchange. NULL stats below
+    ``min_obs`` buckets or at zero variance.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    rolled = df.groupBy(series_col, b).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x_dec")
+    )
+    c = (F.col("__x_dec") * 100).cast("decimal(38,0)")
+    staged = rolled.select(
+        series_col,
+        "bucket",
+        F.col("__x_dec").cast("double").alias("total"),
+        c.alias("__c"),
+        (c * c).cast("decimal(38,0)").alias("__c2"),
+        (c * c * c).cast("decimal(38,0)").alias("__c3"),
+        (c * c * c * c).cast("decimal(38,0)").alias("__c4"),
+    )
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum("__c").over(w).cast("double") / F.lit(1e2)
+    s2 = F.sum("__c2").over(w).cast("double") / F.lit(1e4)
+    s3 = F.sum("__c3").over(w).cast("double") / F.lit(1e6)
+    s4 = F.sum("__c4").over(w).cast("double") / F.lit(1e8)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * s2 / n + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m * s3 / n
+        + F.lit(6.0) * m * m * s2 / n
+        - F.lit(3.0) * m * m * m * m
+    )
+    ok = (n >= min_obs) & (m2 > 0)
+    r6_ = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    safe_m2 = F.when(m2 > 0, m2).otherwise(F.lit(1.0))
+    return staged.select(
+        series_col,
+        "bucket",
+        "total",
+        n.cast("long").alias("n_obs"),
+        r6_(F.when(n >= min_obs, m)).alias("roll_mean"),
+        r6_(F.when(ok, F.sqrt(F.abs(m2)))).alias("roll_std"),
+        r6_(F.when(ok, m3 / F.pow(safe_m2, F.lit(1.5)))).alias("roll_skew"),
+        r6_(F.when(ok, m4 / (safe_m2 * safe_m2) - F.lit(3.0))).alias(
+            "roll_kurt_excess"
+        ),
+    )
