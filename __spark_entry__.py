@@ -11296,13 +11296,14 @@ ranked AS (
   FROM base
 ),
 pg AS (
-  SELECT g, count(*)::BIGINT AS ng, sum(r2)::VARCHAR::DOUBLE AS r2g
+  SELECT g, count(*)::BIGINT AS ng, sum(r2)::HUGEINT AS r2g
   FROM ranked GROUP BY g
 ),
 gtot AS (
   SELECT sum(ng)::DOUBLE AS N, count(*)::DOUBLE AS k,
-    sum(floor(r2g * r2g / (4.0 * ng::DOUBLE) * 1000000.0
-              + 0.5)::HUGEINT)::VARCHAR::DOUBLE AS r_micro
+    sum((r2g * r2g) // ng)::VARCHAR::DOUBLE AS q,
+    sum(floor(((r2g * r2g) % ng)::DOUBLE / ng::DOUBLE * 1e9
+              + 0.5)::HUGEINT)::VARCHAR::DOUBLE AS f_nano
   FROM pg
 ),
 ties AS (
@@ -11311,10 +11312,12 @@ ties AS (
 )
 SELECT N::BIGINT AS n, k::BIGINT AS k,
   CASE WHEN k > 1 AND N > 1
-  THEN 12.0 / (N * (N + 1.0)) * (r_micro / 1000000.0) - 3.0 * (N + 1.0)
+  THEN 12.0 / (N * (N + 1.0)) * ((q + f_nano / 1e9) / 4.0)
+       - 3.0 * (N + 1.0)
   END AS h,
   CASE WHEN k > 1 AND N > 1 AND 1.0 - tie / (N * N * N - N) > 0
-  THEN (12.0 / (N * (N + 1.0)) * (r_micro / 1000000.0) - 3.0 * (N + 1.0))
+  THEN (12.0 / (N * (N + 1.0)) * ((q + f_nano / 1e9) / 4.0)
+        - 3.0 * (N + 1.0))
        / (1.0 - tie / (N * N * N - N))
   END AS h_corrected
 FROM gtot, ties

@@ -126,11 +126,14 @@ def kruskal_wallis(
 
     H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), tie-corrected by
     C = 1 − Σ(t³−t)/(N³−N). R_g folds as the exact BIGINT Σ n_gv·r2(v)
-    (doubled average ranks); the per-group float term R_g²/n_g is
-    micro-scaled to a 1e-6 integer grid before the cross-group fold
-    (the `anova_f` convention — a float Σ over groups varies with
-    aggregation order). Tie counts come off the distinct-value frame
-    as pure integers.
+    (doubled average ranks). The cross-group fold of R_g²/n_g is split
+    EXACTLY: with r2 = 2R, Σ 4R_g²/n_g = Σ (r2_g² div n_g) +
+    Σ (r2_g² mod n_g)/n_g — the quotient folds as an exact decimal
+    integer and each fractional remainder is < 1, so its 1e-9-grid
+    micro-fold cannot lose precision at ANY corpus size (a fixed 1e-6
+    micro-grid on the raw term overflows int64 once R_g² passes ~1e19
+    — caught by the sf0.1 hash sweep). Tie counts come off the
+    distinct-value frame as pure integers.
 
     Scale shape: one (group, value) rollup, one distinct-value rank
     frame (chunked cumsum), a hash join between the two on value, one
@@ -152,16 +155,20 @@ def kruskal_wallis(
             ),
         )
     )
-    # R_g²/n_g = (R2_g/2)²/n_g, micro-folded per the anova_f convention
-    r2g = F.col("__r2g").cast("double")
-    ng = F.col("__ng").cast("double")
-    rterm_micro = F.floor(
-        r2g * r2g / (F.lit(4.0) * ng) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("decimal(38,0)")
+    # 4·R_g²/n_g = r2_g² div n_g (exact decimal) + (r2_g² mod n_g)/n_g
+    # (each < 1, folded on the 1e-9 grid — magnitude-safe at any SF)
+    r2sq = (F.col("__r2g") * F.col("__r2g")).cast("decimal(38,0)")
+    ngd = F.col("__ng").cast("decimal(38,0)")
+    mod = (r2sq % ngd).cast("decimal(38,0)")
+    quot = ((r2sq - mod) / ngd).cast("decimal(38,0)")
+    frac = mod.cast("double") / F.col("__ng").cast("double")
     gtot = per_group.agg(
         F.sum("__ng").cast("double").alias("__N"),
         F.count(F.lit(1)).cast("double").alias("__k"),
-        F.sum(rterm_micro).alias("__r_micro"),
+        F.sum(quot).alias("__q"),
+        F.sum(
+            F.floor(frac * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__f_nano"),
     )
     t = F.col("cnt").cast("long")
     ties = ranks.agg(
@@ -170,7 +177,11 @@ def kruskal_wallis(
     tot = gtot.crossJoin(F.broadcast(ties))
     N = F.col("__N")
     k = F.col("__k")
-    rsum = F.col("__r_micro").cast("double") / F.lit(1_000_000.0)
+    # Σ R_g²/n_g = (Σq + Σfrac) / 4
+    rsum = (
+        F.col("__q").cast("double")
+        + F.col("__f_nano").cast("double") / F.lit(1e9)
+    ) / F.lit(4.0)
     h = F.lit(12.0) / (N * (N + F.lit(1.0))) * rsum - F.lit(3.0) * (
         N + F.lit(1.0)
     )
