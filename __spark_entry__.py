@@ -6415,19 +6415,26 @@ WITH g AS (
     sum((value::DECIMAL(25,6) * value::DECIMAL(25,6))::DECIMAL(38,8)) AS ss
   FROM events WHERE value IS NOT NULL GROUP BY event_type
 ),
-tot AS (
-  SELECT sum(n)::DOUBLE AS N, sum(s)::DOUBLE AS S, count(*)::DOUBLE AS k,
-    sum(floor(s::DOUBLE * s::DOUBLE / n::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS sb_micro,
-    sum(floor((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) * 1000000.0 + 0.5)::BIGINT) AS sw_micro
+sp AS (
+  SELECT n, s, ss, (s * 1000000)::HUGEINT AS sm,
+    n::HUGEINT * 1000000000000::HUGEINT AS d
   FROM g
+),
+tot AS (
+  SELECT sum(n)::DOUBLE AS N, sum(s)::VARCHAR::DOUBLE AS S,
+    sum(ss)::VARCHAR::DOUBLE AS SS, count(*)::DOUBLE AS k,
+    sum((sm * sm) // d)::VARCHAR::DOUBLE AS q,
+    sum(floor(((sm * sm) % d)::DOUBLE / d::DOUBLE * 1e9 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE AS f_nano
+  FROM sp
 ),
 asm AS (
   SELECT N::BIGINT AS n, k::BIGINT AS k,
-    sb_micro::DOUBLE / 1000000.0 - S * S / N AS ssb,
-    sw_micro::DOUBLE / 1000000.0 AS ssw,
-    (sb_micro::DOUBLE / 1000000.0 - S * S / N) / (k - 1.0)
-      / (sw_micro::DOUBLE / 1000000.0 / (N - k)) AS f,
-    k AS kk, sw_micro
+    (q + f_nano / 1e9) - S * S / N AS ssb,
+    SS - (q + f_nano / 1e9) AS ssw,
+    ((q + f_nano / 1e9) - S * S / N) / (k - 1.0)
+      / ((SS - (q + f_nano / 1e9)) / (N - k)) AS f,
+    k AS kk
   FROM tot
 )
 SELECT n, k,
@@ -11394,24 +11401,28 @@ z AS (
 ),
 g AS (
   SELECT event_type, count(*)::BIGINT AS n,
-    sum(zmic)::VARCHAR::DOUBLE / 1e9 AS s,
-    sum(zmic::HUGEINT * zmic::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS ss
+    sum(zmic)::HUGEINT AS s_nano,
+    sum(zmic::HUGEINT * zmic::HUGEINT)::HUGEINT AS ss_n2
   FROM z GROUP BY event_type
+),
+sp AS (
+  SELECT n, s_nano, ss_n2,
+    n::HUGEINT * 1000000000::HUGEINT * 1000000000::HUGEINT AS d
+  FROM g
 ),
 tot AS (
   SELECT sum(n)::DOUBLE AS N, count(*)::DOUBLE AS k,
-    sum(floor(s * 1000000.0 + 0.5)::HUGEINT)::VARCHAR::DOUBLE AS s_micro,
-    sum(floor(s * s / n::DOUBLE * 1000000.0 + 0.5)::HUGEINT)
-      ::VARCHAR::DOUBLE AS sb_micro,
-    sum(floor((ss - s * s / n::DOUBLE) * 1000000.0 + 0.5)::HUGEINT)
-      ::VARCHAR::DOUBLE AS sw_micro
-  FROM g
+    sum(s_nano)::VARCHAR::DOUBLE AS S_nano,
+    sum(ss_n2)::VARCHAR::DOUBLE AS SS_n2,
+    sum((s_nano * s_nano) // d)::VARCHAR::DOUBLE AS q,
+    sum(floor(((s_nano * s_nano) % d)::DOUBLE / d::DOUBLE * 1e9
+              + 0.5)::HUGEINT)::VARCHAR::DOUBLE AS f_nano
+  FROM sp
 ),
 asm AS (
   SELECT N, k,
-    sb_micro / 1000000.0
-      - (s_micro / 1000000.0) * (s_micro / 1000000.0) / N AS ssb,
-    sw_micro / 1000000.0 AS ssw
+    (q + f_nano / 1e9) - (S_nano / 1e9) * (S_nano / 1e9) / N AS ssb,
+    SS_n2 / 1e18 - (q + f_nano / 1e9) AS ssw
   FROM tot
 )
 SELECT N::BIGINT AS n, k::BIGINT AS k,

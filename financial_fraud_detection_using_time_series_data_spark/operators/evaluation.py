@@ -626,6 +626,14 @@ def anova_f(
     F = (SSB/(k−1)) / (SSW/(N−k)). Groups with NULL value rows drop
     those rows; NULL F when fewer than 2 groups or zero within-group
     variance. Returns one row: (n, k, ss_between, ss_within, f_stat).
+
+    Cross-group fold exactness: the per-group term s²/n splits into
+    S² div (n·10¹²) (an exact decimal quotient; S = s in 1e-6 units)
+    plus a fractional remainder < 1 folded on the 1e-9 grid — a fixed
+    micro-grid on the raw term overflows int64 once s² passes ~1e19
+    (the kruskal_wallis sf0.1 lesson, fixed here proactively). Valid
+    while S² fits decimal(38): ~1e10 rows per group at cent-scale
+    values; beyond that, merge `incremental_moments` partials instead.
     """
     v = F.col(value_col).cast(value_scale)
     g = df.where(F.col(value_col).isNotNull()).groupBy(group_col).agg(
@@ -633,26 +641,37 @@ def anova_f(
         F.sum(v).alias("__s"),
         F.sum((v * v).cast("decimal(38,8)")).alias("__ss"),
     )
-    n = F.col("__n").cast("double")
-    s = F.col("__s").cast("double")
-    ss = F.col("__ss").cast("double")
-    # per-group float terms are micro-scaled to exact BIGINT before the
-    # cross-group fold — a float Σ over groups differs in its last bits
-    # with aggregation order (and between engines)
-    sb_micro = F.floor(s * s / n * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
-    sw_micro = F.floor((ss - s * s / n) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    d38 = "decimal(38,0)"
+    s_micro = (F.col("__s").cast("decimal(31,6)") * F.lit(1_000_000)).cast(
+        d38
+    )
+    denom = (
+        F.col("__n").cast(d38) * F.lit(1_000_000_000_000).cast(d38)
+    ).cast(d38)
+    s2 = (s_micro * s_micro).cast(d38)
+    mod = (s2 % denom).cast(d38)
+    quot = ((s2 - mod) / denom).cast(d38)
+    frac = mod.cast("double") / denom.cast("double")
     tot = g.agg(
         F.sum("__n").cast("double").alias("__N"),
         F.sum("__s").cast("double").alias("__S"),
+        F.sum("__ss").cast("double").alias("__SS"),
         F.count(F.lit(1)).cast("double").alias("__k"),
-        F.sum(sb_micro).alias("__sb_micro"),
-        F.sum(sw_micro).alias("__sw_micro"),
+        F.sum(quot).alias("__q"),
+        F.sum(
+            F.floor(frac * F.lit(1e9) + F.lit(0.5)).cast(d38)
+        ).alias("__f_nano"),
     )
     N = F.col("__N")
     S = F.col("__S")
     k = F.col("__k")
-    ssb = F.col("__sb_micro").cast("double") / F.lit(1_000_000.0) - S * S / N
-    ssw = F.col("__sw_micro").cast("double") / F.lit(1_000_000.0)
+    # Σ s_g²/n_g, exact integer part + sub-1 fractional part
+    sb_sum = (
+        F.col("__q").cast("double")
+        + F.col("__f_nano").cast("double") / F.lit(1e9)
+    )
+    ssb = sb_sum - S * S / N
+    ssw = F.col("__SS") - sb_sum
     f = (ssb / (k - F.lit(1.0))) / (ssw / (N - k))
     return tot.select(
         N.cast("long").alias("n"),

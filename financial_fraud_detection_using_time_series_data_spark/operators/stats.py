@@ -303,30 +303,40 @@ def brown_forsythe(
             F.sum((z * z).cast("decimal(38,0)")).alias("__ss"),
         )
     )
-    n = F.col("__n").cast("double")
-    s = F.col("__s").cast("double") / F.lit(1e9)
-    ss = F.col("__ss").cast("double") / F.lit(1e18)
-    sb_micro = F.floor(s * s / n * F.lit(1_000_000.0) + F.lit(0.5)).cast(
-        "decimal(38,0)"
-    )
-    sw_micro = F.floor(
-        (ss - s * s / n) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    s_micro = F.floor(s * F.lit(1_000_000.0) + F.lit(0.5)).cast(
-        "decimal(38,0)"
-    )
+    # cross-group fold, magnitude-safe (the kruskal_wallis sf0.1
+    # lesson): s²/n splits into S² div (n·10¹⁸) — S = Σz in exact nano
+    # units — plus a sub-1 remainder on the 1e-9 grid; Σz and Σz² fold
+    # as exact decimals, so no float of unbounded magnitude is ever
+    # micro-gridded
+    d38 = "decimal(38,0)"
+    denom = (
+        F.col("__n").cast(d38)
+        * F.lit(1_000_000_000).cast(d38)
+        * F.lit(1_000_000_000).cast(d38)
+    ).cast(d38)
+    s2 = (F.col("__s").cast(d38) * F.col("__s").cast(d38)).cast(d38)
+    mod = (s2 % denom).cast(d38)
+    quot = ((s2 - mod) / denom).cast(d38)
+    frac = mod.cast("double") / denom.cast("double")
     tot = g.agg(
         F.sum("__n").cast("double").alias("__N"),
         F.count(F.lit(1)).cast("double").alias("__k"),
-        F.sum(s_micro).alias("__S_micro"),
-        F.sum(sb_micro).alias("__sb_micro"),
-        F.sum(sw_micro).alias("__sw_micro"),
+        F.sum("__s").cast("double").alias("__S_nano"),
+        F.sum(F.col("__ss")).cast("double").alias("__SS_n2"),
+        F.sum(quot).alias("__q"),
+        F.sum(
+            F.floor(frac * F.lit(1e9) + F.lit(0.5)).cast(d38)
+        ).alias("__f_nano"),
     )
     N = F.col("__N")
     k = F.col("__k")
-    S = F.col("__S_micro").cast("double") / F.lit(1_000_000.0)
-    ssb = F.col("__sb_micro").cast("double") / F.lit(1_000_000.0) - S * S / N
-    ssw = F.col("__sw_micro").cast("double") / F.lit(1_000_000.0)
+    S = F.col("__S_nano") / F.lit(1e9)
+    sb_sum = (
+        F.col("__q").cast("double")
+        + F.col("__f_nano").cast("double") / F.lit(1e9)
+    )
+    ssb = sb_sum - S * S / N
+    ssw = F.col("__SS_n2") / F.lit(1e18) - sb_sum
     f = (ssb / (k - F.lit(1.0))) / (ssw / (N - k))
     return tot.select(
         N.cast("long").alias("n"),
