@@ -12314,12 +12314,9 @@ WITH per AS (
 m AS (
   SELECT count(*)::DOUBLE AS n,
     sum(x_dec)::DOUBLE AS sx, sum(y_dec)::DOUBLE AS sy,
-    sum(floor(x_dec::DOUBLE * x_dec::DOUBLE * 1e6 + 0.5)::HUGEINT)
-      ::VARCHAR::DOUBLE / 1e6 AS sxx,
-    sum(floor(y_dec::DOUBLE * y_dec::DOUBLE * 1e6 + 0.5)::HUGEINT)
-      ::VARCHAR::DOUBLE / 1e6 AS syy,
-    sum(floor(x_dec::DOUBLE * y_dec::DOUBLE * 1e6 + 0.5)::HUGEINT)
-      ::VARCHAR::DOUBLE / 1e6 AS sxy
+    sum((x_dec * x_dec)::DECIMAL(38,4))::VARCHAR::DOUBLE AS sxx,
+    sum((y_dec * y_dec)::DECIMAL(38,4))::VARCHAR::DOUBLE AS syy,
+    sum((x_dec * y_dec)::DECIMAL(38,4))::VARCHAR::DOUBLE AS sxy
   FROM per
 ),
 a AS (

@@ -1145,21 +1145,18 @@ def cuped(
             F.sum(F.when(F.col(ts_col) >= split, v)), F.lit(0).cast("decimal(25,2)")
         ).alias("__y_dec"),
     )
-    x = F.col("__x_dec").cast("double")
-    y = F.col("__y_dec").cast("double")
-
-    def micro(c):
-        return F.sum(
-            F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
-        ).cast("double") / F.lit(1e6)
-
+    xd = F.col("__x_dec")
+    yd = F.col("__y_dec")
+    # cent-valued per-entity totals: the cross-moments are EXACT
+    # decimal(38,4) products, so the fold needs no micro-grid at all
+    # (and cannot overflow one, whale entities included)
     agg = per.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__x_dec").cast("double").alias("__sx"),
         F.sum("__y_dec").cast("double").alias("__sy"),
-        micro(x * x).alias("__sxx"),
-        micro(y * y).alias("__syy"),
-        micro(x * y).alias("__sxy"),
+        F.sum((xd * xd).cast("decimal(38,4)")).cast("double").alias("__sxx"),
+        F.sum((yd * yd).cast("decimal(38,4)")).cast("double").alias("__syy"),
+        F.sum((xd * yd).cast("decimal(38,4)")).cast("double").alias("__sxy"),
     )
     n = F.col("__n").cast("double")
     sx, sy = F.col("__sx"), F.col("__sy")
