@@ -12598,6 +12598,68 @@ FROM m
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: 1996 revenue in the 5-7% discount band on
+    quantity<24 lines — the purest pushdown probe (every predicate
+    reaches the scan); discount band compared on integer basis points;
+    one decimal-exact 1-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return tpch.forecast_revenue_change(
+        li, year=1996, discount_mid=0.06, discount_band=0.01, max_qty=24.0
+    )
+
+
+_Q6_SQL = """
+SELECT count(*)::BIGINT AS n_lines,
+  sum((l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))
+      ::DECIMAL(38,4))::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND floor(l_discount * 10000.0 + 0.5) BETWEEN 500 AND 700
+  AND l_quantity < 24.0
+"""
+
+
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (schema-adapted): suppliers last to ship in
+    multi-supplier orders lagging the first shipment by ≥60 days —
+    one per-order extreme fold, laggard flag join, broadcast nation
+    dim, deterministic TakeOrderedAndProject top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    return tpch.waiting_supplier(li, su, na, min_lag_days=60, top_n=20)
+
+
+_Q21_SQL = """
+WITH po AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx, min(l_shipdate) AS mn,
+    count(DISTINCT l_suppkey) AS ns
+  FROM lineitem GROUP BY l_orderkey
+),
+qual AS (
+  SELECT l_orderkey, mx FROM po
+  WHERE ns >= 2 AND mx >= mn + INTERVAL 60 DAY
+),
+laggards AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN qual q
+    ON q.l_orderkey = l.l_orderkey AND l.l_shipdate = q.mx
+),
+counts AS (
+  SELECT l_suppkey, count(*)::BIGINT AS wait_count
+  FROM laggards GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation, c.wait_count
+FROM counts c
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY c.wait_count DESC, s.s_suppkey ASC
+LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -13001,6 +13063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings / moments II (round 9b)
         "quantize_audit": q_quantize_audit,
         "rolling_skew_kurt": q_rolling_skew_kurt,
+        # decision-support additions (round 9b)
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "waiting_supplier": q_waiting_supplier,
     }
 
 
@@ -13307,4 +13372,6 @@ def oracle_sql() -> dict[str, str]:
         "rapid_movement": _RAPID_SQL,
         "quantize_audit": _QUANTIZE_SQL,
         "rolling_skew_kurt": _SKEW_KURT_SQL,
+        "forecast_revenue_change": _Q6_SQL,
+        "waiting_supplier": _Q21_SQL,
     }

@@ -770,3 +770,109 @@ def abc_classification(
         "cum_share",
         cls.alias("abc_class"),
     ).orderBy(F.desc("revenue"), "l_partkey")
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = 1994,
+    discount_mid: float = 0.06,
+    discount_band: float = 0.01,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """Q6 shape: revenue that would be recovered by eliminating a
+    discount band on small-quantity lines in one year — the simplest
+    TPC-H query and the purest pushdown test: ALL predicates (year
+    range, discount band, quantity cap) must reach the parquet scan,
+    and the answer is one decimal-exact Σ(extendedprice · discount).
+
+    Discount-band comparison is on integer basis points (discount is a
+    2-decimal fraction; float ± on 0.05/0.07 literals risks boundary
+    rows), matching the oracle bit-for-bit. The year filter is an
+    explicit [Jan 1, Jan 1) range — a `year()` wrapper would defeat
+    parquet predicate pushdown (pin: l_shipdate appears in
+    PushedFilters). One filter + one 1-row map-side-combined aggregate
+    — zero shuffles beyond the final fold.
+    """
+    bp = F.floor(F.col("l_discount") * F.lit(10000.0) + F.lit(0.5))
+    lo = int(round((discount_mid - discount_band) * 10000))
+    hi = int(round((discount_mid + discount_band) * 10000))
+    picked = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(f"{int(year)}-01-01").cast("timestamp"))
+        & (
+            F.col("l_shipdate")
+            < F.lit(f"{int(year) + 1}-01-01").cast("timestamp")
+        )
+        & (bp >= lo)
+        & (bp <= hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev = F.col("l_extendedprice").cast(D) * F.col("l_discount").cast(D)
+    return picked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(rev.cast("decimal(38,4)")).cast("double").alias("revenue"),
+    )
+
+
+def waiting_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    min_lag_days: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Q21 shape (adapted to this schema — no commit/receipt dates):
+    suppliers who were the LAST to ship in a multi-supplier order,
+    lagging the order's first shipment by ≥ ``min_lag_days`` — the
+    "who keeps everyone waiting" report a fulfillment review reads.
+
+    Per-order extremes fold in ONE map-side-combined aggregate
+    (max/min shipdate + distinct-supplier count via a two-phase
+    distinct), then a broadcast-able join flags each order's laggard
+    lines; one supplier-level count with the nation dim broadcast on
+    top. A multi-line laggard in one order counts once (distinct
+    order×supplier). Output: top-N suppliers by wait count.
+    """
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("__last"),
+            F.min("l_shipdate").alias("__first"),
+            F.countDistinct("l_suppkey").alias("__nsupp"),
+        )
+        .where(
+            (F.col("__nsupp") >= 2)
+            & (
+                F.col("__last")
+                >= F.col("__first")
+                + F.expr(f"INTERVAL {int(min_lag_days)} DAYS")
+            )
+        )
+    )
+    laggards = (
+        lineitem.join(per_order, "l_orderkey")
+        .where(F.col("l_shipdate") == F.col("__last"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    counts = laggards.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("wait_count")
+    )
+    dim = supplier.join(
+        nation, supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "s_name", "n_name")
+    out = counts.join(F.broadcast(dim), counts["l_suppkey"] == dim["s_suppkey"])
+    # deterministic top-N via orderBy+limit -> TakeOrderedAndProject
+    # (per-partition heaps + a k-row driver merge, never a global sort
+    # or a partitionless rank window)
+    return (
+        out.select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "wait_count",
+        )
+        .orderBy(F.col("wait_count").desc(), F.col("s_suppkey").asc())
+        .limit(int(top_n))
+    )
