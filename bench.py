@@ -269,6 +269,16 @@ BENCH_QUERIES = [
     "runs_test",
     "pinball_loss",
     "theil_atkinson",
+    "assortativity",
+    "degree_distribution",
+    "benford_second_digit",
+    "rapid_movement",
+    "quantize_audit",
+    "rolling_skew_kurt",
+    "srm_check",
+    "cuped",
+    "forecast_revenue_change",
+    "waiting_supplier",
 ]
 
 
