@@ -12660,6 +12660,123 @@ LIMIT 20
 """
 
 
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence vs the corpus token distribution
+    (add-0.5 smoothing): the absent-token mass folds in closed form
+    (one shared p₀ per domain), so the plan never materializes a
+    domains×vocab cross join — one (source, token) rollup, one vocab
+    equi-join, broadcast scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.domain_kl(docs, "source", "text", alpha=0.5)
+
+
+_DOMAIN_KL_SQL = r"""
+WITH base AS (
+  SELECT source AS d,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT d, t FROM (
+    SELECT d, unnest(string_split(norm, ' ')) AS t FROM base
+  ) WHERE length(t) > 0
+),
+dt AS (SELECT d, t, count(*)::BIGINT AS n_dt FROM tok GROUP BY 1, 2),
+vocab AS (SELECT t, sum(n_dt)::BIGINT AS n_t FROM dt GROUP BY t),
+vtot AS (SELECT count(*)::BIGINT AS V, sum(n_t)::BIGINT AS N FROM vocab),
+vq AS (
+  SELECT t, floor(ln((n_t + 0.5) / (N + 0.5 * V)) * 1e9 + 0.5)::BIGINT AS lq
+  FROM vocab, vtot
+),
+l_all AS (SELECT sum(lq)::VARCHAR::DOUBLE AS L_all FROM vq),
+doms AS (
+  SELECT d, sum(n_dt)::BIGINT AS n_d, count(*)::BIGINT AS v_seen
+  FROM dt GROUP BY d
+),
+folded AS (
+  SELECT dt.d,
+    sum(floor(
+      ((dt.n_dt + 0.5) / (doms.n_d + 0.5 * vtot.V))
+      * (ln((dt.n_dt + 0.5) / (doms.n_d + 0.5 * vtot.V))
+         - vq.lq::DOUBLE / 1e9) * 1e9 + 0.5
+    )::HUGEINT)::VARCHAR::DOUBLE / 1e9 AS kl_seen,
+    sum(vq.lq)::VARCHAR::DOUBLE AS L_seen
+  FROM dt JOIN vq USING (t) JOIN doms ON doms.d = dt.d CROSS JOIN vtot
+  GROUP BY dt.d
+)
+SELECT doms.d AS source, doms.n_d AS n_tokens, doms.v_seen AS vocab_seen,
+  floor((folded.kl_seen
+         + (0.5 / (doms.n_d + 0.5 * vtot.V))
+           * ((vtot.V - doms.v_seen)::DOUBLE
+                * ln(0.5 / (doms.n_d + 0.5 * vtot.V))
+              - (l_all.L_all - folded.L_seen) / 1e9))
+        * 1e6 + 0.5) / 1e6 AS kl_nats
+FROM doms JOIN folded ON folded.d = doms.d CROSS JOIN vtot CROSS JOIN l_all
+"""
+
+
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified Theta-method 7-step forecast per user over daily spend
+    rollups: SES level (mapInPandas recursion, holt contract) + half the
+    OLS trend slope from exact integer cent×index sums; the oracle
+    replays the recursion as a recursive CTE."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import forecast
+
+    ev = _events(spark, sf_dir)
+    out = forecast.theta_forecast(ev, alpha=0.3, horizon=7)
+    return out.select(
+        "user_id",
+        "step",
+        E.r6("forecast").alias("forecast"),
+        E.r6("level").alias("level"),
+        E.r6("slope").alias("slope"),
+        "n_obs",
+    )
+
+
+_THETA_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+    sum(value::DECIMAL(25,2))::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT user_id, y,
+    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+), sl AS (
+  SELECT user_id, max(n) AS n,
+    (sum(i::HUGEINT * floor(y * 100 + 0.5)::HUGEINT) * max(n)::HUGEINT
+     - (max(n)::HUGEINT * (max(n) + 1)::HUGEINT // 2)
+       * sum(floor(y * 100 + 0.5)::HUGEINT))::VARCHAR::DOUBLE
+    / ((max(n)::HUGEINT * (max(n) + 1)::HUGEINT * (2 * max(n) + 1)::HUGEINT // 6)
+        * max(n)::HUGEINT
+       - (max(n)::HUGEINT * (max(n) + 1)::HUGEINT // 2)
+         * (max(n)::HUGEINT * (max(n) + 1)::HUGEINT // 2))::VARCHAR::DOUBLE
+    / 100.0 AS b
+  FROM ser GROUP BY user_id HAVING max(n) >= 2
+), st AS (
+  SELECT user_id, n, 1::BIGINT AS i, y AS lev
+  FROM ser WHERE i = 1 AND n >= 2
+  UNION ALL
+  SELECT st.user_id, st.n, st.i + 1,
+    {0.3!r}::DOUBLE * s.y + {1.0 - 0.3!r}::DOUBLE * st.lev
+  FROM st JOIN ser s ON s.user_id = st.user_id AND s.i = st.i + 1
+  WHERE st.i < st.n
+), fin AS (
+  SELECT * FROM st WHERE i = n
+)
+SELECT f.user_id, k.step::INT AS step,
+  {_R6.format("f.lev + 0.5 * sl.b * k.step")} AS forecast,
+  {_R6.format("f.lev")} AS level,
+  {_R6.format("sl.b")} AS slope,
+  f.n::BIGINT AS n_obs
+FROM fin f
+JOIN sl ON sl.user_id = f.user_id
+CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -13066,6 +13183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decision-support additions (round 9b)
         "forecast_revenue_change": q_forecast_revenue_change,
         "waiting_supplier": q_waiting_supplier,
+        # corpus-mixture + forecasting additions (round 9b)
+        "domain_kl": q_domain_kl,
+        "theta_forecast": q_theta_forecast,
     }
 
 
@@ -13374,4 +13494,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_skew_kurt": _SKEW_KURT_SQL,
         "forecast_revenue_change": _Q6_SQL,
         "waiting_supplier": _Q21_SQL,
+        "domain_kl": _DOMAIN_KL_SQL,
+        "theta_forecast": _THETA_SQL,
     }

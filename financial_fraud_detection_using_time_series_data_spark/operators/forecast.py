@@ -561,3 +561,86 @@ def pinball_loss(
             "pinball"
         ),
     )
+
+
+def theta_forecast(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "day",
+    alpha: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Simplified Theta-method forecast per entity (Assimakopoulos &
+    Nikolopoulos 2000, the M3-competition winner in its SES+drift
+    reduction): ŷ_{n+k} = ℓ_n + (b/2)·k, where ℓ_n is the SES level of
+    the series and b the OLS trend slope — the theta(0)/theta(2) line
+    average. Completes the forecasting shelf next to `holt_forecast`
+    (additive trend) and `croston_forecast` (intermittent demand).
+
+    The SES recursion is inherently sequential per series, so it runs
+    in mapInPandas over the |entities|·|buckets| rollup (the
+    `holt_forecast` contract — the corpus collapsed in ONE map-side-
+    combined shuffle first). The slope folds from EXACT integer sums
+    (t indices × cent values as Python bigints, overflow-free), so both
+    the recursion inputs and the drift are bit-reproducible against the
+    recursive-CTE oracle. Entities with fewer than 2 buckets drop.
+    Emits per (entity, step 1..horizon): forecast, level, slope, n_obs.
+    """
+    a, h = float(alpha), int(horizon)
+    rolled = df.groupBy(
+        F.col(entity_col).alias("__e"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__y")
+    )
+
+    schema = (
+        f"{entity_col} long, step int, forecast double, "
+        "level double, slope double, n_obs long"
+    )
+
+    def _fit_partition(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ents, steps, fcs, levs, slopes, ns = [], [], [], [], [], []
+        for ent, g in pdf.sort_values(["__e", "__b"]).groupby("__e", sort=False):
+            y = [float(v) for v in g["__y"]]
+            n = len(y)
+            if n < 2:
+                continue
+            # OLS slope from exact integer sums (cents × 1-based index)
+            cents = [int(round(v * 100)) for v in y]
+            st = n * (n + 1) // 2
+            stt = n * (n + 1) * (2 * n + 1) // 6
+            sy = sum(cents)
+            sty = sum((i + 1) * c for i, c in enumerate(cents))
+            num = float(n * sty - st * sy)
+            den = float(n * stt - st * st)
+            b = num / den / 100.0
+            lev = y[0]
+            for t in range(1, n):
+                lev = a * y[t] + (1.0 - a) * lev
+            ents.extend([ent] * h)
+            steps.extend(range(1, h + 1))
+            fcs.extend(lev + 0.5 * b * k for k in range(1, h + 1))
+            levs.extend([lev] * h)
+            slopes.extend([b] * h)
+            ns.extend([n] * h)
+        yield pd.DataFrame(
+            {
+                entity_col: pd.Series(ents, dtype="int64"),
+                "step": pd.Series(steps, dtype="int32"),
+                "forecast": pd.Series(fcs, dtype="float64"),
+                "level": pd.Series(levs, dtype="float64"),
+                "slope": pd.Series(slopes, dtype="float64"),
+                "n_obs": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    return rolled.repartition("__e").mapInPandas(_fit_partition, schema=schema)

@@ -1566,3 +1566,102 @@ def heaps_law(
         r6(F.when(ok, beta)).alias("beta"),
         r6(F.when(ok, k)).alias("k"),
     )
+
+
+def domain_kl(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-domain KL divergence of the token distribution against the
+    whole corpus, with add-α smoothing over the shared vocabulary — the
+    mixture-balance diagnostic behind `mixture_sample`'s rates: a
+    domain with high KL(P_domain ‖ P_corpus) is the one dragging the
+    trained model off-distribution, and a near-zero KL flags a domain
+    that adds volume but no diversity (see also `log_odds_tokens` for
+    the per-token view; this is the one-number-per-domain rollup).
+
+    KL = Σ_v p_d(v)·ln(p_d(v)/p_c(v)) with p(v) = (n_v + α)/(N + α·|V|).
+    The naive evaluation densifies domains × vocabulary; here the
+    absent-token mass folds in CLOSED FORM instead — every token absent
+    from a domain shares ONE p₀ = α/(N_d + α|V|), so its total
+    contribution is p₀·[(|V| − seen)·ln p₀ − (L_all − L_seen)], with
+    L = Σ ln p_c over the respective token sets. L terms quantize
+    per-token to the 1e-9 grid (O(ln p) magnitude — safe at any size),
+    L_all is a 1-row corpus constant, and the plan never materializes a
+    cross join.
+
+    Scale shape: one (domain, token) rollup is the only corpus-sized
+    pass; one equi-join against the |V|-row vocab frame; two broadcast
+    scalar dims. Returns per domain: (n_tokens, vocab_seen, kl_nats).
+    """
+    tok = df.select(
+        F.col(domain_col).alias("__d"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.length("__t") > 0)
+    dt = tok.groupBy("__d", "__t").agg(F.count(F.lit(1)).alias("__n_dt"))
+    dt = dt.localCheckpoint()  # feeds the vocab dim and the seen fold
+    vocab = dt.groupBy("__t").agg(F.sum("__n_dt").alias("__n_t"))
+    vocab = vocab.localCheckpoint()
+    a = float(alpha)
+    vtot = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("__V"),
+        F.sum("__n_t").cast("long").alias("__N"),
+    )
+    # per-token corpus log-prob on the 1e-9 grid (shared by both L sums)
+    p_c = lambda: (F.col("__n_t") + F.lit(a)) / (
+        F.col("__N") + F.lit(a) * F.col("__V")
+    )
+    vq = vocab.crossJoin(F.broadcast(vtot)).select(
+        "__t",
+        "__n_t",
+        F.floor(F.log(p_c()) * F.lit(1e9) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("__lq"),
+    )
+    l_all = vq.agg(F.sum("__lq").alias("__L_all"))
+    doms = dt.groupBy("__d").agg(
+        F.sum("__n_dt").cast("long").alias("__n_d"),
+        F.count(F.lit(1)).cast("long").alias("__v_seen"),
+    )
+    seen = dt.join(vq, "__t").crossJoin(F.broadcast(vtot))
+    p_d = (F.col("__n_dt") + F.lit(a)) / (
+        F.col("__n_d") + F.lit(a) * F.col("__V")
+    )
+    term = p_d * (
+        F.log(p_d) - F.col("__lq").cast("double") / F.lit(1e9)
+    )
+    folded = (
+        seen.join(F.broadcast(doms), "__d")
+        .groupBy("__d")
+        .agg(
+            F.sum(
+                F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias("__kl_seen_nano"),
+            F.sum("__lq").alias("__L_seen"),
+        )
+    )
+    out = (
+        doms.join(folded, "__d")
+        .crossJoin(F.broadcast(vtot))
+        .crossJoin(F.broadcast(l_all))
+    )
+    p0 = F.lit(a) / (F.col("__n_d") + F.lit(a) * F.col("__V"))
+    absent = p0 * (
+        (F.col("__V") - F.col("__v_seen")).cast("double") * F.log(p0)
+        - (
+            F.col("__L_all").cast("double")
+            - F.col("__L_seen").cast("double")
+        )
+        / F.lit(1e9)
+    )
+    kl = F.col("__kl_seen_nano").cast("double") / F.lit(1e9) + absent
+    return out.select(
+        F.col("__d").alias(domain_col),
+        F.col("__n_d").alias("n_tokens"),
+        F.col("__v_seen").alias("vocab_seen"),
+        (F.floor(kl * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "kl_nats"
+        ),
+    )
