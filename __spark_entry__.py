@@ -57,6 +57,9 @@ from financial_fraud_detection_using_time_series_data_spark.sources import (
     freshness_lag as profiler_fresh,
 )
 from financial_fraud_detection_using_time_series_data_spark.sources import (
+    pattern_profile as profiler_pattern,
+)
+from financial_fraud_detection_using_time_series_data_spark.sources import (
     pk_candidates as profiler_pk,
 )
 from financial_fraud_detection_using_time_series_data_spark.sources import (
@@ -12777,6 +12780,83 @@ CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) k
 """
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (ClickHouse windowFunnel shape):
+    signup → click → purchase with every step within 72 h of the
+    entity's first signup; one shared entity exchange for all step
+    mins, then a ≤3-row depth histogram."""
+    ev = _events(spark, sf_dir)
+    return events_ops.window_funnel(
+        ev, ["signup", "click", "purchase"], window_s=259200.0
+    )
+
+
+_WINDOW_FUNNEL_SQL = """
+WITH t0 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t0
+  FROM events GROUP BY user_id
+),
+anchored AS (SELECT user_id, t0 FROM t0 WHERE t0 IS NOT NULL),
+t1 AS (
+  SELECT a.user_id, min(e.ts) AS t1
+  FROM anchored a JOIN events e ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.t0
+    AND e.ts <= a.t0 + INTERVAL 72 HOURS
+  GROUP BY a.user_id
+),
+t2 AS (
+  SELECT a.user_id, min(e.ts) AS t2
+  FROM anchored a JOIN t1 ON t1.user_id = a.user_id
+  JOIN events e ON e.user_id = a.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t1.t1
+    AND e.ts <= a.t0 + INTERVAL 72 HOURS
+  GROUP BY a.user_id
+),
+chain AS (
+  SELECT a.user_id,
+    1 + (t1.t1 IS NOT NULL)::INT + (t2.t2 IS NOT NULL)::INT AS depth
+  FROM anchored a
+  LEFT JOIN t1 ON t1.user_id = a.user_id
+  LEFT JOIN t2 ON t2.user_id = a.user_id
+),
+depths AS (
+  SELECT depth, count(*)::BIGINT AS n_entities FROM chain GROUP BY depth
+)
+SELECT depth::INT AS depth, n_entities,
+  floor(n_entities::DOUBLE / (sum(n_entities) OVER ())::DOUBLE
+        * 1e6 + 0.5) / 1e6 AS share
+FROM depths ORDER BY depth
+"""
+
+
+def q_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-shape (mask) profile of the events props column: digits→9,
+    lower→a, upper→A; top-10 masks with shares and a deterministic MIN
+    example — map-only masking + TakeOrderedAndProject."""
+    ev = _events(spark, sf_dir)
+    return profiler_pattern(ev, "props", top_n=10)
+
+
+_PATTERN_SQL = """
+WITH m AS (
+  SELECT CASE WHEN props IS NULL THEN '<null>'
+    ELSE regexp_replace(regexp_replace(regexp_replace(
+      props, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g')
+  END AS mask, props AS v
+  FROM events
+),
+counts AS (
+  SELECT mask, count(*)::BIGINT AS n_rows, min(v) AS example
+  FROM m GROUP BY mask
+)
+SELECT mask, n_rows,
+  floor(n_rows::DOUBLE / (sum(n_rows) OVER ())::DOUBLE * 1e6 + 0.5)
+    / 1e6 AS share,
+  example
+FROM counts ORDER BY n_rows DESC, mask ASC LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -13186,6 +13266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-mixture + forecasting additions (round 9b)
         "domain_kl": q_domain_kl,
         "theta_forecast": q_theta_forecast,
+        # funnel / data-quality additions (round 9b)
+        "window_funnel": q_window_funnel,
+        "pattern_profile": q_pattern_profile,
     }
 
 
@@ -13496,4 +13579,6 @@ def oracle_sql() -> dict[str, str]:
         "waiting_supplier": _Q21_SQL,
         "domain_kl": _DOMAIN_KL_SQL,
         "theta_forecast": _THETA_SQL,
+        "window_funnel": _WINDOW_FUNNEL_SQL,
+        "pattern_profile": _PATTERN_SQL,
     }

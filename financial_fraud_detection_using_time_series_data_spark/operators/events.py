@@ -1619,3 +1619,83 @@ def degree_distribution(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         r6_(F.col("n_nodes") / tot).alias("share"),
     ).orderBy("degree")
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_s: float,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse `windowFunnel` shape):
+    deepest ordered step an entity reaches with EVERY step inside
+    ``window_s`` seconds of its step-0 anchor — plain `funnel` answers
+    "ever converted, in order"; this answers "converted within the
+    session/campaign window", which is the number growth teams act on.
+
+    Anchor semantics: the chain is greedily rooted at the entity's FIRST
+    step-0 event (the standard min-chain construction; a restart-scan
+    per later anchor needs per-entity state and is the documented
+    `applyInPandasWithState` escape hatch in streaming). Each t_i is the
+    earliest step-i event strictly after t_{i−1} and ≤ anchor + window.
+
+    One exchange on the entity (every step's min-over-partition shares
+    it), one per-entity rollup, then a ≤(k+1)-row depth histogram.
+    Returns per depth 0..k: (depth, n_entities, share) over entities
+    that emitted at least one step-0 event... depth 0 counts entities
+    whose anchor exists but reached nothing further within the window
+    (they still reached step 1 by definition, so depth starts at 1 for
+    them; depth 0 rows appear only when no anchor exists — excluded).
+    Concretely: depth d = number of chain steps completed, d ∈ 1..k.
+    """
+    if not steps:
+        raise ValueError("window_funnel needs at least one step")
+    w = Window.partitionBy(entity_col)
+    cur = df.select(entity_col, ts_col, type_col)
+    t_cols = []
+    prev_t = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if prev_t is not None:
+            cond = (
+                cond
+                & F.col(prev_t).isNotNull()
+                & (F.col(ts_col) > F.col(prev_t))
+                & (
+                    F.col(ts_col)
+                    <= F.col("__t0")
+                    + F.expr(
+                        f"INTERVAL {int(window_s * 1e6)} MICROSECONDS"
+                    )
+                )
+            )
+        t_col = f"__t{i}"
+        cur = cur.withColumn(t_col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = t_col
+        t_cols.append(t_col)
+    per_entity = cur.groupBy(entity_col).agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    depth = None
+    for t in t_cols:
+        d = F.col(t).isNotNull().cast("int")
+        depth = d if depth is None else depth + d
+    depths = (
+        per_entity.where(F.col("__t0").isNotNull())
+        .select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n_entities").over(wtot).cast("double")
+    return depths.select(
+        F.col("depth").cast("int").alias("depth"),
+        "n_entities",
+        (F.floor(F.col("n_entities") / tot * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "share"
+        ),
+    ).orderBy("depth")

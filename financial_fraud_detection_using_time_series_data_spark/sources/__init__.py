@@ -12,6 +12,7 @@ from .profiler import (
     freshness_lag,
     kfold_assign,
     null_profile,
+    pattern_profile,
     pk_candidates,
     profile,
     referential_integrity,
@@ -34,4 +35,5 @@ __all__ = [
     "referential_integrity",
     "pk_candidates",
     "freshness_lag",
+    "pattern_profile",
 ]

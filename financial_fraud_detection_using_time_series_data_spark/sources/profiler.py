@@ -393,3 +393,59 @@ def freshness_lag(
             ).alias("is_stale"),
         )
     )
+
+
+def pattern_profile(
+    df: DataFrame,
+    col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Value-shape profile of a string column: digits→9, lowercase→a,
+    uppercase→A (punctuation/whitespace kept literal), then the top-N
+    masks by frequency — the data-quality fingerprint that catches a
+    mixed-format column (two date styles, a stray currency symbol, an
+    unpadded id) that null/numeric profiles cannot see.
+
+    Map-only regexp mask + one hash aggregate to the |masks| frame;
+    top-N compiles to TakeOrderedAndProject (per-partition heaps, never
+    a global sort). NULLs report as the literal mask '<null>'.
+    Returns (mask, n_rows, share, example) — `example` is the MIN raw
+    value per mask (deterministic, engine-stable).
+    """
+    from pyspark.sql import Window
+
+    mask = F.when(F.col(col).isNull(), F.lit("<null>")).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(col).cast("string"), "[0-9]", "9"),
+                "[a-z]",
+                "a",
+            ),
+            "[A-Z]",
+            "A",
+        )
+    )
+    staged = df.select(
+        mask.alias("mask"), F.col(col).cast("string").alias("__v")
+    )
+    counts = staged.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("__v").alias("example"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n_rows").over(wtot).cast("double")
+    return (
+        counts.select(
+            "mask",
+            "n_rows",
+            (
+                F.floor(F.col("n_rows") / tot * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("share"),
+            "example",
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("mask").asc())
+        .limit(int(top_n))
+    )
