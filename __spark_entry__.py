@@ -12857,6 +12857,139 @@ FROM counts ORDER BY n_rows DESC, mask ASC LIMIT 10
 """
 
 
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of hourly event counts per
+    type: var/mean over the calendar-complete bucket span (gaps count
+    as zero-count buckets), exact integer count folds."""
+    ev = _events(spark, sf_dir)
+    return drift.dispersion_index(ev, "ts", "event_type", "hour")
+
+
+_DISPERSION_SQL = """
+WITH rolled AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_seen,
+    ((epoch_us(max(b)) - epoch_us(min(b))) // 3600000000 + 1)::BIGINT AS n,
+    sum(c)::VARCHAR::DOUBLE AS s,
+    sum(c::HUGEINT * c::HUGEINT)::VARCHAR::DOUBLE AS ss
+  FROM rolled GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, n_seen, s / n::DOUBLE AS mean,
+    ss / n::DOUBLE - (s / n::DOUBLE) * (s / n::DOUBLE) AS var
+  FROM agg
+)
+SELECT event_type, n AS n_buckets, n_seen AS n_nonzero_buckets,
+  floor(mean * 1000000 + 0.5) / 1000000.0 AS mean_count,
+  floor(CASE WHEN n > 1 THEN var END * 1000000 + 0.5) / 1000000.0
+    AS var_count,
+  floor(CASE WHEN n > 1 AND mean > 0 THEN var / mean END
+        * 1000000 + 0.5) / 1000000.0 AS fano,
+  floor(CASE WHEN n > 1 AND mean > 0 THEN var / (mean * mean) END
+        * 1000000 + 0.5) / 1000000.0 AS cv2
+FROM m
+"""
+
+
+def q_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily PSI curve of the value distribution vs the first-7-days
+    baseline: fixed global 20-bin grid (broadcast range), eps-clamped
+    proportions (identical distributions score exactly 0), bounded
+    per-(day, bin) terms micro-folded — the drift monitor a production
+    pipeline charts, not a single ref/cur number."""
+    ev = _events(spark, sf_dir)
+    return drift.psi_timeline(ev, "ts", "value", baseline_days=7, n_bins=20)
+
+
+_PSI_TIMELINE_SQL = """
+WITH rng AS (
+  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi,
+    date_trunc('day', min(ts)) AS day0
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT date_trunc('day', ts) AS day,
+    CASE WHEN hi - lo > 0
+    THEN least(floor((value::DOUBLE - lo) / (hi - lo) * 20.0)::INT, 19)
+    ELSE 0 END AS bin,
+    max(day0) AS day0,
+    count(*)::BIGINT AS n
+  FROM events, rng WHERE value IS NOT NULL GROUP BY 1, 2
+),
+bl AS (
+  SELECT bin, sum(n)::BIGINT AS bn FROM counts
+  WHERE day < day0 + INTERVAL 7 DAYS GROUP BY bin
+),
+bl_tot AS (SELECT sum(bn)::BIGINT AS bt FROM bl),
+days AS (SELECT day, sum(n)::BIGINT AS day_tot FROM counts GROUP BY day),
+binrange AS (SELECT unnest(generate_series(0, 19)) AS bin),
+dense AS (
+  SELECT d.day, d.day_tot, b.bin,
+    coalesce(c.n, 0) AS n, coalesce(bl.bn, 0) AS bn
+  FROM days d CROSS JOIN binrange b
+  LEFT JOIN counts c ON c.day = d.day AND c.bin = b.bin
+  LEFT JOIN bl ON bl.bin = b.bin
+),
+terms AS (
+  SELECT day, day_tot,
+    (greatest(n::DOUBLE / day_tot::DOUBLE, 1e-4)
+     - greatest(bn::DOUBLE / bt::DOUBLE, 1e-4))
+    * ln(greatest(n::DOUBLE / day_tot::DOUBLE, 1e-4)
+         / greatest(bn::DOUBLE / bt::DOUBLE, 1e-4)) AS t
+  FROM dense, bl_tot
+)
+SELECT day, max(day_tot) AS n_rows,
+  floor(sum(floor(t * 1e9 + 0.5)::HUGEINT)::VARCHAR::DOUBLE / 1e9
+        * 1e6 + 0.5) / 1e6 AS psi
+FROM terms GROUP BY day ORDER BY day
+"""
+
+
+def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity reduction of hour-of-day against the error-event
+    label: one (feature, label) count pass; per-value weighted-gini
+    terms are bounded so the nano-grid fold is magnitude-safe."""
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        F.hour("ts").alias("hour_bin"),
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
+    )
+    return evaluation.gini_gain(staged, "hour_bin", "is_error")
+
+
+_GINI_GAIN_SQL = """
+WITH per_v AS (
+  SELECT hour(ts)::INT AS v, count(*)::BIGINT AS n,
+    sum((event_type = 'error')::INT)::BIGINT AS pos
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT n, pos,
+    1.0 - (pos::DOUBLE / n::DOUBLE) * (pos::DOUBLE / n::DOUBLE)
+        - (1.0 - pos::DOUBLE / n::DOUBLE)
+          * (1.0 - pos::DOUBLE / n::DOUBLE) AS gini_v
+  FROM per_v
+),
+agg AS (
+  SELECT sum(n)::DOUBLE AS N, sum(pos)::DOUBLE AS P,
+    count(*)::BIGINT AS n_values,
+    sum(n::HUGEINT * floor(gini_v * 1e9 + 0.5)::HUGEINT)
+      ::VARCHAR::DOUBLE AS wg_nano
+  FROM g
+)
+SELECT N::BIGINT AS n, n_values,
+  floor((1.0 - (P / N) * (P / N) - (1.0 - P / N) * (1.0 - P / N))
+        * 1000000 + 0.5) / 1000000.0 AS gini_root,
+  floor(wg_nano / 1e9 / N * 1000000 + 0.5) / 1000000.0 AS gini_split,
+  floor(((1.0 - (P / N) * (P / N) - (1.0 - P / N) * (1.0 - P / N))
+         - wg_nano / 1e9 / N) * 1000000 + 0.5) / 1000000.0 AS gain
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -13269,6 +13402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # funnel / data-quality additions (round 9b)
         "window_funnel": q_window_funnel,
         "pattern_profile": q_pattern_profile,
+        # monitoring / relevance additions (round 9b)
+        "dispersion_index": q_dispersion_index,
+        "psi_timeline": q_psi_timeline,
+        "gini_gain": q_gini_gain,
     }
 
 
@@ -13581,4 +13718,7 @@ def oracle_sql() -> dict[str, str]:
         "theta_forecast": _THETA_SQL,
         "window_funnel": _WINDOW_FUNNEL_SQL,
         "pattern_profile": _PATTERN_SQL,
+        "dispersion_index": _DISPERSION_SQL,
+        "psi_timeline": _PSI_TIMELINE_SQL,
+        "gini_gain": _GINI_GAIN_SQL,
     }

@@ -1436,3 +1436,165 @@ def benford_second_digit(
         )
         .orderBy("digit")
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-bucket event counts per
+    series: var/mean = 1 for a Poisson arrival process, > 1 for bursty
+    (clustered) traffic, < 1 for regular/throttled traffic — the
+    one-number burstiness verdict next to `interarrival_stats`' gap
+    moments and `burst_screen`'s peak ratio (card-testing shows as
+    Fano ≫ 1 long before volume moves).
+
+    Counts are integers, so Σc and Σc² fold exactly (decimal) over the
+    |series|·|buckets| rollup; the population variance and ratios
+    assemble in closed form. Missing buckets inside each series'
+    [first, last] span count as ZERO-count buckets (computed from the
+    calendar span — a gap IS regularity information; ignoring gaps
+    biases Fano upward). Returns per series: (n_buckets, mean_count,
+    var_count, fano, cv2).
+    """
+    seconds = {"minute": 60, "hour": 3600, "day": 86400}
+    try:
+        step = seconds[bucket]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; one of {sorted(seconds)}"
+        ) from None
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    rolled = df.groupBy(type_col, b).agg(F.count(F.lit(1)).alias("__c"))
+    d38 = "decimal(38,0)"
+    c = F.col("__c").cast(d38)
+    agg = rolled.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("__n_seen"),
+        F.min("__b").alias("__first"),
+        F.max("__b").alias("__last"),
+        F.sum(c).alias("__s"),
+        F.sum(c * c).alias("__ss"),
+    )
+    span = (
+        F.unix_micros(F.col("__last")) - F.unix_micros(F.col("__first"))
+    ) / F.lit(step * 1_000_000)
+    n = span.cast("long") + F.lit(1)  # calendar buckets incl. zero-count
+    nd = n.cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / nd
+    var = ss / nd - mean * mean
+    ok = (n > 1) & (mean > 0)
+    r6_ = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        type_col,
+        n.alias("n_buckets"),
+        F.col("__n_seen").cast("long").alias("n_nonzero_buckets"),
+        r6_(mean).alias("mean_count"),
+        r6_(F.when(n > 1, var)).alias("var_count"),
+        r6_(F.when(ok, var / mean)).alias("fano"),
+        r6_(F.when(ok, var / (mean * mean))).alias("cv2"),
+    )
+
+
+def psi_timeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    baseline_days: int = 7,
+    n_bins: int = 20,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population-stability-index TIMELINE: PSI of each day's value
+    distribution against the first ``baseline_days`` days — `psi` gives
+    one number for a single ref/cur pair; production monitoring wants
+    the daily curve (when did the drift start? is it trending?).
+
+    Fixed-width bins over the GLOBAL min/max (one 1-row aggregate,
+    broadcast — identical IEEE bin ids in both engines, the t_closeness
+    contract); proportions are ε-CLAMPED (max(n/N, ε) — the standard
+    PSI zero-bin treatment; add-α smoothing would charge small days a
+    phantom PSI just for having a different N than the baseline, and
+    identical distributions must score exactly 0). Per-(day, bin) terms
+    are bounded so the 1e-9 micro-grid fold is magnitude-safe. One
+    (day, bin) rollup is the only corpus-sized pass; days densify
+    against the bin range via explode (no cross join). Returns per day:
+    (day, n_rows, psi) — baseline days included (their PSI measures
+    self-distance from the pooled baseline, near 0).
+    """
+    if n_bins < 2:
+        raise ValueError("psi_timeline: n_bins must be >= 2")
+    b = int(n_bins)
+    e = float(eps)
+    base = df.where(F.col(value_col).isNotNull())
+    rng = base.agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+        F.date_trunc("day", F.min(ts_col)).alias("__day0"),
+    )
+    v = F.col(value_col).cast("double")
+    width = F.col("__hi") - F.col("__lo")
+    bin_id = F.when(
+        width > 0,
+        F.least(
+            F.floor((v - F.col("__lo")) / width * F.lit(float(b))).cast("int"),
+            F.lit(b - 1),
+        ),
+    ).otherwise(F.lit(0))
+    staged = base.crossJoin(F.broadcast(rng))
+    counts = staged.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("__day"),
+        bin_id.alias("__bin"),
+        F.col("__day0"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.localCheckpoint()  # feeds baseline + densify + totals
+    is_base = F.col("__day") < F.col("__day0") + F.expr(
+        f"INTERVAL {int(baseline_days)} DAYS"
+    )
+    bl = (
+        counts.where(is_base)
+        .groupBy("__bin")
+        .agg(F.sum("__n").alias("__bn"))
+    )
+    days = counts.groupBy("__day").agg(
+        F.sum("__n").cast("long").alias("__day_tot")
+    )
+    bins = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__bin")
+    dense = (
+        days.select("__day", "__day_tot", bins)
+        .join(
+            counts.select("__day", "__bin", "__n"), ["__day", "__bin"], "left"
+        )
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+        .join(F.broadcast(bl), "__bin", "left")
+        .withColumn("__bn", F.coalesce(F.col("__bn"), F.lit(0)))
+    )
+    bl_tot = bl.agg(F.sum("__bn").alias("__bl_tot"))
+    dense = dense.crossJoin(F.broadcast(bl_tot))
+    p_d = F.greatest(
+        F.col("__n").cast("double") / F.col("__day_tot").cast("double"),
+        F.lit(e),
+    )
+    p_b = F.greatest(
+        F.col("__bn").cast("double") / F.col("__bl_tot").cast("double"),
+        F.lit(e),
+    )
+    term = (p_d - p_b) * F.log(p_d / p_b)
+    out = dense.groupBy("__day").agg(
+        F.max("__day_tot").alias("n_rows"),
+        (
+            F.sum(
+                F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("__psi"),
+    )
+    return out.select(
+        F.col("__day").alias("day"),
+        "n_rows",
+        (F.floor(F.col("__psi") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "psi"
+        ),
+    ).orderBy("day")

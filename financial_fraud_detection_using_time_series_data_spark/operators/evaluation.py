@@ -1184,3 +1184,62 @@ def cuped(
         ).alias("variance_reduction_pct"),
         r6_(F.when(ok, corr)).alias("corr_xy"),
     )
+
+
+def gini_gain(
+    df: DataFrame,
+    feature_col,
+    label_col,
+) -> DataFrame:
+    """Gini-impurity reduction of a categorical feature against a binary
+    label — the split criterion every tree in the reference's boosters
+    optimizes, surfaced as a standalone feature-relevance screen next to
+    `mutual_information` (entropy-based) and `anova_f` (numeric):
+    gain = gini(S) − Σ_v (n_v/N)·gini(S_v), gini = 1 − p² − (1−p)².
+
+    ONE map-side-combined (feature, label) count pass collapses the
+    corpus; per-value weighted-gini terms are BOUNDED (≤ 0.5), so the
+    1e-9 micro-grid fold across values is magnitude-safe at any
+    cardinality; the root gini assembles from exact global counts.
+    Returns one row: (n, n_values, gini_root, gini_split, gain).
+    """
+    per_v = df.groupBy(F.col(feature_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label_col).cast("long")).alias("__pos"),
+    )
+    n = F.col("__n").cast("double")
+    p = F.col("__pos").cast("double") / n
+    gini_v = F.lit(1.0) - p * p - (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    # weighted term folds in nano units; the N divisor applies AFTER the
+    # fold (n_v·gini_v ≤ n_v, then /N ≤ 1 — but folding n_v·gini_v
+    # directly would re-grow with corpus size, so fold gini_v weighted
+    # by the EXACT integer n_v: quotient-free because gini_v ≤ 0.5 and
+    # the product is re-normalized by the exact ΣN afterward)
+    agg = per_v.agg(
+        F.sum("__n").cast("double").alias("__N"),
+        F.sum("__pos").cast("double").alias("__P"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum(
+            (
+                F.col("__n").cast("decimal(38,0)")
+                * F.floor(gini_v * F.lit(1e9) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("decimal(38,0)")
+        ).alias("__wg_nano"),
+    )
+    N = F.col("__N")
+    P = F.col("__P")
+    p_root = P / N
+    gini_root = (
+        F.lit(1.0) - p_root * p_root - (F.lit(1.0) - p_root) * (F.lit(1.0) - p_root)
+    )
+    gini_split = F.col("__wg_nano").cast("double") / F.lit(1e9) / N
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        N.cast("long").alias("n"),
+        "n_values",
+        r6_(gini_root).alias("gini_root"),
+        r6_(gini_split).alias("gini_split"),
+        r6_(gini_root - gini_split).alias("gain"),
+    )
