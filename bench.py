@@ -279,6 +279,13 @@ BENCH_QUERIES = [
     "cuped",
     "forecast_revenue_change",
     "waiting_supplier",
+    "domain_kl",
+    "theta_forecast",
+    "window_funnel",
+    "pattern_profile",
+    "dispersion_index",
+    "psi_timeline",
+    "gini_gain",
 ]
 
 
