@@ -12990,6 +12990,139 @@ FROM agg
 """
 
 
+def q_cumulative_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user lifetimes (7-day churn
+    gap, survival_curve's censoring contract): bounded d/n terms fold
+    on the 1e-9 grid, cumulatives run over the ≤|days| frame."""
+    ev = _events(spark, sf_dir)
+    return behavior.cumulative_hazard(ev, "user_id", "ts", churn_gap_days=7.0)
+
+
+_CUMHAZ_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+    min(epoch_us(ts)) // 1000000 AS f_s,
+    max(epoch_us(ts)) // 1000000 AS l_s
+  FROM events GROUP BY user_id
+), life AS (
+  SELECT floor((l_s - f_s) / 86400.0) AS day,
+    CASE WHEN ((SELECT max(epoch_us(ts)) FROM events) // 1000000 - l_s)
+              > 7.0 * 86400.0
+         THEN 1 ELSE 0 END AS churned
+  FROM per
+), daily AS (
+  SELECT day, sum(churned) AS n_events, count(*) AS n_day
+  FROM life GROUP BY day
+), staged AS (
+  SELECT day, n_events,
+    sum(n_day) OVER ()
+      - coalesce(sum(n_day) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM daily
+)
+SELECT day::BIGINT AS day, n_at_risk::BIGINT AS n_at_risk,
+  n_events::BIGINT AS n_events,
+  {_R6.format(
+    "(sum(floor(n_events::DOUBLE / n_at_risk::DOUBLE * 1e9 + 0.5)::BIGINT) "
+    "OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ")::DOUBLE / 1e9"
+  )} AS cum_hazard,
+  {_R6.format(
+    "(sum(floor(n_events::DOUBLE / (n_at_risk::DOUBLE * n_at_risk::DOUBLE) "
+    "* 1e9 + 0.5)::BIGINT) "
+    "OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ")::DOUBLE / 1e9"
+  )} AS cum_hazard_var
+FROM staged ORDER BY day
+"""
+
+
+def q_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar detail-energy spectrum (levels 1..4, 2h..16h blocks) per
+    event type over hourly counts: exact integer half-sum differences,
+    energy assembled from decimal folds."""
+    ev = _events(spark, sf_dir)
+    return drift.wavelet_energy(ev, "ts", "event_type", max_level=4)
+
+
+_WAVELET_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(ts) // 3600000000 AS h,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+lvls AS (SELECT unnest([1, 2, 3, 4]) AS lvl),
+pb AS (
+  SELECT r.s, (2 ** l.lvl)::BIGINT AS block,
+    r.h // (2 ** l.lvl)::BIGINT AS p,
+    sum(CASE WHEN (r.h % (2 ** l.lvl)::BIGINT)
+             < (2 ** (l.lvl - 1))::BIGINT THEN r.c ELSE 0 END)
+      ::HUGEINT AS left_s,
+    sum(CASE WHEN (r.h % (2 ** l.lvl)::BIGINT)
+             >= (2 ** (l.lvl - 1))::BIGINT THEN r.c ELSE 0 END)
+      ::HUGEINT AS right_s
+  FROM rolled r CROSS JOIN lvls l
+  GROUP BY 1, 2, 3
+),
+e AS (
+  SELECT s, block, count(*)::BIGINT AS n_blocks,
+    sum((left_s - right_s) * (left_s - right_s))::VARCHAR::DOUBLE AS ee
+  FROM pb GROUP BY 1, 2
+)
+SELECT s AS event_type, block::INT AS block_hours, n_blocks,
+  floor(ee / n_blocks::DOUBLE * 1e6 + 0.5) / 1e6 AS energy
+FROM e ORDER BY event_type, block_hours
+"""
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity of demand over lineitem: OLS slope of
+    ln(mean qty per discount band) on ln(1 − discount) — basis-point
+    band keys, exact quantity sums, ln-coordinates on the 1e-9 grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return tpch.discount_elasticity(li)
+
+
+_ELASTICITY_SQL = """
+WITH per AS (
+  SELECT floor(l_discount * 10000.0 + 0.5)::BIGINT AS bp,
+    count(*)::BIGINT AS n,
+    sum(l_quantity::DECIMAL(25,2)) AS q
+  FROM lineitem GROUP BY 1
+),
+pts AS (
+  SELECT n,
+    floor(ln(1.0 - bp::DOUBLE / 10000.0) * 1e9 + 0.5)::BIGINT AS qx,
+    floor(ln(q::DOUBLE / n::DOUBLE) * 1e9 + 0.5)::BIGINT AS qy
+  FROM per
+),
+s AS (
+  SELECT count(*)::DOUBLE AS k, sum(n)::BIGINT AS n_lines,
+    sum(qx)::VARCHAR::DOUBLE / 1e9 AS sx,
+    sum(qy)::VARCHAR::DOUBLE / 1e9 AS sy,
+    sum(qx::HUGEINT * qy::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS sxy,
+    sum(qx::HUGEINT * qx::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS sxx,
+    sum(qy::HUGEINT * qy::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS syy
+  FROM pts
+),
+a AS (
+  SELECT k::BIGINT AS n_bands, n_lines,
+    k * sxx - sx * sx AS vx, k * syy - sy * sy AS vy,
+    k * sxy - sx * sy AS cov
+  FROM s
+)
+SELECT n_bands, n_lines,
+  floor(CASE WHEN n_bands > 1 AND vx > 0
+        THEN cov / (CASE WHEN vx > 0 THEN vx ELSE 1.0 END) END
+        * 1000000 + 0.5) / 1000000.0 AS elasticity,
+  floor(CASE WHEN n_bands > 1 AND vx > 0 AND vy > 0
+        THEN cov * cov / (CASE WHEN vx > 0 AND vy > 0 THEN vx * vy
+                          ELSE 1.0 END) END
+        * 1000000 + 0.5) / 1000000.0 AS r2
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -13406,6 +13539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_index": q_dispersion_index,
         "psi_timeline": q_psi_timeline,
         "gini_gain": q_gini_gain,
+        # survival / signal / pricing additions (round 9b)
+        "cumulative_hazard": q_cumulative_hazard,
+        "wavelet_energy": q_wavelet_energy,
+        "discount_elasticity": q_discount_elasticity,
     }
 
 
@@ -13721,4 +13858,7 @@ def oracle_sql() -> dict[str, str]:
         "dispersion_index": _DISPERSION_SQL,
         "psi_timeline": _PSI_TIMELINE_SQL,
         "gini_gain": _GINI_GAIN_SQL,
+        "cumulative_hazard": _CUMHAZ_SQL,
+        "wavelet_energy": _WAVELET_SQL,
+        "discount_elasticity": _ELASTICITY_SQL,
     }

@@ -286,6 +286,9 @@ BENCH_QUERIES = [
     "dispersion_index",
     "psi_timeline",
     "gini_gain",
+    "cumulative_hazard",
+    "wavelet_energy",
+    "discount_elasticity",
 ]
 
 

@@ -1138,3 +1138,82 @@ def theil_atkinson(
         r6_(F.when(n > 0, theil)).alias("theil_t"),
         r6_(F.when(n > 0, atk)).alias("atkinson"),
     )
+
+
+def cumulative_hazard(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: float = 7.0,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over entity lifetimes:
+    H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² — the additive
+    companion to `survival_curve`'s Kaplan-Meier product (hazard is
+    what a churn model regresses on; H is ADDITIVE across disjoint
+    cohorts where S multiplies, so it decomposes cleanly in reports).
+    Same censoring contract: the last event preceding the dataset
+    watermark by more than ``churn_gap_days`` marks a churn event,
+    otherwise the lifetime is censored.
+
+    Scale shape (the `survival_curve` plan): one groupBy(entity) to
+    lifetimes, a ≤|days| daily rollup, then suffix counts and the two
+    cumulative sums as windows over that tiny ordered frame. Hazard
+    terms dᵢ/nᵢ ≤ 1 fold on the 1e-9 grid (bounded — magnitude-safe).
+    Output per distinct lifetime day: (day, n_at_risk, n_events,
+    cum_hazard, cum_hazard_var).
+    """
+    per = df.groupBy(entity_col).agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+    )
+    end = df.agg(F.max(ts_col).alias("__end"))
+    life = per.join(F.broadcast(end)).select(
+        F.floor(
+            (F.col("__last").cast("long") - F.col("__first").cast("long"))
+            / F.lit(86400.0)
+        ).alias("day"),
+        (
+            (F.col("__end").cast("long") - F.col("__last").cast("long"))
+            > F.lit(float(churn_gap_days) * 86400.0)
+        ).cast("int").alias("churned"),
+    )
+    daily = life.groupBy("day").agg(
+        F.sum("churned").alias("n_events"),
+        F.count(F.lit(1)).alias("__n_day"),
+    )
+    w_before = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    staged = daily.select(
+        "day",
+        "n_events",
+        (
+            F.sum("__n_day").over(w_all)
+            - F.coalesce(F.sum("__n_day").over(w_before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    h_term = F.col("n_events").cast("double") / F.col("n_at_risk").cast(
+        "double"
+    )
+    v_term = F.col("n_events").cast("double") / (
+        F.col("n_at_risk").cast("double") * F.col("n_at_risk").cast("double")
+    )
+    nano = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return staged.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        r6_(
+            F.sum(nano(h_term)).over(w_cum).cast("double") / F.lit(1e9)
+        ).alias("cum_hazard"),
+        r6_(
+            F.sum(nano(v_term)).over(w_cum).cast("double") / F.lit(1e9)
+        ).alias("cum_hazard_var"),
+    ).orderBy("day")

@@ -876,3 +876,68 @@ def waiting_supplier(
         .orderBy(F.col("wait_count").desc(), F.col("s_suppkey").asc())
         .limit(int(top_n))
     )
+
+
+def discount_elasticity(
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Discount elasticity of demand: the OLS slope of ln(mean quantity
+    per discount band) on ln(1 − discount) across the observed discount
+    levels — the pricing-analytics regression a revenue team runs on
+    exactly this schema (elasticity < 0 means discounts actually move
+    volume; ≈ 0 means the discounts are pure margin giveaway).
+
+    The corpus collapses to one row per DISTINCT discount level (basis-
+    point key, exact integer quantity sums — one map-side-combined
+    aggregate); the regression folds ln-coordinates quantized to the
+    1e-9 grid over that ≤|levels| frame (bounded terms, magnitude-safe).
+    Returns one row: (n_bands, n_lines, elasticity, r2).
+    """
+    bp = F.floor(F.col("l_discount") * F.lit(10000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    per = lineitem.groupBy(bp.alias("__bp")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("__q"),
+    )
+    x = F.log(F.lit(1.0) - F.col("__bp").cast("double") / F.lit(10000.0))
+    y = F.log(
+        F.col("__q").cast("double") / F.col("__n").cast("double")
+    )
+    d38 = "decimal(38,0)"
+    qx = F.floor(x * F.lit(1e9) + F.lit(0.5)).cast(d38)
+    qy = F.floor(y * F.lit(1e9) + F.lit(0.5)).cast(d38)
+    agg = per.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").cast("long").alias("n_lines"),
+        F.sum(qx).alias("__sx"),
+        F.sum(qy).alias("__sy"),
+        F.sum(qx * qy).alias("__sxy"),
+        F.sum(qx * qx).alias("__sxx"),
+        F.sum(qy * qy).alias("__syy"),
+    )
+    k = F.col("__k").cast("double")
+    sx = F.col("__sx").cast("double") / F.lit(1e9)
+    sy = F.col("__sy").cast("double") / F.lit(1e9)
+    sxy = F.col("__sxy").cast("double") / F.lit(1e18)
+    sxx = F.col("__sxx").cast("double") / F.lit(1e18)
+    syy = F.col("__syy").cast("double") / F.lit(1e18)
+    vx = k * sxx - sx * sx
+    vy = k * syy - sy * sy
+    cov = k * sxy - sx * sy
+    ok = (k > 1) & (vx > 0)
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        F.col("__k").cast("long").alias("n_bands"),
+        "n_lines",
+        r6_(
+            F.when(ok, cov / F.when(vx > 0, vx).otherwise(F.lit(1.0)))
+        ).alias("elasticity"),
+        r6_(
+            F.when(
+                ok & (vy > 0),
+                cov * cov
+                / F.when((vx > 0) & (vy > 0), vx * vy).otherwise(F.lit(1.0)),
+            )
+        ).alias("r2"),
+    )
