@@ -8045,48 +8045,28 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm; CC exactness is additionally pinned by the dedup tests.
     Returns multi-member clusters only (canonical id = min member).
 
-    Round 9: blocked on the FINE (nation, segment, balance-bucket) key
-    — the coarse key measured e >= 1.74 (sf1.0 timeout) in the round-8
-    scale probe. Recall trade is explicit and narrow: the only match
-    pairs the fine key can drop are bucket-DISagreeing pairs that still
-    clear 6.0, i.e. balances straddling a $1000 boundary within $100
-    AND sharing the name suffix — a vanishing stratum the coarse key
-    bought at quadratic cost."""
+    Round 10: blocked on the SCALE-REFINING (nation, segment, corpus-
+    size-derived balance bucket) key — the fixed fine key measured
+    e = 1.16 (round 9); the adaptive bucket count holds expected block
+    size ~constant so the pair frame (and the CC edge set) stays O(n).
+    Recall trade is explicit and narrow: the only match pairs any
+    balance-bucket key can drop are bucket-straddling pairs within $100
+    that also share the name suffix — a vanishing stratum the coarse
+    key bought at quadratic cost."""
     from financial_fraud_detection_using_time_series_data_spark.operators import (
         linkage,
     )
 
-    cust = load_table(spark, sf_dir, "customer").withColumn(
-        "bal_bucket",
-        F.floor(F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 1000.0),
-    )
+    cust = _scaled_blocked_cust(spark, sf_dir)
     pairs = linkage.block_pairs(
         cust,
-        ["c_nationkey", "c_mktsegment", "bal_bucket"],
+        ["c_nationkey", "c_mktsegment", "scaled_bucket"],
         "c_custkey",
         ["c_acctbal", "c_name"],
     )
-    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
-    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
-    comps = [
-        linkage.FieldComparison(
-            "bucket",
-            F.floor(bal_a.cast("double") / 1000.0)
-            == F.floor(bal_b.cast("double") / 1000.0),
-            m=0.85,
-            u=0.12,
-        ),
-        linkage.FieldComparison(
-            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
-        ),
-        linkage.FieldComparison(
-            "suffix",
-            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
-            m=0.9,
-            u=0.01,
-        ),
-    ]
-    scored = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
+    scored = linkage.fellegi_sunter(
+        pairs, _linkage_comparisons(linkage), lower=0.0, upper=6.0
+    )
     matches = scored.where(F.col("fs_class") == "match").select("id_a", "id_b")
     labels = dedup.connected_components(matches, "id_a", "id_b")
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -8159,99 +8139,20 @@ LIMIT 15
 """
 
 
-def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter entity resolution over customers blocked by the
-    FINE (nation, segment, balance-bucket) key: per-field m/u
-    log-likelihood weights (balance bucket, balance tolerance,
-    name-suffix) folded into one codegen'd projection; only pairs
-    clearing the 'possible' floor are returned. The weight literals are
-    computed once in Python and embedded identically in the oracle.
-
-    Round 9: re-pointed from the coarse (nation, segment) key after the
-    round-8 scale probe measured it super-linear (decade exponent
-    >= 1.89, sf1.0 timeout — 125 blocks of FIXED cardinality means 10x
-    rows -> ~100x candidate pairs). The fine key divides every block by
-    the ~11 balance buckets (measured e = 1.17); the recall trade is
-    explicit: surviving pairs are exactly the coarse variant's
-    agree_bucket=true stratum, the dominant match mass."""
-    from financial_fraud_detection_using_time_series_data_spark.operators import (
-        linkage,
-    )
-
-    cust = load_table(spark, sf_dir, "customer").withColumn(
-        "bal_bucket",
-        F.floor(F.col("c_acctbal").cast("decimal(12,2)").cast("double") / 1000.0),
-    )
-    pairs = linkage.block_pairs(
-        cust,
-        ["c_nationkey", "c_mktsegment", "bal_bucket"],
-        "c_custkey",
-        ["c_acctbal", "c_name"],
-    )
-    bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
-    bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
-    comps = [
-        linkage.FieldComparison(
-            "bucket",
-            F.floor(bal_a.cast("double") / 1000.0)
-            == F.floor(bal_b.cast("double") / 1000.0),
-            m=0.85,
-            u=0.12,
-        ),
-        linkage.FieldComparison(
-            "close", F.abs(bal_a - bal_b) < F.lit(100), m=0.7, u=0.02
-        ),
-        linkage.FieldComparison(
-            "suffix",
-            F.substring("c_name_a", -2, 2) == F.substring("c_name_b", -2, 2),
-            m=0.9,
-            u=0.01,
-        ),
-    ]
-    out = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
-    return out.where(F.col("fs_class") != "non_match").select(
-        F.col("id_a").alias("cust_a"),
-        F.col("id_b").alias("cust_b"),
-        "agree_bucket",
-        "agree_close",
-        "agree_suffix",
-        E.r6("fs_weight").alias("fs_weight"),
-        "fs_class",
-    )
-
-
-def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-8 measured fix for the coarse-key SCALE_PROBE finding:
-    Fellegi-Sunter scoring blocked on (nation, segment, balance
-    bucket). Measured across the sf0.1→sf1.0 decade: e = 1.17 vs the
-    coarse key's e ≥ 1.89 (timeout) — the extra key dimension divides
-    every block ~11× and with it the quadratic constant. Since round 9
-    `record_linkage` itself runs this plan (coarse key retired), and
-    this entry delegates to it; `record_linkage_scaled` is the
-    follow-on whose key cardinality GROWS with the data (e ≈ 1.0)."""
-    return q_record_linkage(spark, sf_dir)
-
-
-def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCALE-REFINING blocking: the round-8 probe showed any FIXED-
-    cardinality blocking key is eventually quadratic (block size grows
-    with n). Here the balance-bucket COUNT is derived from the corpus
-    size — nb = max(1, n // 15000) equal-width buckets over the TPC-H
-    acctbal envelope — so expected block size stays ~constant and
-    candidate-pair volume is O(n): the e ≈ 1.0 design. Bucketing is
-    exact integer arithmetic on clamped cents (no float boundaries to
-    disagree across engines); n comes from one count() job and embeds
-    as a plan literal, exactly as the oracle's scalar subquery computes
-    it. Same Fellegi-Sunter scoring and thresholds as record_linkage;
-    the recall trade moves from "same $1000 bucket" to "same adaptive
-    bucket" (wider than $1000 below sf≈1.6, narrower above)."""
-    from financial_fraud_detection_using_time_series_data_spark.operators import (
-        linkage,
-    )
-
+def _scaled_blocked_cust(spark: SparkSession, sf_dir: str):
+    """Customer frame carrying the SCALE-REFINING blocking bucket: the
+    bucket COUNT is derived from the corpus size — nb = max(1,
+    n // 15000) equal-width buckets over the TPC-H acctbal envelope as
+    exact integer arithmetic on clamped cents — so expected block size
+    stays ~constant and candidate-pair volume is O(n) whatever the SF
+    (measured e = 0.943 across the sf0.1→sf1.0 decade in round 9; the
+    fixed-cardinality fine key measured e = 1.22). Promoted in round 10
+    from `record_linkage_scaled` to the WHOLE linkage family per the
+    round-9 verdict; n comes from one count() job and embeds as a plan
+    literal, exactly as the oracle's scalar subquery computes it."""
     cust_raw = load_table(spark, sf_dir, "customer")
     nb = max(1, cust_raw.count() // 15000)
-    cust = cust_raw.withColumn(
+    return cust_raw.withColumn(
         "cents",
         F.least(
             F.greatest(
@@ -8264,15 +8165,12 @@ def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scaled_bucket",
         F.expr(f"CAST(((cents + 99999) * {nb}) DIV 1100000 AS BIGINT)"),
     )
-    pairs = linkage.block_pairs(
-        cust,
-        ["c_nationkey", "c_mktsegment", "scaled_bucket"],
-        "c_custkey",
-        ["c_acctbal", "c_name"],
-    )
+
+
+def _linkage_comparisons(linkage):
     bal_a = F.col("c_acctbal_a").cast("decimal(12,2)")
     bal_b = F.col("c_acctbal_b").cast("decimal(12,2)")
-    comps = [
+    return [
         linkage.FieldComparison(
             "bucket",
             F.floor(bal_a.cast("double") / 1000.0)
@@ -8290,7 +8188,37 @@ def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             u=0.01,
         ),
     ]
-    out = linkage.fellegi_sunter(pairs, comps, lower=0.0, upper=6.0)
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter entity resolution over customers blocked by the
+    SCALE-REFINING (nation, segment, corpus-size-derived balance
+    bucket) key: per-field m/u log-likelihood weights (balance bucket,
+    balance tolerance, name-suffix) folded into one codegen'd
+    projection; only pairs clearing the 'possible' floor are returned.
+    The weight literals are computed once in Python and embedded
+    identically in the oracle.
+
+    Key history: round 8 retired the coarse (nation, segment) key
+    (e ≥ 1.89, sf1.0 timeout); round 9 ran the fixed fine key
+    (e = 1.22); round 10 promotes `record_linkage_scaled`'s corpus-
+    size-derived bucket count (e = 0.943) as the family default — any
+    FIXED-cardinality key is eventually quadratic because block size
+    grows with n. See `_scaled_blocked_cust` for the bucket math."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        linkage,
+    )
+
+    cust = _scaled_blocked_cust(spark, sf_dir)
+    pairs = linkage.block_pairs(
+        cust,
+        ["c_nationkey", "c_mktsegment", "scaled_bucket"],
+        "c_custkey",
+        ["c_acctbal", "c_name"],
+    )
+    out = linkage.fellegi_sunter(
+        pairs, _linkage_comparisons(linkage), lower=0.0, upper=6.0
+    )
     return out.where(F.col("fs_class") != "non_match").select(
         F.col("id_a").alias("cust_a"),
         F.col("id_b").alias("cust_b"),
@@ -8300,6 +8228,26 @@ def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.r6("fs_weight").alias("fs_weight"),
         "fs_class",
     )
+
+
+def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compat name retained for driver-window continuity: the round-8/9
+    fixed fine (nation, segment, $1000-bucket) key measured e = 1.22 —
+    inside the old done-bar but still super-linear, because ANY fixed-
+    cardinality key lets block size grow with n. Round 10 re-pointed
+    the whole family onto the corpus-size-derived bucket (e = 0.943);
+    this entry delegates to `record_linkage`."""
+    return q_record_linkage(spark, sf_dir)
+
+
+def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-REFINING blocking (round 9's e = 0.943 design): the bucket
+    COUNT grows with the corpus — nb = max(1, n // 15000) — holding
+    expected block size ~constant and candidate-pair volume O(n).
+    Promoted to the family default in round 10: `record_linkage` now
+    runs this exact plan, and this entry delegates to it (kept as a
+    named registry entry for driver-window continuity)."""
+    return q_record_linkage(spark, sf_dir)
 
 
 def _fs_w(m: float, u: float) -> tuple[str, str]:
@@ -8360,21 +8308,13 @@ FROM weighted
 WHERE fs_weight >= 0.0
 """
 
-_LINKAGE_CTES = _linkage_ctes(
-    "floor(a.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)\n"
-    "     = floor(b.c_acctbal::DECIMAL(12,2)::DOUBLE / 1000.0)"
-) + _LINKAGE_SCORING
-
-_LINKAGE_SQL = f"""
-WITH {_LINKAGE_CTES}
-{_LINKAGE_SELECT}
-"""
-
-# scaled variant: the blocking-bucket COUNT grows with the data
-# (nb = max(1, n // 15000)), holding expected block size ~constant, so
-# candidate-pair volume is O(n) — the e ≈ 1.0 design SCALE.md asked
-# for. Bucketing is exact integer arithmetic over cents clamped to the
-# TPC-H acctbal envelope [-999.99, 9999.99].
+# Round 10: the SCALE-REFINING bucket (count grows with the data,
+# nb = max(1, n // 15000), holding expected block size ~constant so
+# candidate-pair volume is O(n) — measured e = 0.943) is the FAMILY
+# DEFAULT; record_linkage, record_linkage_fine and record_linkage_scaled
+# all run the same plan and share this oracle text. Bucketing is exact
+# integer arithmetic over cents clamped to the TPC-H acctbal envelope
+# [-999.99, 9999.99].
 _LINKAGE_SCALED_BUCKET = (
     "((least(greatest(CAST({t}.c_acctbal::DECIMAL(12,2) * 100 AS BIGINT),"
     " -99999), 999999) + 99999) * (SELECT nb FROM params)) // 1100000"
@@ -8386,17 +8326,26 @@ _LINKAGE_SCALED_COND = (
     + _LINKAGE_SCALED_BUCKET.format(t="b")
 )
 
-_LINKAGE_SCALED_SQL = f"""
-WITH params AS (
+_LINKAGE_PARAMS_CTE = """params AS (
   SELECT greatest(1, count(*) // 15000)::BIGINT AS nb FROM customer
-),
-{_linkage_ctes(_LINKAGE_SCALED_COND)}{_LINKAGE_SCORING}
+),"""
+
+_LINKAGE_CTES = (
+    _LINKAGE_PARAMS_CTE
+    + "\n"
+    + _linkage_ctes(_LINKAGE_SCALED_COND)
+    + _LINKAGE_SCORING
+)
+
+_LINKAGE_SQL = f"""
+WITH {_LINKAGE_CTES}
 {_LINKAGE_SELECT}
 """
 
-# record_linkage_fine is the same fine-blocked plan (kept as a named
-# registry entry for driver-window continuity after record_linkage was
-# re-pointed onto the fine key in round 9)
+_LINKAGE_SCALED_SQL = _LINKAGE_SQL
+
+# record_linkage_fine kept as a named registry entry for driver-window
+# continuity; since round 10 it delegates to the scaled plan
 _LINKAGE_FINE_SQL = _LINKAGE_SQL
 
 # Connected components over the FS match pairs as a recursive CTE:
@@ -13065,13 +13014,17 @@ pb AS (
   GROUP BY 1, 2, 3
 ),
 e AS (
-  SELECT s, block, count(*)::BIGINT AS n_blocks,
+  SELECT s, block,
     sum((left_s - right_s) * (left_s - right_s))::VARCHAR::DOUBLE AS ee
   FROM pb GROUP BY 1, 2
-)
-SELECT s AS event_type, block::INT AS block_hours, n_blocks,
-  floor(ee / n_blocks::DOUBLE * 1e6 + 0.5) / 1e6 AS energy
-FROM e ORDER BY event_type, block_hours
+),
+span AS (SELECT s, min(h) AS h0, max(h) AS h1 FROM rolled GROUP BY 1)
+SELECT e.s AS event_type, e.block::INT AS block_hours,
+  (sp.h1 // e.block - sp.h0 // e.block + 1)::BIGINT AS n_blocks,
+  floor(ee / (sp.h1 // e.block - sp.h0 // e.block + 1)::DOUBLE * 1e6 + 0.5)
+    / 1e6 AS energy
+FROM e JOIN span sp ON e.s = sp.s
+ORDER BY event_type, block_hours
 """
 
 
@@ -13156,21 +13109,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "time_split": q_time_split,
         "filter_project": q_filter_project,
-        # round-9b rotation: 8 long-stable head entries
-        # (distinct_per_group, group_size_filter, corr_vector,
-        # temporal_features, zscore_global, weighted_ensemble,
-        # scoring_summary, class_weights — all driver-green since rounds
-        # 2-5) moved to the tail; the round-9b hypothesis-test /
-        # finance-II / quality-II / text-II families take their window
-        # slots for first external hash contact
-        "spearman_corr": q_spearman_corr,
-        "kruskal_wallis": q_kruskal_wallis,
-        "welch_ttest": q_welch_ttest,
-        "vwap_bars": q_vwap_bars,
-        "rolling_beta": q_rolling_beta,
-        "t_closeness": q_t_closeness,
-        "referential_integrity": q_referential_integrity,
-        "readability": q_readability,
+        # round-10 rotation (VERDICT r09 #1): the 24 round-9 window
+        # entries that went green on first external contact
+        # (spearman/kruskal/welch, vwap_bars, rolling_beta, t_closeness,
+        # referential_integrity, readability, seasonal_decompose,
+        # forecast_accuracy, residual_anomaly, rule_census,
+        # decile_migration, retrieval_metrics, var_es, twap, ohlc_bars,
+        # match_pattern, cohort_ltv, heavy_hitters, sprt_decision,
+        # transition_entropy) moved to the tail; the 20 never-driver-
+        # checked round-9b families named by the verdict take their
+        # slots, plus the three entries whose PLANS changed this round
+        # (record_linkage family re-blocked on the scale-refining key,
+        # rfm_segment's ntile re-derived from chunked global ranks) so
+        # the changed code gets external hash contact immediately.
+        "brown_forsythe": q_brown_forsythe,
+        "sharpe_sortino": q_sharpe_sortino,
+        "kyle_lambda": q_kyle_lambda,
+        "garch_variance": q_garch_variance,
+        "pk_candidates": q_pk_candidates,
+        "freshness_lag": q_freshness_lag,
+        "hapax_stats": q_hapax_stats,
+        "heaps_law": q_heaps_law,
         # the flagship composed query sits INSIDE the driver window so the
         # end-to-end pipeline gets a hard external parity signal each round
         "fraud_feature_pipeline": q_fraud_feature_pipeline,
@@ -13192,17 +13151,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M8: LLM-data-pipeline (oracle-backed picks)
         "exact_dedup": q_exact_dedup,
         "text_features": q_text_features,
-        # round-9 rotation-ins: round-8 families never driver-checked
-        # (decomposition/backtest/census/migration/linkage/retrieval) +
-        # round-6/7 finance/sequence/decision entries + the new
-        # scale-refining linkage key
+        # round-9b tail (continued): time-series diagnostics, experiment
+        # decision, graph/quality/forecast families — first external
+        # hash contact
+        "ljung_box": q_ljung_box,
+        "runs_test": q_runs_test,
+        "srm_check": q_srm_check,
+        "cuped": q_cuped,
+        "assortativity": q_assortativity,
+        "benford_second_digit": q_benford_second_digit,
+        "domain_kl": q_domain_kl,
+        "theta_forecast": q_theta_forecast,
+        "window_funnel": q_window_funnel,
+        "wavelet_energy": q_wavelet_energy,
+        "quantize_audit": q_quantize_audit,
+        "rolling_skew_kurt": q_rolling_skew_kurt,
+        # changed-this-round plans: external re-verification
+        "record_linkage": q_record_linkage,
+        "record_linkage_fine": q_record_linkage_fine,
+        "record_linkage_scaled": q_record_linkage_scaled,
+        "rfm_segment": q_rfm_segment,
+        # -- entry 51+: still oracle-backed (local parity tests cover) ---
+        # round-10 rotation-outs (externally hash-verified in r09)
+        "spearman_corr": q_spearman_corr,
+        "kruskal_wallis": q_kruskal_wallis,
+        "welch_ttest": q_welch_ttest,
+        "vwap_bars": q_vwap_bars,
+        "rolling_beta": q_rolling_beta,
+        "t_closeness": q_t_closeness,
+        "referential_integrity": q_referential_integrity,
+        "readability": q_readability,
         "seasonal_decompose": q_seasonal_decompose,
         "forecast_accuracy": q_forecast_accuracy,
         "residual_anomaly": q_residual_anomaly,
         "rule_census": q_rule_census,
         "decile_migration": q_decile_migration,
-        "record_linkage_fine": q_record_linkage_fine,
-        "record_linkage_scaled": q_record_linkage_scaled,
         "retrieval_metrics": q_retrieval_metrics,
         "var_es": q_var_es,
         "twap": q_twap,
@@ -13212,7 +13195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "sprt_decision": q_sprt_decision,
         "transition_entropy": q_transition_entropy,
-        # -- entry 51+: still oracle-backed (local parity tests cover) ---
         # round-9 rotation-outs (externally hash-verified in r08)
         "embedding_near_dup": q_embedding_near_dup,
         "kalman_smooth": q_kalman_smooth,
@@ -13364,7 +13346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_overlap": q_hll_set_overlap,
         # behavioral profiles / association / autocorrelation
         "category_entropy": q_category_entropy,
-        "rfm_segment": q_rfm_segment,
         "interarrival_stats": q_interarrival_stats,
         "cramers_v": q_cramers_v,
         "acf": q_acf,
@@ -13426,7 +13407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen,
         "isotonic_calibration": q_isotonic_calibration,
         # Fellegi-Sunter entity resolution (+ cluster composition)
-        "record_linkage": q_record_linkage,
         "entity_clusters": q_entity_clusters,
         # RAKE keyword extraction + bigram LM fluency
         "rake_keywords": q_rake_keywords,
@@ -13492,14 +13472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos_scores": q_hbos_scores,
         "ipf_weights": q_ipf_weights,
         # round-9b families not in the driver window
-        "brown_forsythe": q_brown_forsythe,
-        "sharpe_sortino": q_sharpe_sortino,
-        "kyle_lambda": q_kyle_lambda,
-        "garch_variance": q_garch_variance,
-        "pk_candidates": q_pk_candidates,
-        "freshness_lag": q_freshness_lag,
-        "hapax_stats": q_hapax_stats,
-        "heaps_law": q_heaps_law,
         # rotated out of the head in round 9b (still attested each sweep)
         "distinct_per_group": q_distinct_per_group,
         "group_size_filter": q_group_size_filter,
@@ -13510,30 +13482,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoring_summary": q_scoring_summary,
         "class_weights": q_class_weights,
         # time-series diagnostics III (round 9b)
-        "ljung_box": q_ljung_box,
-        "runs_test": q_runs_test,
         "pinball_loss": q_pinball_loss,
         "theil_atkinson": q_theil_atkinson,
         # experimentation suite (round 9b)
-        "srm_check": q_srm_check,
-        "cuped": q_cuped,
         # graph II (round 9b)
-        "assortativity": q_assortativity,
         "degree_distribution": q_degree_distribution,
         # AML III (round 9b)
-        "benford_second_digit": q_benford_second_digit,
         "rapid_movement": q_rapid_movement,
         # embeddings / moments II (round 9b)
-        "quantize_audit": q_quantize_audit,
-        "rolling_skew_kurt": q_rolling_skew_kurt,
         # decision-support additions (round 9b)
         "forecast_revenue_change": q_forecast_revenue_change,
         "waiting_supplier": q_waiting_supplier,
         # corpus-mixture + forecasting additions (round 9b)
-        "domain_kl": q_domain_kl,
-        "theta_forecast": q_theta_forecast,
         # funnel / data-quality additions (round 9b)
-        "window_funnel": q_window_funnel,
         "pattern_profile": q_pattern_profile,
         # monitoring / relevance additions (round 9b)
         "dispersion_index": q_dispersion_index,
@@ -13541,7 +13502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_gain": q_gini_gain,
         # survival / signal / pricing additions (round 9b)
         "cumulative_hazard": q_cumulative_hazard,
-        "wavelet_energy": q_wavelet_energy,
         "discount_elasticity": q_discount_elasticity,
     }
 

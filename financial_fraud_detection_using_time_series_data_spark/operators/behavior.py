@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,6 +85,15 @@ def rfm_segment(
     (1..n_tiles, 5=best: most recent, most frequent, highest spend),
     tie-broken by entity id so the segmentation is total-order
     deterministic. ``rfm_score`` concatenates the three digits.
+
+    Scale shape: NO partitionless WindowExec. Each axis's global row
+    number comes from `chunked.global_rank` (percentile cut points →
+    per-chunk row_number over |chunks| parallel tasks → broadcast
+    offsets), and the ntile id is then computed CLOSED-FORM from
+    (row_number, total): with q = ⌊c/n⌋ and r = c mod n, the first r
+    tiles hold q+1 rows and the rest hold q — exactly SQL ntile, so the
+    output is bit-identical to the single-window form while the
+    |entities| profile frame never funnels through one task.
     """
     # decimal monetary: order-invariant exact sum, so the m_score ntile
     # sort order is deterministic even when two entities' sums tie
@@ -105,17 +114,75 @@ def rfm_segment(
     )
     # 5 = best on every axis: most recent (smallest recency), most
     # frequent, highest spend. Entity id breaks ties → deterministic.
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col(entity_col))
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col(entity_col))
-    w_m = Window.orderBy(F.col("monetary_dec").asc(), F.col(entity_col))
-    scored = prof.select(
+    # Chunked global row numbers instead of partitionless ntile windows;
+    # the chunk key is a monotone (non-strict) image of each axis's sort
+    # key, so equal keys share a chunk and per-chunk order is exact.
+    from .chunked import global_rank
+
+    # materialize the |entities| profile frame ONCE: each global_rank
+    # spawns percentile/totals/count branches, and without truncating
+    # the lineage every branch would re-execute the full-corpus groupBy.
+    # The three axis ranks are computed as INDEPENDENT shallow branches
+    # off the checkpoint and joined back on the entity key (one job, so
+    # the branches execute concurrently) — nesting them would make each
+    # later rank's branches re-execute every earlier rank's plan.
+    prof = prof.localCheckpoint()
+    r_r = global_rank(
+        prof.select(
+            entity_col, "recency_days", (-F.col("recency_days")).alias("__kr")
+        ),
+        "__kr",
+        [F.col("recency_days").desc(), F.col(entity_col).asc()],
+        rank_col="__rn_r",
+        count_col="__n",
+    ).select(entity_col, "__rn_r", "__n")
+    r_f = global_rank(
+        prof.select(entity_col, "frequency"),
+        "frequency",
+        [F.col("frequency").asc(), F.col(entity_col).asc()],
+        rank_col="__rn_f",
+        count_col=None,
+    ).select(entity_col, "__rn_f")
+    r_m = global_rank(
+        prof.select(
+            entity_col,
+            "monetary_dec",
+            F.col("monetary_dec").cast("double").alias("__km"),
+        ),
+        "__km",
+        [F.col("monetary_dec").asc(), F.col(entity_col).asc()],
+        rank_col="__rn_m",
+        count_col=None,
+    ).select(entity_col, "__rn_m")
+    ranked = prof.join(r_r, entity_col).join(r_f, entity_col).join(
+        r_m, entity_col
+    )
+
+    def _ntile(rn: Column, c: Column) -> Column:
+        # closed-form SQL ntile from global row number + total count:
+        # first (c mod n) tiles take ⌊c/n⌋+1 rows, the rest ⌊c/n⌋
+        n = F.lit(int(n_tiles))
+        q = F.floor(c / n).cast("long")
+        r = (c % n).cast("long")
+        big = q + F.lit(1)
+        return (
+            F.when(rn <= r * big, F.floor((rn - 1) / big) + F.lit(1))
+            .otherwise(
+                r
+                + F.floor((rn - r * big - 1) / F.greatest(q, F.lit(1)))
+                + F.lit(1)
+            )
+            .cast("int")
+        )
+
+    scored = ranked.select(
         entity_col,
         "recency_days",
         "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        F.ntile(n_tiles).over(w_r).alias("r_score"),
-        F.ntile(n_tiles).over(w_f).alias("f_score"),
-        F.ntile(n_tiles).over(w_m).alias("m_score"),
+        _ntile(F.col("__rn_r"), F.col("__n")).alias("r_score"),
+        _ntile(F.col("__rn_f"), F.col("__n")).alias("f_score"),
+        _ntile(F.col("__rn_m"), F.col("__n")).alias("m_score"),
     )
     return scored.withColumn(
         "rfm_score",

@@ -950,7 +950,9 @@ def pacf(
             out.append((t, k, float(a)))
             phi_prev = phi
     return df.sparkSession.createDataFrame(
-        out, f"{type_col} string, lag int, pacf double"
+        out,
+        f"{type_col} {df.schema[type_col].dataType.simpleString()}, "
+        "lag int, pacf double",
     )
 
 
@@ -1229,9 +1231,9 @@ def ljung_box(
     Built on the identical rollup + shared-lag-window construction as
     `acf` (one corpus shuffle, one window exchange): r_k folds from
     decimal-exact deviation products; each r_k²/(n−k) term then
-    micro-folds on the 1e-6 grid across lags (the anova_f convention —
-    a float Σ over the lag frame is order-sensitive). Returns one row
-    per series: (n_buckets, h, q_stat).
+    micro-folds on the 1e-9 grid across lags (a float Σ over the lag
+    frame would be order-sensitive). Returns one row per series:
+    (n_buckets, h, q_stat).
     """
     from pyspark.sql import Window
 
@@ -1619,9 +1621,12 @@ def wavelet_energy(
     and energy_ℓ = Σ D²/n_blocks assembles from decimal(38,0) folds —
     no float enters until the final division. Missing hours are zero
     counts on both engines by construction (absent rows add nothing to
-    either half). One corpus rollup; each level is a tiny re-aggregate
-    of the |series|·|hours| frame. Output per (series, level):
-    (block_hours, n_blocks, energy).
+    either half), and n_blocks is derived from the series' hour-index
+    SPAN — floor(max_h/2^ℓ) − floor(min_h/2^ℓ) + 1 — so fully-empty
+    blocks inside the span count as zero-energy blocks in the mean
+    rather than being dropped from the denominator. One corpus rollup;
+    each level is a tiny re-aggregate of the |series|·|hours| frame.
+    Output per (series, level): (block_hours, n_blocks, energy).
     """
     if not 1 <= int(max_level) <= 16:
         raise ValueError(f"wavelet_energy: max_level={max_level} outside 1..16")
@@ -1632,6 +1637,12 @@ def wavelet_energy(
         F.col(type_col).alias("__s"), hour_idx.alias("__h")
     ).agg(F.count(F.lit(1)).alias("__c"))
     rolled = rolled.localCheckpoint()  # one consumer per level
+    # per-series hour-index span: n_blocks at level l counts every
+    # 2^l-hour block the series spans, including fully-empty ones
+    # (which contribute zero energy but belong in the mean)
+    span = rolled.groupBy("__s").agg(
+        F.min("__h").alias("__h0"), F.max("__h").alias("__h1")
+    )
     outs = []
     d38 = "decimal(38,0)"
     for lvl in range(1, int(max_level) + 1):
@@ -1648,11 +1659,19 @@ def wavelet_energy(
             ).alias("__right"),
         )
         d = F.col("__left") - F.col("__right")
+        eng = per_block.groupBy("__s").agg(
+            F.sum((d * d).cast(d38)).alias("__e"),
+        )
         outs.append(
-            per_block.groupBy("__s").agg(
+            eng.join(F.broadcast(span), "__s").select(
+                "__s",
                 F.lit(block).alias("block_hours"),
-                F.count(F.lit(1)).cast("long").alias("n_blocks"),
-                F.sum((d * d).cast(d38)).alias("__e"),
+                (
+                    F.floor(F.col("__h1") / F.lit(block))
+                    - F.floor(F.col("__h0") / F.lit(block))
+                    + F.lit(1)
+                ).cast("long").alias("n_blocks"),
+                "__e",
             )
         )
     res = outs[0]

@@ -1642,13 +1642,12 @@ def window_funnel(
     earliest step-i event strictly after t_{i−1} and ≤ anchor + window.
 
     One exchange on the entity (every step's min-over-partition shares
-    it), one per-entity rollup, then a ≤(k+1)-row depth histogram.
-    Returns per depth 0..k: (depth, n_entities, share) over entities
-    that emitted at least one step-0 event... depth 0 counts entities
-    whose anchor exists but reached nothing further within the window
-    (they still reached step 1 by definition, so depth starts at 1 for
-    them; depth 0 rows appear only when no anchor exists — excluded).
-    Concretely: depth d = number of chain steps completed, d ∈ 1..k.
+    it), one per-entity rollup, then a ≤k-row depth histogram. Output
+    rows cover depths 1..k over entities with at least one step-0
+    event: depth d = number of chain steps completed (the anchor itself
+    counts as step 1, so every anchored entity lands at depth ≥ 1), and
+    no depth-0 row is ever emitted — entities without an anchor are
+    excluded entirely.
     """
     if not steps:
         raise ValueError("window_funnel needs at least one step")

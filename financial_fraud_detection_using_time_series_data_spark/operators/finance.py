@@ -802,8 +802,10 @@ def garch_variance(
         F.col("q").isNotNull()
     ).select(series_col, "bucket", "q")
 
+    ser_ddl = df.schema[series_col].dataType.simpleString()
+    ser_pd = "object" if ser_ddl == "string" else "int64"
     schema = (
-        f"{series_col} string, bucket timestamp, log_return double, "
+        f"{series_col} {ser_ddl}, bucket timestamp, log_return double, "
         "cond_var double, std_resid double"
     )
 
@@ -834,7 +836,7 @@ def garch_variance(
                 prev_r = r
         yield pd.DataFrame(
             {
-                series_col: pd.Series(sers, dtype="object"),
+                series_col: pd.Series(sers, dtype=ser_pd),
                 "bucket": pd.Series(buckets),
                 "log_return": pd.Series(rets, dtype="float64"),
                 "cond_var": pd.Series(cvars, dtype="float64"),

@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _id_ddl(df: DataFrame, col: str) -> tuple[str, str]:
+    """DDL type + pandas dtype for an id column carried through a
+    mapInPandas output schema. Derived from the input frame so string
+    (or int) entity ids work with the generic signature instead of
+    failing at runtime against a hardcoded ``long``."""
+    ddl = df.schema[col].dataType.simpleString()
+    return ddl, ("object" if ddl == "string" else "int64")
+
+
 def holt_forecast(
     df: DataFrame,
     entity_col: str = "user_id",
@@ -54,8 +63,9 @@ def holt_forecast(
         F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
     ).agg(F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__y"))
 
+    ent_ddl, ent_pd = _id_ddl(df, entity_col)
     schema = (
-        f"{entity_col} long, step int, forecast double, "
+        f"{entity_col} {ent_ddl}, step int, forecast double, "
         "level double, trend double, sse double, n_obs long"
     )
 
@@ -89,7 +99,7 @@ def holt_forecast(
             ns.extend([len(y)] * h)
         yield pd.DataFrame(
             {
-                entity_col: pd.Series(ents, dtype="int64"),
+                entity_col: pd.Series(ents, dtype=ent_pd),
                 "step": pd.Series(steps, dtype="int32"),
                 "forecast": pd.Series(fcs, dtype="float64"),
                 "level": pd.Series(levs, dtype="float64"),
@@ -143,8 +153,9 @@ def holt_winters_forecast(
         F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
     ).agg(F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__y"))
 
+    ent_ddl, ent_pd = _id_ddl(df, entity_col)
     schema = (
-        f"{entity_col} long, step int, forecast double, "
+        f"{entity_col} {ent_ddl}, step int, forecast double, "
         "level double, trend double, sse double, n_obs long"
     )
 
@@ -191,7 +202,7 @@ def holt_winters_forecast(
             ns.extend([n] * h)
         yield pd.DataFrame(
             {
-                entity_col: pd.Series(ents, dtype="int64"),
+                entity_col: pd.Series(ents, dtype=ent_pd),
                 "step": pd.Series(steps, dtype="int32"),
                 "forecast": pd.Series(fcs, dtype="float64"),
                 "level": pd.Series(levs, dtype="float64"),
@@ -243,7 +254,8 @@ def kalman_filter(
         "__g", F.pmod(F.xxhash64(F.col("__e")), F.lit(64))
     )
 
-    schema = f"{entity_col} long, step long, y double, level double"
+    ent_ddl, _ = _id_ddl(df, entity_col)
+    schema = f"{entity_col} {ent_ddl}, step long, y double, level double"
 
     def _run(pdf):
         import pandas as pd
@@ -321,7 +333,8 @@ def croston_forecast(
         "__g", F.pmod(F.xxhash64(F.col("__e")), F.lit(64))
     )
 
-    schema = f"{entity_col} long, n_demands long, z double, p double, forecast_rate double"
+    ent_ddl, _ = _id_ddl(df, entity_col)
+    schema = f"{entity_col} {ent_ddl}, n_demands long, z double, p double, forecast_rate double"
 
     def _run(pdf):
         import pandas as pd
@@ -596,8 +609,9 @@ def theta_forecast(
         F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__y")
     )
 
+    ent_ddl, ent_pd = _id_ddl(df, entity_col)
     schema = (
-        f"{entity_col} long, step int, forecast double, "
+        f"{entity_col} {ent_ddl}, step int, forecast double, "
         "level double, slope double, n_obs long"
     )
 
@@ -634,7 +648,7 @@ def theta_forecast(
             ns.extend([n] * h)
         yield pd.DataFrame(
             {
-                entity_col: pd.Series(ents, dtype="int64"),
+                entity_col: pd.Series(ents, dtype=ent_pd),
                 "step": pd.Series(steps, dtype="int32"),
                 "forecast": pd.Series(fcs, dtype="float64"),
                 "level": pd.Series(levs, dtype="float64"),
