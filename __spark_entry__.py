@@ -4188,49 +4188,192 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_BOOKS_CACHE: dict = {}
 
 
+_PLANTED_SEED_CACHE: dict[tuple[str, int, int], list] = {}
+
+
+def _planted_seeds(spark, sf_dir: str, n: int, offset: int = 0) -> list:
+    key = (sf_dir, n, offset)
+    seeds = _PLANTED_SEED_CACHE.get(key)
+    if seeds is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        seeds = similarity.planted_int_seeds(emb, n, offset=offset)
+        _PLANTED_SEED_CACHE[key] = seeds
+    return seeds
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (rows-only: quantization distortion makes
-    recall < 1 by design; the recall floor is pinned in test_pq.py). The
-    search side scans ONLY the m-int codes column — the 100 TB
-    compression path. Codebooks are memoized per sf_dir like the IVF
-    index: train once, search many; training is deterministic (fixed
-    seeds + Lloyd), so the cache cannot change results."""
+    """Product-quantization ANN, PLANTED-integer oracle mode (round 10,
+    VERDICT r09 ask #7): codebooks are the 16 smallest-id vectors'
+    subvectors on the 1e-6 grid — codes, norms and the ADC numerator
+    are exact BIGINT folds an external SQL engine replays bit-exactly
+    (the md5-plane LSH treatment applied to PQ). The search side still
+    scans ONLY the m-int codes column — the 100 TB compression path.
+    The TRAINED-codebook production mode (`pq_train` → `pq_topk`)
+    remains exercised with recall floors in test_pq.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    books = _PQ_BOOKS_CACHE.get(sf_dir)
-    if books is None:
-        books = similarity.pq_train(emb, dim=64, m=8, ksub=16, n_iter=2)
-        _PQ_BOOKS_CACHE[sf_dir] = books
-    out = similarity.pq_topk(emb, queries_df, books, k=5)
+    books = similarity.pq_planted_codebooks(
+        _planted_seeds(spark, sf_dir, 16), m=8
+    )
+    out = similarity.pq_topk_planted(emb, queries_df, books, k=5)
     return out.select(
         "qid", "vec_id", "cos_approx", F.col("rank").cast("int").alias("rank")
     )
 
 
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed IVF×PQ ANN (rows-only: cell pruning × quantization
-    distortion make recall < 1 by design; the floor is pinned in
-    test_pq.py) — the production shape: probe nprobe cells, ADC-score
-    only the probed members' m-int codes. Reuses the memoized trained
-    centroids and codebooks (train once, search many)."""
+    """Composed IVF×PQ ANN, PLANTED-integer oracle mode (round 10):
+    centroids are the 16 vectors AFTER the codebook seeds (ids 16..31
+    by rank), codebooks as in `pq_topk` — cell assignment, probe
+    selection and ADC scores are exact integer arithmetic, so the
+    whole composed index replays in SQL. Index side scans (id, cell,
+    codes) only; probes broadcast into the single cell join; no
+    crossJoin (plan-pinned). The trained centroids × trained codebooks
+    production mode stays recall-floor-checked in test_pq.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    cents = _IVF_CENTROID_CACHE.get(sf_dir)
-    if cents is None:
-        cents = similarity.kmeans_centroids(emb, nlist=16, n_iter=3)
-        _IVF_CENTROID_CACHE[sf_dir] = cents
-    books = _PQ_BOOKS_CACHE.get(sf_dir)
-    if books is None:
-        books = similarity.pq_train(emb, dim=64, m=8, ksub=16, n_iter=2)
-        _PQ_BOOKS_CACHE[sf_dir] = books
-    out = similarity.ivf_pq_topk(emb, queries_df, cents, books, nprobe=4, k=5)
+    books = similarity.pq_planted_codebooks(
+        _planted_seeds(spark, sf_dir, 16), m=8
+    )
+    cents = _planted_seeds(spark, sf_dir, 16, offset=16)
+    out = similarity.ivf_pq_topk_planted(
+        emb, queries_df, cents, books, nprobe=4, k=5
+    )
     return out.select(
         "qid", "vec_id", "cos_approx", F.col("rank").cast("int").alias("rank")
     )
+
+
+_PQ_INT_BASE = """
+base AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS iv
+  FROM embeddings
+),
+seeds AS (
+  SELECT iv, row_number() OVER (ORDER BY vec_id) - 1 AS k
+  FROM base ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT unnest(range(0, 8)) AS j),
+subd AS (
+  SELECT b.vec_id, s.j AS j, sd.k,
+    CAST(list_dot_product(b.iv[s.j*8+1 : s.j*8+8],
+                          b.iv[s.j*8+1 : s.j*8+8])
+       + list_dot_product(sd.iv[s.j*8+1 : s.j*8+8],
+                          sd.iv[s.j*8+1 : s.j*8+8])
+       - 2 * list_dot_product(b.iv[s.j*8+1 : s.j*8+8],
+                              sd.iv[s.j*8+1 : s.j*8+8]) AS BIGINT) AS dist
+  FROM base b CROSS JOIN subs s CROSS JOIN seeds sd
+),
+code AS (
+  SELECT vec_id, j, k AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY dist, k) AS rn
+    FROM subd)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, iv AS qiv FROM base WHERE vec_id < 3),
+qn AS (SELECT qid, CAST(list_dot_product(qiv, qiv) AS BIGINT) AS qn2 FROM q)
+"""
+
+# Planted-integer PQ oracle: every dot/norm is a sum of ≤8 exact-double
+# products of 1e-6-grid BIGINTs (≤3e13, inside double-exact range), so
+# codes, ADC numerators and both norms replay bit-exactly; the final
+# cosine is two sqrts + one division over identical integers.
+_PQ_TOPK_SQL = f"""
+WITH {_PQ_INT_BASE.strip()},
+adc AS (
+  SELECT q.qid, c.vec_id,
+    CAST(sum(list_dot_product(q.qiv[c.j*8+1 : c.j*8+8],
+                              sd.iv[c.j*8+1 : c.j*8+8])) AS BIGINT) AS dt,
+    CAST(sum(list_dot_product(sd.iv[c.j*8+1 : c.j*8+8],
+                              sd.iv[c.j*8+1 : c.j*8+8])) AS BIGINT) AS rn2
+  FROM code c JOIN seeds sd ON sd.k = c.code CROSS JOIN q
+  WHERE c.vec_id <> q.qid
+  GROUP BY q.qid, c.vec_id
+),
+scored AS (
+  SELECT a.qid, a.vec_id,
+    {_R6.format("a.dt::DOUBLE / nullif(sqrt(n.qn2::DOUBLE) * sqrt(a.rn2::DOUBLE), 0.0)")} AS cos_approx
+  FROM adc a JOIN qn n USING (qid)
+),
+ranked AS (
+  SELECT qid, vec_id, cos_approx,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_approx DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_approx, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+# Composed IVF×PQ: planted centroids are the 16 vectors AFTER the seeds
+# (rank 17..32 by id); cell assignment and probe selection are the same
+# exact-integer argmin; candidates = probed cells' members only.
+_IVF_PQ_TOPK_SQL = f"""
+WITH {_PQ_INT_BASE.strip()},
+cents AS (
+  SELECT iv, row_number() OVER (ORDER BY vec_id) - 1 AS c FROM (
+    SELECT vec_id, iv FROM base ORDER BY vec_id LIMIT 16 OFFSET 16)
+),
+celld AS (
+  SELECT b.vec_id, ct.c,
+    CAST(list_dot_product(b.iv, b.iv) + list_dot_product(ct.iv, ct.iv)
+       - 2 * list_dot_product(b.iv, ct.iv) AS BIGINT) AS dist
+  FROM base b CROSS JOIN cents ct
+),
+cell AS (
+  SELECT vec_id, c AS cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, c) AS rn
+    FROM celld)
+  WHERE rn = 1
+),
+probed AS (
+  SELECT qid, c AS cell_id FROM (
+    SELECT q.qid, ct.c,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        CAST(list_dot_product(q.qiv, q.qiv) + list_dot_product(ct.iv, ct.iv)
+           - 2 * list_dot_product(q.qiv, ct.iv) AS BIGINT), ct.c) AS pr
+    FROM q CROSS JOIN cents ct)
+  WHERE pr <= 4
+),
+cand AS (
+  SELECT p.qid, ce.vec_id
+  FROM probed p JOIN cell ce ON ce.cell_id = p.cell_id
+  WHERE ce.vec_id <> p.qid
+),
+adc AS (
+  SELECT ca.qid, ca.vec_id,
+    CAST(sum(list_dot_product(q.qiv[c.j*8+1 : c.j*8+8],
+                              sd.iv[c.j*8+1 : c.j*8+8])) AS BIGINT) AS dt,
+    CAST(sum(list_dot_product(sd.iv[c.j*8+1 : c.j*8+8],
+                              sd.iv[c.j*8+1 : c.j*8+8])) AS BIGINT) AS rn2
+  FROM cand ca
+  JOIN code c ON c.vec_id = ca.vec_id
+  JOIN seeds sd ON sd.k = c.code
+  JOIN q ON q.qid = ca.qid
+  GROUP BY ca.qid, ca.vec_id
+),
+scored AS (
+  SELECT a.qid, a.vec_id,
+    {_R6.format("a.dt::DOUBLE / nullif(sqrt(n.qn2::DOUBLE) * sqrt(a.rn2::DOUBLE), 0.0)")} AS cos_approx
+  FROM adc a JOIN qn n USING (qid)
+),
+ranked AS (
+  SELECT qid, vec_id, cos_approx,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_approx DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_approx, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -5387,17 +5530,30 @@ SELECT rank, doc_id, lang, n_chars FROM r WHERE rank <= 100
 
 
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """24h rolling distinct users via hourly HLL partials merged over a
-    window frame — the corpus is scanned once; each output row unions
-    ≤24 fixed-size sketches. Rows-only (sketch estimates)."""
+    """24h rolling distinct users, EXACT difference-array form (oracle-
+    backed since round 10): each user presence-hour contributes +1/−1
+    deltas whose chunked running sum IS the exact trailing-window
+    distinct count — one corpus rollup, aggregate-sized frames after,
+    no partitionless window. The HLL-sketch variant
+    (`sketches.sliding_distinct`) remains the ultra-wide-window scale
+    path, pinned by its accuracy tests."""
     ev = _events(spark, sf_dir)
-    out = sketches.sliding_distinct(
-        ev, "ts", "user_id", bucket="hour", window_buckets=24
+    out = sketches.sliding_distinct_exact(
+        ev, "ts", "user_id", window_buckets=24
     )
-    return out.select(
-        "bucket",
-        F.col("approx_distinct_window").cast("long").alias("approx_users_24h"),
-    )
+    return out.select("bucket", "users_24h")
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH ph AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hb FROM events
+),
+hrs AS (SELECT DISTINCT hb AS bucket FROM ph)
+SELECT h.bucket, count(DISTINCT p.user_id)::BIGINT AS users_24h
+FROM hrs h JOIN ph p
+  ON p.hb >= h.bucket - INTERVAL 23 HOURS AND p.hb <= h.bucket
+GROUP BY h.bucket
+"""
 
 
 def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7756,13 +7912,17 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Sorted-Neighborhood pair sets over the same corpus — per-method
     counts plus every pairwise intersection. Production dedup runs
     multiple generators and unions them; this is the overlap table that
-    decision is based on. Rows-only (the generators are individually
-    deterministic but two have no SQL twins); counts are exact
-    integers over the distinct normalized (lo, hi) pair sets."""
+    decision is based on. Oracle-backed since round 10: all three
+    generators have SQL twins (md5 oracle-mode MinHash, md5-prefix
+    SimHash banding, SNM prefix-key windows), so the census replays as
+    a composition of the three pair CTEs; counts are exact integers
+    over the distinct normalized (lo, hi) pair sets. The xxhash64
+    MinHash scale mode stays exercised by `dedup_clusters_lsh` /
+    `dedup_incremental`."""
     docs = load_table(spark, sf_dir, "documents")
     mh = dedup.minhash_lsh_pairs(
         docs.repartition(spark.sparkContext.defaultParallelism),
-        num_hashes=16, bands=2,
+        num_hashes=16, bands=2, fast=False,
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     sh = dedup.simhash_near_dup(
         docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
@@ -8139,10 +8299,13 @@ LIMIT 15
 """
 
 
+_CUST_COUNT_CACHE: dict[str, int] = {}
+
+
 def _scaled_blocked_cust(spark: SparkSession, sf_dir: str):
     """Customer frame carrying the SCALE-REFINING blocking bucket: the
     bucket COUNT is derived from the corpus size — nb = max(1,
-    n // 15000) equal-width buckets over the TPC-H acctbal envelope as
+    n // 1500) equal-width buckets over the TPC-H acctbal envelope as
     exact integer arithmetic on clamped cents — so expected block size
     stays ~constant and candidate-pair volume is O(n) whatever the SF
     (measured e = 0.943 across the sf0.1→sf1.0 decade in round 9; the
@@ -8151,7 +8314,11 @@ def _scaled_blocked_cust(spark: SparkSession, sf_dir: str):
     round-9 verdict; n comes from one count() job and embeds as a plan
     literal, exactly as the oracle's scalar subquery computes it."""
     cust_raw = load_table(spark, sf_dir, "customer")
-    nb = max(1, cust_raw.count() // 15000)
+    n = _CUST_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = cust_raw.count()
+        _CUST_COUNT_CACHE[sf_dir] = n
+    nb = max(1, n // 1500)
     return cust_raw.withColumn(
         "cents",
         F.least(
@@ -8242,7 +8409,7 @@ def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALE-REFINING blocking (round 9's e = 0.943 design): the bucket
-    COUNT grows with the corpus — nb = max(1, n // 15000) — holding
+    COUNT grows with the corpus — nb = max(1, n // 1500) — holding
     expected block size ~constant and candidate-pair volume O(n).
     Promoted to the family default in round 10: `record_linkage` now
     runs this exact plan, and this entry delegates to it (kept as a
@@ -8309,7 +8476,7 @@ WHERE fs_weight >= 0.0
 """
 
 # Round 10: the SCALE-REFINING bucket (count grows with the data,
-# nb = max(1, n // 15000), holding expected block size ~constant so
+# nb = max(1, n // 1500), holding expected block size ~constant so
 # candidate-pair volume is O(n) — measured e = 0.943) is the FAMILY
 # DEFAULT; record_linkage, record_linkage_fine and record_linkage_scaled
 # all run the same plan and share this oracle text. Bucketing is exact
@@ -8327,7 +8494,7 @@ _LINKAGE_SCALED_COND = (
 )
 
 _LINKAGE_PARAMS_CTE = """params AS (
-  SELECT greatest(1, count(*) // 15000)::BIGINT AS nb FROM customer
+  SELECT greatest(1, count(*) // 1500)::BIGINT AS nb FROM customer
 ),"""
 
 _LINKAGE_CTES = (
@@ -8471,6 +8638,30 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   a.key AS key_a, b.key AS key_b, (b.rn - a.rn)::BIGINT AS dist
 FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
 """
+
+
+_DEDUP_AGREEMENT_SQL = f"""
+WITH mhp AS ({_MINHASH_LSH_SQL}),
+shp AS ({_SIMHASH_ND_SQL}),
+snp AS ({_SNM_SQL}),
+mh AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       FROM mhp),
+sh AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       FROM shp),
+sn AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       FROM snp)
+SELECT 'minhash' AS method_a, 'minhash' AS method_b,
+  (SELECT count(*) FROM mh)::BIGINT AS n_pairs
+UNION ALL SELECT 'minhash', 'simhash',
+  (SELECT count(*) FROM mh JOIN sh USING (a, b))::BIGINT
+UNION ALL SELECT 'minhash', 'snm',
+  (SELECT count(*) FROM mh JOIN sn USING (a, b))::BIGINT
+UNION ALL SELECT 'simhash', 'simhash', (SELECT count(*) FROM sh)::BIGINT
+UNION ALL SELECT 'simhash', 'snm',
+  (SELECT count(*) FROM sh JOIN sn USING (a, b))::BIGINT
+UNION ALL SELECT 'snm', 'snm', (SELECT count(*) FROM sn)::BIGINT
+"""
+
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9664,12 +9855,17 @@ SELECT event_type, lag::INT AS lag, pacf FROM ({sel})
 
 def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution over per-user journeys split
-    at purchases. Rows-only: the absorption solve is a driver-side
-    linear system on the tiny transition matrix; the transition counts
-    it consumes are the oracle-checked event_transitions family."""
+    at purchases. Oracle-backed since round 10 via the operator's
+    integer-grid POWER mode: 256 fixed t′ = r + Q·t iterations with
+    every Q_ij·t_j term floored to 1e-9 units individually, so each
+    iterate is reduction-order invariant and the whole fit — base +
+    per-channel removal re-solves — replays as one recursive CTE
+    (measured ≤1.4e-8 from the LAPACK solve, far under the r6 grid).
+    The default `solve` mode stays the production path, pinned by the
+    attribution tests."""
     out = events_ops.attribution_markov(
         _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id",
-        conv_type="purchase",
+        conv_type="purchase", method="power",
     )
     return out.select(
         "channel",
@@ -9678,6 +9874,105 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.r6("attribution").alias("attribution"),
         E.r6("p_conv_base").alias("p_conv_base"),
     )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS e, event_type AS t, ts, event_id AS o,
+    sum((event_type = 'purchase')::INT)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - (event_type = 'purchase')::INT AS j
+  FROM events
+),
+seq AS (
+  SELECT e, j, t AS cur,
+    lead(t) OVER (PARTITION BY e, j ORDER BY ts, o) AS nxt,
+    row_number() OVER (PARTITION BY e, j ORDER BY ts, o) AS rn
+  FROM ev
+),
+raw AS (
+  SELECT 'START' AS cur,
+    CASE WHEN cur = 'purchase' THEN 'CONV' ELSE cur END AS nxt
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT cur, CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+  FROM seq WHERE nxt IS NOT NULL AND cur <> 'purchase'
+  UNION ALL
+  SELECT cur, 'NULL' FROM seq WHERE nxt IS NULL AND cur <> 'purchase'
+),
+cnt AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM raw GROUP BY 1, 2),
+tots AS (SELECT cur, sum(n)::BIGINT AS tot FROM cnt GROUP BY 1),
+chans AS (
+  SELECT x AS ch FROM (
+    SELECT DISTINCT cur AS x FROM cnt
+    UNION SELECT DISTINCT nxt FROM cnt)
+  WHERE x NOT IN ('CONV', 'NULL', 'START')
+),
+systems AS (SELECT 'NONE' AS removed UNION ALL SELECT ch FROM chans),
+states AS (
+  SELECT sy.removed, st.s,
+    row_number() OVER (PARTITION BY sy.removed
+                       ORDER BY (st.s <> 'START'), st.s) AS sidx
+  FROM systems sy
+  JOIN (SELECT 'START' AS s UNION ALL SELECT ch FROM chans) st
+    ON st.s <> sy.removed
+),
+rows_ AS (
+  SELECT a.removed, a.sidx,
+    coalesce(t.tot, 0) AS tot,
+    CASE WHEN coalesce(t.tot, 0) > 0
+      THEN (coalesce(cv.n, 0) * 1000000000) // t.tot ELSE 0 END AS r,
+    list(CASE WHEN coalesce(t.tot, 0) > 0 THEN coalesce(c.n, 0)
+              ELSE 0 END ORDER BY b.sidx) AS mrow
+  FROM states a
+  JOIN states b ON b.removed = a.removed
+  LEFT JOIN tots t ON t.cur = a.s
+  LEFT JOIN cnt cv ON cv.cur = a.s AND cv.nxt = 'CONV'
+  LEFT JOIN cnt c ON c.cur = a.s AND c.nxt = b.s
+  GROUP BY a.removed, a.sidx, t.tot, cv.n
+),
+sysmat AS (
+  SELECT removed,
+    list(r ORDER BY sidx) AS rv,
+    list(CASE WHEN tot > 0 THEN tot ELSE 1 END ORDER BY sidx) AS td,
+    list(mrow ORDER BY sidx) AS mm
+  FROM rows_ GROUP BY removed
+),
+it AS (
+  SELECT removed, rv, td, mm,
+    list_transform(rv, x -> 0::BIGINT) AS tv, 0 AS k
+  FROM sysmat
+  UNION ALL
+  SELECT removed, rv, td, mm,
+    list_transform(range(1, len(rv) + 1),
+      s -> rv[s] + coalesce(list_sum(list_transform(range(1, len(rv) + 1),
+             j -> (mm[s][j] * tv[j]) // td[s])), 0)),
+    k + 1
+  FROM it WHERE k < 256
+),
+fin AS (SELECT removed, tv[1] AS pu FROM it WHERE k = 256),
+base AS (SELECT pu AS bu FROM fin WHERE removed = 'NONE'),
+reu AS (
+  SELECT f.removed AS channel,
+    CASE WHEN b.bu > 0
+      THEN floor(greatest(0.0, 1.0 - f.pu::DOUBLE / b.bu::DOUBLE)
+                 * 1000000000.0 + 0.5)::BIGINT
+      ELSE 0 END AS ru,
+    b.bu AS bu
+  FROM fin f CROSS JOIN base b WHERE f.removed <> 'NONE'
+),
+through AS (
+  SELECT ch,
+    (SELECT coalesce(sum(n), 0) FROM cnt
+     WHERE cur = ch OR nxt = ch)::BIGINT AS nt
+  FROM chans
+)
+SELECT r.channel, th.nt AS n_transitions,
+  {_R6.format("r.ru::DOUBLE / 1000000000.0")} AS removal_effect,
+  {_R6.format("CASE WHEN (SELECT sum(ru) FROM reu) > 0 THEN r.ru::DOUBLE / (SELECT sum(ru) FROM reu)::DOUBLE ELSE 0.0 END")} AS attribution,
+  {_R6.format("r.bu::DOUBLE / 1000000000.0")} AS p_conv_base
+FROM reu r JOIN through th ON th.ch = r.channel
+"""
 
 
 def q_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13567,6 +13862,8 @@ def oracle_sql() -> dict[str, str]:
         "brute_force_topk": _BRUTE_TOPK_SQL,
         # synthetic_source: rows-only (env-seeded generator)
         "lsh_topk": _lsh_topk_sql(),
+        "pq_topk": _PQ_TOPK_SQL,
+        "ivf_pq_topk": _IVF_PQ_TOPK_SQL,
         "embedding_near_dup_lsh": _emb_lsh_sql(),
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "asof_join": _ASOF_SQL,
@@ -13650,6 +13947,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_rollup": _QUANTILE_ROLLUP_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
+        "attribution_markov": _ATTRIBUTION_SQL,
+        "sliding_distinct": _SLIDING_DISTINCT_SQL,
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
         "cusum_changepoint": _CUSUM_SQL,
         # sliding_distinct / hll_set_overlap: rows-only (sketch estimates)
@@ -13745,6 +14044,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _PAGERANK_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_near_dup": _SIMHASH_ND_SQL,
+        "dedup_method_agreement": _DEDUP_AGREEMENT_SQL,
         "seasonality_strength": _SEASONALITY_STRENGTH_SQL,
         "croston_forecast": _CROSTON_SQL,
         "page_hinkley": _PAGE_HINKLEY_SQL,

@@ -28,6 +28,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1272,6 +1274,8 @@ def attribution_markov(
     order_col: str = "event_id",
     conv_type: str = "purchase",
     max_channels: int = 512,
+    method: str = "solve",
+    n_iter: int = 256,
 ) -> DataFrame:
     """Markov removal-effect attribution — the data-driven alternative
     to ``attribution_last_touch``: model journeys as a first-order
@@ -1302,6 +1306,17 @@ def attribution_markov(
     effect (1 − p_conv_without / p_conv_base), and the normalized
     attribution share. Baseline conversion probability rides along for
     context.
+
+    ``method="power"`` (round 10) replaces the LAPACK solve with
+    ``n_iter`` fixed power iterations on the 1e-9 integer grid —
+    t′ = r + Q·t with every Q_ij·t_j term floored to integer units
+    individually, so the iterate is reduction-order invariant and the
+    whole fit (including the removal re-solves) replays as a
+    recursive CTE in an external SQL engine (the em_weights/pagerank
+    treatment). Absorbing chains give ‖Q‖ < 1, so 256 iterations sit
+    far below the 1e-6 output grid; the default ``solve`` path is
+    unchanged and remains the production mode. Grid-mode removal
+    effects/attributions derive from unit integers end-to-end.
     """
     w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
     is_conv = (F.col(type_col) == conv_type).cast("long")
@@ -1414,27 +1429,82 @@ def attribution_markov(
                          a[:, k] / np.diag(a[:, :k]), 0.0)
         return float(t[idx["START"]])
 
-    base = _p_conv(None)
-    effects = []
-    for c in channels:
-        pr = _p_conv(c)
-        re = 1.0 - (pr / base) if base > 0 else 0.0
-        effects.append((c, max(re, 0.0)))
-    tot_re = sum(e for _, e in effects)
+    SCALE = 1_000_000_000
+
+    def _p_conv_units(removed: str | None) -> int:
+        # integer-grid power iteration: every Q_ij·t_j term floors to
+        # unit integers individually, so the sum is order-invariant and
+        # the SQL twin replays it term-for-term
+        states = ["START"] + [c for c in channels if c != removed]
+        k = len(states)
+        tot = {
+            s: sum(c for (cc, _n), c in counts.items() if cc == s)
+            for s in states
+        }
+        r_u = [
+            (counts.get((s, "CONV"), 0) * SCALE) // tot[s]
+            if tot[s] > 0
+            else 0
+            for s in states
+        ]
+        mat = [
+            [
+                counts.get((s, j), 0) if tot[s] > 0 else 0
+                for j in states
+            ]
+            for s in states
+        ]
+        t_div = [tot[s] if tot[s] > 0 else 1 for s in states]
+        tv = [0] * k
+        for _ in range(int(n_iter)):
+            tv = [
+                r_u[i]
+                + sum((mat[i][j] * tv[j]) // t_div[i] for j in range(k))
+                for i in range(k)
+            ]
+        return tv[0]  # states[0] == "START"
+
     through = {
         c: sum(n for (cc, nn), n in counts.items() if cc == c or nn == c)
         for c in channels
     }
-    out = [
-        (
-            c,
-            int(through[c]),
-            float(re),
-            float(re / tot_re) if tot_re > 0 else 0.0,
-            float(base),
-        )
-        for c, re in effects
-    ]
+
+    if method == "power":
+        base_u = _p_conv_units(None)
+        re_units = []
+        for c in channels:
+            pr_u = _p_conv_units(c)
+            re = max(0.0, 1.0 - pr_u / base_u) if base_u > 0 else 0.0
+            re_units.append((c, math.floor(re * SCALE + 0.5)))
+        tot_re_u = sum(u for _, u in re_units)
+        out = [
+            (
+                c,
+                int(through[c]),
+                u / SCALE,
+                (u / tot_re_u) if tot_re_u > 0 else 0.0,
+                base_u / SCALE,
+            )
+            for c, u in re_units
+        ]
+    else:
+        base = _p_conv(None)
+        effects = []
+        for c in channels:
+            pr = _p_conv(c)
+            re = 1.0 - (pr / base) if base > 0 else 0.0
+            effects.append((c, max(re, 0.0)))
+        tot_re = sum(e for _, e in effects)
+        out = [
+            (
+                c,
+                int(through[c]),
+                float(re),
+                float(re / tot_re) if tot_re > 0 else 0.0,
+                float(base),
+            )
+            for c, re in effects
+        ]
     return df.sparkSession.createDataFrame(
         out,
         "channel string, n_transitions long, removal_effect double, "

@@ -13,6 +13,8 @@ so results are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -943,4 +945,236 @@ def quantize_audit(
         r6_(F.when(ok, F.sqrt(err2 / nrm2))).alias("rel_err_l2"),
         r6_(F.when(ok, maxerr)).alias("max_abs_err"),
         n_sat.cast("int").alias("n_saturated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-integer PQ / IVF×PQ (oracle-replayable fixtures; round 10)
+#
+# The TRAINED codebook path (`pq_train` → `pq_topk`) is the production
+# mode, recall-floor-pinned in tests. These variants swap Lloyd-trained
+# float codebooks for PLANTED integer ones — the ksub smallest-id
+# vectors' subvectors on the 1e-6 grid — the same treatment that made
+# the banded-LSH entries oracle-backed (md5-seeded planes): every
+# quantity up to the final cosine is an EXACT BIGINT fold (|x| ≤ ~0.6
+# ⇒ per-dim squares ≤ 4e11, 64-dim sums ≤ ~3e13 — far inside both
+# int64 and double-exact range), and the final score is two sqrts and
+# one division over identical integers, so an external SQL engine
+# replays codes, probes and scores bit-exactly. Plan shape is identical
+# to the trained path: codes-only scan, broadcast queries/probes, no
+# crossJoin in the IVF form, per-query window top-k.
+
+
+def _int_vec_sql(vec_col: str, scale: int) -> str:
+    return (
+        f"transform({vec_col}, x -> cast(floor(cast(x as double) * "
+        f"{scale}.0D + 0.5D) as bigint))"
+    )
+
+
+def _int_matrix_sql(rows: list[list[int]]) -> str:
+    return "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"{int(v)}L" for v in row))
+            for row in rows
+        )
+    )
+
+
+def _int_sqdist_sql(sub: str, book: list[list[int]]) -> str:
+    return (
+        f"transform({_int_matrix_sql(book)}, "
+        f"c -> aggregate(zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0 as bigint), (acc, d) -> acc + d))"
+    )
+
+
+def _int_argmin_sql(sub: str, book: list[list[int]]) -> str:
+    # array_position returns the FIRST index of the min → ties resolve
+    # to the smallest codeword id on both engines
+    d = _int_sqdist_sql(sub, book)
+    return f"cast(array_position({d}, array_min({d})) - 1 as int)"
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0 as bigint), (acc, d) -> acc + d)"
+    )
+
+
+def planted_int_seeds(
+    corpus: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: int = 0,
+) -> list[list[int]]:
+    """The ``n`` smallest-id vectors (after skipping ``offset``) on the
+    1e-6 integer grid — the planted fixture both engines can rederive
+    from the data alone (ORDER BY id LIMIT n OFFSET o)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n + offset)
+        .collect()[offset:]
+    )
+    return [
+        [int(math.floor(float(x) * scale + 0.5)) for x in r[vec_col]]
+        for r in rows
+    ]
+
+
+def pq_planted_codebooks(
+    seeds: list[list[int]], m: int = 8
+) -> list[list[list[int]]]:
+    """Slice planted integer seed vectors into m per-subspace codebooks:
+    books[j][k] = seed k's j-th subvector."""
+    dim = len(seeds[0])
+    assert dim % m == 0
+    dsub = dim // m
+    return [
+        [v[j * dsub : (j + 1) * dsub] for v in seeds] for j in range(m)
+    ]
+
+
+def pq_topk_planted(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books_int: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ADC PQ top-k over planted integer codebooks: codes are exact
+    integer argmins, score = (Σ_j q_j·cb_j[code_j]) /
+    (‖q‖·‖recon‖) — reconstruction-normalized asymmetric cosine whose
+    numerator and both squared norms are exact BIGINTs. The corpus side
+    of the scoring join carries ONLY (id, codes) — the 100 TB
+    compression path — with queries broadcast."""
+    m = len(books_int)
+    dsub = len(books_int[0][0])
+    codes_exprs = ", ".join(
+        _int_argmin_sql(f"slice(__iv, {j * dsub + 1}, {dsub})", book)
+        for j, book in enumerate(books_int)
+    )
+    enc = corpus.select(
+        id_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__iv")
+    ).select(id_col, F.expr(f"array({codes_exprs})").alias("codes"))
+    q = queries.select(
+        qid_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__qiv")
+    )
+    joined = enc.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    dot_terms = " + ".join(
+        _int_dot_sql(
+            f"slice(__qiv, {j * dsub + 1}, {dsub})",
+            f"element_at({_int_matrix_sql(book)}, codes[{j}] + 1)",
+        )
+        for j, book in enumerate(books_int)
+    )
+    rn_terms = " + ".join(
+        f"aggregate(element_at({_int_matrix_sql(book)}, codes[{j}] + 1), "
+        "cast(0 as bigint), (acc, d) -> acc + d * d)"
+        for j, book in enumerate(books_int)
+    )
+    qn = "aggregate(__qiv, cast(0 as bigint), (acc, d) -> acc + d * d)"
+    score = (
+        f"(cast(({dot_terms}) as double) / "
+        f"nullif(sqrt(cast({qn} as double)) * "
+        f"sqrt(cast(({rn_terms}) as double)), 0.0D))"
+    )
+    scored = joined.select(
+        qid_col, id_col, r6(F.expr(score)).alias("cos_approx")
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_approx").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_topk_planted(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents_int: list[list[int]],
+    books_int: list[list[list[int]]],
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Composed IVF×PQ over planted integer centroids AND codebooks:
+    cell assignment and probe selection are exact integer argmins, the
+    ADC score is `pq_topk_planted`'s. Index side scans (id, cell,
+    codes) only; probes broadcast into the single cell join — no
+    crossJoin anywhere (same plan contract as the trained
+    `ivf_pq_topk`, plan-pinned in tests)."""
+    m = len(books_int)
+    dsub = len(books_int[0][0])
+    cell_expr = _int_argmin_sql("__iv", cents_int)
+    codes_exprs = ", ".join(
+        _int_argmin_sql(f"slice(__iv, {j * dsub + 1}, {dsub})", book)
+        for j, book in enumerate(books_int)
+    )
+    index = corpus.select(
+        id_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__iv")
+    ).select(
+        id_col,
+        F.expr(cell_expr).alias("cell_id"),
+        F.expr(f"array({codes_exprs})").alias("codes"),
+    )
+    qbase = queries.select(
+        qid_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__qiv")
+    )
+    dists = F.expr(_int_sqdist_sql("__qiv", cents_int))
+    probes = (
+        qbase.select(qid_col, "__qiv", F.posexplode(dists).alias("cell_id", "__d"))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(qid_col).orderBy(
+                    F.col("__d").asc(), F.col("cell_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select(qid_col, "cell_id", "__qiv")
+    )
+    joined = index.join(F.broadcast(probes), "cell_id").filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    dot_terms = " + ".join(
+        _int_dot_sql(
+            f"slice(__qiv, {j * dsub + 1}, {dsub})",
+            f"element_at({_int_matrix_sql(book)}, codes[{j}] + 1)",
+        )
+        for j, book in enumerate(books_int)
+    )
+    rn_terms = " + ".join(
+        f"aggregate(element_at({_int_matrix_sql(book)}, codes[{j}] + 1), "
+        "cast(0 as bigint), (acc, d) -> acc + d * d)"
+        for j, book in enumerate(books_int)
+    )
+    qn = "aggregate(__qiv, cast(0 as bigint), (acc, d) -> acc + d * d)"
+    score = (
+        f"(cast(({dot_terms}) as double) / "
+        f"nullif(sqrt(cast({qn} as double)) * "
+        f"sqrt(cast(({rn_terms}) as double)), 0.0D))"
+    )
+    scored = joined.select(
+        qid_col, id_col, r6(F.expr(score)).alias("cos_approx")
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_approx").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

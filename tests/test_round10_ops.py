@@ -1,0 +1,157 @@
+"""Round-10 operators: exact sliding distinct (difference-array),
+planted-integer PQ / IVF×PQ, attribution power mode, chunked rfm ntile.
+
+Each new oracle-mode operator gets (a) a semantics pin against a
+brute-force reference and (b) where relevant, parity with the
+production-mode variant it twins."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    behavior,
+    events as events_ops,
+    similarity,
+    sketches,
+)
+from financial_fraud_detection_using_time_series_data_spark.sources import load_table
+
+
+# ------------------------------------------------- sliding_distinct_exact
+
+
+def test_sliding_distinct_exact_vs_brute(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = {
+        r["bucket"]: r["users_24h"]
+        for r in sketches.sliding_distinct_exact(
+            ev, "ts", "user_id", window_buckets=24
+        ).collect()
+    }
+    rows = ev.select(
+        F.date_trunc("hour", "ts").alias("hb"), "user_id"
+    ).distinct().collect()
+    presence = {}
+    for r in rows:
+        presence.setdefault(r["hb"], set()).add(r["user_id"])
+    for b in list(presence)[:50]:
+        expect = set()
+        for h, us in presence.items():
+            if dt.timedelta(0) <= b - h <= dt.timedelta(hours=23):
+                expect |= us
+        assert out[b] == len(expect), f"bucket {b}"
+    assert set(out) == set(presence)
+
+
+def test_sliding_distinct_exact_run_semantics(spark):
+    # one user present at hours 0 and 30 (gap > 24): covered windows are
+    # 0..23 and 30..; another user only at hour 2
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(hours=30)),
+        (2, base + dt.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["bucket"]: r["users_24h"]
+        for r in sketches.sliding_distinct_exact(df).collect()
+    }
+    assert out[base] == 1
+    assert out[base + dt.timedelta(hours=2)] == 2
+    assert out[base + dt.timedelta(hours=30)] == 1
+
+
+# ------------------------------------------------------- planted PQ ANN
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_planted_recall_floor(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    seeds = similarity.planted_int_seeds(emb, 16)
+    books = similarity.pq_planted_codebooks(seeds, m=8)
+    approx = similarity.pq_topk_planted(emb, queries, books, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    rec = similarity.topk_recall(exact, approx, k=5).collect()
+    assert all(r["recall_at_k"] >= 0.2 for r in rec)
+    got = approx.collect()
+    assert all(r["qid"] != r["vec_id"] for r in got)
+    assert len(got) == 15  # 3 queries x top-5
+
+
+def test_ivf_pq_planted_candidates_subset(spark, emb):
+    """IVF×PQ scores are identical to PQ's on shared (qid, vec) pairs —
+    the cell pruning only shrinks the candidate set."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    seeds = similarity.planted_int_seeds(emb, 16)
+    books = similarity.pq_planted_codebooks(seeds, m=8)
+    cents = similarity.planted_int_seeds(emb, 16, offset=16)
+    ivf = similarity.ivf_pq_topk_planted(
+        emb, queries, cents, books, nprobe=16, k=5
+    ).collect()
+    pq = similarity.pq_topk_planted(emb, queries, books, k=5).collect()
+    # nprobe = nlist probes everything -> identical to plain PQ
+    assert sorted((r["qid"], r["vec_id"], r["cos_approx"]) for r in ivf) == sorted(
+        (r["qid"], r["vec_id"], r["cos_approx"]) for r in pq
+    )
+
+
+def test_pq_planted_codebook_shape(spark, emb):
+    seeds = similarity.planted_int_seeds(emb, 16)
+    books = similarity.pq_planted_codebooks(seeds, m=8)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    assert all(isinstance(x, int) for x in books[0][0])
+    # offset slices a disjoint id range
+    s2 = similarity.planted_int_seeds(emb, 4, offset=16)
+    assert s2 != seeds[:4]
+
+
+# ------------------------------------------- attribution power vs solve
+
+
+def test_attribution_power_matches_solve(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = events_ops.attribution_markov(ev, conv_type="purchase")
+    b = events_ops.attribution_markov(ev, conv_type="purchase", method="power")
+    fa = {r["channel"]: r for r in a.collect()}
+    fb = {r["channel"]: r for r in b.collect()}
+    assert set(fa) == set(fb)
+    for c in fa:
+        assert fa[c]["n_transitions"] == fb[c]["n_transitions"]
+        for col in ("removal_effect", "attribution", "p_conv_base"):
+            assert abs(fa[c][col] - fb[c][col]) < 1e-6, (c, col)
+
+
+# ----------------------------------------------- rfm chunked ntile
+
+
+def test_rfm_ntile_matches_window_ntile(spark):
+    """The closed-form (row_number, count) ntile is bit-identical to
+    F.ntile for every (n_rows, n_tiles) shape that exercises uneven
+    tile splits."""
+    from pyspark.sql import Window
+
+    rows = [(i, float(i * 7 % 13), float(i % 5)) for i in range(23)]
+    df = spark.createDataFrame(rows, "user_id long, value double, ts double")
+    ev = df.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.lit(1).alias("event_id"),
+    )
+    out = behavior.rfm_segment(ev, n_tiles=5)
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    ref = out.select(
+        "user_id", F.ntile(5).over(w_r).alias("ref_r"), "r_score"
+    ).collect()
+    assert all(r["ref_r"] == r["r_score"] for r in ref)
