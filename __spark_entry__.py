@@ -9876,7 +9876,7 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ATTRIBUTION_SQL = f"""
+_ATTRIBUTION_MARKOV_SQL = f"""
 WITH RECURSIVE ev AS (
   SELECT user_id AS e, event_type AS t, ts, event_id AS o,
     sum((event_type = 'purchase')::INT)
@@ -13323,6 +13323,322 @@ ORDER BY event_type, block_hours
 """
 
 
+def q_language_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language census over the heuristic lang-ID (stopword-ratio
+    n-gram-free classifier, `text.lang_id`): per language, document
+    count, corpus share, exact mean token count and 1e-9-grid mean
+    quality score — the rebalancing table an LLM-data pipeline reads
+    before mixing sources. One map-only projection + one tiny groupBy;
+    quality means micro-fold as unit integers so the aggregate is
+    reduction-order invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        text.lang_id(t).alias("lang"),
+        text.token_count(t).cast("long").alias("__tc"),
+        F.floor(text.quality_score(t) * F.lit(1e9) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("__qu"),
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("__n"))
+    out = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tc").alias("__st"),
+        F.sum("__qu").alias("__sq"),
+    )
+    return out.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        E.r6(F.col("n_docs").cast("double") / F.col("__n").cast("double")).alias(
+            "share"
+        ),
+        E.r6(F.col("__st").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_tokens"
+        ),
+        E.r6(
+            F.col("__sq").cast("double") / F.lit(1e9) / F.col("n_docs").cast("double")
+        ).alias("mean_quality"),
+    )
+
+
+def _language_census_sql() -> str:
+    sw = ", ".join(f"'{x}'" for x in text.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, text,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(string_split(norm, ' ')) END AS n_tokens,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(list_filter(string_split(norm, ' '),
+                  x -> list_contains([{{sw}}], x))) END AS n_sw
+  FROM base
+),
+per AS (
+  SELECT
+    CASE WHEN n_tokens < 3 THEN 'unknown'
+         WHEN n_sw / nullif(n_tokens, 0)::DOUBLE >= 0.12 THEN 'en'
+         ELSE 'other' END AS lang,
+    n_tokens::BIGINT AS tc,
+    floor(((least(length(text) / 200.0, 1.0)
+      + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / nullif(length(text), 0)::DOUBLE
+      + least((n_sw / nullif(n_tokens, 0)::DOUBLE) * 4.0, 1.0)) / 3.0)
+      * 1000000000.0 + 0.5)::HUGEINT AS qu
+  FROM tok
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  {{r6_share}} AS share,
+  {{r6_tokens}} AS mean_tokens,
+  {{r6_quality}} AS mean_quality
+FROM per GROUP BY lang
+""".format(
+        sw=sw,
+        r6_share=_R6.format(
+            "count(*)::DOUBLE / (SELECT count(*) FROM per)::DOUBLE"
+        ),
+        r6_tokens=_R6.format("sum(tc)::DOUBLE / count(*)::DOUBLE"),
+        r6_quality=_R6.format(
+            "sum(qu)::VARCHAR::DOUBLE / 1000000000.0 / count(*)::DOUBLE"
+        ),
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprint census per document (k=5, w=8):
+    md5-prefix k-gram hashes, window minima selected — any shared
+    substring of length >= 12 between documents shares a fingerprint.
+    Map-only; selected sets replay bit-exactly in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, "text", "doc_id", k=5, w=8)
+
+
+_WINNOW_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 5 THEN
+      list_transform(generate_series(1, length(t) - 4),
+        i -> ('0x' || substring(md5('4242:' || substring(t, i, 5)), 1, 15))
+             ::BIGINT)
+    ELSE []::BIGINT[] END AS h
+  FROM norm
+),
+wn AS (
+  SELECT doc_id, len(h) AS m,
+    CASE WHEN len(h) > 0 THEN
+      list_transform(generate_series(1, greatest(len(h) - 7, 1)),
+        j -> list_min(h[j : j + 7]))
+    ELSE []::BIGINT[] END AS mins
+  FROM g
+),
+fin AS (
+  SELECT doc_id, m,
+    CASE WHEN m > 0 THEN greatest(m - 7, 1) ELSE 0 END AS nw,
+    list_distinct(mins) AS sel
+  FROM wn
+)
+SELECT doc_id, m::BIGINT AS n_kgrams, nw::BIGINT AS n_windows,
+  len(sel)::BIGINT AS n_fingerprints,
+  floor((len(sel)::DOUBLE / nullif(nw, 0)::DOUBLE) * 1000000 + 0.5)
+    / 1000000.0 AS density,
+  list_min(sel) AS min_fp, list_max(sel) AS max_fp
+FROM fin
+"""
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated-variance Hurst exponent per event series (scales
+    1..16 hours): span-derived block counts, exact integer variance
+    inputs, 1e-9-grid ln-OLS — the long-memory companion of
+    wavelet_energy."""
+    ev = _events(spark, sf_dir)
+    return drift.hurst_exponent(ev, "ts", "event_type", max_level=4)
+
+
+_HURST_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(ts) // 3600000000 AS h,
+    count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT s, min(h) AS h0, max(h) AS h1, count(*)::BIGINT AS nh,
+    sum(c)::HUGEINT AS t
+  FROM rolled GROUP BY 1
+),
+lvls AS (SELECT (2 ** unnest([0, 1, 2, 3, 4]))::BIGINT AS m),
+pb AS (
+  SELECT r.s, l.m, r.h // l.m AS p, sum(r.c)::HUGEINT AS sb
+  FROM rolled r CROSS JOIN lvls l
+  GROUP BY 1, 2, 3
+),
+sums AS (
+  SELECT s, m, sum(sb * sb)::HUGEINT AS ss2 FROM pb GROUP BY 1, 2
+),
+scales AS (
+  SELECT su.s, su.m, su.ss2,
+    (sp.h1 // su.m - sp.h0 // su.m + 1)::BIGINT AS nb,
+    sp.t, sp.nh
+  FROM sums su JOIN span sp ON sp.s = su.s
+),
+vs AS (
+  SELECT s, m, nh, t,
+    (ss2::VARCHAR::DOUBLE / (m::DOUBLE * m::DOUBLE)
+     - t::VARCHAR::DOUBLE * t::VARCHAR::DOUBLE
+       / ((m::DOUBLE * m::DOUBLE) * nb::DOUBLE))
+    / (nb::DOUBLE - 1.0) AS v,
+    nb
+  FROM scales
+),
+pts AS (
+  SELECT s, nh, t,
+    CASE WHEN nb >= 2 AND v > 0
+      THEN floor(ln(m::DOUBLE) * 1e9 + 0.5)::BIGINT END AS qx,
+    CASE WHEN nb >= 2 AND v > 0
+      THEN floor(ln(v) * 1e9 + 0.5)::BIGINT END AS qy
+  FROM vs
+),
+agg AS (
+  SELECT s, max(nh) AS n_hours, max(t)::BIGINT AS total_events,
+    count(qx)::BIGINT AS n_scales,
+    sum(qx)::VARCHAR::DOUBLE / 1e9 AS sx,
+    sum(qy)::VARCHAR::DOUBLE / 1e9 AS sy,
+    sum(qx::HUGEINT * qy::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS sxy,
+    sum(qx::HUGEINT * qx::HUGEINT)::VARCHAR::DOUBLE / 1e18 AS sxx
+  FROM pts GROUP BY s
+),
+fit AS (
+  SELECT s, n_hours, total_events, n_scales,
+    CASE WHEN n_scales >= 2
+          AND n_scales::DOUBLE * sxx - sx * sx > 0
+      THEN (n_scales::DOUBLE * sxy - sx * sy)
+           / (n_scales::DOUBLE * sxx - sx * sx) END AS slope
+  FROM agg
+)
+SELECT s AS event_type, n_hours, total_events, n_scales,
+  floor(slope * 1000000 + 0.5) / 1000000.0 AS slope,
+  floor((1.0 + slope / 2.0) * 1000000 + 0.5) / 1000000.0 AS hurst
+FROM fit ORDER BY event_type
+"""
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the md5 2-fold user split (the
+    `srm_check` assignment convention) with the `cuped` period cut
+    (pre < 2024-01-16 ≤ post): per-user paired difference d = post −
+    pre on exact decimals, DiD = mean(d | treated) − mean(d | control),
+    Welch-style SE from exact decimal Σd/Σd² folds — the causal-lift
+    companion of `cuped` on the experimentation shelf. One groupBy +
+    one conditional 1-row aggregate; every cross-user sum is decimal,
+    so the estimate is reduction-order invariant."""
+    ev = _events(spark, sf_dir)
+    cut = "2024-01-16"
+    val = F.col("value").cast("decimal(25,2)")
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, val)), F.lit(0).cast("decimal(25,2)")
+        ).alias("__pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, val)), F.lit(0).cast("decimal(25,2)")
+        ).alias("__post"),
+    ).select(
+        "user_id",
+        (F.col("__post") - F.col("__pre")).cast("decimal(25,2)").alias("__d"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fold:"), F.col("user_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("__arm"),
+    )
+    t = F.col("__arm") == 1
+    one = per.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_treat"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_control"),
+        F.sum(F.when(t, F.col("__d"))).alias("__sdt"),
+        F.sum(F.when(~t, F.col("__d"))).alias("__sdc"),
+        F.sum(F.when(t, (F.col("__d") * F.col("__d")).cast("decimal(38,4)"))).alias(
+            "__sddt"
+        ),
+        F.sum(
+            F.when(~t, (F.col("__d") * F.col("__d")).cast("decimal(38,4)"))
+        ).alias("__sddc"),
+    )
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_control").cast("double")
+    mt = F.col("__sdt").cast("double") / nt
+    mc = F.col("__sdc").cast("double") / nc
+    vt = (F.col("__sddt").cast("double") - nt * mt * mt) / (nt - F.lit(1.0))
+    vc = (F.col("__sddc").cast("double") - nc * mc * mc) / (nc - F.lit(1.0))
+    did = mt - mc
+    se = F.sqrt(vt / nt + vc / nc)
+    return one.select(
+        "n_treat",
+        "n_control",
+        E.r6(mt).alias("mean_diff_treat"),
+        E.r6(mc).alias("mean_diff_control"),
+        E.r6(did).alias("did_estimate"),
+        E.r6(se).alias("se"),
+        E.r6(did / F.nullif(se, F.lit(0.0))).alias("t_stat"),
+    )
+
+
+_DID_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN value::DECIMAL(25,2) END), 0) AS pre,
+    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN value::DECIMAL(25,2) END), 0) AS post
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT (post - pre)::DECIMAL(25,2) AS d,
+    (('0x' || substring(md5('fold:' || user_id::VARCHAR), 1, 8))::BIGINT
+     % 2) AS arm
+  FROM per
+),
+one AS (
+  SELECT
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+    sum(CASE WHEN arm = 1 THEN d END)::DOUBLE AS sdt,
+    sum(CASE WHEN arm = 0 THEN d END)::DOUBLE AS sdc,
+    sum(CASE WHEN arm = 1 THEN (d * d)::DECIMAL(38,4) END)
+      ::VARCHAR::DOUBLE AS sddt,
+    sum(CASE WHEN arm = 0 THEN (d * d)::DECIMAL(38,4) END)
+      ::VARCHAR::DOUBLE AS sddc
+  FROM d
+),
+m AS (
+  SELECT n_treat, n_control,
+    sdt / n_treat::DOUBLE AS mt, sdc / n_control::DOUBLE AS mc,
+    (sddt - n_treat::DOUBLE * (sdt / n_treat::DOUBLE)
+          * (sdt / n_treat::DOUBLE)) / (n_treat::DOUBLE - 1.0) AS vt,
+    (sddc - n_control::DOUBLE * (sdc / n_control::DOUBLE)
+          * (sdc / n_control::DOUBLE)) / (n_control::DOUBLE - 1.0) AS vc
+  FROM one
+)
+SELECT n_treat, n_control,
+  {_R6.format("mt")} AS mean_diff_treat,
+  {_R6.format("mc")} AS mean_diff_control,
+  {_R6.format("mt - mc")} AS did_estimate,
+  {_R6.format("sqrt(vt / n_treat::DOUBLE + vc / n_control::DOUBLE)")} AS se,
+  {_R6.format("(mt - mc) / nullif(sqrt(vt / n_treat::DOUBLE + vc / n_control::DOUBLE), 0.0)")} AS t_stat
+FROM m
+"""
+
+
 def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discount elasticity of demand over lineitem: OLS slope of
     ln(mean qty per discount band) on ln(1 − discount) — basis-point
@@ -13798,6 +14114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survival / signal / pricing additions (round 9b)
         "cumulative_hazard": q_cumulative_hazard,
         "discount_elasticity": q_discount_elasticity,
+        # round-10 additions: corpus language census, MOSS winnowing
+        # fingerprints, aggregated-variance Hurst exponent
+        "language_census": q_language_census,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "hurst_exponent": q_hurst_exponent,
+        "diff_in_diff": q_diff_in_diff,
     }
 
 
@@ -13947,7 +14269,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_rollup": _QUANTILE_ROLLUP_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
-        "attribution_markov": _ATTRIBUTION_SQL,
+        "attribution_markov": _ATTRIBUTION_MARKOV_SQL,
         "sliding_distinct": _SLIDING_DISTINCT_SQL,
         "hybrid_search_rrf": _HYBRID_RRF_SQL,
         "cusum_changepoint": _CUSUM_SQL,
@@ -14121,4 +14443,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_hazard": _CUMHAZ_SQL,
         "wavelet_energy": _WAVELET_SQL,
         "discount_elasticity": _ELASTICITY_SQL,
+        "language_census": _language_census_sql(),
+        "winnow_fingerprints": _WINNOW_SQL,
+        "hurst_exponent": _HURST_SQL,
+        "diff_in_diff": _DID_SQL,
     }

@@ -289,6 +289,11 @@ BENCH_QUERIES = [
     "cumulative_hazard",
     "wavelet_energy",
     "discount_elasticity",
+    # round-10 additions
+    "language_census",
+    "winnow_fingerprints",
+    "hurst_exponent",
+    "diff_in_diff",
 ]
 
 

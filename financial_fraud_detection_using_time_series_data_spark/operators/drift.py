@@ -1686,3 +1686,130 @@ def wavelet_energy(
             F.col("__e").cast("double") / F.col("n_blocks").cast("double")
         ).alias("energy"),
     ).orderBy(type_col, "block_hours")
+
+
+def hurst_exponent(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_level: int = 4,
+) -> DataFrame:
+    """Hurst exponent per series via the aggregated-variance method
+    (Beran 1994; Taqqu, Teverovsky & Willinger 1995): for block sizes
+    m = 2^0 … 2^max_level hours, compute the variance of the per-block
+    MEAN hourly count; for long-range-dependent series
+    Var(m) ∝ m^(2H−2), so H = 1 + slope/2 of the ln Var(m) on ln m
+    regression. H ≈ 0.5 is memoryless; H → 1 flags persistent
+    self-similar burstiness the ACF view underestimates — the long-
+    memory companion of `wavelet_energy`'s per-scale spectrum.
+
+    Exactness contract (the wavelet/elasticity composition): the corpus
+    collapses ONCE to the hourly rollup; per-scale block sums fold as
+    exact decimals keyed by absolute hour index; empty blocks inside
+    the series span count as zeros via span-derived block counts
+    (NB = ⌊max_h/m⌋ − ⌊min_h/m⌋ + 1 — Σs and Σs² are unchanged by
+    absent rows, only NB matters); Var(m) assembles from exact integer
+    sums with a fixed op order, and the regression runs on
+    1e-9-grid ln coordinates with exact integer OLS folds. Scales with
+    NB < 2 or Var ≤ 0 drop from the fit (n_scales reports the rest).
+    Output per series: (n_hours, total_events, n_scales, slope, hurst).
+    """
+    if not 1 <= int(max_level) <= 16:
+        raise ValueError(f"hurst_exponent: max_level={max_level} outside 1..16")
+    hour_idx = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(3_600_000_000.0)
+    ).cast("long")
+    rolled = df.groupBy(
+        F.col(type_col).alias("__s"), hour_idx.alias("__h")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    rolled = rolled.localCheckpoint()  # one consumer per scale
+    span = rolled.groupBy("__s").agg(
+        F.min("__h").alias("__h0"),
+        F.max("__h").alias("__h1"),
+        F.count(F.lit(1)).cast("long").alias("__nh"),
+        F.sum("__c").cast("decimal(38,0)").alias("__t"),
+    )
+    d38 = "decimal(38,0)"
+    outs = []
+    for lvl in range(0, int(max_level) + 1):
+        m = 2 ** lvl
+        parent = F.floor(F.col("__h") / F.lit(m))
+        per_block = rolled.groupBy("__s", parent.alias("__p")).agg(
+            F.sum(F.col("__c").cast(d38)).alias("__sb")
+        )
+        sums = per_block.groupBy("__s").agg(
+            F.sum((F.col("__sb") * F.col("__sb")).cast(d38)).alias("__ss2")
+        )
+        outs.append(
+            sums.join(F.broadcast(span), "__s").select(
+                "__s",
+                F.lit(m).alias("__m"),
+                "__ss2",
+                (
+                    F.floor(F.col("__h1") / F.lit(m))
+                    - F.floor(F.col("__h0") / F.lit(m))
+                    + F.lit(1)
+                ).cast("long").alias("__nb"),
+                "__t",
+                "__nh",
+            )
+        )
+    scales = outs[0]
+    for o in outs[1:]:
+        scales = scales.unionByName(o)
+    # Var(m) = (Σs²/m² − T²/(m²·NB)) / (NB−1): fixed op order over exact
+    # integer sums — both engines execute the identical IEEE sequence
+    mm = F.col("__m").cast("double") * F.col("__m").cast("double")
+    nb = F.col("__nb").cast("double")
+    t = F.col("__t").cast("double")
+    var = (
+        (F.col("__ss2").cast("double") / mm - t * t / (mm * nb))
+        / (nb - F.lit(1.0))
+    )
+    pts = scales.select(
+        "__s",
+        "__nh",
+        "__t",
+        F.when(
+            (F.col("__nb") >= 2) & (var > 0),
+            F.floor(F.log(F.col("__m").cast("double")) * F.lit(1e9) + F.lit(0.5)),
+        ).cast("long").alias("__qx"),
+        F.when(
+            (F.col("__nb") >= 2) & (var > 0),
+            F.floor(F.log(var) * F.lit(1e9) + F.lit(0.5)),
+        ).cast("long").alias("__qy"),
+    )
+    agg = pts.groupBy("__s").agg(
+        F.max("__nh").alias("n_hours"),
+        F.max("__t").cast("long").alias("total_events"),
+        F.count(F.col("__qx")).cast("long").alias("n_scales"),
+        F.sum("__qx").alias("__sx"),
+        F.sum("__qy").alias("__sy"),
+        # cast-then-multiply: the raw long product of two 1e-9-grid ln
+        # coordinates overflows int64 once |ln v| passes ~3 (qx·qy >
+        # 9.2e18); decimal factors match the oracle's HUGEINT products
+        F.sum(F.col("__qx").cast(d38) * F.col("__qy").cast(d38)).alias(
+            "__sxy"
+        ),
+        F.sum(F.col("__qx").cast(d38) * F.col("__qx").cast(d38)).alias(
+            "__sxx"
+        ),
+    )
+    kk = F.col("n_scales").cast("double")
+    sx = F.col("__sx").cast("double") / F.lit(1e9)
+    sy = F.col("__sy").cast("double") / F.lit(1e9)
+    sxy = F.col("__sxy").cast("double") / F.lit(1e18)
+    sxx = F.col("__sxx").cast("double") / F.lit(1e18)
+    vx = kk * sxx - sx * sx
+    slope = F.when(
+        (F.col("n_scales") >= 2) & (vx > 0), (kk * sxy - sx * sy) / vx
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        F.col("__s").alias(type_col),
+        "n_hours",
+        "total_events",
+        "n_scales",
+        r6_(slope).alias("slope"),
+        r6_(F.lit(1.0) + slope / F.lit(2.0)).alias("hurst"),
+    ).orderBy(type_col)

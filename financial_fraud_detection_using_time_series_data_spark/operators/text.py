@@ -1665,3 +1665,76 @@ def domain_kl(
             "kl_nats"
         ),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    seed: int = 4242,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    char k-gram of the normalized text, slide a w-length window over
+    the hash sequence and SELECT the window minimum — any substring
+    match of length ≥ w + k − 1 between two documents is then
+    guaranteed to share a selected fingerprint, with expected density
+    2/(w+1) instead of one hash per position. The per-position rolling
+    structure makes this the scalable complement of the whole-document
+    `fingerprint` (md5 of the full text detects only exact dups).
+
+    Emits the per-document fingerprint census: (id, n_kgrams,
+    n_windows, n_fingerprints, density, min_fp, max_fp). Map-only —
+    everything is JVM array built-ins over a layered normalized column
+    (the `char_shingles` PERF contract), no shuffle, no Python. Hashes
+    are the md5-prefix BIGINT convention (`dedup._md5_hash64`), so the
+    selected fingerprint SET replays bit-exactly in an external SQL
+    engine; window-min ties select the VALUE (density counts distinct
+    values), sidestepping the positional tie-break ambiguity.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k={k}, w={w} must be >= 1")
+    base = df.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("__norm")
+    )
+    n = F.length("__norm")
+    staged = base.select(
+        id_col,
+        F.when(
+            n >= k,
+            F.expr(
+                f"transform(sequence(1, length(__norm) - {k - 1}), "
+                f"i -> cast(conv(substring(md5(concat('{seed}:', "
+                f"substring(__norm, i, {k}))), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__h"),
+    )
+    m = F.size("__h")
+    nw = F.greatest(m - F.lit(w - 1), F.lit(1))
+    mins = F.when(
+        m > 0,
+        F.expr(
+            f"transform(sequence(1, greatest(size(__h) - {w - 1}, 1)), "
+            f"j -> array_min(slice(__h, j, {w})))"
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sel = F.array_distinct(mins)
+    return staged.select(
+        id_col,
+        m.cast("long").alias("n_kgrams"),
+        F.when(m > 0, nw).otherwise(F.lit(0)).cast("long").alias("n_windows"),
+        F.size(sel).cast("long").alias("n_fingerprints"),
+        r6(
+            F.size(sel).cast("double")
+            / F.nullif(
+                F.when(m > 0, nw).otherwise(F.lit(0)).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("density"),
+        F.array_min(sel).alias("min_fp"),
+        F.array_max(sel).alias("max_fp"),
+    )

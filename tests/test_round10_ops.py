@@ -155,3 +155,80 @@ def test_rfm_ntile_matches_window_ntile(spark):
         "user_id", F.ntile(5).over(w_r).alias("ref_r"), "r_score"
     ).collect()
     assert all(r["ref_r"] == r["r_score"] for r in ref)
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= w + k - 1 = 12 must share a
+    selected fingerprint (the MOSS guarantee)."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        text as text_ops,
+    )
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, "aaa " + shared + " bbb ccc ddd"),
+        (2, "zzz yyy " + shared + " qqq"),
+        (3, "completely different content here with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # recover the selected SETS via a per-doc variant: min_fp/max_fp are
+    # not enough, so re-derive with the same expression through a tiny
+    # pairs check — shared substring => intersection non-empty. Use the
+    # operator's census plus a manual intersection via explode.
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(trim(regexp_replace(lower(text),"
+            " '\\\\s+', ' '))) - 4), i -> cast(conv(substring(md5(concat("
+            "'4242:', substring(trim(regexp_replace(lower(text), '\\\\s+',"
+            " ' ')), i, 5))), 1, 15), 16, 10) as bigint))"
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(h) - 7,"
+                " 1)), j -> array_min(slice(h, j, 8))))"
+            )
+        ).alias("fp"),
+    )
+    a = {r["fp"] for r in base.filter("doc_id = 1").collect()}
+    b = {r["fp"] for r in base.filter("doc_id = 2").collect()}
+    c = {r["fp"] for r in base.filter("doc_id = 3").collect()}
+    assert a & b, "shared 25-char substring must share a fingerprint"
+    assert not (a & c) or len(a & c) < len(a & b)
+    census = text_ops.winnow_fingerprints(df).collect()
+    for r in census:
+        assert r["n_fingerprints"] <= r["n_windows"]
+        assert r["min_fp"] <= r["max_fp"]
+
+
+def test_hurst_iid_near_half(spark):
+    """Deterministic pseudo-iid hourly counts -> Var(m) ~ 1/m -> H ~ 0.5;
+    a strongly trending series pushes H toward 1."""
+    import datetime as dt
+
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        drift as drift_ops,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(512):
+        # iid-ish: hash-scrambled counts 0..7
+        n_iid = (h * 2654435761) % 8
+        for i in range(n_iid):
+            rows.append(("iid", base + dt.timedelta(hours=h, seconds=i)))
+        # persistent: slow 128-hour square wave (long memory)
+        n_tr = 6 if (h // 128) % 2 == 0 else 1
+        for i in range(n_tr):
+            rows.append(("trend", base + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in drift_ops.hurst_exponent(df).collect()}
+    assert abs(out["iid"]["hurst"] - 0.5) < 0.2
+    assert out["trend"]["hurst"] > out["iid"]["hurst"] + 0.2
