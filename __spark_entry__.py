@@ -8305,7 +8305,7 @@ _CUST_COUNT_CACHE: dict[str, int] = {}
 def _scaled_blocked_cust(spark: SparkSession, sf_dir: str):
     """Customer frame carrying the SCALE-REFINING blocking bucket: the
     bucket COUNT is derived from the corpus size — nb = max(1,
-    n // 1500) equal-width buckets over the TPC-H acctbal envelope as
+    n // 15000) equal-width buckets over the TPC-H acctbal envelope as
     exact integer arithmetic on clamped cents — so expected block size
     stays ~constant and candidate-pair volume is O(n) whatever the SF
     (measured e = 0.943 across the sf0.1→sf1.0 decade in round 9; the
@@ -8318,7 +8318,7 @@ def _scaled_blocked_cust(spark: SparkSession, sf_dir: str):
     if n is None:
         n = cust_raw.count()
         _CUST_COUNT_CACHE[sf_dir] = n
-    nb = max(1, n // 1500)
+    nb = max(1, n // 15000)
     return cust_raw.withColumn(
         "cents",
         F.least(
@@ -8409,7 +8409,7 @@ def q_record_linkage_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_record_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALE-REFINING blocking (round 9's e = 0.943 design): the bucket
-    COUNT grows with the corpus — nb = max(1, n // 1500) — holding
+    COUNT grows with the corpus — nb = max(1, n // 15000) — holding
     expected block size ~constant and candidate-pair volume O(n).
     Promoted to the family default in round 10: `record_linkage` now
     runs this exact plan, and this entry delegates to it (kept as a
@@ -8476,7 +8476,7 @@ WHERE fs_weight >= 0.0
 """
 
 # Round 10: the SCALE-REFINING bucket (count grows with the data,
-# nb = max(1, n // 1500), holding expected block size ~constant so
+# nb = max(1, n // 15000), holding expected block size ~constant so
 # candidate-pair volume is O(n) — measured e = 0.943) is the FAMILY
 # DEFAULT; record_linkage, record_linkage_fine and record_linkage_scaled
 # all run the same plan and share this oracle text. Bucketing is exact
@@ -8494,7 +8494,7 @@ _LINKAGE_SCALED_COND = (
 )
 
 _LINKAGE_PARAMS_CTE = """params AS (
-  SELECT greatest(1, count(*) // 1500)::BIGINT AS nb FROM customer
+  SELECT greatest(1, count(*) // 15000)::BIGINT AS nb FROM customer
 ),"""
 
 _LINKAGE_CTES = (
