@@ -1057,16 +1057,20 @@ def pq_topk_planted(
     compression path — with queries broadcast."""
     m = len(books_int)
     dsub = len(books_int[0][0])
+    # the int-vector expression is INLINED into every consumer rather
+    # than materialized as an intermediate attribute: corpus and queries
+    # usually share one scan (self-join), and a branch-local attribute
+    # for the shared subtree trips an exprId-collision bug in Catalyst's
+    # HOF binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, order-of-
+    # execution dependent). Inlining costs m extra transform folds per
+    # row and removes the attribute entirely.
+    iv_txt = _int_vec_sql(vec_col, scale)
     codes_exprs = ", ".join(
-        _int_argmin_sql(f"slice(__iv, {j * dsub + 1}, {dsub})", book)
+        _int_argmin_sql(f"slice({iv_txt}, {j * dsub + 1}, {dsub})", book)
         for j, book in enumerate(books_int)
     )
-    enc = corpus.select(
-        id_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__iv")
-    ).select(id_col, F.expr(f"array({codes_exprs})").alias("codes"))
-    q = queries.select(
-        qid_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__qiv")
-    )
+    enc = corpus.select(id_col, F.expr(f"array({codes_exprs})").alias("codes"))
+    q = queries.select(qid_col, F.expr(iv_txt).alias("__qiv"))
     joined = enc.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col(qid_col)
     )
@@ -1119,35 +1123,48 @@ def ivf_pq_topk_planted(
     `ivf_pq_topk`, plan-pinned in tests)."""
     m = len(books_int)
     dsub = len(books_int[0][0])
-    cell_expr = _int_argmin_sql("__iv", cents_int)
+    # no intermediate __iv attribute (see pq_topk_planted: exprId-
+    # collision hazard on self-joins) — the int-vector text is inlined
+    # into the cell and code argmins
+    iv_txt = _int_vec_sql(vec_col, scale)
+    cell_expr = _int_argmin_sql(iv_txt, cents_int)
     codes_exprs = ", ".join(
-        _int_argmin_sql(f"slice(__iv, {j * dsub + 1}, {dsub})", book)
+        _int_argmin_sql(f"slice({iv_txt}, {j * dsub + 1}, {dsub})", book)
         for j, book in enumerate(books_int)
     )
     index = corpus.select(
-        id_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__iv")
-    ).select(
         id_col,
         F.expr(cell_expr).alias("cell_id"),
         F.expr(f"array({codes_exprs})").alias("codes"),
     )
-    qbase = queries.select(
-        qid_col, F.expr(_int_vec_sql(vec_col, scale)).alias("__qiv")
-    )
-    dists = F.expr(_int_sqdist_sql("__qiv", cents_int))
-    probes = (
-        qbase.select(qid_col, "__qiv", F.posexplode(dists).alias("cell_id", "__d"))
-        .withColumn(
-            "__pr",
-            F.row_number().over(
-                Window.partitionBy(qid_col).orderBy(
-                    F.col("__d").asc(), F.col("cell_id").asc()
-                )
-            ),
+    # probes are computed DRIVER-SIDE: the query set is small by
+    # contract (it is broadcast into the cell join regardless), which
+    # keeps the centroid-distance tree out of a second branch of the
+    # same scan. Exact integer argmin, ties to the smallest cell id —
+    # identical to the SQL twin's (dist, cell) ordering.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qbase = queries.select(qid_col, F.expr(iv_txt).alias("__qiv"))
+    probe_rows = []
+    for r in qbase.collect():
+        qiv = [int(x) for x in r["__qiv"]]
+        ds = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qiv, cvec)),
+                ci,
+            )
+            for ci, cvec in enumerate(cents_int)
         )
-        .filter(F.col("__pr") <= nprobe)
-        .select(qid_col, "cell_id", "__qiv")
+        for _d, ci in ds[:nprobe]:
+            probe_rows.append((r[qid_col], ci, qiv))
+    probe_schema = StructType(
+        [
+            qbase.schema[qid_col],
+            StructField("cell_id", IntegerType(), False),
+            qbase.schema["__qiv"],
+        ]
     )
+    probes = queries.sparkSession.createDataFrame(probe_rows, probe_schema)
     joined = index.join(F.broadcast(probes), "cell_id").filter(
         F.col(id_col) != F.col(qid_col)
     )

@@ -71,8 +71,16 @@ def probe(name: str) -> dict:
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=TIMEOUT_S,
         )
-        last = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        d = json.loads(last)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            # child died before any timing (crash/OOM): record, don't
+            # abort the whole sweep
+            tail = (r.stderr or "").strip().splitlines()
+            return {
+                "status": "error",
+                "detail": (tail[-1][:160] if tail else f"rc={r.returncode}, no output"),
+            }
+        d = json.loads(lines[-1])
     except subprocess.TimeoutExpired as te:
         lines = [
             l for l in (te.stdout or b"").decode().splitlines()
