@@ -15,12 +15,14 @@ Scale notes (100 TB):
   strict prefix of the first key. Entropy/HHI/top-share come from the
   log-sum identity H = ln(N) − Σ n·ln(n)/N, so no per-entity window or
   second pass over raw rows is ever needed.
-- ``rfm_segment``: one corpus-sized groupBy(entity); the three ntile
-  windows run over the per-entity AGGREGATE (|entities| rows), each a
-  single global sort of that reduced frame — acceptable because the
-  profile frame is orders of magnitude smaller than the corpus. For
-  |entities| too big for one sort, swap ntile for approx-quantile cut
-  points (``group_quantiles`` family) — same output contract.
+- ``rfm_segment``: one corpus-sized groupBy(entity); the three axis
+  ranks over the per-entity AGGREGATE share a SINGLE cut-point/count
+  pass (one percentile_approx agg over all three keys), then an
+  exact-count-driven adaptive plan: ≤2M entities rank in one bounded
+  task per axis, more take the 32-chunk decomposition with one
+  grouping-sets marginal pass. Three chained per-chunk row_number
+  windows, no unbounded sort, no join back on the entity key — nothing
+  after the first groupBy shuffles more than |entities| rows.
 - ``interarrival_stats``: one exchange on entity for the lag window;
   the follow-up groupBy(entity) hashes on the same key so the exchange
   is reused (plan-pinned in tests). Output is |entities| rows.
@@ -32,6 +34,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# single-bounded-sort budget for rfm_segment's adaptive rank plan: a
+# profile at or below this many entities ranks each axis in one task
+# (a ≤2M-row sort is tens of MB — well inside one executor); above it
+# the 32-chunk decomposition kicks in. Module-level so tests can force
+# the chunked branch on small fixtures.
+RFM_ROWS_PER_CHUNK = 2_000_000
 
 
 def category_entropy(
@@ -86,76 +95,171 @@ def rfm_segment(
     tie-broken by entity id so the segmentation is total-order
     deterministic. ``rfm_score`` concatenates the three digits.
 
-    Scale shape: NO partitionless WindowExec. Each axis's global row
-    number comes from `chunked.global_rank` (percentile cut points →
-    per-chunk row_number over |chunks| parallel tasks → broadcast
-    offsets), and the ntile id is then computed CLOSED-FORM from
-    (row_number, total): with q = ⌊c/n⌋ and r = c mod n, the first r
-    tiles hold q+1 rows and the rest hold q — exactly SQL ntile, so the
-    output is bit-identical to the single-window form while the
-    |entities| profile frame never funnels through one task.
+    Scale shape: NO unbounded one-task sort. All three axes share ONE
+    cut-point/count pass (a single percentile_approx agg over the three
+    sort keys + the exact total). That exact count then drives an
+    AQE-style runtime decision: a profile within the 2M-row single-sort
+    budget ranks each axis in one BOUNDED task (offsets trivially
+    zero, no further stats job); a larger profile takes the 32-chunk
+    decomposition, with every axis's per-chunk counts from ONE
+    grouping-sets pass and the exclusive offsets applied as literal
+    maps. Either way the three row_number windows CHAIN over the same
+    frame — no per-axis percentile scan, no per-axis totals pass, and
+    no join back on the entity key (at 100 TB those three entity joins
+    would each shuffle |entities| rows). The ntile id is then computed
+    CLOSED-FORM from (row_number, total): with q = ⌊c/n⌋ and
+    r = c mod n, the first r tiles hold q+1 rows and the rest hold q —
+    exactly SQL ntile, so the output is bit-identical to the
+    single-window form at every profile size.
     """
     # decimal monetary: order-invariant exact sum, so the m_score ntile
-    # sort order is deterministic even when two entities' sums tie
+    # sort order is deterministic even when two entities' sums tie.
+    # ONE corpus scan: the dataset as-of instant is max(last_ts) over
+    # the per-entity aggregate (identical to a global max(ts)), so no
+    # second corpus pass / broadcast-join branch is ever planned.
     agg = df.groupBy(entity_col).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col(value_col).cast("decimal(25,2)")).alias("monetary_dec"),
-    )
-    asof = df.agg(F.max(ts_col).alias("__asof"))
-    prof = agg.join(F.broadcast(asof)).select(
-        entity_col,
-        (
-            (F.col("__asof").cast("long") - F.col("last_ts").cast("long"))
-            / F.lit(86400.0)
-        ).alias("recency_days"),
-        F.col("frequency").cast("long").alias("frequency"),
-        "monetary_dec",
     )
     # 5 = best on every axis: most recent (smallest recency), most
     # frequent, highest spend. Entity id breaks ties → deterministic.
     # Chunked global row numbers instead of partitionless ntile windows;
     # the chunk key is a monotone (non-strict) image of each axis's sort
     # key, so equal keys share a chunk and per-chunk order is exact.
-    from .chunked import global_rank
-
-    # materialize the |entities| profile frame ONCE: each global_rank
-    # spawns percentile/totals/count branches, and without truncating
-    # the lineage every branch would re-execute the full-corpus groupBy.
-    # The three axis ranks are computed as INDEPENDENT shallow branches
-    # off the checkpoint and joined back on the entity key (one job, so
-    # the branches execute concurrently) — nesting them would make each
-    # later rank's branches re-execute every earlier rank's plan.
-    prof = prof.localCheckpoint()
-    r_r = global_rank(
-        prof.select(
-            entity_col, "recency_days", (-F.col("recency_days")).alias("__kr")
+    # materialize the |entities| profile frame ONCE: the cut-point agg,
+    # the marginal count pass, and the window chain all branch off it,
+    # and without truncating the lineage every branch would re-execute
+    # the full-corpus groupBy. LAZY checkpoint: the materialization rides
+    # the stats collect below instead of costing its own job.
+    agg = agg.localCheckpoint(eager=False)
+    n_chunks = 32
+    fracs = [i / n_chunks for i in range(1, n_chunks)]
+    # second-resolution last-event instant: recency_days is an exact
+    # strictly-DECREASING function of this long, so it serves as the
+    # recency axis's chunk key directly (recency desc ⇔ __kl asc)
+    keyed = agg.select(
+        "*",
+        F.col("last_ts").cast("long").alias("__kl"),
+        F.col("monetary_dec").cast("double").alias("__km"),
+    )
+    # ONE pass over the profile yields the as-of instant, the cut points
+    # for ALL THREE axes, and the exact total (was: a second corpus scan
+    # for the as-of max plus three independent global_rank calls = three
+    # percentile scans + three totals passes + three joins back on the
+    # entity key). Collected: 3·(n_chunks−1) scalars + two scalars —
+    # bounded by construction, so the cuts become LITERAL predicates and
+    # the chunk ids need no crossJoin at all.
+    cuts_row = keyed.agg(
+        F.max("__kl").alias("__asof_s"),
+        F.percentile_approx("__kl", fracs, 10000).alias("__cuts_r"),
+        F.percentile_approx("frequency", fracs, 10000).alias("__cuts_f"),
+        F.percentile_approx("__km", fracs, 10000).alias("__cuts_m"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    ).collect()[0]
+    n_total = int(cuts_row["__n"] or 0)
+    asof_s = int(cuts_row["__asof_s"] or 0)
+    keyed = keyed.select(
+        entity_col,
+        ((F.lit(asof_s) - F.col("__kl")) / F.lit(86400.0)).alias(
+            "recency_days"
         ),
-        "__kr",
-        [F.col("recency_days").desc(), F.col(entity_col).asc()],
-        rank_col="__rn_r",
-        count_col="__n",
-    ).select(entity_col, "__rn_r", "__n")
-    r_f = global_rank(
-        prof.select(entity_col, "frequency"),
-        "frequency",
-        [F.col("frequency").asc(), F.col(entity_col).asc()],
-        rank_col="__rn_f",
-        count_col=None,
-    ).select(entity_col, "__rn_f")
-    r_m = global_rank(
-        prof.select(
-            entity_col,
-            "monetary_dec",
-            F.col("monetary_dec").cast("double").alias("__km"),
-        ),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_dec",
+        "__kl",
         "__km",
-        [F.col("monetary_dec").asc(), F.col(entity_col).asc()],
-        rank_col="__rn_m",
-        count_col=None,
-    ).select(entity_col, "__rn_m")
-    ranked = prof.join(r_r, entity_col).join(r_f, entity_col).join(
-        r_m, entity_col
+    )
+
+    def _chunk(cut_vals, key: Column) -> Column:
+        # all-NULL-key degenerate input → percentile_approx returns NULL
+        # cut points → everything in chunk 0 (range_chunk parity); a
+        # NULL key row filters to size 0 (same chunk-0 placement)
+        if not cut_vals or any(c is None for c in cut_vals):
+            return F.lit(0)
+        arr = F.array(*[F.lit(c) for c in cut_vals])
+        return F.coalesce(F.size(F.filter(arr, lambda c: c < key)), F.lit(0))
+
+    # exact-count-driven adaptivity (the same decision AQE makes from
+    # runtime stats, taken here from the cut-point pass's exact count):
+    # a profile that fits one bounded sort task skips chunking AND the
+    # marginal-count job entirely — its offsets are trivially zero —
+    # while a 100 TB-scale profile (|entities| > RFM_ROWS_PER_CHUNK) takes
+    # the 32-chunk decomposition. Either way no join, no unbounded
+    # one-task sort: the single-chunk sort is capped at ROWS_PER_CHUNK
+    # rows by construction (RFM_ROWS_PER_CHUNK is module-level so the
+    # parity suite can force the chunked branch on small fixtures).
+    if n_total <= RFM_ROWS_PER_CHUNK:
+        # degenerate chunk key, written as a data-dependent expression
+        # (frequency is a count < 2^62, so the shift is always 0) because
+        # a foldable form — Catalyst simplifies even non-null·0 — would
+        # be optimized away and re-introduce the partitionless WindowExec
+        # this operator exists to avoid; the resulting single hash
+        # partition is BOUNDED by the ≤RFM_ROWS_PER_CHUNK gate above
+        zero = F.shiftright(F.col("frequency"), 62).cast("int")
+        chunked = (
+            keyed.withColumn("__ch_r", zero)
+            .withColumn("__ch_f", zero)
+            .withColumn("__ch_m", zero)
+            .drop("__kl", "__km")
+        )
+        counts: dict[str, dict[int, int]] = {
+            a: {0: n_total} for a in ("__ch_r", "__ch_f", "__ch_m")
+        }
+    else:
+        chunked = (
+            keyed.withColumn("__ch_r", _chunk(cuts_row["__cuts_r"], F.col("__kl")))
+            .withColumn("__ch_f", _chunk(cuts_row["__cuts_f"], F.col("frequency")))
+            .withColumn("__ch_m", _chunk(cuts_row["__cuts_m"], F.col("__km")))
+            .drop("__kl", "__km")
+        )
+        # per-chunk counts for every axis from ONE grouping-sets pass; the
+        # result is ≤ 3·n_chunks rows — bounded by construction — so the
+        # exclusive offsets are computed driver-side and joined back as
+        # LITERAL maps (zero joins, zero extra jobs in the final plan)
+        marg_rows = (
+            chunked.groupingSets(
+                [["__ch_r"], ["__ch_f"], ["__ch_m"]], "__ch_r", "__ch_f", "__ch_m"
+            )
+            .agg(F.count(F.lit(1)).alias("__cnt"), F.grouping_id().alias("__gid"))
+            .collect()
+        )
+        gid_axis = {3: "__ch_r", 5: "__ch_f", 6: "__ch_m"}
+        counts = {a: {} for a in gid_axis.values()}
+        for row in marg_rows:
+            axis = gid_axis[row["__gid"]]
+            counts[axis][int(row[axis])] = int(row["__cnt"])
+
+    def _off_expr(axis: str) -> Column:
+        acc, offs = 0, {}
+        for ch in sorted(counts[axis]):
+            offs[ch] = acc
+            acc += counts[axis][ch]
+        if not offs:
+            return F.lit(0).cast("long")
+        pairs = []
+        for ch, off in offs.items():
+            pairs += [F.lit(ch), F.lit(off).cast("long")]
+        return F.element_at(F.create_map(*pairs), F.col(axis))
+
+    # three CHAINED per-chunk windows over the same frame — each is
+    # |chunks| parallel tasks; global rank = literal-map offset + within
+    w_r = Window.partitionBy("__ch_r").orderBy(
+        F.col("recency_days").desc(), F.col(entity_col).asc()
+    )
+    w_f = Window.partitionBy("__ch_f").orderBy(
+        F.col("frequency").asc(), F.col(entity_col).asc()
+    )
+    w_m = Window.partitionBy("__ch_m").orderBy(
+        F.col("monetary_dec").asc(), F.col(entity_col).asc()
+    )
+    ranked = (
+        chunked.withColumn("__in_r", F.row_number().over(w_r))
+        .withColumn("__in_f", F.row_number().over(w_f))
+        .withColumn("__in_m", F.row_number().over(w_m))
+        .withColumn("__rn_r", _off_expr("__ch_r") + F.col("__in_r"))
+        .withColumn("__rn_f", _off_expr("__ch_f") + F.col("__in_f"))
+        .withColumn("__rn_m", _off_expr("__ch_m") + F.col("__in_m"))
+        .withColumn("__n", F.lit(n_total).cast("long"))
     )
 
     def _ntile(rn: Column, c: Column) -> Column:

@@ -1713,6 +1713,14 @@ def hurst_exponent(
     1e-9-grid ln coordinates with exact integer OLS folds. Scales with
     NB < 2 or Var ≤ 0 drop from the fit (n_scales reports the rest).
     Output per series: (n_hours, total_events, n_scales, slope, hurst).
+
+    Nonnegative-epoch assumption (shared by the wavelet_energy /
+    sliding_distinct hour grids): block ids divide the hour index with
+    Spark ``F.floor(__h / m)`` (floor semantics) while the DuckDB twin
+    uses ``//`` (which truncates toward zero on negatives), so the two
+    engines agree only for hour indices ≥ 0 — i.e. timestamps at or
+    after 1970-01-01. Pre-epoch timestamps are out of contract for the
+    hour-grid family, same as the other grid contracts above.
     """
     if not 1 <= int(max_level) <= 16:
         raise ValueError(f"hurst_exponent: max_level={max_level} outside 1..16")

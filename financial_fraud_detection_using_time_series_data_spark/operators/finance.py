@@ -803,7 +803,16 @@ def garch_variance(
     ).select(series_col, "bucket", "q")
 
     ser_ddl = df.schema[series_col].dataType.simpleString()
-    ser_pd = "object" if ser_ddl == "string" else "int64"
+    # pandas dtype derived from the actual Spark type (int32/short series
+    # ids must not be emitted as int64 against their true DDL type);
+    # unlisted types fall back to object and let Arrow cast.
+    ser_pd = {
+        "string": "object",
+        "bigint": "int64",
+        "int": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+    }.get(ser_ddl, "object")
     schema = (
         f"{series_col} {ser_ddl}, bucket timestamp, log_return double, "
         "cond_var double, std_resid double"

@@ -31,13 +31,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Spark DDL type -> pandas dtype for id columns emitted by mapInPandas.
+# Anything not listed (decimal, date, ...) falls back to "object" so the
+# Python values pass through untyped and Arrow casts them to the declared
+# DDL type — never assume int64 for a non-long id.
+_ID_PD_DTYPE = {
+    "string": "object",
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+}
+
+
 def _id_ddl(df: DataFrame, col: str) -> tuple[str, str]:
     """DDL type + pandas dtype for an id column carried through a
-    mapInPandas output schema. Derived from the input frame so string
-    (or int) entity ids work with the generic signature instead of
-    failing at runtime against a hardcoded ``long``."""
+    mapInPandas output schema. Both are derived from the input frame's
+    actual Spark type so string / int / short entity ids all declare a
+    pandas dtype consistent with the DDL (an int32 id used to be emitted
+    as an int64 Series against an ``int`` DDL — a latent Arrow cast
+    mismatch)."""
     ddl = df.schema[col].dataType.simpleString()
-    return ddl, ("object" if ddl == "string" else "int64")
+    return ddl, _ID_PD_DTYPE.get(ddl, "object")
 
 
 def holt_forecast(

