@@ -13694,6 +13694,225 @@ FROM a
 """
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen slope per event type
+    over hourly value totals: sign pairs on the 1e-3-grid quantized
+    rollup, tie-corrected Var(S), continuity-corrected z, and the
+    pairwise-slope median computed over 1e-6 micro-unit INTEGERS so the
+    exact-percentile interpolation replays bit-identically in SQL."""
+    ev = _events(spark, sf_dir)
+    return stats.mann_kendall(ev, "ts", "event_type", "value", "hour")
+
+
+_MANN_KENDALL_SQL = """
+WITH rolled AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+    sum(value::DECIMAL(25,2)) AS x
+  FROM events GROUP BY 1, 2
+),
+r2 AS (
+  SELECT event_type, epoch_us(b) AS us, x,
+    floor(x::DOUBLE * 1e3 + 0.5)::BIGINT AS q
+  FROM rolled
+),
+p AS (
+  SELECT a.event_type,
+    sum(sign(b.q - a.q))::BIGINT AS s_stat,
+    quantile_cont(floor(((b.x - a.x)::DOUBLE
+      / ((b.us - a.us)::DOUBLE / 3600000000.0)) * 1e6 + 0.5)::BIGINT,
+      0.5) AS sen_micro
+  FROM r2 a JOIN r2 b
+    ON b.event_type = a.event_type AND b.us > a.us
+  GROUP BY 1
+),
+t AS (
+  SELECT event_type,
+    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tiesum,
+    sum(t)::BIGINT AS nb
+  FROM (
+    SELECT event_type, q, count(*)::BIGINT AS t FROM r2 GROUP BY 1, 2
+  ) g GROUP BY 1
+),
+v AS (
+  SELECT p.event_type, t.nb, p.s_stat, p.sen_micro,
+    (t.nb * (t.nb - 1) * (2 * t.nb + 5) - t.tiesum)::DOUBLE / 18.0 AS var_s
+  FROM p JOIN t USING (event_type)
+)
+SELECT event_type, nb AS n_buckets, s_stat,
+  floor(var_s * 1000000 + 0.5) / 1000000.0 AS var_s,
+  sen_micro / 1e6 AS sen_slope_per_hour,
+  floor((CASE WHEN var_s <= 0 THEN 0.0
+         WHEN s_stat > 0 THEN (s_stat::DOUBLE - 1.0) / sqrt(var_s)
+         WHEN s_stat < 0 THEN (s_stat::DOUBLE + 1.0) / sqrt(var_s)
+         ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS z
+FROM v
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution quality screen: Shannon
+    entropy (nats) from the sorted-array run-length histogram (map-only,
+    no explode), distinct-char count, digit ratio — n-ln-n terms
+    micro-folded so the SQL twin's unnest+groupBy histogram lands on
+    identical integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs, "text", "doc_id")
+
+
+_CHAR_ENTROPY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(norm, '')) AS c
+  FROM base WHERE length(norm) > 0
+),
+cnt AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+ag AS (
+  SELECT doc_id, count(*)::BIGINT AS d, sum(n)::BIGINT AS len,
+    sum(floor(n::DOUBLE * ln(n::DOUBLE) * 1e9 + 0.5)::HUGEINT) AS micro
+  FROM cnt GROUP BY 1
+)
+SELECT b.doc_id,
+  coalesce(a.len, 0)::BIGINT AS n_chars,
+  coalesce(a.d, 0)::BIGINT AS n_distinct_chars,
+  CASE WHEN a.len IS NULL THEN 0.0
+       ELSE floor((ln(a.len::DOUBLE)
+                   - a.micro::VARCHAR::DOUBLE / 1e9 / a.len::DOUBLE)
+                  * 1000000 + 0.5) / 1000000.0 END AS entropy_nats,
+  CASE WHEN a.len IS NULL THEN 0.0
+       ELSE floor((length(regexp_replace(b.norm, '[^0-9]', '', 'g'))::DOUBLE
+                   / a.len::DOUBLE) * 1000000 + 0.5) / 1000000.0
+       END AS digit_ratio
+FROM base b LEFT JOIN ag a USING (doc_id)
+"""
+
+
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift gains table for a cluster-randomized experiment:
+    md5 2-fold USER-level arms (kfold convention), value-threshold
+    conversions, the F8 sigmoid heuristic as the uplift score on a
+    fixed 10-bin [0,1) grid — cumulative incremental conversions vs the
+    random-targeting diagonal, all-integer cums, triangular broadcast
+    cumsum (no window)."""
+    ev = _events(spark, sf_dir)
+    assigned = kfold_assign(ev, "user_id", k=2, salt="uplift")
+    staged = assigned.select(
+        (F.col("fold") == 1).cast("int").alias("treated"),
+        (F.col("value") >= 750).cast("int").alias("converted"),
+        E.heuristic_score(F.col("value")).alias("score"),
+    )
+    return evaluation.qini_curve(
+        staged, "treated", "converted", "score", n_bins=10
+    )
+
+
+_QINI_SQL = """
+WITH staged AS (
+  SELECT
+    ((('0x' || substring(md5('uplift:' || user_id::VARCHAR), 1, 8))
+      ::BIGINT % 2) = 1)::INT AS t,
+    (value >= 750)::INT AS y,
+    1.0 / (1.0 + exp(-0.003 * (value - 500.0))) AS score
+  FROM events
+),
+per AS (
+  SELECT least(floor(score * 10)::INT, 9) AS bin,
+    sum(t)::BIGINT AS n_treat, sum(1 - t)::BIGINT AS n_ctrl,
+    sum(t * y)::BIGINT AS conv_treat,
+    sum((1 - t) * y)::BIGINT AS conv_ctrl
+  FROM staged GROUP BY 1
+),
+cum AS (
+  SELECT a.bin, a.n_treat, a.n_ctrl, a.conv_treat, a.conv_ctrl,
+    sum(b.n_treat)::BIGINT AS cnt, sum(b.n_ctrl)::BIGINT AS cnc,
+    sum(b.conv_treat)::BIGINT AS cct, sum(b.conv_ctrl)::BIGINT AS ccc
+  FROM per a JOIN per b ON b.bin >= a.bin
+  GROUP BY 1, 2, 3, 4, 5
+),
+tot AS (
+  SELECT sum(n_treat)::BIGINT AS tt, sum(n_ctrl)::BIGINT AS tc,
+    sum(conv_treat)::BIGINT AS tct, sum(conv_ctrl)::BIGINT AS tcc
+  FROM per
+)
+SELECT bin, bin::DOUBLE / 10.0 AS score_lo,
+  n_treat, n_ctrl, conv_treat, conv_ctrl,
+  CASE WHEN cnc > 0 THEN
+    floor((cct::DOUBLE - ccc::DOUBLE * (cnt::DOUBLE / cnc::DOUBLE))
+          * 1000000 + 0.5) / 1000000.0 END AS cum_uplift,
+  CASE WHEN tc > 0 THEN
+    floor(((tct::DOUBLE - tcc::DOUBLE * (tt::DOUBLE / tc::DOUBLE))
+           * ((cnt + cnc)::DOUBLE / (tt + tc)::DOUBLE))
+          * 1000000 + 0.5) / 1000000.0 END AS random_uplift
+FROM cum, tot
+"""
+
+
+def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD-style iterative outlier screen: 5 rounds of
+    remove-the-max-|x-mu|/sigma per event type over hourly totals —
+    nano-unit integer aggregates, pinned IEEE assembly, extreme-value +
+    earliest-bucket tie-break; the SQL twin unrolls the identical 5
+    rounds as chained CTEs."""
+    ev = _events(spark, sf_dir)
+    return drift.gesd_outliers(ev, "ts", "event_type", "value", "hour", k=5)
+
+
+def _gesd_sql(k: int = 5, z_crit: float = 3.0) -> str:
+    parts = [
+        """WITH r0 AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    (sum(value::DECIMAL(25,2)) * 1000000000)::BIGINT AS q
+  FROM events GROUP BY 1, 2
+)"""
+    ]
+    selects = []
+    for i in range(1, k + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""",
+st{i} AS (
+  SELECT s, count(*)::BIGINT AS n,
+    sum(q)::DOUBLE AS sq,
+    sum(q::HUGEINT * q::HUGEINT)::VARCHAR::DOUBLE AS sqq,
+    max(q)::DOUBLE AS mxq, min(q)::DOUBLE AS mnq,
+    max(q) AS mxqi, min(q) AS mnqi,
+    -((max(struct_pack(q := q, nus := -us))).nus) AS mxus,
+    (min(struct_pack(q := q, us := us))).us AS mnus
+  FROM {prev} GROUP BY s
+),
+rm{i} AS (
+  SELECT s, n,
+    CASE WHEN (mxq - sq / n) >= (sq / n - mnq) THEN mxqi ELSE mnqi END
+      AS q_rm,
+    CASE WHEN (mxq - sq / n) >= (sq / n - mnq) THEN mxus ELSE mnus END
+      AS us_rm,
+    sq / n AS mu,
+    sqrt(greatest((sqq - (sq * sq) / n) / (n - 1), 0.0)) AS sd
+  FROM st{i} WHERE n > 3
+),
+rmv{i} AS (
+  SELECT s, n, q_rm, us_rm,
+    floor(abs(q_rm::DOUBLE - mu) / sd * 1e6 + 0.5) / 1e6 AS r_stat
+  FROM rm{i} WHERE sd > 0
+),
+r{i} AS (
+  SELECT p.s, p.us, p.q FROM {prev} p
+  LEFT JOIN rmv{i} x ON x.s = p.s AND x.us_rm = p.us
+  WHERE x.s IS NULL
+)"""
+        )
+        selects.append(
+            f"""SELECT {i} AS round, s AS event_type,
+  make_timestamp(us_rm) AS bucket, q_rm::DOUBLE / 1e9 AS x,
+  r_stat, (n - 1)::BIGINT AS n_remaining, r_stat > {z_crit} AS flagged
+FROM rmv{i}"""
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -14118,8 +14337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_profile": q_pattern_profile,
         # monitoring / relevance additions (round 9b)
         # survival / signal / pricing additions (round 9b)
-        # round-10 additions: corpus language census, MOSS winnowing
-        # fingerprints, aggregated-variance Hurst exponent
+        # round-11 additions: Mann-Kendall/Theil-Sen trend, char-entropy
+        # quality screen, Qini uplift gains, iterative GESD outliers
+        "mann_kendall": q_mann_kendall,
+        "char_entropy": q_char_entropy,
+        "qini_curve": q_qini_curve,
+        "gesd_outliers": q_gesd_outliers,
     }
 
 
@@ -14443,4 +14666,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "hurst_exponent": _HURST_SQL,
         "diff_in_diff": _DID_SQL,
+        "mann_kendall": _MANN_KENDALL_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
+        "qini_curve": _QINI_SQL,
+        "gesd_outliers": _gesd_sql(),
     }

@@ -294,6 +294,10 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "hurst_exponent",
     "diff_in_diff",
+    "mann_kendall",
+    "char_entropy",
+    "qini_curve",
+    "gesd_outliers",
 ]
 
 

@@ -1821,3 +1821,120 @@ def hurst_exponent(
         r6_(slope).alias("slope"),
         r6_(F.lit(1.0) + slope / F.lit(2.0)).alias("hurst"),
     ).orderBy(type_col)
+
+
+def gesd_outliers(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    k: int = 5,
+    z_crit: float = 3.0,
+) -> DataFrame:
+    """Generalized-ESD-style iterative outlier screen per series
+    (Rosner 1983, Technometrics): k rounds over the bucketed totals —
+    each round recomputes every series' mean/sd from the REMAINING
+    points, flags the maximum |x − μ|/σ point as that round's R
+    statistic, removes it, and repeats. Unlike a one-shot z-screen this
+    survives masking: two adjacent spikes hide each other's z until the
+    first is removed. Emits one row per (series, round): the removed
+    bucket, its R, the remaining count, and flagged = R > ``z_crit``
+    (fixed 3.0 default — the exact λᵢ Student-t critical sequence needs
+    an inverse-t CDF neither engine exposes in SQL; for B ≥ ~100
+    buckets λᵢ ≈ 3.0–3.2, so 3.0 is the conservative screen).
+
+    Exactness contract: totals quantize to exact nano-unit integers
+    (q = x_dec·1e9 — cent-valued decimals land on-grid); every round's
+    μ, σ, and R assemble from the integer aggregates (n, Σq, Σq²,
+    max q, min q) in a PINNED IEEE op order, and the removed point is
+    the extreme VALUE with the earliest-bucket tie-break, so the whole
+    k-round trajectory replays bit-identically in an external SQL
+    engine (the twin unrolls the same k rounds as chained CTEs).
+
+    Scale shape: ONE corpus-sized groupBy collapses to the per-(series,
+    bucket) rollup (bounded by series × time span, the hour-grid
+    family contract); each round is one map-side-combined aggregate
+    over that lazily-checkpointed rollup collected at |series| rows —
+    bounded by construction — and removals become literal filters, so
+    no join, no window, no growing plan. Driver work is O(k·|series|).
+    """
+    if not 1 <= int(k) <= 20:
+        raise ValueError(f"gesd_outliers: k={k} outside 1..20")
+    rolled = (
+        df.groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+        .select(
+            "__s",
+            F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+            (F.col("__x") * F.lit(1_000_000_000)).cast("long").alias("__q"),
+        )
+    )
+    rolled = rolled.localCheckpoint(eager=False)
+    removed: list[tuple] = []   # (round, s, us, q, r6(R), n_remaining, flagged)
+    dropped: dict[str, list[int]] = {}
+    import datetime as _dt
+    import math as _math
+
+    for rnd in range(1, int(k) + 1):
+        cur = rolled
+        for s, uss in dropped.items():
+            cond = (F.col("__s") == s) & F.col("__us").isin(uss)
+            cur = cur.where(~cond)
+        stats = (
+            cur.groupBy("__s")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__q").cast("decimal(38,0)").alias("sq"),
+                F.sum(
+                    (
+                        F.col("__q").cast("decimal(19,0)")
+                        * F.col("__q").cast("decimal(19,0)")
+                    ).cast("decimal(38,0)")
+                ).alias("sqq"),
+                F.max("__q").cast("long").alias("mxq"),
+                F.min("__q").cast("long").alias("mnq"),
+                F.max(
+                    F.struct(F.col("__q"), (-F.col("__us")).alias("nus"))
+                ).alias("mxs"),
+                F.min(F.struct(F.col("__q"), F.col("__us"))).alias("mns"),
+            )
+            .collect()
+        )
+        for row in sorted(stats, key=lambda r: r["__s"]):
+            n = row["n"]
+            if n <= 3:
+                continue
+            sq_d, sqq_d = float(row["sq"]), float(row["sqq"])
+            mu = sq_d / n
+            var = max((sqq_d - (sq_d * sq_d) / n) / (n - 1), 0.0)
+            sd = _math.sqrt(var)
+            if sd <= 0.0:
+                continue
+            mxq, mnq = float(row["mxq"]), float(row["mnq"])
+            if (mxq - mu) >= (mu - mnq):
+                q_rm, us_rm = row["mxs"]["__q"], -row["mxs"]["nus"]
+            else:
+                q_rm, us_rm = row["mns"]["__q"], row["mns"]["__us"]
+            r_stat = abs(float(q_rm) - mu) / sd
+            r_r6 = _math.floor(r_stat * 1e6 + 0.5) / 1e6
+            removed.append(
+                (
+                    rnd,
+                    row["__s"],
+                    _dt.datetime.utcfromtimestamp(us_rm / 1e6),
+                    q_rm / 1e9,
+                    r_r6,
+                    n - 1,
+                    r_r6 > float(z_crit),
+                )
+            )
+            dropped.setdefault(row["__s"], []).append(us_rm)
+    schema = (
+        f"round int, {series_col} string, bucket timestamp, x double, "
+        "r_stat double, n_remaining long, flagged boolean"
+    )
+    return df.sparkSession.createDataFrame(removed, schema)

@@ -1243,3 +1243,95 @@ def gini_gain(
         r6_(gini_split).alias("gini_split"),
         r6_(gini_root - gini_split).alias("gain"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini / uplift gains table (Radcliffe 2007): bin units by their
+    uplift score on a fixed [0,1) grid, then report, cumulatively from
+    the highest-score bin down, the INCREMENTAL conversions of treated
+    over control — cum_uplift = convᵗ − convᶜ·(nᵗ/nᶜ) at each depth —
+    against the random-targeting diagonal. The decision table behind
+    "treat only the top-k%": if the curve hugs the diagonal the score
+    carries no uplift signal even when its AUC is high (`ab_test`
+    measures the average effect; this measures its TARGETABILITY).
+
+    Scale shape: ONE map-side-combined corpus aggregate collapses to
+    ≤ n_bins rows; cumulative sums come from a triangular broadcast
+    self-join over that tiny frame (chunk_offsets convention — no
+    window, no second scan) and the totals fold from the same frame.
+    All cumulative quantities are exact integers; the uplift assembles
+    in closed-form IEEE arithmetic, r6-rounded.
+    """
+    if not 2 <= int(n_bins) <= 1000:
+        raise ValueError(f"qini_curve: n_bins={n_bins} outside 2..1000")
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    binned = df.select(
+        F.least(
+            F.floor(F.col(score_col) * F.lit(int(n_bins))).cast("int"),
+            F.lit(int(n_bins) - 1),
+        ).alias("__bin"),
+        t.alias("__t"),
+        y.alias("__y"),
+    )
+    per = binned.groupBy("__bin").agg(
+        F.sum("__t").cast("long").alias("n_treat"),
+        F.sum(F.lit(1) - F.col("__t")).cast("long").alias("n_ctrl"),
+        F.sum(F.col("__t") * F.col("__y")).cast("long").alias("conv_treat"),
+        F.sum((F.lit(1) - F.col("__t")) * F.col("__y"))
+        .cast("long")
+        .alias("conv_ctrl"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.__bin") >= F.col("a.__bin"))
+        .groupBy(
+            F.col("a.__bin").alias("__bin"),
+            F.col("a.n_treat").alias("n_treat"),
+            F.col("a.n_ctrl").alias("n_ctrl"),
+            F.col("a.conv_treat").alias("conv_treat"),
+            F.col("a.conv_ctrl").alias("conv_ctrl"),
+        )
+        .agg(
+            F.sum("b.n_treat").cast("long").alias("__cnt"),
+            F.sum("b.n_ctrl").cast("long").alias("__cnc"),
+            F.sum("b.conv_treat").cast("long").alias("__cct"),
+            F.sum("b.conv_ctrl").cast("long").alias("__ccc"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_treat").cast("long").alias("__T"),
+        F.sum("n_ctrl").cast("long").alias("__C"),
+        F.sum("conv_treat").cast("long").alias("__CT"),
+        F.sum("conv_ctrl").cast("long").alias("__CC"),
+    )
+    j = cum.join(F.broadcast(tot))
+    cum_uplift = F.col("__cct").cast("double") - F.col("__ccc").cast(
+        "double"
+    ) * (F.col("__cnt").cast("double") / F.col("__cnc").cast("double"))
+    total_uplift = F.col("__CT").cast("double") - F.col("__CC").cast(
+        "double"
+    ) * (F.col("__T").cast("double") / F.col("__C").cast("double"))
+    depth = (F.col("__cnt") + F.col("__cnc")).cast("double") / (
+        F.col("__T") + F.col("__C")
+    ).cast("double")
+    return j.select(
+        F.col("__bin").cast("int").alias("bin"),
+        (F.col("__bin").cast("double") / F.lit(float(n_bins))).alias(
+            "score_lo"
+        ),
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        F.when(F.col("__cnc") > 0, r6(cum_uplift)).alias("cum_uplift"),
+        F.when(F.col("__C") > 0, r6(total_uplift * depth)).alias(
+            "random_uplift"
+        ),
+    )

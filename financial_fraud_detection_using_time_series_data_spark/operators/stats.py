@@ -345,3 +345,135 @@ def brown_forsythe(
         (k - F.lit(1.0)).cast("long").alias("df1"),
         (N - k).cast("long").alias("df2"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per series over bucketed
+    totals (Mann 1945; Kendall 1975; Sen 1968) — the standard
+    nonparametric monotone-trend detector: S = Σ_{i<j} sign(x_j − x_i),
+    Var(S) tie-corrected, z with the ±1 continuity correction, and the
+    Theil–Sen slope = median of all pairwise slopes — the robust trend
+    estimate a drift monitor alerts on (complements `runs_test`'s
+    randomness check and `seasonal_decompose`'s trend component with an
+    actual significance test).
+
+    Exactness contract: the corpus collapses ONCE to the per-(series,
+    bucket) decimal rollup; sign comparisons run on the 1e-3-grid
+    quantized totals (`runs_test` convention, ulp-robust); pairwise
+    slopes quantize to 1e-6 micro-units (BIGINT) BEFORE the median, so
+    the exact-percentile interpolation is arithmetic on integers —
+    midpoints of < 2^52 integers are exact in IEEE — and the result
+    replays bit-identically in an external SQL engine. Var(S) and z
+    assemble from pure-integer S, n, and tie counts.
+
+    Scale shape: the O(B²) pair self-join runs over the ROLLUP (B =
+    buckets per series — bounded by the time span, not the corpus; the
+    wavelet/hurst hour-grid contract), never over raw events. One
+    corpus-sized groupBy, then |series|·B² bounded work.
+    """
+    rolled = (
+        df.groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+        .select(
+            "__s",
+            F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+            "__x",
+            F.floor(F.col("__x").cast("double") * F.lit(1e3) + F.lit(0.5))
+            .cast("long")
+            .alias("__q"),
+        )
+    )
+    rolled = rolled.localCheckpoint(eager=False)  # pairs ×2 + ties + n
+    # self-join with DISJOINT column names on the right side: both
+    # branches descend from the same checkpoint, so aliased a./b.
+    # references share exprIds and resolve ambiguously in Spark 4 —
+    # renamed projections sidestep the alias machinery entirely
+    right = rolled.select(
+        F.col("__s").alias("__sb"),
+        F.col("__us").alias("__usb"),
+        F.col("__x").alias("__xb"),
+        F.col("__q").alias("__qb"),
+    )
+    pair_slope = (
+        (F.col("__xb") - F.col("__x")).cast("double")
+        / ((F.col("__usb") - F.col("__us")).cast("double") / F.lit(3.6e9))
+    )
+    pairs = (
+        rolled.join(
+            right,
+            (F.col("__s") == F.col("__sb"))
+            & (F.col("__usb") > F.col("__us")),
+        )
+        .select(
+            # fresh name for the group key: after a self-join the left
+            # __s attribute is internally duplicated (Spark 4 keeps both
+            # lineage copies), and any later reference to __s — even
+            # qualified — resolves ambiguously; __g never collides
+            F.col("__s").alias("__g"),
+            F.signum((F.col("__qb") - F.col("__q")).cast("double"))
+            .cast("long")
+            .alias("__sgn"),
+            F.floor(pair_slope * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("__mslope"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.sum("__sgn").cast("long").alias("__S"),
+            F.expr("percentile(__mslope, 0.5)").alias("__sen_micro"),
+        )
+    )
+    # distinct rename: pairs and ties branch off the SAME checkpoint, so
+    # their __s attributes share an exprId — a USING-join would leave
+    # the output ambiguous
+    ties = (
+        rolled.select(F.col("__s").alias("__s2"), "__q")
+        .groupBy("__s2", "__q")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("__s2")
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - F.lit(1))
+                * (F.lit(2) * F.col("__t") + F.lit(5))
+            )
+            .cast("long")
+            .alias("__tiesum"),
+            F.sum("__t").cast("long").alias("__nb"),
+        )
+    )
+    j = pairs.join(ties, F.col("__g") == F.col("__s2")).drop("__s2")
+    var_s = (
+        (
+            F.col("__nb")
+            * (F.col("__nb") - F.lit(1))
+            * (F.lit(2) * F.col("__nb") + F.lit(5))
+            - F.col("__tiesum")
+        ).cast("double")
+        / F.lit(18.0)
+    )
+    s_d = F.col("__S").cast("double")
+    z = (
+        F.when(var_s <= 0, F.lit(0.0))
+        .when(F.col("__S") > 0, (s_d - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("__S") < 0, (s_d + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        F.col("__g").alias(series_col),
+        F.col("__nb").alias("n_buckets"),
+        F.col("__S").alias("s_stat"),
+        r6(var_s).alias("var_s"),
+        (F.col("__sen_micro") / F.lit(1e6)).alias("sen_slope_per_hour"),
+        r6(z).alias("z"),
+    )

@@ -1738,3 +1738,86 @@ def winnow_fingerprints(
         F.array_min(sel).alias("min_fp"),
         F.array_max(sel).alias("max_fp"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-distribution quality stats: Shannon
+    entropy (nats) of the normalized text's character histogram,
+    distinct-character count, and digit ratio — the gibberish / junk
+    screen a pretraining filter runs next to `quality_filter`'s
+    token-level heuristics (encrypted blobs and key-mash spam sit at
+    the entropy extremes; normal prose lands ≈ 2.8–3.2 nats).
+
+    Map-only with NO explode: the per-doc histogram comes from the
+    SORTED character array's run-length structure (boundary positions →
+    run lengths — O(L log L) JVM array built-ins per doc), so the plan
+    never materializes a |total chars| frame or shuffles. Entropy uses
+    the log-sum identity H = ln L − (Σ n·ln n)/L with each n·ln n term
+    quantized to the 1e-9 micro-grid before the fold (order-invariant,
+    SQL-replayable; the external twin computes the same histogram by
+    unnest + groupBy — different shape, identical integers).
+    """
+    base = df.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("__norm")
+    )
+    L = F.length("__norm")
+    staged = base.select(
+        id_col,
+        "__norm",
+        L.alias("__L"),
+        F.when(L > 0, F.array_sort(F.split(F.col("__norm"), ""))).alias(
+            "__srt"
+        ),
+    ).select(
+        id_col,
+        "__norm",
+        "__L",
+        F.when(
+            F.col("__L") > 0,
+            F.expr(
+                "filter(sequence(1, size(__srt)), i -> i = 1 OR "
+                "element_at(__srt, i) != element_at(__srt, i - 1))"
+            ),
+        ).alias("__pos"),
+    )
+    runs = F.expr(
+        "transform(sequence(1, size(__pos)), k -> "
+        "(CASE WHEN k < size(__pos) THEN element_at(__pos, k + 1) "
+        "ELSE __L + 1 END) - element_at(__pos, k))"
+    )
+    micro = F.expr(
+        "aggregate(__runs, cast(0 as decimal(38,0)), (acc, c) -> "
+        "acc + cast(floor(c * ln(c) * 1e9 + 0.5) as decimal(38,0)))"
+    )
+    ent = (
+        F.log(F.col("__L").cast("double"))
+        - F.col("__micro").cast("double") / F.lit(1e9)
+        / F.col("__L").cast("double")
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col("__norm"), "[^0-9]", "")).cast(
+            "double"
+        )
+        / F.col("__L").cast("double")
+    )
+    return (
+        staged.withColumn("__runs", F.when(F.col("__L") > 0, runs))
+        .withColumn("__micro", F.when(F.col("__L") > 0, micro))
+        .select(
+            id_col,
+            F.col("__L").cast("long").alias("n_chars"),
+            F.coalesce(F.size("__pos"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_chars"),
+            F.when(F.col("__L") > 0, r6(ent))
+            .otherwise(F.lit(0.0))
+            .alias("entropy_nats"),
+            F.when(F.col("__L") > 0, r6(digit_ratio))
+            .otherwise(F.lit(0.0))
+            .alias("digit_ratio"),
+        )
+    )
