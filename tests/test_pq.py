@@ -25,8 +25,9 @@ def test_pq_recall_floor(spark, sf_dir):
         for r in similarity.pq_topk(emb, qs, books, k=5).collect()
     }
     recall = len(got & exact) / len(exact)
-    # 64-bit codes on unstructured vectors: measured 0.46; floor with margin
-    assert recall >= 0.3, f"recall {recall:.2f}"
+    # 64-bit codes on unstructured vectors: measured 0.46 (deterministic
+    # seeded training); floor tightened 0.3 -> 0.4 (VERDICT r10 #7)
+    assert recall >= 0.4, f"recall {recall:.2f}"
 
 
 def test_pq_identical_vectors_share_codes_and_rank_first(spark):

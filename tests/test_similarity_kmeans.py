@@ -66,7 +66,10 @@ def test_trained_ivf_recall_and_plan(spark, sf_dir):
     trained = similarity.ivf_topk(
         emb, queries, nlist=NLIST, nprobe=NPROBE, k=K, centroids=cents
     )
-    assert _recall(trained.collect(), exact) >= 0.5
+    # deterministic seeded Lloyd on this fixture measures 0.75; the
+    # tightened floor (VERDICT r10 #7) still leaves margin for any
+    # future nlist/nprobe retune without masking a real regression
+    assert _recall(trained.collect(), exact) >= 0.7
 
     # the trained path must be join-once: no crossJoin (seed assignment's
     # |C|×nlist blow-up) anywhere in the physical plan
