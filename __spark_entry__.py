@@ -13913,6 +13913,161 @@ FROM rmv{i}"""
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best mean-shift changepoint per event type over hourly
+    value totals: exact decimal prefix sums, pinned-IEEE SSE-reduction
+    gain, 1e-3-grid argmax with the earliest-bucket tie-break."""
+    ev = _events(spark, sf_dir)
+    return drift.best_changepoint(ev, "ts", "event_type", "value", "hour")
+
+
+_BEST_CHANGEPOINT_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    sum(value::DECIMAL(25,2)) AS x
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT s, us,
+    row_number() OVER w AS i,
+    sum(x) OVER (PARTITION BY s ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si,
+    sum(x) OVER (PARTITION BY s) AS sb,
+    count(*) OVER (PARTITION BY s) AS nb
+  FROM rolled WINDOW w AS (PARTITION BY s ORDER BY us)
+),
+cands AS (
+  SELECT s, nb, sb, us, i, si,
+    floor(((si::DOUBLE * si::DOUBLE) / i
+           + ((sb::DOUBLE - si::DOUBLE) * (sb::DOUBLE - si::DOUBLE))
+             / (nb - i)
+           - (sb::DOUBLE * sb::DOUBLE) / nb) * 1e3 + 0.5)::BIGINT AS g
+  FROM staged WHERE i < nb
+),
+best AS (
+  SELECT s, max(nb)::BIGINT AS n_buckets, max(sb) AS sbv,
+    max(struct_pack(g := g, nus := -us, us := us, i := i, si := si)) AS m
+  FROM cands GROUP BY s
+)
+SELECT s AS event_type, n_buckets,
+  make_timestamp((m).us) AS split_last_bucket,
+  (m).i::BIGINT AS n_left,
+  floor(((m).si::DOUBLE / (m).i) * 1000000 + 0.5) / 1000000.0 AS mean_left,
+  floor(((sbv::DOUBLE - (m).si::DOUBLE) / (n_buckets - (m).i))
+        * 1000000 + 0.5) / 1000000.0 AS mean_right,
+  floor((((m).si::DOUBLE * (m).si::DOUBLE) / (m).i
+         + ((sbv::DOUBLE - (m).si::DOUBLE) * (sbv::DOUBLE - (m).si::DOUBLE))
+           / (n_buckets - (m).i)
+         - (sbv::DOUBLE * sbv::DOUBLE) / n_buckets)
+        * 1000000 + 0.5) / 1000000.0 AS sse_reduction
+FROM best
+"""
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution of
+    purchase value over per-user journeys that reset at each
+    conversion; per-touch credit terms micro-folded on the 1e-6 grid."""
+    ev = _events(spark, sf_dir)
+    return events_ops.attribution_position_based(
+        ev, "user_id", "ts", "event_id", "event_type", "value",
+        conversion_type="purchase",
+    )
+
+
+_ATTRIBUTION_POSITION_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    coalesce(sum((event_type = 'purchase')::BIGINT)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+  FROM events
+),
+pos AS (
+  SELECT user_id, jid, event_type AS channel,
+    row_number() OVER w AS p,
+    count(*) OVER (PARTITION BY user_id, jid) AS m
+  FROM base WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id, jid ORDER BY ts, event_id)
+),
+convs AS (
+  SELECT user_id, jid, value::DECIMAL(25,2) AS v
+  FROM base WHERE event_type = 'purchase'
+),
+cr AS (
+  SELECT channel,
+    floor((CASE WHEN m = 1 THEN 1.0 WHEN m = 2 THEN 0.5
+           WHEN p = 1 THEN 0.4 WHEN p = m THEN 0.4
+           ELSE (1.0 - 0.4 - 0.4) / (m - 2) END)
+          * v::DOUBLE * 1e6 + 0.5)::HUGEINT AS cm
+  FROM pos JOIN convs USING (user_id, jid)
+),
+o AS (
+  SELECT channel, count(*)::BIGINT AS n_touchpoints, sum(cm) AS cm
+  FROM cr GROUP BY 1
+),
+tot AS (SELECT sum(cm) AS t FROM o)
+SELECT channel, n_touchpoints,
+  floor((cm::VARCHAR::DOUBLE / 1e6) * 1000000 + 0.5) / 1000000.0
+    AS credited_revenue,
+  floor((cm::VARCHAR::DOUBLE / t::VARCHAR::DOUBLE) * 1000000 + 0.5)
+    / 1000000.0 AS credit_share
+FROM o, tot
+"""
+
+
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sensitivity report over the md5 2-fold user-level
+    arms and value-threshold conversions (qini conventions): observed
+    rates, MDE at the current n, and required n per arm — closed-form
+    IEEE assembly from four integer aggregates."""
+    ev = _events(spark, sf_dir)
+    assigned = kfold_assign(ev, "user_id", k=2, salt="uplift")
+    staged = assigned.select(
+        (F.col("fold") == 1).cast("int").alias("treated"),
+        (F.col("value") >= 750).cast("int").alias("converted"),
+    )
+    return evaluation.mde_power(staged, "treated", "converted")
+
+
+def _mde_power_sql() -> str:
+    zsum = repr(evaluation.Z_ALPHA_05 + evaluation.Z_POWER_80)
+    return f"""
+WITH staged AS (
+  SELECT
+    ((('0x' || substring(md5('uplift:' || user_id::VARCHAR), 1, 8))
+      ::BIGINT % 2) = 1)::INT AS t,
+    (value >= 750)::INT AS y
+  FROM events
+),
+agg AS (
+  SELECT sum(t)::BIGINT AS nt, sum(1 - t)::BIGINT AS nc,
+    sum(t * y)::BIGINT AS ct, sum((1 - t) * y)::BIGINT AS cc
+  FROM staged
+),
+c AS (
+  SELECT nt, nc, ct, cc,
+    ct::DOUBLE / nt::DOUBLE AS pt,
+    cc::DOUBLE / nc::DOUBLE AS pc,
+    (ct + cc)::DOUBLE / (nt + nc)::DOUBLE AS pbar,
+    2.0 * nt::DOUBLE * nc::DOUBLE / (nt::DOUBLE + nc::DOUBLE) AS nbar
+  FROM agg
+)
+SELECT nt AS n_treat, nc AS n_ctrl,
+  floor(pt * 1000000 + 0.5) / 1000000.0 AS rate_treat,
+  floor(pc * 1000000 + 0.5) / 1000000.0 AS rate_ctrl,
+  floor((pt - pc) * 1000000 + 0.5) / 1000000.0 AS abs_effect,
+  floor(pbar * 1000000 + 0.5) / 1000000.0 AS pooled_rate,
+  CASE WHEN nt > 0 AND nc > 0 THEN
+    floor(({zsum} * sqrt(2.0 * pbar * (1.0 - pbar) / nbar))
+          * 1000000 + 0.5) / 1000000.0 END AS mde_at_n,
+  CASE WHEN nt > 0 AND nc > 0 AND abs(pt - pc) > 0 THEN
+    ceil(2.0 * pbar * (1.0 - pbar) * ({zsum} / abs(pt - pc))
+         * ({zsum} / abs(pt - pc)))::BIGINT END AS n_per_arm_for_observed
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -14343,6 +14498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "qini_curve": q_qini_curve,
         "gesd_outliers": q_gesd_outliers,
+        "best_changepoint": q_best_changepoint,
+        "attribution_position": q_attribution_position,
+        "mde_power": q_mde_power,
     }
 
 
@@ -14670,4 +14828,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "qini_curve": _QINI_SQL,
         "gesd_outliers": _gesd_sql(),
+        "best_changepoint": _BEST_CHANGEPOINT_SQL,
+        "attribution_position": _ATTRIBUTION_POSITION_SQL,
+        "mde_power": _mde_power_sql(),
     }

@@ -298,6 +298,9 @@ BENCH_QUERIES = [
     "char_entropy",
     "qini_curve",
     "gesd_outliers",
+    "best_changepoint",
+    "attribution_position",
+    "mde_power",
 ]
 
 

@@ -1938,3 +1938,104 @@ def gesd_outliers(
         "r_stat double, n_remaining long, flagged boolean"
     )
     return df.sparkSession.createDataFrame(removed, schema)
+
+
+def best_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Single best mean-shift changepoint per series (binary
+    segmentation, one level — the building block PELT/BinSeg iterate):
+    over the bucketed totals x₁..x_B, pick the split i maximizing the
+    between-segment SSE reduction gain(i) = Sᵢ²/i + (S_B−Sᵢ)²/(B−i) −
+    S_B²/B (prefix-sum identity; the variance terms cancel), i.e. the
+    level shift a CUSUM screen locates but with the exact offline
+    argmax. Complements `cusum_changepoint` (online detector) with the
+    retrospective "WHERE did the regime change" answer.
+
+    Exactness contract: prefix sums fold as exact decimals over the
+    bounded per-series rollup; gain assembles in a PINNED IEEE op
+    order (t1 = Sᵢ²/i, t2 = (S_B−Sᵢ)²/(B−i), gain = t1 + t2 − S_B²/B)
+    and the argmax selects on the 1e-3-grid quantized gain with the
+    EARLIEST-bucket tie-break, so split choice and statistics replay
+    bit-identically in SQL. Magnitude: |gain| ≤ total SS of cent-grid
+    hourly sums — ≲1e17 milli-units at the 10× scale corpus, inside
+    both int64 and the 2^53 double-exact range.
+
+    Scale shape: one corpus groupBy to the (series, bucket) rollup,
+    one per-series window cumsum over that bounded frame (series-key
+    exchange), one |series|-row struct-argmax aggregate. No self-join.
+    """
+    rolled = (
+        df.groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+        .select(
+            "__s",
+            F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+            "__x",
+        )
+    )
+    w = Window.partitionBy("__s").orderBy("__us")
+    wall = Window.partitionBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = rolled.select(
+        "__s",
+        "__us",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__si"),
+        F.sum("__x").over(wall).alias("__sb"),
+        F.count(F.lit(1)).over(wall).alias("__nb"),
+    )
+    i_d = F.col("__i").cast("double")
+    nb_d = F.col("__nb").cast("double")
+    si = F.col("__si").cast("double")
+    sb = F.col("__sb").cast("double")
+    t1 = (si * si) / i_d
+    t2 = ((sb - si) * (sb - si)) / (nb_d - i_d)
+    gain = t1 + t2 - (sb * sb) / nb_d
+    cands = staged.where(F.col("__i") < F.col("__nb")).select(
+        "__s",
+        "__nb",
+        "__sb",
+        F.struct(
+            F.floor(gain * F.lit(1e3) + F.lit(0.5)).cast("long").alias("g"),
+            (-F.col("__us")).alias("nus"),
+            F.col("__us").alias("us"),
+            F.col("__i").alias("i"),
+            F.col("__si").alias("si"),
+        ).alias("__c"),
+    )
+    best = cands.groupBy("__s").agg(
+        F.max("__c").alias("__m"),
+        F.max("__nb").cast("long").alias("n_buckets"),
+        F.max("__sb").alias("__sbv"),
+    )
+    m = F.col("__m")
+    i_b = m["i"].cast("double")
+    si_b = m["si"].cast("double")
+    sb_b = F.col("__sbv").cast("double")
+    nb_b = F.col("n_buckets").cast("double")
+    gain_b = (
+        (si_b * si_b) / i_b
+        + ((sb_b - si_b) * (sb_b - si_b)) / (nb_b - i_b)
+        - (sb_b * sb_b) / nb_b
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return best.select(
+        F.col("__s").alias(series_col),
+        "n_buckets",
+        (m["us"] / F.lit(1_000_000)).cast("timestamp").alias("split_last_bucket"),
+        m["i"].cast("long").alias("n_left"),
+        r6_(si_b / i_b).alias("mean_left"),
+        r6_((sb_b - si_b) / (nb_b - i_b)).alias("mean_right"),
+        r6_(gain_b).alias("sse_reduction"),
+    )

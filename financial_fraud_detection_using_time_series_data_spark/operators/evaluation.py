@@ -1335,3 +1335,71 @@ def qini_curve(
             "random_uplift"
         ),
     )
+
+
+# two-sided alpha = 0.05 and power = 0.80 normal quantiles — fixed
+# literals shared with the SQL twin (neither engine exposes an inverse
+# normal CDF in its SQL surface)
+Z_ALPHA_05 = 1.959963984540054
+Z_POWER_80 = 0.8416212335729143
+
+
+def mde_power(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Experiment sensitivity report (two-proportion normal
+    approximation, α = 0.05 two-sided, power = 0.80): observed per-arm
+    conversion rates, the absolute effect, the minimum detectable
+    effect at the CURRENT sample size — MDE = (z_{α/2} + z_β) ·
+    √(2·p̄(1−p̄)/n̄) with n̄ the harmonic mean of the arm sizes — and
+    the per-arm n required to detect the OBSERVED effect. The question
+    every `ab_test` reader asks next: "is this flat result a real null
+    or an underpowered test?" — if |effect| ≪ MDE the experiment could
+    not have detected it.
+
+    One map-side-combined corpus aggregate to four integers; the report
+    assembles in closed-form IEEE arithmetic from those integers and
+    the two fixed quantile literals — bit-identical cross-engine.
+    """
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    agg = df.agg(
+        F.sum(t).cast("long").alias("__nt"),
+        F.sum(F.lit(1) - t).cast("long").alias("__nc"),
+        F.sum(t * y).cast("long").alias("__ct"),
+        F.sum((F.lit(1) - t) * y).cast("long").alias("__cc"),
+    )
+    nt = F.col("__nt").cast("double")
+    nc = F.col("__nc").cast("double")
+    pt = F.col("__ct").cast("double") / nt
+    pc = F.col("__cc").cast("double") / nc
+    pbar = (F.col("__ct") + F.col("__cc")).cast("double") / (
+        F.col("__nt") + F.col("__nc")
+    ).cast("double")
+    nbar = F.lit(2.0) * nt * nc / (nt + nc)  # harmonic mean of arm sizes
+    zsum = F.lit(Z_ALPHA_05 + Z_POWER_80)
+    mde = zsum * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar) / nbar)
+    eff = pt - pc
+    n_req = (
+        F.lit(2.0)
+        * pbar
+        * (F.lit(1.0) - pbar)
+        * (zsum / F.abs(eff))
+        * (zsum / F.abs(eff))
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("__nt").alias("n_treat"),
+        F.col("__nc").alias("n_ctrl"),
+        r6_(pt).alias("rate_treat"),
+        r6_(pc).alias("rate_ctrl"),
+        r6_(eff).alias("abs_effect"),
+        r6_(pbar).alias("pooled_rate"),
+        F.when((nt > 0) & (nc > 0), r6_(mde)).alias("mde_at_n"),
+        F.when(
+            (nt > 0) & (nc > 0) & (F.abs(eff) > 0),
+            F.ceil(n_req).cast("long"),
+        ).alias("n_per_arm_for_observed"),
+    )

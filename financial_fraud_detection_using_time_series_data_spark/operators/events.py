@@ -1768,3 +1768,104 @@ def window_funnel(
             "share"
         ),
     ).orderBy("depth")
+
+
+def attribution_position_based(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    first_w: float = 0.4,
+    last_w: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    conversion's value splits 40% to the FIRST touch of its journey,
+    40% to the LAST, and 20% evenly across the middle touches (one
+    touch takes 100%, two split 50/50 — the standard degenerate-path
+    rules). Journeys reset at each conversion: a touch belongs to the
+    journey of the NEXT conversion on its entity. The multi-touch
+    complement of `attribution_last_touch` (which over-credits the
+    final channel) and `attribution_markov` (whose removal effects
+    need the full transition solve).
+
+    Exactness contract: journey ids are integer conversion-prefix
+    counts; positions are per-journey row numbers; per-touch credit
+    weights are closed-form rationals of (position, journey size) and
+    each credit·value term quantizes to the 1e-6 micro-grid BEFORE the
+    channel fold — order-invariant, SQL-replayable.
+
+    Scale shape: two bounded window passes (entity exchange for the
+    journey id, (entity, journey) exchange for positions), one
+    co-partitioned join of touches to their journey's conversion on
+    (entity, journey) — both sides shuffle on the same key — and one
+    |channels|-row rollup.
+    """
+    mid_w = 1.0 - float(first_w) - float(last_w)
+    w_ent = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    # journey id = conversions strictly BEFORE this row: touches between
+    # conversion k and k+1 share id k with conversion k+1 itself
+    base = df.select(
+        entity_col,
+        ts_col,
+        id_col,
+        type_col,
+        value_col,
+        (
+            F.sum(is_conv).over(
+                w_ent.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("__jid"),
+    ).withColumn("__jid", F.coalesce(F.col("__jid"), F.lit(0)))
+    touches = base.where(F.col(type_col) != conversion_type)
+    w_j = Window.partitionBy(entity_col, "__jid").orderBy(ts_col, id_col)
+    w_jall = Window.partitionBy(entity_col, "__jid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pos = touches.select(
+        entity_col,
+        "__jid",
+        F.col(type_col).alias("channel"),
+        F.row_number().over(w_j).alias("__p"),
+        F.count(F.lit(1)).over(w_jall).alias("__m"),
+    )
+    convs = base.where(F.col(type_col) == conversion_type).select(
+        entity_col,
+        "__jid",
+        F.col(value_col).cast("decimal(25,2)").alias("__v"),
+    )
+    p, m = F.col("__p"), F.col("__m")
+    credit = (
+        F.when(m == 1, F.lit(1.0))
+        .when(m == 2, F.lit(0.5))
+        .when(p == 1, F.lit(float(first_w)))
+        .when(p == m, F.lit(float(last_w)))
+        .otherwise(F.lit(mid_w) / (m - F.lit(2)).cast("double"))
+    )
+    joined = pos.join(convs, [entity_col, "__jid"]).select(
+        "channel",
+        F.floor(
+            credit * F.col("__v").cast("double") * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("__cr_micro"),
+    )
+    out = joined.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+        F.sum("__cr_micro").alias("__cm"),
+    )
+    tot = out.agg(F.sum("__cm").alias("__t"))
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return out.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_touchpoints",
+        r6_(F.col("__cm").cast("double") / F.lit(1e6)).alias(
+            "credited_revenue"
+        ),
+        r6_(
+            F.col("__cm").cast("double") / F.col("__t").cast("double")
+        ).alias("credit_share"),
+    )

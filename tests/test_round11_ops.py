@@ -184,3 +184,101 @@ def test_gesd_tie_break_earliest_bucket(spark):
     )
     assert rows[0]["bucket"].hour == 4
     assert rows[1]["bucket"].hour == 9
+
+
+# -------------------------------------------------------- best_changepoint
+
+
+def test_best_changepoint_planted_level_shift(spark):
+    """20 hours at 10 then 20 hours at 50: split after bucket 20,
+    means exact, SSE reduction matches the prefix-sum closed form."""
+    vals = [10.0] * 20 + [50.0] * 20
+    ev = _hourly_events(spark, vals)
+    row = drift.best_changepoint(ev).collect()[0]
+    assert row["n_buckets"] == 40
+    assert row["n_left"] == 20
+    assert abs(row["mean_left"] - 10.0) < 1e-9
+    assert abs(row["mean_right"] - 50.0) < 1e-9
+    # gain = S_i^2/i + (S_B-S_i)^2/(B-i) - S_B^2/B
+    gain = 200.0**2 / 20 + 1000.0**2 / 20 - 1200.0**2 / 40
+    assert abs(row["sse_reduction"] - gain) < 1e-6
+    assert row["split_last_bucket"].hour == 19  # last bucket of the left side
+
+
+def test_best_changepoint_tie_break_earliest(spark):
+    """A flat series gains 0 everywhere: the earliest split wins."""
+    ev = _hourly_events(spark, [7.0] * 10)
+    row = drift.best_changepoint(ev).collect()[0]
+    assert row["n_left"] == 1 and row["sse_reduction"] == 0.0
+
+
+# ------------------------------------------- attribution_position_based
+
+
+def test_attribution_position_u_shape(spark):
+    """Journey A,B,C -> purchase(100): 40/20/40. Journey D ->
+    purchase(50): single touch takes 100%."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    rows = [
+        (1, 0.0, 1, "A", 0.0),
+        (2, 10.0, 1, "B", 0.0),
+        (3, 20.0, 1, "C", 0.0),
+        (4, 30.0, 1, "purchase", 100.0),
+        (5, 0.0, 2, "D", 0.0),
+        (6, 10.0, 2, "purchase", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("tsd").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = {r["channel"]: r for r in
+           events_ops.attribution_position_based(df).collect()}
+    assert abs(out["A"]["credited_revenue"] - 40.0) < 1e-6
+    assert abs(out["B"]["credited_revenue"] - 20.0) < 1e-6
+    assert abs(out["C"]["credited_revenue"] - 40.0) < 1e-6
+    assert abs(out["D"]["credited_revenue"] - 50.0) < 1e-6
+    assert abs(sum(r["credit_share"] for r in out.values()) - 1.0) < 1e-5
+    # two-touch journey splits 50/50
+    rows2 = rows[:2] + [(4, 30.0, 1, "purchase", 100.0)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, tsd double, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("tsd").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    out2 = {r["channel"]: r for r in
+            events_ops.attribution_position_based(df2).collect()}
+    assert abs(out2["A"]["credited_revenue"] - 50.0) < 1e-6
+    assert abs(out2["B"]["credited_revenue"] - 50.0) < 1e-6
+
+
+# ------------------------------------------------------------- mde_power
+
+
+def test_mde_power_closed_form(spark):
+    """Equal arms, known rates: MDE and required-n match the
+    two-proportion normal-approximation closed form."""
+    rows = (
+        [(1, 1)] * 100 + [(1, 0)] * 900 + [(0, 1)] * 80 + [(0, 0)] * 920
+    )
+    df = spark.createDataFrame(rows, "treated int, converted int")
+    row = evaluation.mde_power(df, "treated", "converted").collect()[0]
+    assert (row["n_treat"], row["n_ctrl"]) == (1000, 1000)
+    assert abs(row["rate_treat"] - 0.1) < 1e-9
+    assert abs(row["rate_ctrl"] - 0.08) < 1e-9
+    pbar = 180 / 2000
+    zsum = evaluation.Z_ALPHA_05 + evaluation.Z_POWER_80
+    mde = zsum * math.sqrt(2 * pbar * (1 - pbar) / 1000.0)
+    assert abs(row["mde_at_n"] - math.floor(mde * 1e6 + 0.5) / 1e6) < 1e-12
+    n_req = 2 * pbar * (1 - pbar) * (zsum / 0.02) ** 2
+    assert row["n_per_arm_for_observed"] == math.ceil(n_req)
+    # observed 2pp effect is BELOW the ~2.5pp MDE -> underpowered
+    assert row["abs_effect"] < row["mde_at_n"]
