@@ -13860,14 +13860,36 @@ def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.gesd_outliers(ev, "ts", "event_type", "value", "hour", k=5)
 
 
-def _gesd_sql(k: int = 5, z_crit: float = 3.0) -> str:
-    parts = [
-        """WITH r0 AS (
+_GESD_R0 = """WITH r0 AS (
   SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
     (sum(value::DECIMAL(25,2)) * 1000000000)::BIGINT AS q
   FROM events GROUP BY 1, 2
 )"""
-    ]
+
+# seasonal residuals: subtract each series' hour-of-day mean (exact
+# integer floor-division on nonnegative nano-unit sums) before the
+# identical unrolled ESD rounds
+_SESD_R0 = """WITH raw0 AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    (sum(value::DECIMAL(25,2)) * 1000000000)::BIGINT AS qx
+  FROM events GROUP BY 1, 2
+),
+hod AS (
+  SELECT s, (us // 3600000000) % 24 AS hod2,
+    sum(qx::HUGEINT) AS hs, count(*)::BIGINT AS hn
+  FROM raw0 GROUP BY 1, 2
+),
+r0 AS (
+  SELECT r.s, r.us, (r.qx - (h.hs // h.hn))::BIGINT AS q
+  FROM raw0 r JOIN hod h
+    ON h.s = r.s AND h.hod2 = (r.us // 3600000000) % 24
+)"""
+
+
+def _gesd_sql(
+    k: int = 5, z_crit: float = 3.0, r0: str = _GESD_R0, x_name: str = "x"
+) -> str:
+    parts = [r0]
     selects = []
     for i in range(1, k + 1):
         prev = f"r{i - 1}"
@@ -13906,7 +13928,7 @@ r{i} AS (
         )
         selects.append(
             f"""SELECT {i} AS round, s AS event_type,
-  make_timestamp(us_rm) AS bucket, q_rm::DOUBLE / 1e9 AS x,
+  make_timestamp(us_rm) AS bucket, q_rm::DOUBLE / 1e9 AS {x_name},
   r_stat, (n - 1)::BIGINT AS n_remaining, r_stat > {z_crit} AS flagged
 FROM rmv{i}"""
         )
@@ -14066,6 +14088,16 @@ SELECT nt AS n_treat, nc AS n_ctrl,
          * ({zsum} / abs(pt - pc)))::BIGINT END AS n_per_arm_for_observed
 FROM c
 """
+
+
+def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-ESD (S-ESD) anomaly screen: 5 iterative ESD rounds over
+    each event type's hour-of-day-deseasonalized hourly totals —
+    residuals are exact integers (nano-unit totals minus the exact
+    floor-divided hour-of-day mean), so the whole remove/re-test
+    trajectory replays bit-identically in the unrolled SQL twin."""
+    ev = _events(spark, sf_dir)
+    return drift.seasonal_esd(ev, "ts", "event_type", "value", k=5)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -14501,6 +14533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_changepoint": q_best_changepoint,
         "attribution_position": q_attribution_position,
         "mde_power": q_mde_power,
+        "seasonal_esd": q_seasonal_esd,
     }
 
 
@@ -14831,4 +14864,5 @@ def oracle_sql() -> dict[str, str]:
         "best_changepoint": _BEST_CHANGEPOINT_SQL,
         "attribution_position": _ATTRIBUTION_POSITION_SQL,
         "mde_power": _mde_power_sql(),
+        "seasonal_esd": _gesd_sql(r0=_SESD_R0, x_name="residual"),
     }

@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "best_changepoint",
     "attribution_position",
     "mde_power",
+    "seasonal_esd",
 ]
 
 

@@ -1873,6 +1873,22 @@ def gesd_outliers(
             (F.col("__x") * F.lit(1_000_000_000)).cast("long").alias("__q"),
         )
     )
+    return _esd_iterate(
+        df.sparkSession, rolled, series_col, "x", int(k), float(z_crit)
+    )
+
+
+def _esd_iterate(
+    spark,
+    rolled: DataFrame,
+    series_col: str,
+    value_name: str,
+    k: int,
+    z_crit: float,
+) -> DataFrame:
+    """Shared k-round ESD engine over a prepared (__s, __us, __q)
+    nano-unit rollup (see `gesd_outliers` for the contract; reused by
+    `seasonal_esd` with residual q-values)."""
     rolled = rolled.localCheckpoint(eager=False)
     removed: list[tuple] = []   # (round, s, us, q, r6(R), n_remaining, flagged)
     dropped: dict[str, list[int]] = {}
@@ -1925,7 +1941,7 @@ def gesd_outliers(
                 (
                     rnd,
                     row["__s"],
-                    _dt.datetime.utcfromtimestamp(us_rm / 1e6),
+                    _dt.datetime.utcfromtimestamp(us_rm // 1_000_000),
                     q_rm / 1e9,
                     r_r6,
                     n - 1,
@@ -1934,10 +1950,91 @@ def gesd_outliers(
             )
             dropped.setdefault(row["__s"], []).append(us_rm)
     schema = (
-        f"round int, {series_col} string, bucket timestamp, x double, "
-        "r_stat double, n_remaining long, flagged boolean"
+        f"round int, {series_col} string, bucket timestamp, "
+        f"{value_name} double, r_stat double, n_remaining long, "
+        "flagged boolean"
     )
-    return df.sparkSession.createDataFrame(removed, schema)
+    return spark.createDataFrame(removed, schema)
+
+
+def seasonal_esd(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 5,
+    z_crit: float = 3.0,
+) -> DataFrame:
+    """Seasonal-ESD anomaly screen (the S-ESD shape of Twitter's
+    AnomalyDetection; Hochenbaum, Vallis & Kejariwal 2017, with the
+    hour-of-day profile standing in for the STL seasonal component):
+    deseasonalize each series' HOURLY totals by subtracting its own
+    hour-of-day mean, then run the same k-round iterative ESD as
+    `gesd_outliers` on the RESIDUALS. A raw-total screen flags every
+    daily peak hour; this flags hours abnormal FOR their slot, and the
+    iterative rounds un-mask adjacent anomalies. Emits one row per
+    (series, round): (bucket, residual, r_stat, n_remaining, flagged).
+
+    Exactness contract: totals quantize to nano-unit integers; the
+    hour-of-day mean enters as the FLOOR of the exact integer division
+    Σq div n (nonnegative sums — `//` and floor agree), so residuals
+    are pure integers and the whole trajectory replays bit-identically
+    in the unrolled SQL twin. Scale shape: one corpus groupBy to the
+    (series, bucket) rollup, one (series, hod) 24-row-per-series mean
+    frame joined back broadcast, then the bounded `_esd_iterate`
+    rounds.
+    """
+    if not 1 <= int(k) <= 20:
+        raise ValueError(f"seasonal_esd: k={k} outside 1..20")
+    rolled = (
+        df.groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc("hour", F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+        .select(
+            "__s",
+            F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+            (F.col("__x") * F.lit(1_000_000_000)).cast("long").alias("__qx"),
+        )
+        .withColumn(
+            "__hod",
+            (
+                F.floor(F.col("__us") / F.lit(3_600_000_000)).cast("long")
+                % F.lit(24)
+            ),
+        )
+    )
+    hod = rolled.groupBy(
+        F.col("__s").alias("__s2"), F.col("__hod").alias("__hod2")
+    ).agg(
+        F.sum("__qx").cast("decimal(38,0)").alias("__hs"),
+        F.count(F.lit(1)).cast("long").alias("__hn"),
+    )
+    resid = rolled.join(
+        F.broadcast(hod),
+        (F.col("__s") == F.col("__s2")) & (F.col("__hod") == F.col("__hod2")),
+    ).select(
+        "__s",
+        "__us",
+        # exact integer floor-division (nonnegative sums): a double-based
+        # floor would lose exactness once Σq passes 2^53 nano-units
+        (
+            F.col("__qx")
+            - (
+                (
+                    F.col("__hs")
+                    - F.col("__hs") % F.col("__hn").cast("decimal(38,0)")
+                )
+                / F.col("__hn").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("long")
+        ).alias("__q"),
+    )
+    return _esd_iterate(
+        df.sparkSession, resid, series_col, "residual", int(k), float(z_crit)
+    )
 
 
 def best_changepoint(

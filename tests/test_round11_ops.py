@@ -282,3 +282,35 @@ def test_mde_power_closed_form(spark):
     assert row["n_per_arm_for_observed"] == math.ceil(n_req)
     # observed 2pp effect is BELOW the ~2.5pp MDE -> underpowered
     assert row["abs_effect"] < row["mde_at_n"]
+
+
+# ------------------------------------------------------------ seasonal_esd
+
+
+def test_seasonal_esd_finds_spike_hidden_under_daily_peak(spark):
+    """A spike at 3am that stays BELOW the daily 6pm peak level: a raw
+    screen (gesd_outliers) flags peak hours first; the seasonal screen
+    flags the planted hour in round 1 because it is abnormal FOR its
+    slot."""
+    vals = []
+    for day in range(7):
+        for h in range(24):
+            base = 10.0 + (100.0 if h == 18 else 0.0)  # strong daily peak
+            vals.append(base)
+    # plant: day 3, 3am -> 60 (well below the 110 peaks, 6x its slot norm)
+    vals[3 * 24 + 3] = 60.0
+    ev = _hourly_events(spark, vals)
+    srows = sorted(
+        drift.seasonal_esd(ev, k=2).collect(), key=lambda r: r["round"]
+    )
+    assert srows[0]["bucket"].day - 1 == 3 and srows[0]["bucket"].hour == 3
+    assert srows[0]["flagged"]
+    # residual = 60 - floor(mean of that slot) where slot mean includes
+    # the spike: (6*10 + 60)/7 = 17.142... -> floor at nano grid
+    import math as _m
+
+    slot_mean_nano = (6 * 10 + 60) * 10**9 // 7
+    assert abs(srows[0]["residual"] - (60 * 10**9 - slot_mean_nano) / 1e9) < 1e-9
+    # the raw screen's round-1 pick is one of the 110-valued peak hours
+    graw = drift.gesd_outliers(ev, k=1).collect()[0]
+    assert graw["x"] == 110.0 and graw["bucket"].hour == 18
