@@ -13819,7 +13819,7 @@ WITH staged AS (
   FROM events
 ),
 per AS (
-  SELECT least(floor(score * 10)::INT, 9) AS bin,
+  SELECT least(greatest(floor(score * 10)::INT, 0), 9) AS bin,
     sum(t)::BIGINT AS n_treat, sum(1 - t)::BIGINT AS n_ctrl,
     sum(t * y)::BIGINT AS conv_treat,
     sum((1 - t) * y)::BIGINT AS conv_ctrl
@@ -14032,8 +14032,9 @@ tot AS (SELECT sum(cm) AS t FROM o)
 SELECT channel, n_touchpoints,
   floor((cm::VARCHAR::DOUBLE / 1e6) * 1000000 + 0.5) / 1000000.0
     AS credited_revenue,
-  floor((cm::VARCHAR::DOUBLE / t::VARCHAR::DOUBLE) * 1000000 + 0.5)
-    / 1000000.0 AS credit_share
+  CASE WHEN t > 0 THEN
+    floor((cm::VARCHAR::DOUBLE / t::VARCHAR::DOUBLE) * 1000000 + 0.5)
+      / 1000000.0 END AS credit_share
 FROM o, tot
 """
 
@@ -14069,17 +14070,22 @@ agg AS (
 ),
 c AS (
   SELECT nt, nc, ct, cc,
-    ct::DOUBLE / nt::DOUBLE AS pt,
-    cc::DOUBLE / nc::DOUBLE AS pc,
-    (ct + cc)::DOUBLE / (nt + nc)::DOUBLE AS pbar,
+    CASE WHEN nt > 0 THEN ct::DOUBLE / nt::DOUBLE END AS pt,
+    CASE WHEN nc > 0 THEN cc::DOUBLE / nc::DOUBLE END AS pc,
+    CASE WHEN nt + nc > 0
+      THEN (ct + cc)::DOUBLE / (nt + nc)::DOUBLE END AS pbar,
     2.0 * nt::DOUBLE * nc::DOUBLE / (nt::DOUBLE + nc::DOUBLE) AS nbar
   FROM agg
 )
 SELECT nt AS n_treat, nc AS n_ctrl,
-  floor(pt * 1000000 + 0.5) / 1000000.0 AS rate_treat,
-  floor(pc * 1000000 + 0.5) / 1000000.0 AS rate_ctrl,
-  floor((pt - pc) * 1000000 + 0.5) / 1000000.0 AS abs_effect,
-  floor(pbar * 1000000 + 0.5) / 1000000.0 AS pooled_rate,
+  CASE WHEN nt > 0 THEN floor(pt * 1000000 + 0.5) / 1000000.0 END
+    AS rate_treat,
+  CASE WHEN nc > 0 THEN floor(pc * 1000000 + 0.5) / 1000000.0 END
+    AS rate_ctrl,
+  CASE WHEN nt > 0 AND nc > 0 THEN
+    floor((pt - pc) * 1000000 + 0.5) / 1000000.0 END AS abs_effect,
+  CASE WHEN nt + nc > 0 THEN
+    floor(pbar * 1000000 + 0.5) / 1000000.0 END AS pooled_rate,
   CASE WHEN nt > 0 AND nc > 0 THEN
     floor(({zsum} * sqrt(2.0 * pbar * (1.0 - pbar) / nbar))
           * 1000000 + 0.5) / 1000000.0 END AS mde_at_n,

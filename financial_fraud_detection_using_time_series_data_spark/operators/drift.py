@@ -1874,7 +1874,9 @@ def gesd_outliers(
         )
     )
     return _esd_iterate(
-        df.sparkSession, rolled, series_col, "x", int(k), float(z_crit)
+        df.sparkSession, rolled, series_col,
+        df.schema[series_col].dataType.simpleString(), "x",
+        int(k), float(z_crit),
     )
 
 
@@ -1882,6 +1884,7 @@ def _esd_iterate(
     spark,
     rolled: DataFrame,
     series_col: str,
+    series_ddl: str,
     value_name: str,
     k: int,
     z_crit: float,
@@ -1892,7 +1895,6 @@ def _esd_iterate(
     rolled = rolled.localCheckpoint(eager=False)
     removed: list[tuple] = []   # (round, s, us, q, r6(R), n_remaining, flagged)
     dropped: dict[str, list[int]] = {}
-    import datetime as _dt
     import math as _math
 
     for rnd in range(1, int(k) + 1):
@@ -1911,8 +1913,6 @@ def _esd_iterate(
                         * F.col("__q").cast("decimal(19,0)")
                     ).cast("decimal(38,0)")
                 ).alias("sqq"),
-                F.max("__q").cast("long").alias("mxq"),
-                F.min("__q").cast("long").alias("mnq"),
                 F.max(
                     F.struct(F.col("__q"), (-F.col("__us")).alias("nus"))
                 ).alias("mxs"),
@@ -1930,7 +1930,8 @@ def _esd_iterate(
             sd = _math.sqrt(var)
             if sd <= 0.0:
                 continue
-            mxq, mnq = float(row["mxq"]), float(row["mnq"])
+            # extreme values ride the tie-break structs (first field)
+            mxq, mnq = float(row["mxs"]["__q"]), float(row["mns"]["__q"])
             if (mxq - mu) >= (mu - mnq):
                 q_rm, us_rm = row["mxs"]["__q"], -row["mxs"]["nus"]
             else:
@@ -1941,7 +1942,7 @@ def _esd_iterate(
                 (
                     rnd,
                     row["__s"],
-                    _dt.datetime.utcfromtimestamp(us_rm // 1_000_000),
+                    us_rm,
                     q_rm / 1e9,
                     r_r6,
                     n - 1,
@@ -1949,12 +1950,27 @@ def _esd_iterate(
                 )
             )
             dropped.setdefault(row["__s"], []).append(us_rm)
+    # the bucket stays a microsecond LONG until Spark casts it: a naive
+    # Python datetime would be re-interpreted in the HOST OS timezone
+    # (the session timeZone=UTC pin does not cover driver-side datetime
+    # objects), silently shifting buckets on any non-UTC machine
     schema = (
-        f"round int, {series_col} string, bucket timestamp, "
+        f"round int, {series_col} {series_ddl}, __bucket_us long, "
         f"{value_name} double, r_stat double, n_remaining long, "
         "flagged boolean"
     )
-    return spark.createDataFrame(removed, schema)
+    out = spark.createDataFrame(removed, schema)
+    return out.select(
+        "round",
+        series_col,
+        (F.col("__bucket_us") / F.lit(1_000_000))
+        .cast("timestamp")
+        .alias("bucket"),
+        value_name,
+        "r_stat",
+        "n_remaining",
+        "flagged",
+    )
 
 
 def seasonal_esd(
@@ -2033,7 +2049,9 @@ def seasonal_esd(
         ).alias("__q"),
     )
     return _esd_iterate(
-        df.sparkSession, resid, series_col, "residual", int(k), float(z_crit)
+        df.sparkSession, resid, series_col,
+        df.schema[series_col].dataType.simpleString(), "residual",
+        int(k), float(z_crit),
     )
 
 

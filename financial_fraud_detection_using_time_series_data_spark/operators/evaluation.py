@@ -1273,8 +1273,14 @@ def qini_curve(
     t = F.col(treatment_col).cast("int")
     y = F.col(outcome_col).cast("int")
     binned = df.select(
+        # clamp BOTH ends of the [0,1) grid: scores >= 1 land in the top
+        # bin and negatives in bin 0, instead of silently emitting
+        # out-of-grid rows that pollute every cumulative sum
         F.least(
-            F.floor(F.col(score_col) * F.lit(int(n_bins))).cast("int"),
+            F.greatest(
+                F.floor(F.col(score_col) * F.lit(int(n_bins))).cast("int"),
+                F.lit(0),
+            ),
             F.lit(int(n_bins) - 1),
         ).alias("__bin"),
         t.alias("__t"),
@@ -1390,13 +1396,15 @@ def mde_power(
         * (zsum / F.abs(eff))
     )
     r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    # every ratio is when-guarded: Spark 4's default ANSI mode turns an
+    # empty arm into a DIVIDE_BY_ZERO job failure otherwise
     return agg.select(
         F.col("__nt").alias("n_treat"),
         F.col("__nc").alias("n_ctrl"),
-        r6_(pt).alias("rate_treat"),
-        r6_(pc).alias("rate_ctrl"),
-        r6_(eff).alias("abs_effect"),
-        r6_(pbar).alias("pooled_rate"),
+        F.when(nt > 0, r6_(pt)).alias("rate_treat"),
+        F.when(nc > 0, r6_(pc)).alias("rate_ctrl"),
+        F.when((nt > 0) & (nc > 0), r6_(eff)).alias("abs_effect"),
+        F.when(nt + nc > 0, r6_(pbar)).alias("pooled_rate"),
         F.when((nt > 0) & (nc > 0), r6_(mde)).alias("mde_at_n"),
         F.when(
             (nt > 0) & (nc > 0) & (F.abs(eff) > 0),

@@ -1865,7 +1865,10 @@ def attribution_position_based(
         r6_(F.col("__cm").cast("double") / F.lit(1e6)).alias(
             "credited_revenue"
         ),
-        r6_(
-            F.col("__cm").cast("double") / F.col("__t").cast("double")
+        # guarded: all-zero-value conversions make the total 0 and ANSI
+        # mode would fail the job on the share division
+        F.when(
+            F.col("__t") > 0,
+            r6_(F.col("__cm").cast("double") / F.col("__t").cast("double")),
         ).alias("credit_share"),
     )

@@ -314,3 +314,59 @@ def test_seasonal_esd_finds_spike_hidden_under_daily_peak(spark):
     # the raw screen's round-1 pick is one of the 110-valued peak hours
     graw = drift.gesd_outliers(ev, k=1).collect()[0]
     assert graw["x"] == 110.0 and graw["bucket"].hour == 18
+
+
+# ----------------------------------------- review-fix regression pins
+
+
+def test_mde_power_empty_arm_degrades_to_nulls(spark):
+    """One empty arm must yield NULL rates/MDE, not an ANSI
+    DIVIDE_BY_ZERO job failure."""
+    df = spark.createDataFrame([(1, 1), (1, 0)], "treated int, converted int")
+    row = evaluation.mde_power(df, "treated", "converted").collect()[0]
+    assert row["n_ctrl"] == 0
+    assert row["rate_ctrl"] is None and row["mde_at_n"] is None
+    assert row["rate_treat"] == 0.5
+
+
+def test_attribution_zero_value_conversions(spark):
+    """All-zero conversion values: credited revenue 0, share NULL —
+    not a divide-by-zero failure."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    rows = [(1, 0.0, 1, "A", 0.0), (2, 10.0, 1, "purchase", 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("tsd").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    row = events_ops.attribution_position_based(df).collect()[0]
+    assert row["credited_revenue"] == 0.0 and row["credit_share"] is None
+
+
+def test_qini_curve_clamps_out_of_range_scores(spark):
+    """Scores outside [0,1) clamp to the edge bins instead of emitting
+    out-of-grid rows that pollute the cumulative sums."""
+    rows = [(1, 1, -0.3), (0, 0, -0.3), (1, 0, 1.7), (0, 1, 1.7)]
+    df = spark.createDataFrame(rows, "t int, y int, s double")
+    out = evaluation.qini_curve(df, "t", "y", "s").collect()
+    assert {r["bin"] for r in out} == {0, 9}
+
+
+def test_gesd_accepts_integer_series_column(spark):
+    """A bigint series id must not crash the driver-side schema (the
+    forecast._id_ddl bug class)."""
+    rows = [(i, float(3600 * i), 7, float(v)) for i, v in enumerate(
+        [10.0] * 20 + [400.0] + [10.0] * 5 + [11.0] * 4
+    )]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, event_type long, value double"
+    ).select(
+        "event_id", F.col("tsd").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    out = drift.gesd_outliers(df, k=1).collect()
+    assert out[0]["event_type"] == 7 and out[0]["x"] == 400.0
