@@ -59,6 +59,13 @@ def category_entropy(
     scan.
     """
     counts = df.groupBy(entity_col, cat_col).agg(F.count(F.lit(1)).alias("n"))
+    return _entropy_from_counts(counts, entity_col)
+
+
+def _entropy_from_counts(counts: DataFrame, entity_col: str) -> DataFrame:
+    """Entropy/HHI fold over a prepared per-(entity, category) count
+    frame — split out so `behavior_mart` can feed it from its shared
+    corpus rollup instead of a second corpus scan."""
     n = F.col("n").cast("double")
     prof = counts.groupBy(entity_col).agg(
         F.sum("n").alias("__tot"),
@@ -122,6 +129,20 @@ def rfm_segment(
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col(value_col).cast("decimal(25,2)")).alias("monetary_dec"),
     )
+    return _rfm_from_profile(agg, entity_col, n_tiles)
+
+
+def _rfm_from_profile(
+    agg: DataFrame, entity_col: str, n_tiles: int = 5
+) -> DataFrame:
+    """Rank/score stage of `rfm_segment` over a prepared per-entity
+    (last_ts, frequency, monetary_dec) profile frame — split out so
+    `behavior_mart` can derive the profile from its shared (entity,
+    category) corpus rollup instead of recomposing the full-corpus
+    groupBy (a second corpus scan) inside the mart. Decimal sums and
+    long counts fold hierarchically without loss, so the output is
+    bit-identical either way (test-pinned).
+    """
     # 5 = best on every axis: most recent (smallest recency), most
     # frequent, highest spend. Entity id breaks ties → deterministic.
     # Chunked global row numbers instead of partitionless ntile windows;
@@ -512,17 +533,38 @@ def behavior_mart(
     segmentation, and inter-arrival burstiness joined into ONE row per
     entity — what a scoring stack actually materializes each day.
 
-    Composition shape: all three branches aggregate the SAME scan down
-    to |entities|-sized frames before any join, so the joins move
-    profile rows, never events. The interarrival branch's lag-window
-    exchange and the RFM branch's groupBy hash on the same entity key;
-    the entropy branch prefixes it. Inner-join on RFM (every entity has
-    ≥1 event ⇒ RFM row always exists); interarrival is left-joined
-    because single-event entities have no gaps — their burstiness
-    columns stay NULL rather than fabricating a 0 gap.
+    Composition shape: the entropy AND RFM branches share ONE corpus
+    scan — a per-(entity, category) rollup (count, max ts, decimal
+    value sum) materialized once, from which the entropy fold reads the
+    counts directly and the RFM profile is a hierarchical re-aggregate
+    (decimal sums and long counts fold losslessly, so the scores are
+    bit-identical to `rfm_segment` on the raw events — test-pinned).
+    Only the interarrival branch re-reads events: consecutive-gap stats
+    are irreducibly event-level (a lag window), not derivable from any
+    aggregate. All branches collapse to |entities|-sized frames before
+    any join, so the joins move profile rows, never events. Inner-join
+    on RFM (every entity has ≥1 event ⇒ RFM row always exists);
+    interarrival is left-joined because single-event entities have no
+    gaps — their burstiness columns stay NULL rather than fabricating a
+    0 gap.
     """
-    ent = category_entropy(df, entity_col, cat_col)
-    rfm = rfm_segment(df, entity_col, ts_col, value_col)
+    percat = df.groupBy(entity_col, cat_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(ts_col).alias("__last"),
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__mon"),
+    )
+    # both branches fork off this |entities·categories|-sized frame;
+    # LAZY checkpoint so the corpus groupBy runs once, not per branch
+    percat = percat.localCheckpoint(eager=False)
+    ent = _entropy_from_counts(
+        percat.select(entity_col, cat_col, "n"), entity_col
+    )
+    prof = percat.groupBy(entity_col).agg(
+        F.max("__last").alias("last_ts"),
+        F.sum("n").alias("frequency"),
+        F.sum("__mon").alias("monetary_dec"),
+    )
+    rfm = _rfm_from_profile(prof, entity_col)
     inter = interarrival_stats(df, entity_col, ts_col, id_col)
     return (
         rfm.join(ent, entity_col, "inner")

@@ -1891,22 +1891,36 @@ def _esd_iterate(
 ) -> DataFrame:
     """Shared k-round ESD engine over a prepared (__s, __us, __q)
     nano-unit rollup (see `gesd_outliers` for the contract; reused by
-    `seasonal_esd` with residual q-values)."""
-    rolled = rolled.localCheckpoint(eager=False)
+    `seasonal_esd` with residual q-values). NULL series keys are
+    excluded up front: a None key would break the deterministic sort
+    and poison the removal filter (NULL-valued predicates silently
+    drop other series' rows), and a NULL series is not a series."""
+    rolled = rolled.where(F.col("__s").isNotNull()).localCheckpoint(
+        eager=False
+    )
     removed: list[tuple] = []   # (round, s, us, q, r6(R), n_remaining, flagged)
-    dropped: dict[str, list[int]] = {}
+    dropped: list[tuple] = []   # (s, us) removal keys
     import math as _math
 
     for rnd in range(1, int(k) + 1):
-        cur = rolled
-        for s, uss in dropped.items():
-            cond = (F.col("__s") == s) & F.col("__us").isin(uss)
-            cur = cur.where(~cond)
+        if dropped:
+            # ONE broadcast anti-join against the literal removed-keys
+            # frame — plan size stays constant in k·|series| (an accreted
+            # per-round isin-predicate chain grows O(k·|series|) literals)
+            rm = spark.createDataFrame(
+                dropped, f"__s {series_ddl}, __us long"
+            )
+            cur = rolled.join(F.broadcast(rm), ["__s", "__us"], "left_anti")
+        else:
+            cur = rolled
         stats = (
             cur.groupBy("__s")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("__q").cast("decimal(38,0)").alias("sq"),
+                # cast BEFORE the sum: per-bucket q is ~1e15-1e17 nano-
+                # units at the 10x corpus, so a LONG-space accumulation
+                # can overflow where the twin's HUGEINT sum cannot
+                F.sum(F.col("__q").cast("decimal(38,0)")).alias("sq"),
                 F.sum(
                     (
                         F.col("__q").cast("decimal(19,0)")
@@ -1949,7 +1963,7 @@ def _esd_iterate(
                     r_r6 > float(z_crit),
                 )
             )
-            dropped.setdefault(row["__s"], []).append(us_rm)
+            dropped.append((row["__s"], us_rm))
     # the bucket stays a microsecond LONG until Spark casts it: a naive
     # Python datetime would be re-interpreted in the HOST OS timezone
     # (the session timeZone=UTC pin does not cover driver-side datetime
@@ -1992,10 +2006,12 @@ def seasonal_esd(
     (series, round): (bucket, residual, r_stat, n_remaining, flagged).
 
     Exactness contract: totals quantize to nano-unit integers; the
-    hour-of-day mean enters as the FLOOR of the exact integer division
-    Σq div n (nonnegative sums — `//` and floor agree), so residuals
-    are pure integers and the whole trajectory replays bit-identically
-    in the unrolled SQL twin. Scale shape: one corpus groupBy to the
+    hour-of-day mean enters as the exact integer division Σq div n
+    (truncation toward zero — the verified semantics of BOTH Spark's
+    `%`-based form and DuckDB's integer `//`, signed sums included, so
+    refund/chargeback-heavy slots stay in parity), so residuals are
+    pure integers and the whole trajectory replays bit-identically in
+    the unrolled SQL twin. Scale shape: one corpus groupBy to the
     (series, bucket) rollup, one (series, hod) 24-row-per-series mean
     frame joined back broadcast, then the bounded `_esd_iterate`
     rounds.
@@ -2024,7 +2040,10 @@ def seasonal_esd(
     hod = rolled.groupBy(
         F.col("__s").alias("__s2"), F.col("__hod").alias("__hod2")
     ).agg(
-        F.sum("__qx").cast("decimal(38,0)").alias("__hs"),
+        # cast BEFORE the sum (twin sums qx::HUGEINT): per-bucket qx is
+        # ~1e15-1e17 nano-units at the 10x corpus, so a LONG-space
+        # accumulation over thousands of buckets can overflow int64
+        F.sum(F.col("__qx").cast("decimal(38,0)")).alias("__hs"),
         F.count(F.lit(1)).cast("long").alias("__hn"),
     )
     resid = rolled.join(
@@ -2033,8 +2052,14 @@ def seasonal_esd(
     ).select(
         "__s",
         "__us",
-        # exact integer floor-division (nonnegative sums): a double-based
-        # floor would lose exactness once Σq passes 2^53 nano-units
+        # exact integer division, valid for SIGNED sums: Spark's `%`
+        # follows the dividend's sign, so (hs − hs % hn) / hn truncates
+        # toward zero — the verified semantics of DuckDB's integer `//`
+        # ((-13)::HUGEINT // 3 = -4, NOT floor's -5), so a slot whose
+        # nano-unit sum is negative (refund/chargeback-heavy hours)
+        # still replays bit-identically in the twin (test-pinned).
+        # Decimal arithmetic keeps it exact past 2^53 nano-units; a
+        # double-based form would lose exactness there.
         (
             F.col("__qx")
             - (

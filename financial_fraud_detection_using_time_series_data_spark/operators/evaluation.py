@@ -1272,7 +1272,11 @@ def qini_curve(
         raise ValueError(f"qini_curve: n_bins={n_bins} outside 2..1000")
     t = F.col(treatment_col).cast("int")
     y = F.col(outcome_col).cast("int")
-    binned = df.select(
+    # NULL scores can't be placed on the curve, and letting them through
+    # would inflate the totals (depth denominator, random diagonal) past
+    # the population the cumulative table covers — floor(NULL·n) stays
+    # NULL through least/greatest and vanishes from the triangular join
+    binned = df.where(F.col(score_col).isNotNull()).select(
         # clamp BOTH ends of the [0,1) grid: scores >= 1 land in the top
         # bin and negatives in bin 0, instead of silently emitting
         # out-of-grid rows that pollute every cumulative sum
