@@ -14106,6 +14106,188 @@ def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.seasonal_esd(ev, "ts", "event_type", "value", k=5)
 
 
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann robust location per event type over hourly value
+    totals: median of all Walsh averages (xi+xj)/2, i <= j, computed as
+    an integer median over 1e-6 micro-unit pair SUMS (halving deferred
+    to one pinned double division) so the exact-percentile interpolation
+    replays bit-identically in SQL; plain mean reported alongside."""
+    ev = _events(spark, sf_dir)
+    return stats.hodges_lehmann(ev, "ts", "event_type", "value", "hour")
+
+
+_HODGES_LEHMANN_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    (sum(value::DECIMAL(25,2)) * 1000000)::BIGINT AS q
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.s, count(*)::BIGINT AS n_pairs,
+    quantile_cont(a.q + b.q, 0.5) AS hl2
+  FROM rolled a JOIN rolled b ON b.s = a.s AND b.us >= a.us
+  GROUP BY 1
+),
+nb AS (
+  SELECT s, count(*)::BIGINT AS n_buckets, sum(q::HUGEINT) AS sq
+  FROM rolled GROUP BY 1
+)
+SELECT p.s AS event_type, nb.n_buckets, p.n_pairs,
+  hl2 / 2000000.0 AS hl_location,
+  floor((sq::DOUBLE / 1e6 / nb.n_buckets::DOUBLE) * 1000000 + 0.5)
+    / 1000000.0 AS mean_level
+FROM p JOIN nb ON nb.s = p.s
+ORDER BY 1
+"""
+
+
+def q_mad_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-rule robust control bands per event type over hourly value
+    totals: median +/- 3 * 1.4826 * MAD with exact integer-median
+    interpolation in nano-unit space and pinned band assembly; reports
+    the out-of-band bucket counts each side."""
+    ev = _events(spark, sf_dir)
+    return drift.mad_control_limits(ev, "ts", "event_type", "value", "hour")
+
+
+_MAD_CONTROL_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s,
+    (sum(value::DECIMAL(25,2)) * 1000000000)::BIGINT AS q
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+med AS (
+  SELECT s, quantile_cont(q, 0.5) AS med, count(*)::BIGINT AS n_buckets
+  FROM rolled GROUP BY 1
+),
+dev AS (
+  SELECT r.s, quantile_cont(abs(r.q::DOUBLE - m.med), 0.5) AS mad
+  FROM rolled r JOIN med m ON m.s = r.s GROUP BY 1
+),
+lim AS (
+  SELECT m.s, m.n_buckets, m.med, d.mad,
+    m.med - 3.0 * (d.mad * 1.4826) AS lcl,
+    m.med + 3.0 * (d.mad * 1.4826) AS ucl
+  FROM med m JOIN dev d ON d.s = m.s
+),
+cnt AS (
+  SELECT r.s,
+    sum((r.q::DOUBLE < l.lcl)::BIGINT)::BIGINT AS n_below,
+    sum((r.q::DOUBLE > l.ucl)::BIGINT)::BIGINT AS n_above
+  FROM rolled r JOIN lim l ON l.s = r.s GROUP BY 1
+)
+SELECT l.s AS event_type, l.n_buckets,
+  floor((l.med / 1e9) * 1000000 + 0.5) / 1000000.0 AS median,
+  floor((l.mad / 1e9) * 1000000 + 0.5) / 1000000.0 AS mad,
+  floor((l.lcl / 1e9) * 1000000 + 0.5) / 1000000.0 AS lcl,
+  floor((l.ucl / 1e9) * 1000000 + 0.5) / 1000000.0 AS ucl,
+  c.n_below, c.n_above
+FROM lim l JOIN cnt c ON c.s = l.s
+ORDER BY 1
+"""
+
+
+def q_session_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data session merge: shard events by event_id mod 4 (arrival
+    shards), sessionize each shard independently at gap 1800s, then
+    merge the fragment intervals back with the running-max interval
+    sweep — provably identical to whole-stream sessionization."""
+    ev = _events(spark, sf_dir)
+    out = windows.shard_sessionize_merge(
+        ev, "user_id", "ts", "event_id", "value", gap_s=1800, n_shards=4
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_fragments",
+        "n_events",
+        E.r6("total_value").alias("total_value"),
+    )
+
+
+_SESSION_MERGE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value, event_id % 4 AS shard,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_id % 4, user_id ORDER BY ts, event_id)
+           > 1800000000
+         OR lag(ts) OVER (PARTITION BY event_id % 4, user_id
+                          ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+frag AS (
+  SELECT shard, user_id, ts, value,
+    sum(brk) OVER (PARTITION BY shard, user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fid
+  FROM flagged
+),
+fr AS (
+  SELECT shard, user_id, fid, min(ts) AS fs, max(ts) AS fe,
+    epoch_us(min(ts)) AS fsus, epoch_us(max(ts)) AS feus,
+    count(*)::BIGINT AS n, sum(value::DECIMAL(25,2)) AS v
+  FROM frag GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT user_id, fs, fe, n, v, fsus, feus,
+    CASE WHEN max(feus) OVER wprev IS NULL
+         OR fsus > max(feus) OVER wprev + 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM fr
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY fsus, feus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+s AS (
+  SELECT user_id, fs, fe, n, v,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY fsus, feus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ::BIGINT AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx, min(fs) AS session_start,
+  max(fe) AS session_end, count(*)::BIGINT AS n_fragments,
+  sum(n)::BIGINT AS n_events,
+  floor((sum(v)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_windowed_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct + first-ever-seen user counts per event type over
+    6h tumbling event-time windows via the two-phase shuffle-key
+    pattern (no collect_set state); batch twin of a watermarked
+    streaming windowed dedup-count."""
+    ev = _events(spark, sf_dir)
+    return sketches.windowed_distinct_exact(
+        ev, "ts", "event_type", "user_id", window_s=21600
+    )
+
+
+_WINDOWED_DISTINCT_SQL = """
+WITH pres AS (
+  SELECT event_type AS k,
+    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ws,
+    user_id AS v, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3
+),
+pw AS (
+  SELECT k, ws, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_distinct
+  FROM pres GROUP BY 1, 2
+),
+fw AS (
+  SELECT k, min_ws, count(*)::BIGINT AS n_new FROM (
+    SELECT k, v, min(ws) AS min_ws FROM pres GROUP BY 1, 2
+  ) GROUP BY 1, 2
+)
+SELECT pw.k AS event_type, pw.ws AS window_start, pw.n_events,
+  pw.n_distinct, coalesce(fw.n_new, 0)::BIGINT AS n_new
+FROM pw LEFT JOIN fw ON fw.k = pw.k AND fw.min_ws = pw.ws
+ORDER BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -14551,6 +14733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_position": q_attribution_position,
         "mde_power": q_mde_power,
         "seasonal_esd": q_seasonal_esd,
+        # round-12 additions: robust-stats + event-time streaming-
+        # adjacent family (Hodges-Lehmann location, Hampel/MAD control
+        # bands, late-data session merge, tumbling exact distinct)
+        "hodges_lehmann": q_hodges_lehmann,
+        "mad_control_limits": q_mad_control_limits,
+        "session_merge_late": q_session_merge_late,
+        "windowed_distinct_exact": q_windowed_distinct_exact,
     }
     head = [k for k in _DRIVER_WINDOW_R12 if k in q]
     assert len(set(head)) == len(head) <= 50, "driver window malformed"
@@ -14952,4 +15141,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_position": _ATTRIBUTION_POSITION_SQL,
         "mde_power": _mde_power_sql(),
         "seasonal_esd": _gesd_sql(r0=_SESD_R0, x_name="residual"),
+        "hodges_lehmann": _HODGES_LEHMANN_SQL,
+        "mad_control_limits": _MAD_CONTROL_SQL,
+        "session_merge_late": _SESSION_MERGE_SQL,
+        "windowed_distinct_exact": _WINDOWED_DISTINCT_SQL,
     }

@@ -2179,3 +2179,103 @@ def best_changepoint(
         r6_((sb_b - si_b) / (nb_b - i_b)).alias("mean_right"),
         r6_(gain_b).alias("sse_reduction"),
     )
+
+
+def mad_control_limits(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust control limits per series from the median ± n·1.4826·MAD
+    of the bucketed totals (Hampel's rule; 1.4826 = 1/Φ⁻¹(3/4) makes
+    the MAD a consistent σ estimate at the normal) — the control chart
+    whose center and spread a single spike CANNOT drag, unlike the
+    mean/stddev limits a classic Shewhart chart uses (50% breakdown vs
+    0%). Complements `gesd_outliers` (iterative removal, k known) with
+    the one-shot screen monitoring dashboards draw as bands; the center
+    is the same estimator family `hodges_lehmann` reports. Emits one
+    row per series: (n_buckets, median, mad, lcl, ucl, n_below,
+    n_above).
+
+    Exactness contract: totals quantize to exact nano-unit integers;
+    both medians are exact-percentile interpolations over integers (and
+    over .5-grid absolute deviations — midpoints of on-grid doubles
+    below 2^52 are IEEE-exact); the limits assemble in a PINNED order
+    (sigma = mad·1.4826, then median ± n·sigma) and the out-of-band
+    comparison runs in nano-unit space, so counts and limits replay
+    bit-identically in an external SQL engine.
+
+    Scale shape: ONE corpus groupBy to the (series, bucket) rollup
+    (bounded: series × time span); the median, the deviation median,
+    and the band counts are three aggregates over that bounded frame
+    with two broadcast joins back — no window, no collect, no growth
+    with corpus size.
+    """
+    rolled = (
+        df.groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+        .select(
+            "__s",
+            (F.col("__x") * F.lit(1_000_000_000)).cast("long").alias("__q"),
+        )
+    )
+    rolled = rolled.localCheckpoint(eager=False)  # three bounded passes
+    med = rolled.groupBy(F.col("__s").alias("__sm")).agg(
+        F.expr("percentile(__q, 0.5)").alias("__med"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    dev = (
+        rolled.join(F.broadcast(med), F.col("__s") == F.col("__sm"))
+        .select(
+            F.col("__s").alias("__g"),
+            F.abs(F.col("__q").cast("double") - F.col("__med")).alias("__d"),
+        )
+        .groupBy("__g")
+        .agg(F.expr("percentile(__d, 0.5)").alias("__mad"))
+    )
+    lim = (
+        med.join(F.broadcast(dev), F.col("__sm") == F.col("__g"))
+        .drop("__g")
+        .select(
+            "__sm",
+            "n_buckets",
+            "__med",
+            "__mad",
+            # pinned assembly: sigma first, then the two bands
+            (F.col("__med") - F.lit(float(n_sigmas)) * (F.col("__mad") * F.lit(1.4826)))
+            .alias("__lcl"),
+            (F.col("__med") + F.lit(float(n_sigmas)) * (F.col("__mad") * F.lit(1.4826)))
+            .alias("__ucl"),
+        )
+    )
+    counts = (
+        rolled.join(F.broadcast(lim), F.col("__s") == F.col("__sm"))
+        .select(
+            F.col("__s").alias("__g2"),
+            (F.col("__q").cast("double") < F.col("__lcl")).cast("long").alias("__lo"),
+            (F.col("__q").cast("double") > F.col("__ucl")).cast("long").alias("__hi"),
+        )
+        .groupBy("__g2")
+        .agg(
+            F.sum("__lo").cast("long").alias("n_below"),
+            F.sum("__hi").cast("long").alias("n_above"),
+        )
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = lim.join(counts, F.col("__sm") == F.col("__g2")).drop("__g2")
+    return out.select(
+        F.col("__sm").alias(series_col),
+        "n_buckets",
+        r6_(F.col("__med") / F.lit(1e9)).alias("median"),
+        r6_(F.col("__mad") / F.lit(1e9)).alias("mad"),
+        r6_(F.col("__lcl") / F.lit(1e9)).alias("lcl"),
+        r6_(F.col("__ucl") / F.lit(1e9)).alias("ucl"),
+        "n_below",
+        "n_above",
+    ).orderBy(series_col)

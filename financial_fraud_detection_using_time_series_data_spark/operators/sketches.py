@@ -358,3 +358,66 @@ def sliding_distinct_exact(
     return present.join(
         cum, present["__h"] == cum["__t"]
     ).select("bucket", F.col("__cnt").cast("long").alias("users_24h"))
+
+
+def windowed_distinct_exact(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    window_s: int = 21600,
+) -> DataFrame:
+    """EXACT per-key distinct + first-ever-seen counts over tumbling
+    event-time windows: for each (window, key) report n_events, the
+    exact distinct count of ``value_col``, and n_new — how many of those
+    values appear in this window for the FIRST time ever for that key
+    (the "new vs returning users per 6h window" panel). The batch twin
+    of a watermarked streaming windowed-dedup aggregation: under a
+    watermark every on-time row lands in the same tumbling window as
+    here, so the streaming operator's emitted rows match this batch
+    result on closed windows.
+
+    Scale shape: the two-phase exact-distinct pattern —
+    groupBy(key, window, value) first (the shuffle key carries the
+    value, so no per-group set state and no OOM-able collect_set), then
+    the distinct count is a plain count per (key, window) and the
+    first-seen spine is a re-aggregate of the SAME frame
+    (min window per (key, value)) — ONE corpus scan feeds both, one
+    |key·window·distinct|-sized intermediate, map-side-combined
+    everywhere. `sliding_distinct_exact` handles the rolling variant;
+    this is the tumbling/new-user one.
+    """
+    wus = int(window_s) * 1_000_000
+    win = (
+        (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(wus)) * F.lit(window_s))
+        .cast("timestamp")
+        .alias("window_start")
+    )
+    pres = df.groupBy(
+        F.col(key_col).alias("__k"), win, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # both branches re-aggregate this |key·window·distinct| frame
+    pres = pres.localCheckpoint(eager=False)
+    per_win = pres.groupBy("__k", "window_start").agg(
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    firsts = (
+        pres.groupBy(F.col("__k").alias("__k2"), F.col("__v").alias("__v2"))
+        .agg(F.min("window_start").alias("__first_w"))
+        .groupBy("__k2", "__first_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    out = per_win.join(
+        firsts,
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("window_start") == F.col("__first_w")),
+        "left",
+    ).drop("__k2", "__first_w")
+    return out.select(
+        F.col("__k").alias(key_col),
+        "window_start",
+        "n_events",
+        "n_distinct",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    ).orderBy(key_col, "window_start")

@@ -765,3 +765,111 @@ def rolling_corr(
         F.col("__n").cast("long").alias("n_pairs"),
         corr.alias("roll_corr"),
     )
+
+
+def merge_session_fragments(
+    frags: DataFrame,
+    user_col: str = "user_id",
+    start_col: str = "frag_start",
+    end_col: str = "frag_end",
+    gap_s: int = 1800,
+    count_col: str = "n_events",
+    value_col: str = "frag_value",
+) -> DataFrame:
+    """Merge per-shard session FRAGMENTS into canonical sessions — the
+    batch twin of late-data session-window state merge in Structured
+    Streaming: when a user's events arrive split across micro-batches /
+    shards, each shard sessionizes only what it saw, and the state store
+    must union fragments whose intervals come within ``gap_s`` of each
+    other. This operator is that merge as a DataFrame op over fragment
+    intervals (start, end, count, value-sum): interval-union with gap
+    tolerance via the classic sweep — order fragments by start, break a
+    cluster when a fragment starts more than ``gap_s`` after the RUNNING
+    MAX of all previous ends (a plain lag(end) mis-merges nested
+    intervals), cumulative-sum the breaks into session ids, then fold
+    each cluster's counts and exact-decimal value sums.
+
+    Merging shard fragments with the same gap used to sessionize each
+    shard reproduces direct whole-stream sessionization EXACTLY
+    (test-pinned): within a merged cluster consecutive fragments are
+    chained by events ≤ gap apart, and a cluster break certifies a
+    silence > gap with no events inside on ANY shard.
+
+    Scale shape: one shuffle on the user key; both window passes and the
+    groupBy ride the same sorted exchange. Fragment frames are already
+    |sessions|-sized, not event-sized.
+    """
+    us_s = E.epoch_us(F.col(start_col))
+    us_e = E.epoch_us(F.col(end_col))
+    w = Window.partitionBy(user_col).orderBy(us_s, us_e)
+    run_max_prev = F.max(us_e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.coalesce(us_s > run_max_prev + F.lit(gap_s * 1_000_000), F.lit(True))
+    ).cast("long")
+    staged = frags.select(
+        F.col(user_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.col(count_col).cast("long").alias("__n"),
+        F.col(value_col).cast("decimal(25,2)").alias("__v"),
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    return staged.groupBy(user_col, "session_idx").agg(
+        F.min(start_col).alias("session_start"),
+        F.max(end_col).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_fragments"),
+        F.sum("__n").cast("long").alias("n_events"),
+        F.sum("__v").cast("double").alias("total_value"),
+    )
+
+
+def shard_sessionize_merge(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_s: int = 1800,
+    n_shards: int = 4,
+) -> DataFrame:
+    """End-to-end late-data sessionization pipeline: split the stream
+    into ``n_shards`` deterministic arrival shards (id mod n — standing
+    in for micro-batch / out-of-order arrival), sessionize each shard
+    INDEPENDENTLY with ``gap_s``, aggregate each fragment, then
+    `merge_session_fragments` back into canonical sessions. The result
+    is provably identical to sessionizing the whole stream at once
+    (test-pinned vs `session_agg`) — the property that makes streaming
+    session state mergeable and shard-parallel backfills sound.
+    """
+    shard = F.pmod(F.col(id_col), F.lit(int(n_shards)))
+    # per-(shard, user) sessionize: reuse the canonical two-window
+    # composition with a composite partition key via a synthetic column
+    sharded = df.withColumn("__shard", shard)
+    w = Window.partitionBy("__shard", user_col).orderBy(ts_col, id_col)
+    us = E.epoch_us(F.col(ts_col))
+    new_frag = (
+        F.coalesce(
+            (us - F.lag(us, 1).over(w)) > F.lit(gap_s * 1_000_000),
+            F.lit(True),
+        )
+    ).cast("long")
+    labeled = sharded.withColumn(
+        "__frag",
+        F.sum(new_frag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    frags = labeled.groupBy("__shard", user_col, "__frag").agg(
+        F.min(ts_col).alias("frag_start"),
+        F.max(ts_col).alias("frag_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(25,2)")).alias("frag_value"),
+    )
+    return merge_session_fragments(
+        frags, user_col, "frag_start", "frag_end", gap_s,
+        "n_events", "frag_value",
+    )

@@ -1,0 +1,257 @@
+"""Round-12 operator additions: Hodges-Lehmann robust location, MAD
+(Hampel-rule) control limits, late-data session fragment merge, and
+tumbling-window exact distinct/new counts. Each pinned against
+hand-computed ground truth on planted fixtures; oracle parity at
+sf0.01/sf0.1 is covered by the attestation sweep."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_fraud_detection_using_time_series_data_spark.operators import (
+    drift,
+    sketches,
+    stats,
+    windows,
+)
+from financial_fraud_detection_using_time_series_data_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def _hourly_events(spark, values, series="a", start_id=0):
+    rows = [
+        (start_id + i, float(3600 * i), series, float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, event_type string, value double"
+    )
+    return df.select(
+        "event_id",
+        F.col("tsd").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+# -------------------------------------------------------- hodges_lehmann
+
+
+def test_hodges_lehmann_hand_computed(spark):
+    """Values 10,12,14,100: the 10 Walsh averages sort to
+    10,11,12,12,13,14,55,56,57,100 -> HL = (13+14)/2 = 13.5 — pulled
+    toward the bulk, while the mean (34.0) is dragged by the outlier."""
+    ev = _hourly_events(spark, [10.0, 12.0, 14.0, 100.0])
+    row = stats.hodges_lehmann(ev).collect()[0]
+    assert row["n_buckets"] == 4
+    assert row["n_pairs"] == 10
+    assert row["hl_location"] == 13.5
+    assert row["mean_level"] == 34.0
+
+
+def test_hodges_lehmann_symmetric_equals_median_and_mean(spark):
+    """On a symmetric sample HL, median, and mean coincide."""
+    ev = _hourly_events(spark, [1.0, 2.0, 3.0, 4.0, 5.0])
+    row = stats.hodges_lehmann(ev).collect()[0]
+    assert row["hl_location"] == 3.0
+    assert row["mean_level"] == 3.0
+    assert row["n_pairs"] == 15
+
+
+def test_hodges_lehmann_breakdown_vs_mean(spark):
+    """One wild outlier moves the mean arbitrarily but barely moves HL
+    (29% breakdown): HL of 20 tight values + one 1e6 spike stays near
+    the bulk."""
+    vals = [50.0 + (i % 5) for i in range(20)] + [1_000_000.0]
+    ev = _hourly_events(spark, vals)
+    row = stats.hodges_lehmann(ev).collect()[0]
+    assert 50.0 <= row["hl_location"] <= 56.0
+    assert row["mean_level"] > 47000.0
+
+
+# ---------------------------------------------------- mad_control_limits
+
+
+def test_mad_control_limits_hand_computed(spark):
+    """Values 8..14 + 200: median 11.5; |dev| sorted
+    0.5,0.5,1.5,1.5,2.5,2.5,3.5,188.5 -> MAD 2.0; bands
+    11.5 -/+ 3*1.4826*2.0 = 2.6044 / 20.3956; only the 200 bucket is
+    outside (above)."""
+    ev = _hourly_events(spark, [8.0, 9.0, 10.0, 11.0, 12.0, 13.0, 14.0, 200.0])
+    row = drift.mad_control_limits(ev).collect()[0]
+    assert row["n_buckets"] == 8
+    assert row["median"] == 11.5
+    assert row["mad"] == 2.0
+    assert math.isclose(row["lcl"], 11.5 - 3.0 * (2.0 * 1.4826), abs_tol=1e-6)
+    assert math.isclose(row["ucl"], 11.5 + 3.0 * (2.0 * 1.4826), abs_tol=1e-6)
+    assert row["n_below"] == 0 and row["n_above"] == 1
+
+
+def test_mad_robust_where_stddev_is_not(spark):
+    """A single huge spike inflates mean+3*std enough to mask a second,
+    smaller spike; the MAD bands flag both."""
+    vals = [10.0] * 46 + [10_000.0, 500.0]
+    ev = _hourly_events(spark, vals)
+    row = drift.mad_control_limits(ev).collect()[0]
+    assert row["mad"] == 0.0  # >half the buckets sit exactly at 10
+    assert row["n_above"] == 2  # both spikes flagged
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    assert 500.0 < mu + 3 * sd  # the classic screen misses the 500
+
+
+def test_mad_degenerate_constant_series(spark):
+    """All-equal buckets: MAD 0, bands collapse to the median, nothing
+    flagged."""
+    ev = _hourly_events(spark, [7.0] * 10)
+    row = drift.mad_control_limits(ev).collect()[0]
+    assert row["mad"] == 0.0
+    assert row["lcl"] == row["ucl"] == 7.0
+    assert row["n_below"] == 0 and row["n_above"] == 0
+
+
+# --------------------------------------------------- session merge (late)
+
+
+def _events_df(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, user_id string, value double"
+    )
+    return df.select(
+        "event_id",
+        F.col("tsd").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+
+
+def test_merge_fragments_running_max_handles_nested_intervals(spark):
+    """Fragment B nested inside A: a lag(end)-based sweep would compare
+    C's start against B's (early) end and wrongly split; the running-max
+    sweep keeps A-B-C in one session."""
+    frags = spark.createDataFrame(
+        [
+            ("u", 0.0, 10000.0, 11, 110.0),
+            ("u", 2000.0, 2000.0, 1, 10.0),
+            ("u", 11000.0, 11000.0, 1, 10.0),
+        ],
+        "user_id string, fsd double, fed double, n_events long,"
+        " frag_value double",
+    ).select(
+        "user_id",
+        F.col("fsd").cast("timestamp").alias("frag_start"),
+        F.col("fed").cast("timestamp").alias("frag_end"),
+        "n_events",
+        "frag_value",
+    )
+    out = windows.merge_session_fragments(frags, gap_s=1800).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_fragments"] == 3
+    assert row["n_events"] == 13
+    assert row["total_value"] == 130.0
+
+
+def test_shard_merge_equals_direct_sessionization(spark):
+    """The headline property: shard-wise sessionize + fragment merge ==
+    whole-stream sessionization, on a random bursty fixture whose
+    events scatter arbitrarily across the 4 arrival shards."""
+    rng = random.Random(7)
+    rows, eid, t = [], 0, 0.0
+    for _ in range(60):  # 60 bursts across 8 users
+        u = f"u{rng.randrange(8)}"
+        t += rng.uniform(0, 6000)  # sometimes > gap -> new session
+        for _ in range(rng.randrange(1, 6)):
+            rows.append((eid, t, u, round(rng.uniform(1, 99), 2)))
+            eid += 1
+            t += rng.uniform(0, 1700)  # within-gap spacing
+    ev = _events_df(spark, rows)
+    merged = windows.shard_sessionize_merge(ev, gap_s=1800, n_shards=4)
+    direct = windows.session_agg(
+        ev, "user_id", "ts", "event_id", "value", gap_s=1800
+    )
+    m = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in merged.collect()
+    }
+    d = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in direct.collect()
+    }
+    assert set(m) == set(d)
+    for k, (n, v) in d.items():
+        assert m[k][0] == n, k
+        assert math.isclose(m[k][1], v, abs_tol=1e-6), k
+    # session ids are a 1-based dense per-user sequence on both sides
+    assert merged.where(F.col("session_idx") < 1).count() == 0
+
+
+def test_shard_merge_bridging_event(spark):
+    """Two same-shard events 3000s apart (separate fragments at gap
+    1800) are BRIDGED by another shard's event between them — the merge
+    must produce one session, exactly like the direct pass would."""
+    rows = [
+        (0, 0.0, "u", 10.0),      # shard 0
+        (4, 3000.0, "u", 10.0),   # shard 0 -> same-shard gap 3000 > 1800
+        (1, 1500.0, "u", 10.0),   # shard 1 bridges (1500 both sides)
+    ]
+    ev = _events_df(spark, rows)
+    out = windows.shard_sessionize_merge(ev, gap_s=1800, n_shards=4).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 3
+    assert out[0]["n_fragments"] == 3
+
+
+# --------------------------------------------- windowed_distinct_exact
+
+
+def test_windowed_distinct_and_new_counts(spark):
+    """Two 6h windows: w0 has users u1,u2 (both new); w1 has u1,u3 —
+    u3 is the only first-seen. Distinct counts exact, repeat events
+    collapse."""
+    rows = [
+        (0, 100.0, "a", "u1"), (1, 200.0, "a", "u1"), (2, 300.0, "a", "u2"),
+        (3, 21700.0, "a", "u1"), (4, 21800.0, "a", "u3"),
+        (5, 150.0, "b", "u9"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, event_type string, user_id string"
+    ).select(
+        F.col("tsd").cast("timestamp").alias("ts"), "event_type", "user_id"
+    )
+    out = {
+        (r["event_type"], r["window_start"].hour): r
+        for r in sketches.windowed_distinct_exact(df).collect()
+    }
+    w0a = out[("a", 0)]
+    assert (w0a["n_events"], w0a["n_distinct"], w0a["n_new"]) == (3, 2, 2)
+    w1a = out[("a", 6)]
+    assert (w1a["n_events"], w1a["n_distinct"], w1a["n_new"]) == (2, 2, 1)
+    w0b = out[("b", 0)]
+    assert (w0b["n_events"], w0b["n_distinct"], w0b["n_new"]) == (1, 1, 1)
+
+
+def test_windowed_distinct_plan_two_phase(spark):
+    """Plan pin: the exact distinct must come from the two-phase
+    groupBy composition — no expand, no collect_set, no Python."""
+    rows = [(float(i * 977), "a", f"u{i % 13}") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "tsd double, event_type string, user_id string"
+    ).select(
+        F.col("tsd").cast("timestamp").alias("ts"), "event_type", "user_id"
+    )
+    plan = (
+        sketches.windowed_distinct_exact(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "collect_set" not in plan
+    assert "Expand" not in plan
