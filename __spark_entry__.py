@@ -14288,6 +14288,76 @@ ORDER BY 1, 2
 """
 
 
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing lateness report per event type: processing in
+    arrival order (event_id), lateness = running-max event time minus
+    event time — exact microsecond integers, per-threshold retention
+    counts, decimal-exact average."""
+    ev = _events(spark, sf_dir)
+    return events_ops.lateness_profile(
+        ev, "ts", "event_type", "event_id", thresholds_s=(60, 300, 3600)
+    )
+
+
+_LATENESS_PROFILE_SQL = """
+WITH staged AS (
+  SELECT event_type AS s,
+    greatest(coalesce(
+      max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - epoch_us(ts),
+      0), 0) AS late_us
+  FROM events
+)
+SELECT s AS event_type, count(*)::BIGINT AS n_events,
+  sum((late_us > 0)::BIGINT)::BIGINT AS n_late,
+  floor((max(late_us) / 1000000.0) * 1000000 + 0.5) / 1000000.0
+    AS max_lateness_s,
+  floor((sum(late_us::HUGEINT)::DOUBLE / 1e6 / count(*)::DOUBLE)
+        * 1000000 + 0.5) / 1000000.0 AS avg_lateness_s,
+  sum((late_us > 60000000)::BIGINT)::BIGINT AS n_late_over_60s,
+  sum((late_us > 300000000)::BIGINT)::BIGINT AS n_late_over_300s,
+  sum((late_us > 3600000000)::BIGINT)::BIGINT AS n_late_over_3600s
+FROM staged GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median robust slope per event type over hourly
+    totals (50% breakdown vs Theil-Sen's 29%): two-level integer-median
+    fold over the bounded rollup's pair frame, Theil-Sen alongside."""
+    ev = _events(spark, sf_dir)
+    return stats.siegel_slope(ev, "ts", "event_type", "value", "hour")
+
+
+_SIEGEL_SLOPE_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    sum(value::DECIMAL(25,2)) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.s, a.us AS i,
+    floor(((b.x - a.x)::DOUBLE / ((b.us - a.us)::DOUBLE / 3600000000.0))
+          * 1e6 + 0.5)::BIGINT AS mslope
+  FROM rolled a JOIN rolled b ON b.s = a.s AND b.us <> a.us
+),
+inner_m AS (
+  SELECT s, i, quantile_cont(mslope, 0.5) AS med_i FROM pairs GROUP BY 1, 2
+),
+outer_m AS (
+  SELECT s, count(*)::BIGINT AS n_buckets,
+    quantile_cont(med_i, 0.5) AS rep_med
+  FROM inner_m GROUP BY 1
+),
+sen AS (SELECT s, quantile_cont(mslope, 0.5) AS sen2 FROM pairs GROUP BY 1)
+SELECT o.s AS event_type, o.n_buckets,
+  rep_med / 1e6 AS siegel_slope_per_hour,
+  sen2 / 1e6 AS sen_slope_per_hour
+FROM outer_m o JOIN sen ON sen.s = o.s
+ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -14740,6 +14810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_control_limits": q_mad_control_limits,
         "session_merge_late": q_session_merge_late,
         "windowed_distinct_exact": q_windowed_distinct_exact,
+        "lateness_profile": q_lateness_profile,
+        "siegel_slope": q_siegel_slope,
     }
     head = [k for k in _DRIVER_WINDOW_R12 if k in q]
     assert len(set(head)) == len(head) <= 50, "driver window malformed"
@@ -15145,4 +15217,6 @@ def oracle_sql() -> dict[str, str]:
         "mad_control_limits": _MAD_CONTROL_SQL,
         "session_merge_late": _SESSION_MERGE_SQL,
         "windowed_distinct_exact": _WINDOWED_DISTINCT_SQL,
+        "lateness_profile": _LATENESS_PROFILE_SQL,
+        "siegel_slope": _SIEGEL_SLOPE_SQL,
     }

@@ -1872,3 +1872,68 @@ def attribution_position_based(
             r6_(F.col("__cm").cast("double") / F.col("__t").cast("double")),
         ).alias("credit_share"),
     )
+
+
+def lateness_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    arrival_col: str = "event_id",
+    thresholds_s: tuple[int, ...] = (60, 300, 3600),
+) -> DataFrame:
+    """Event-lateness profile per series — the report that SIZES a
+    streaming watermark: processing events in ARRIVAL order
+    (``arrival_col``; monotone ingest id standing in for arrival time,
+    the convention a replayed log gives you), an event is LATE by how
+    far its event time trails the maximum event time already seen in
+    its series. `withWatermark(delay)` drops exactly the events whose
+    lateness exceeds the delay, so the per-threshold retention shares
+    here ARE the data-loss curve for candidate delays. Emits one row
+    per series: n_events, n_late (lateness > 0), max/avg lateness in
+    seconds, and n_late_over_{t}s per threshold.
+
+    Exactness contract: lateness is an exact microsecond integer (the
+    running max and the subtraction never leave int64 — epoch_us of
+    valid timestamps is ≪ 2^62); the average alone is r6-rounded from
+    the decimal-exact sum. Scale shape: one shuffle on the series key,
+    one ordered window pass (O(1) running-max state per row), one
+    map-side-combined aggregate to |series| rows. No collect, no join.
+    """
+    us = E.epoch_us(F.col(ts_col))
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(F.col(arrival_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(
+        F.coalesce(F.max(us).over(w) - us, F.lit(0)), F.lit(0)
+    )
+    staged = df.select(
+        F.col(series_col), late_us.alias("__late_us")
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("__late_us") > 0).cast("long")).cast("long").alias("n_late"),
+        (F.max("__late_us") / F.lit(1_000_000.0)).alias("__mx"),
+        F.sum(F.col("__late_us").cast("decimal(38,0)")).alias("__sum_us"),
+    ]
+    for t in thresholds_s:
+        aggs.append(
+            F.sum((F.col("__late_us") > F.lit(int(t) * 1_000_000)).cast("long"))
+            .cast("long")
+            .alias(f"n_late_over_{int(t)}s")
+        )
+    out = staged.groupBy(series_col).agg(*aggs)
+    return out.select(
+        series_col,
+        "n_events",
+        "n_late",
+        r6_(F.col("__mx")).alias("max_lateness_s"),
+        r6_(
+            F.col("__sum_us").cast("double")
+            / F.lit(1e6)
+            / F.col("n_events").cast("double")
+        ).alias("avg_lateness_s"),
+        *[f"n_late_over_{int(t)}s" for t in thresholds_s],
+    ).orderBy(series_col)

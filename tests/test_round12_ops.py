@@ -255,3 +255,78 @@ def test_windowed_distinct_plan_two_phase(spark):
     assert "BatchEvalPython" not in plan
     assert "collect_set" not in plan
     assert "Expand" not in plan
+
+
+# ------------------------------------------------------ lateness_profile
+
+
+def test_lateness_profile_hand_computed(spark):
+    """Arrival order (event_id) vs event time: ids 1, 3, 4 arrive after
+    a later event time was already seen -> late by 50s, 10s, 190s."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    rows = [(0, 100.0), (1, 50.0), (2, 200.0), (3, 190.0), (4, 10.0)]
+    df = spark.createDataFrame(rows, "event_id long, tsd double").select(
+        "event_id",
+        F.col("tsd").cast("timestamp").alias("ts"),
+        F.lit("a").alias("event_type"),
+    )
+    row = events_ops.lateness_profile(df, thresholds_s=(60, 300, 3600)).collect()[0]
+    assert row["n_events"] == 5
+    assert row["n_late"] == 3
+    assert row["max_lateness_s"] == 190.0
+    assert row["avg_lateness_s"] == 50.0  # (0+50+0+10+190)/5
+    assert row["n_late_over_60s"] == 1
+    assert row["n_late_over_300s"] == 0
+
+
+def test_lateness_profile_in_order_stream_all_on_time(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    rows = [(i, float(i * 60)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, tsd double").select(
+        "event_id",
+        F.col("tsd").cast("timestamp").alias("ts"),
+        F.lit("a").alias("event_type"),
+    )
+    row = events_ops.lateness_profile(df).collect()[0]
+    assert row["n_late"] == 0
+    assert row["max_lateness_s"] == 0.0
+    assert row["avg_lateness_s"] == 0.0
+
+
+# ---------------------------------------------------------- siegel_slope
+
+
+def test_siegel_survives_40pct_contamination_sen_does_not(spark):
+    """20 hourly buckets on an exact 2.5/hour line, 8 of them (40%)
+    corrupted with huge leverage values: the repeated median still reads
+    exactly 2.5 (50% breakdown) while Theil-Sen — only 0.36 of pairs
+    clean — is dragged off the line."""
+    vals = [10.0 + 2.5 * i for i in range(20)]
+    # one-sided contamination (the adversarial case): the TRAILING 8
+    # buckets explode upward, so every pair touching a bad point slopes
+    # far above 2.5 — 64% of pairs — and Theil-Sen's median is dragged;
+    # each good point still sees a clean majority among its own slopes
+    for i in range(12, 20):
+        vals[i] = 100_000.0 + 10_000.0 * i
+    ev = _hourly_events(spark, vals)
+    row = stats.siegel_slope(ev).collect()[0]
+    assert row["n_buckets"] == 20
+    assert row["siegel_slope_per_hour"] == 2.5
+    assert abs(row["sen_slope_per_hour"] - 2.5) > 10.0
+
+
+def test_siegel_sen_branch_matches_mann_kendall_sen(spark):
+    """The symmetric (doubled) pair multiset has the same median as the
+    i<j half, so siegel_slope's Theil-Sen column must equal
+    mann_kendall's on any series."""
+    vals = [10.0, 14.0, 11.0, 20.0, 13.0, 30.0, 8.0]
+    ev = _hourly_events(spark, vals)
+    s = stats.siegel_slope(ev).collect()[0]
+    mk = stats.mann_kendall(ev).collect()[0]
+    assert s["sen_slope_per_hour"] == mk["sen_slope_per_hour"]
