@@ -330,3 +330,70 @@ def test_siegel_sen_branch_matches_mann_kendall_sen(spark):
     s = stats.siegel_slope(ev).collect()[0]
     mk = stats.mann_kendall(ev).collect()[0]
     assert s["sen_slope_per_hour"] == mk["sen_slope_per_hour"]
+
+
+def test_windowed_distinct_stream_parity(spark, sf_dir, tmp_path):
+    """The docstring's streaming-twin claim, executed: a Structured
+    Streaming dropDuplicates + windowed count over the same events file
+    must produce identical exact distinct counts per (key, window) —
+    batch and stream share the tumbling-window assignment, so on-time
+    data yields the same closed windows."""
+    import os
+    import shutil
+
+    from financial_fraud_detection_using_time_series_data_spark.sources import (
+        load_table,
+        normalize_scan_types,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["event_type"], r["window_start"]): r["n_distinct"]
+        for r in sketches.windowed_distinct_exact(
+            ev, "ts", "event_type", "user_id", window_s=21600
+        ).collect()
+    }
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), src_dir / "events.parquet"
+    )
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(str(src_dir))
+        .transform(lambda d: normalize_scan_types(d, ["ts"]))
+    )
+    wus = 21600 * 1_000_000
+    win = (
+        (F.floor(F.unix_micros(F.col("ts")) / F.lit(wus)) * F.lit(21600))
+        .cast("timestamp")
+        .alias("window_start")
+    )
+    counts = (
+        stream.select("event_type", win, "user_id")
+        .dropDuplicates(["event_type", "window_start", "user_id"])
+        .groupBy("event_type", "window_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wde_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["event_type"], r["window_start"]): r["n_distinct"]
+        for r in spark.sql("select * from wde_stream").collect()
+    }
+    assert got == batch
+    assert len(got) > 0
