@@ -397,3 +397,89 @@ def test_windowed_distinct_stream_parity(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
+
+
+# ------------------------------------------------- property (brute force)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+# cent-grid values: the operators' decimal(25,2) quantization is exact
+_cents = st.integers(min_value=-10**6, max_value=10**6).map(
+    lambda c: c / 100.0
+)
+
+
+@given(vals=st.lists(_cents, min_size=1, max_size=14))
+@settings(**_HSETTINGS)
+def test_hodges_lehmann_matches_bruteforce(spark, vals):
+    """HL must equal the brute-force median of all i<=j Walsh averages
+    on arbitrary cent-grid inputs (negatives included)."""
+    import statistics
+
+    ev = _hourly_events(spark, vals)
+    row = stats.hodges_lehmann(ev).collect()[0]
+    walsh = [
+        (vals[i] + vals[j]) / 2.0
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    ]
+    assert math.isclose(
+        row["hl_location"], statistics.median(walsh), abs_tol=1e-6
+    )
+    assert row["n_pairs"] == len(walsh)
+
+
+@given(vals=st.lists(_cents, min_size=1, max_size=14))
+@settings(**_HSETTINGS)
+def test_mad_limits_match_bruteforce(spark, vals):
+    """Median/MAD/bands/counts must equal the brute-force computation
+    on arbitrary cent-grid inputs."""
+    import statistics
+
+    ev = _hourly_events(spark, vals)
+    row = drift.mad_control_limits(ev).collect()[0]
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    lcl = med - 3.0 * (mad * 1.4826)
+    ucl = med + 3.0 * (mad * 1.4826)
+    assert math.isclose(row["median"], med, abs_tol=1e-6)
+    assert math.isclose(row["mad"], mad, abs_tol=1e-6)
+    assert math.isclose(row["lcl"], lcl, abs_tol=1e-4)
+    assert math.isclose(row["ucl"], ucl, abs_tol=1e-4)
+    assert row["n_below"] == sum(v < lcl - 1e-9 for v in vals)
+    assert row["n_above"] == sum(v > ucl + 1e-9 for v in vals)
+
+
+@given(vals=st.lists(_cents, min_size=2, max_size=12))
+@settings(**_HSETTINGS)
+def test_siegel_matches_bruteforce(spark, vals):
+    """Repeated median must equal the brute-force two-level median over
+    micro-quantized pairwise slopes."""
+    import statistics
+
+    ev = _hourly_events(spark, vals)
+    out = stats.siegel_slope(ev).collect()
+    n = len(vals)
+
+    def mslope(i, j):
+        return math.floor(
+            ((vals[j] - vals[i]) / float(j - i)) * 1e6 + 0.5
+        )
+
+    per_i = [
+        statistics.median([mslope(min(i, j), max(i, j)) for j in range(n) if j != i])
+        for i in range(n)
+    ]
+    want = statistics.median(per_i) / 1e6
+    assert len(out) == 1
+    assert math.isclose(out[0]["siegel_slope_per_hour"], want, abs_tol=1e-9)
