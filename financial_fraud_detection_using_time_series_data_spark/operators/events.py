@@ -1899,6 +1899,13 @@ def lateness_profile(
     one ordered window pass (O(1) running-max state per row), one
     map-side-combined aggregate to |series| rows. No collect, no join.
     """
+    ts_list = [int(t) for t in thresholds_s]
+    if len(set(ts_list)) != len(ts_list) or any(t <= 0 for t in ts_list):
+        raise ValueError(
+            f"lateness_profile: thresholds_s={thresholds_s} must be "
+            "distinct positive seconds (duplicates would collide on the "
+            "output column names)"
+        )
     us = E.epoch_us(F.col(ts_col))
     w = (
         Window.partitionBy(series_col)

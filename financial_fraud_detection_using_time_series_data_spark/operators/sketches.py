@@ -387,6 +387,10 @@ def windowed_distinct_exact(
     everywhere. `sliding_distinct_exact` handles the rolling variant;
     this is the tumbling/new-user one.
     """
+    if int(window_s) <= 0:
+        raise ValueError(
+            f"windowed_distinct_exact: window_s={window_s} must be positive"
+        )
     wus = int(window_s) * 1_000_000
     win = (
         (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(wus)) * F.lit(window_s))

@@ -845,6 +845,10 @@ def shard_sessionize_merge(
     (test-pinned vs `session_agg`) — the property that makes streaming
     session state mergeable and shard-parallel backfills sound.
     """
+    if not 1 <= int(n_shards) <= 4096:
+        raise ValueError(
+            f"shard_sessionize_merge: n_shards={n_shards} outside 1..4096"
+        )
     shard = F.pmod(F.col(id_col), F.lit(int(n_shards)))
     # per-(shard, user) sessionize: reuse the canonical two-window
     # composition with a composite partition key via a synthetic column

@@ -483,3 +483,24 @@ def test_siegel_matches_bruteforce(spark, vals):
     want = statistics.median(per_i) / 1e6
     assert len(out) == 1
     assert math.isclose(out[0]["siegel_slope_per_hour"], want, abs_tol=1e-9)
+
+
+def test_round12_input_validation(spark):
+    """Parameter guards fail fast instead of as ANSI job errors or
+    colliding output columns."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    ev = _hourly_events(spark, [1.0, 2.0])
+    with pytest.raises(ValueError, match="n_shards"):
+        windows.shard_sessionize_merge(ev.withColumn("user_id", F.lit("u")),
+                                       n_shards=0)
+    with pytest.raises(ValueError, match="window_s"):
+        sketches.windowed_distinct_exact(
+            ev.withColumn("user_id", F.lit("u")), window_s=0
+        )
+    with pytest.raises(ValueError, match="thresholds_s"):
+        events_ops.lateness_profile(ev, thresholds_s=(60, 60))
+    with pytest.raises(ValueError, match="thresholds_s"):
+        events_ops.lateness_profile(ev, thresholds_s=(0,))
