@@ -302,6 +302,12 @@ BENCH_QUERIES = [
     "attribution_position",
     "mde_power",
     "seasonal_esd",
+    "hodges_lehmann",
+    "mad_control_limits",
+    "session_merge_late",
+    "windowed_distinct_exact",
+    "lateness_profile",
+    "siegel_slope",
 ]
 
 
