@@ -14358,6 +14358,194 @@ ORDER BY 1
 """
 
 
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between the purchase and click hourly
+    value totals at lags -6..6: exact hour-index alignment, full-series
+    deviation-energy denominators, decimal(38,10) product folds."""
+    ev = _events(spark, sf_dir)
+    return drift.cross_correlation(
+        ev, "ts", "event_type", "value", "purchase", "click", max_lag=6
+    )
+
+
+_CROSS_CORRELATION_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s,
+    floor(epoch_us(ts) / 3600000000.0)::BIGINT AS h,
+    sum(value::DECIMAL(25,2)) AS x
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2
+),
+st AS (
+  SELECT s, count(*)::BIGINT AS n, sum(x) AS sx,
+    sum((x::DECIMAL(19,2) * x::DECIMAL(19,2))::DECIMAL(38,4)) AS sxx
+  FROM rolled GROUP BY 1
+),
+m AS (
+  SELECT s, sx::DOUBLE / n::DOUBLE AS mean,
+    sxx::DOUBLE - (sx::DOUBLE * sx::DOUBLE) / n::DOUBLE AS ss
+  FROM st
+),
+a AS (
+  SELECT r.h AS ha, r.x::DOUBLE - m.mean AS da, m.ss AS ssa
+  FROM rolled r JOIN m ON m.s = r.s WHERE r.s = 'purchase'
+),
+b AS (
+  SELECT r.h AS hb, r.x::DOUBLE - m.mean AS db, m.ss AS ssb
+  FROM rolled r JOIN m ON m.s = r.s WHERE r.s = 'click'
+),
+l AS (SELECT unnest(range(-6, 7))::BIGINT AS lag),
+j AS (
+  SELECT l.lag, a.da, a.ssa, b.db, b.ssb
+  FROM l CROSS JOIN a JOIN b ON b.hb = a.ha + l.lag
+),
+o AS (
+  SELECT lag, count(*)::BIGINT AS n_pairs,
+    sum((da * db)::DECIMAL(38,10)) AS num,
+    min(ssa) AS fssa, min(ssb) AS fssb
+  FROM j GROUP BY 1
+)
+SELECT lag::INT AS lag, n_pairs,
+  CASE WHEN sqrt(fssa * fssb) > 0 THEN
+    floor((num::DOUBLE / sqrt(fssa * fssb)) * 1000000 + 0.5) / 1000000.0
+  END AS ccf
+FROM o ORDER BY 1
+"""
+
+
+def q_page_hinkley_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detector per event type over
+    hourly totals (delta=0, lambda=1000): integer micro-unit terms,
+    integer cumsum/prefix-min windows, first-alarm bucket."""
+    ev = _events(spark, sf_dir)
+    return drift.page_hinkley_alarms(
+        ev, "ts", "event_type", "value", "hour", delta=0.0, threshold=1000.0
+    )
+
+
+_PAGE_HINKLEY_ALARMS_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    (sum(value::DECIMAL(25,2)) * 1000000000)::BIGINT AS q
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT s, us,
+    floor((q::DOUBLE / 1e9
+           - (sum(q::HUGEINT) OVER wc)::DOUBLE / 1e9
+             / (row_number() OVER wo)::DOUBLE
+           - 0.0) * 1e6 + 0.5)::BIGINT AS term
+  FROM rolled
+  WINDOW wo AS (PARTITION BY s ORDER BY us),
+         wc AS (PARTITION BY s ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+u AS (
+  SELECT s, us, sum(term) OVER wc AS uu
+  FROM t
+  WINDOW wc AS (PARTITION BY s ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ph AS (
+  SELECT s, us, (uu - min(uu) OVER wc)::BIGINT AS p
+  FROM u
+  WINDOW wc AS (PARTITION BY s ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT s AS event_type, count(*)::BIGINT AS n_buckets,
+  floor((max(p)::DOUBLE / 1e6) * 1000000 + 0.5) / 1000000.0 AS ph_max,
+  max(p) > 1000000000 AS alarmed,
+  make_timestamp(min(CASE WHEN p > 1000000000 THEN us END))
+    AS first_alarm_bucket
+FROM ph GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the purchase and click
+    hourly totals on common hours: integer concordance counts on the
+    1e-3 grid, tie-corrected denominator, pinned IEEE assembly."""
+    ev = _events(spark, sf_dir)
+    return stats.kendall_tau(
+        ev, "ts", "event_type", "value", "purchase", "click", "hour"
+    )
+
+
+_KENDALL_TAU_SQL = """
+WITH rolled AS (
+  SELECT event_type AS s, epoch_us(date_trunc('hour', ts)) AS us,
+    floor(sum(value::DECIMAL(25,2))::DOUBLE * 1e3 + 0.5)::BIGINT AS q
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2
+),
+c AS (
+  SELECT a.us AS u, a.q AS qa, b.q AS qb
+  FROM rolled a JOIN rolled b ON b.us = a.us
+  WHERE a.s = 'purchase' AND b.s = 'click'
+),
+p AS (
+  SELECT (sign((y.qa - x.qa)::DOUBLE) * sign((y.qb - x.qb)::DOUBLE))
+           ::BIGINT AS cd,
+    (y.qa = x.qa)::BIGINT AS ta, (y.qb = x.qb)::BIGINT AS tb
+  FROM c x JOIN c y ON y.u > x.u
+)
+SELECT count(*)::BIGINT AS n_pairs,
+  sum((cd = 1)::BIGINT)::BIGINT AS concordant,
+  sum((cd = -1)::BIGINT)::BIGINT AS discordant,
+  sum(ta)::BIGINT AS tied_a, sum(tb)::BIGINT AS tied_b,
+  CASE WHEN sqrt((count(*) - sum(ta))::DOUBLE
+                 * (count(*) - sum(tb))::DOUBLE) > 0 THEN
+    floor(((sum((cd = 1)::BIGINT) - sum((cd = -1)::BIGINT))::DOUBLE
+           / sqrt((count(*) - sum(ta))::DOUBLE
+                  * (count(*) - sum(tb))::DOUBLE))
+          * 1000000 + 0.5) / 1000000.0 END AS tau_b
+FROM p
+"""
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramer-von Mises between the even/odd event
+    halves — the integrated-CDF-gap complement to ks_drift, on the same
+    chunked-cumsum plan with a pure integer weighted sum."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return drift.cramer_von_mises(ref, cur, "value")
+
+
+_CRAMER_VON_MISES_SQL = """
+WITH tagged AS (
+  SELECT value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS c
+  FROM events
+),
+g AS (
+  SELECT v, sum(r)::BIGINT AS nr, sum(c)::BIGINT AS nc
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT nr, nc,
+    sum(nr) OVER (ORDER BY v)::BIGINT AS cr,
+    sum(nc) OVER (ORDER BY v)::BIGINT AS cc
+  FROM g
+),
+tot AS (SELECT sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc FROM g),
+terms AS (
+  SELECT ((cr * tc - cc * tr)::HUGEINT * (cr * tc - cc * tr)::HUGEINT)
+           * (nr + nc)::HUGEINT AS term,
+    tr, tc
+  FROM cum CROSS JOIN tot
+)
+SELECT
+  CASE WHEN tr > 0 AND tc > 0 THEN
+    floor((sum(term)::DOUBLE
+           / (tr::DOUBLE * tc::DOUBLE
+              * ((tr::DOUBLE + tc::DOUBLE) * (tr::DOUBLE + tc::DOUBLE))))
+          * 1000000 + 0.5) / 1000000.0 END AS cvm_stat,
+  tr AS n_ref, tc AS n_cur
+FROM terms GROUP BY tr, tc
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fraud-style per-user behavioral feature pipeline over
     events at sf0.001 — expanding stats + velocity + deviation, one
@@ -14812,6 +15000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct_exact": q_windowed_distinct_exact,
         "lateness_profile": q_lateness_profile,
         "siegel_slope": q_siegel_slope,
+        "cross_correlation": q_cross_correlation,
+        "page_hinkley_alarms": q_page_hinkley_alarms,
+        "kendall_tau": q_kendall_tau,
+        "cramer_von_mises": q_cramer_von_mises,
     }
     head = [k for k in _DRIVER_WINDOW_R12 if k in q]
     assert len(set(head)) == len(head) <= 50, "driver window malformed"
@@ -15219,4 +15411,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_distinct_exact": _WINDOWED_DISTINCT_SQL,
         "lateness_profile": _LATENESS_PROFILE_SQL,
         "siegel_slope": _SIEGEL_SLOPE_SQL,
+        "cross_correlation": _CROSS_CORRELATION_SQL,
+        "page_hinkley_alarms": _PAGE_HINKLEY_ALARMS_SQL,
+        "kendall_tau": _KENDALL_TAU_SQL,
+        "cramer_von_mises": _CRAMER_VON_MISES_SQL,
     }

@@ -2279,3 +2279,271 @@ def mad_control_limits(
         "n_below",
         "n_above",
     ).orderBy(series_col)
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    series_a: str = "purchase",
+    series_b: str = "click",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Cross-correlation function between two series' hourly totals at
+    lags −max_lag..max_lag: r(k) = Σ(a_t−ā)(b_{t+k}−b̄) / √(Σ(a−ā)²·
+    Σ(b−b̄)²) — the lead/lag detector (`acf` asks "does this series
+    repeat itself"; this asks "does series A MOVE series B, and with
+    what delay" — login volume leading purchase value, probe traffic
+    leading fraud loss). Positive k means A leads B by k hours.
+
+    Alignment is by exact HOUR INDEX arithmetic (h_b = h_a + k), not row
+    lag, so sparse series pair correctly; only co-present hour pairs
+    enter the numerator while the denominators use the full-series
+    deviation energy (the `acf` estimator convention, so |r| ≤ 1 and
+    lags with thin overlap shrink toward 0 instead of exploding).
+    Lags with zero co-present pairs emit no row (both engines).
+
+    Exactness contract: totals are decimal-exact; means and deviation
+    energies assemble pinned (mean = Σx/n, ss = Σx² − (Σx)²/n in one
+    IEEE order); deviation products are cast to decimal(38,10) BEFORE
+    the per-lag sum (order-invariant fold), and the final ratio is one
+    pinned double division, r6-rounded.
+
+    Scale shape: one corpus groupBy to the two bounded hourly rollups;
+    ONE broadcast-stats join per side, one explode(2K+1) of the bounded
+    A-frame, one co-equi-join on the hour index, one |lags|-row agg.
+    Nonnegative-epoch hour-grid contract (floor vs `//`).
+    """
+    if not 1 <= int(max_lag) <= 168:
+        raise ValueError(f"cross_correlation: max_lag={max_lag} outside 1..168")
+    rolled = (
+        df.where(F.col(series_col).isin([series_a, series_b]))
+        .groupBy(
+            F.col(series_col).alias("__s"),
+            F.floor(
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(3_600_000_000.0)
+            ).cast("long").alias("__h"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+    )
+    rolled = rolled.localCheckpoint(eager=False)  # stats + both sides
+    stats = rolled.groupBy(F.col("__s").alias("__s2")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(
+            (F.col("__x").cast("decimal(19,2)") * F.col("__x").cast("decimal(19,2)"))
+            .cast("decimal(38,4)")
+        ).alias("__sxx"),
+    )
+    mean = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    ss = F.col("__sxx").cast("double") - (
+        F.col("__sx").cast("double") * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    stats = stats.select("__s2", mean.alias("__mean"), ss.alias("__ss"))
+    a = (
+        rolled.where(F.col("__s") == series_a)
+        .join(F.broadcast(stats), F.col("__s") == F.col("__s2"))
+        .select(
+            F.col("__h").alias("__ha"),
+            (F.col("__x").cast("double") - F.col("__mean")).alias("__da"),
+            F.col("__ss").alias("__ssa"),
+        )
+    )
+    b = (
+        rolled.where(F.col("__s") == series_b)
+        .join(F.broadcast(stats), F.col("__s") == F.col("__s2"))
+        .select(
+            F.col("__h").alias("__hb"),
+            (F.col("__x").cast("double") - F.col("__mean")).alias("__db"),
+            F.col("__ss").alias("__ssb"),
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-int(max_lag), int(max_lag) + 1)])
+    ).alias("lag")
+    aa = a.select(lags, "__ha", "__da", "__ssa").withColumn(
+        "__hb_want", F.col("__ha") + F.col("lag")
+    )
+    j = aa.join(b, F.col("__hb_want") == F.col("__hb"))
+    out = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("__da") * F.col("__db")).cast("decimal(38,10)")).alias(
+            "__num"
+        ),
+        F.first("__ssa").alias("__fssa"),
+        F.first("__ssb").alias("__fssb"),
+    )
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    denom = F.sqrt(F.col("__fssa") * F.col("__fssb"))
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when(
+            denom > 0, r6_(F.col("__num").cast("double") / denom)
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+def page_hinkley_alarms(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    delta: float = 0.0,
+    threshold: float = 1000.0,
+) -> DataFrame:
+    """Page–Hinkley sequential mean-shift detector per series (Page
+    1954; Hinkley 1971): U_t = Σ_{i≤t}(x_i − m̄_i − δ) with m̄_i the
+    running mean, PH_t = U_t − min_{i≤t} U_i, alarm when PH_t > λ. The
+    ONLINE complement to `best_changepoint` (retrospective argmax) and
+    `cusum_changepoint`: PH's running-mean recentering makes it robust
+    to unknown baseline level, and the statistic is exactly what a
+    streaming monitor keeps as O(1) state per series. Reports, per
+    series, the peak PH, whether it crossed λ, and the FIRST alarm
+    bucket — the detection latency a monitoring SLO cares about. (`page_hinkley`
+    reports the full per-(series, day) COUNT-stream PH trajectory; this
+    one summarizes hourly VALUE totals to alarm facts.)
+
+    Exactness contract: totals quantize to nano-unit integers; each
+    round's term folds to a 1e-6 micro-unit INTEGER (term_i =
+    ⌊(x_i − S_i/(1e9·i) − δ)·1e6 + 0.5⌋ with x_i = q_i/1e9, one pinned
+    IEEE order) so the cumulative U, its prefix min, and PH are pure
+    integer window folds — bit-identical in SQL regardless of float
+    summation order. Scale shape: one corpus groupBy to the bounded
+    rollup, three ordered window passes over it (one exchange), one
+    |series|-row agg.
+    """
+    rolled = (
+        df.groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__xd"))
+        .select(
+            "__s",
+            F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+            (F.col("__xd") * F.lit(1_000_000_000)).cast("long").alias("__q"),
+        )
+    )
+    w = Window.partitionBy("__s").orderBy("__us")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w)
+    run_sum = F.sum(F.col("__q").cast("decimal(38,0)")).over(wcum)
+    x_i = F.col("__q").cast("double") / F.lit(1e9)
+    mean_i = run_sum.cast("double") / F.lit(1e9) / i.cast("double")
+    term = (
+        F.floor((x_i - mean_i - F.lit(float(delta))) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+    )
+    staged = rolled.select("__s", "__us", term.alias("__t"))
+    u = F.sum("__t").over(wcum)
+    staged2 = staged.select("__s", "__us", u.alias("__u"))
+    ph = (F.col("__u") - F.min("__u").over(wcum)).alias("__ph")
+    lam = int(round(float(threshold) * 1e6))
+    scored = staged2.select("__s", "__us", ph)
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = scored.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("__ph").alias("__phmax"),
+        F.min(
+            F.when(F.col("__ph") > F.lit(lam), F.col("__us"))
+        ).alias("__first_us"),
+    )
+    return out.select(
+        F.col("__s").alias(series_col),
+        "n_buckets",
+        r6_(F.col("__phmax").cast("double") / F.lit(1e6)).alias("ph_max"),
+        (F.col("__phmax") > F.lit(lam)).alias("alarmed"),
+        (F.col("__first_us") / F.lit(1_000_000))
+        .cast("timestamp")
+        .alias("first_alarm_bucket"),
+    ).orderBy(series_col)
+
+
+def cramer_von_mises(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic, distributed
+    (Anderson 1962): T = nm/N² · Σ over all N pooled observations of
+    (F_n(x) − G_m(x))². Where KS reads only the single worst CDF gap,
+    CvM integrates EVERY gap — far more sensitive to distributional
+    drift spread across the range (a fraud mix shifting 2% everywhere)
+    that KS's max-gap misses until it concentrates.
+
+    Exactness contract: with cumulative integer counts (cr, cc) at each
+    distinct value, (F−G)² = (cr·m − cc·n)²/(nm)², so the weighted sum
+    S = Σ_v n_v·(cr·m − cc·n)² folds as a pure decimal INTEGER
+    (order-invariant); T = S/(n·m·N²) is then one pinned IEEE assembly.
+    Magnitude: S ≤ N·(nm)² ≈ 5e32 at the 10× corpus — inside
+    decimal(38); the 100 TB form would bucket values first (the PSI
+    convention), documented out of contract here.
+
+    Scale shape: identical chunked-CDF plan to `ks_statistic` — one
+    groupBy on value, per-chunk cumsums + triangular offsets (no
+    partitionless window), one integer-exact global agg. Returns one
+    row: (cvm_stat, n_ref, n_cur).
+    """
+    from . import chunked as C
+
+    tagged = ref.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("r"), F.lit(0).alias("c")
+    ).unionAll(
+        cur.select(
+            F.col(value_col).alias("v"), F.lit(0).alias("r"), F.lit(1).alias("c")
+        )
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("r").alias("n_ref_v"), F.sum("c").alias("n_cur_v")
+    )
+    ch = C.range_chunk(g, "v", n_chunks)
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ch.withColumn("__cr_in", F.sum("n_ref_v").over(w_in)).withColumn(
+        "__cc_in", F.sum("n_cur_v").over(w_in)
+    )
+    totals = within.groupBy("__chunk").agg(
+        F.max("__cr_in").alias("__cr"), F.max("__cc_in").alias("__cc")
+    )
+    offsets = C.chunk_offsets(totals, ["__cr", "__cc"])
+    tot = totals.agg(
+        F.sum("__cr").cast("long").alias("__tr"),
+        F.sum("__cc").cast("long").alias("__tc"),
+    )
+    diff = (
+        (F.col("__cr_off") + F.col("__cr_in")) * F.col("__tc")
+        - (F.col("__cc_off") + F.col("__cc_in")) * F.col("__tr")
+    ).cast("decimal(19,0)")
+    terms = (
+        within.join(F.broadcast(offsets), "__chunk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (diff * diff).cast("decimal(38,0)")
+                * (F.col("n_ref_v") + F.col("n_cur_v")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("__term"),
+            "__tr",
+            "__tc",
+        )
+    )
+    agg = terms.groupBy("__tr", "__tc").agg(F.sum("__term").alias("__S"))
+    n_d = F.col("__tr").cast("double")
+    m_d = F.col("__tc").cast("double")
+    nn = n_d + m_d
+    r6_ = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.when(
+            (F.col("__tr") > 0) & (F.col("__tc") > 0),
+            r6_(F.col("__S").cast("double") / (n_d * m_d * (nn * nn))),
+        ).alias("cvm_stat"),
+        F.col("__tr").alias("n_ref"),
+        F.col("__tc").alias("n_cur"),
+    )

@@ -386,6 +386,13 @@ def windowed_distinct_exact(
     |key·window·distinct|-sized intermediate, map-side-combined
     everywhere. `sliding_distinct_exact` handles the rolling variant;
     this is the tumbling/new-user one.
+
+    Nonnegative-epoch assumption (the wavelet_energy / hurst_exponent
+    hour-grid contract): the window id divides epoch micros with Spark
+    ``F.floor`` (floor semantics) while the SQL twin uses ``//``
+    (truncates toward zero on negatives), so the grids agree only for
+    timestamps at or after 1970-01-01 — pre-epoch rows are out of
+    contract for the whole grid family.
     """
     if int(window_s) <= 0:
         raise ValueError(

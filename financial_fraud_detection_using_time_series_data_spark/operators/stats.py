@@ -645,3 +645,94 @@ def siegel_slope(
         # because duplicating every element preserves the median
         (F.col("__sen2") / F.lit(1e6)).alias("sen_slope_per_hour"),
     ).orderBy(series_col)
+
+
+def kendall_tau(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    series_a: str = "purchase",
+    series_b: str = "click",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between two series' bucketed
+    totals on their COMMON buckets (Kendall 1945 tie correction):
+    τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) over all hour pairs, with
+    n₀ = n(n−1)/2 and n₁/n₂ the tied-pair counts in each margin. The
+    rank-based sibling of `spearman_corr` built on concordance counts —
+    robust to any monotone transform of either series, the right
+    "do these two metrics move together" answer when magnitudes are
+    incomparable. `mann_kendall` is exactly τ of a series against time;
+    this is τ of two series against each other.
+
+    Exactness contract: totals compare on the 1e-3-grid quantized
+    integers (`mann_kendall` convention, ulp-robust); C, D, and the tie
+    counts are pure integer folds over the pair frame, and τ_b is one
+    pinned IEEE assembly (products before sqrt, one division) —
+    bit-identical in SQL.
+
+    Scale shape: one corpus groupBy to the two bounded rollups, one
+    equi-join on the hour bucket to the common-hour frame (bounded by
+    the time span), then the O(B²) i<j self-join over THAT bounded
+    frame only. exprId-safe renamed right-side projections.
+    """
+    rolled = (
+        df.where(F.col(series_col).isin([series_a, series_b]))
+        .groupBy(
+            F.col(series_col).alias("__s"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(25,2)")).alias("__x"))
+        .select(
+            "__s",
+            F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+            F.floor(F.col("__x").cast("double") * F.lit(1e3) + F.lit(0.5))
+            .cast("long")
+            .alias("__q"),
+        )
+    )
+    a = rolled.where(F.col("__s") == series_a).select(
+        F.col("__us").alias("__ua"), F.col("__q").alias("__qa")
+    )
+    b = rolled.where(F.col("__s") == series_b).select(
+        F.col("__us").alias("__ub"), F.col("__q").alias("__qb")
+    )
+    common = a.join(b, F.col("__ua") == F.col("__ub")).select(
+        F.col("__ua").alias("__u"), "__qa", "__qb"
+    )
+    common = common.localCheckpoint(eager=False)  # pair self-join
+    right = common.select(
+        F.col("__u").alias("__u2"),
+        F.col("__qa").alias("__qa2"),
+        F.col("__qb").alias("__qb2"),
+    )
+    pairs = common.join(right, F.col("__u2") > F.col("__u")).select(
+        (
+            F.signum((F.col("__qa2") - F.col("__qa")).cast("double"))
+            * F.signum((F.col("__qb2") - F.col("__qb")).cast("double"))
+        ).cast("long").alias("__cd"),
+        (F.col("__qa2") == F.col("__qa")).cast("long").alias("__ta"),
+        (F.col("__qb2") == F.col("__qb")).cast("long").alias("__tb"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("__cd") == 1).cast("long")).cast("long").alias("concordant"),
+        F.sum((F.col("__cd") == -1).cast("long")).cast("long").alias("discordant"),
+        F.sum("__ta").cast("long").alias("__n1"),
+        F.sum("__tb").cast("long").alias("__n2"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    c_d = (F.col("concordant") - F.col("discordant")).cast("double")
+    den = F.sqrt(
+        (F.col("n_pairs") - F.col("__n1")).cast("double")
+        * (F.col("n_pairs") - F.col("__n2")).cast("double")
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.col("__n1").alias("tied_a"),
+        F.col("__n2").alias("tied_b"),
+        F.when(den > 0, r6(c_d / den)).alias("tau_b"),
+    )

@@ -504,3 +504,99 @@ def test_round12_input_validation(spark):
         events_ops.lateness_profile(ev, thresholds_s=(60, 60))
     with pytest.raises(ValueError, match="thresholds_s"):
         events_ops.lateness_profile(ev, thresholds_s=(0,))
+
+
+# --------------------------------------------- batch-3: ccf / PH / tau / CvM
+
+
+def _two_series(spark, avals, bvals, b_offset_h=0):
+    rows = []
+    for i, v in enumerate(avals):
+        rows.append((len(rows), float(3600 * i), "purchase", float(v)))
+    for i, v in enumerate(bvals):
+        rows.append(
+            (len(rows), float(3600 * (i + b_offset_h)), "click", float(v))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, tsd double, event_type string, value double"
+    )
+    return df.select(
+        "event_id",
+        F.col("tsd").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def test_cross_correlation_planted_lag(spark):
+    """click is an exact 2-hour-delayed copy of purchase: the CCF must
+    read exactly 1.0 at lag +2 (same value multiset -> equal means and
+    deviation energies) and strictly less elsewhere."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        drift as drift_ops,
+    )
+
+    a = [10.0, 30.0, 5.0, 40.0, 12.0, 33.0, 7.0, 25.0, 18.0, 44.0]
+    ev = _two_series(spark, a, a, b_offset_h=2)
+    out = {
+        r["lag"]: r
+        for r in drift_ops.cross_correlation(
+            ev, series_a="purchase", series_b="click", max_lag=4
+        ).collect()
+    }
+    assert out[2]["ccf"] == 1.0
+    assert out[2]["n_pairs"] == 10
+    for k, r in out.items():
+        if k != 2 and r["ccf"] is not None:
+            assert abs(r["ccf"]) < 1.0, (k, r["ccf"])
+
+
+def test_page_hinkley_step_alarm_and_flat_quiet(spark):
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        drift as drift_ops,
+    )
+
+    stepped = _hourly_events(spark, [10.0] * 48 + [30.0] * 24)
+    row = drift_ops.page_hinkley_alarms(stepped, threshold=50.0).collect()[0]
+    assert row["alarmed"]
+    assert row["ph_max"] > 50.0
+    assert row["first_alarm_bucket"].day >= 3  # hour >= 48
+    flat = _hourly_events(spark, [10.0] * 72)
+    row = drift_ops.page_hinkley_alarms(flat, threshold=50.0).collect()[0]
+    assert not row["alarmed"]
+    assert row["ph_max"] == 0.0
+    assert row["first_alarm_bucket"] is None
+
+
+def test_kendall_tau_hand_computed(spark):
+    """qa = 1,2,3,4 vs qb = 1,3,2,4: 5 concordant, 1 discordant, no
+    ties -> tau_b = 4/6."""
+    ev = _two_series(spark, [1.0, 2.0, 3.0, 4.0], [1.0, 3.0, 2.0, 4.0])
+    row = stats.kendall_tau(ev, series_a="purchase", series_b="click").collect()[0]
+    assert row["n_pairs"] == 6
+    assert (row["concordant"], row["discordant"]) == (5, 1)
+    assert (row["tied_a"], row["tied_b"]) == (0, 0)
+    assert math.isclose(row["tau_b"], 4.0 / 6.0, abs_tol=1e-6)
+
+
+def test_kendall_tau_perfect_reversal(spark):
+    ev = _two_series(spark, [1.0, 2.0, 3.0, 4.0], [9.0, 7.0, 5.0, 3.0])
+    row = stats.kendall_tau(ev, series_a="purchase", series_b="click").collect()[0]
+    assert row["tau_b"] == -1.0
+
+
+def test_cramer_von_mises_hand_computed(spark):
+    """ref {1,2} vs cur {3,4}: S = 4+16+4+0 = 24, T = 24/(2*2*16) =
+    0.375; identical samples give exactly 0."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        drift as drift_ops,
+    )
+
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    cur = spark.createDataFrame([(3.0,), (4.0,)], "value double")
+    row = drift_ops.cramer_von_mises(ref, cur).collect()[0]
+    assert row["cvm_stat"] == 0.375
+    assert (row["n_ref"], row["n_cur"]) == (2, 2)
+    same = spark.createDataFrame([(float(i),) for i in range(50)], "value double")
+    row = drift_ops.cramer_von_mises(same, same).collect()[0]
+    assert row["cvm_stat"] == 0.0
