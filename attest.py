@@ -102,11 +102,16 @@ def main() -> None:
         window = "named spot-check"
     else:
         window = "first-50 (driver-checked)"
-    out_name = (
-        "ATTESTATION.md"
-        if sf_dir.rstrip("/").endswith("sf0.01") and limit is None and names is None
-        else f"ATTESTATION_{os.path.basename(sf_dir.rstrip('/'))}.md"
-    )
+    sf_base = os.path.basename(sf_dir.rstrip("/"))
+    if limit is not None or names is not None:
+        # partial runs must NEVER clobber a full-sweep ledger (the
+        # round-11→12 handoff lost two 340-entry ledgers to 2-entry
+        # spot-check overwrites); they get their own scratch file
+        out_name = f"ATTESTATION_spot_{sf_base}.md"
+    elif sf_dir.rstrip("/").endswith("sf0.01"):
+        out_name = "ATTESTATION.md"
+    else:
+        out_name = f"ATTESTATION_{sf_base}.md"
     with open(out_name, "w") as f:
         f.write(
             "# Registry attestation\n\n"

@@ -1888,6 +1888,7 @@ def _esd_iterate(
     value_name: str,
     k: int,
     z_crit: float,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Shared k-round ESD engine over a prepared (__s, __us, __q)
     nano-unit rollup (see `gesd_outliers` for the contract; reused by
@@ -1901,6 +1902,58 @@ def _esd_iterate(
     removed: list[tuple] = []   # (round, s, us, q, r6(R), n_remaining, flagged)
     dropped: list[tuple] = []   # (s, us) removal keys
     import math as _math
+
+    # HYBRID driver-iterate path (round 12, guide §1.2 "the distributed
+    # algorithm first"): the k-round loop below runs one aggregate JOB
+    # per round over the checkpointed rollup — k+1 Spark jobs for what
+    # is, after the one corpus groupBy, pure bounded-frame arithmetic.
+    # When the rollup is small (|series|·|buckets| ≤ ~2M rows, the same
+    # driver_threshold contract as `dedup.connected_components`), collect
+    # it ONCE and run every round in Python with exact integers: the
+    # per-round per-series stats (n, Σq, Σq², max/min with bucket tie-
+    # breaks) are integer folds, identical to the Spark aggregates, and
+    # the μ/σ/R float assembly is the SAME code in both paths — the
+    # trajectory is bit-identical (oracle-hash attested at sf0.01/sf0.1
+    # and pinned by tests/test_round12_fixes.py). Rollups above the
+    # threshold take the distributed per-round loop unchanged.
+    n_rollup = rolled.count()
+    if n_rollup <= driver_threshold:
+        per_series: dict = {}
+        for r in rolled.collect():
+            per_series.setdefault(r["__s"], []).append(
+                (int(r["__us"]), int(r["__q"]))
+            )
+        for rnd in range(1, int(k) + 1):
+            for s in sorted(per_series):
+                pts = per_series[s]
+                n = len(pts)
+                if n <= 3:
+                    continue
+                sq = sum(q for _, q in pts)
+                sqq = sum(q * q for _, q in pts)
+                sq_d, sqq_d = float(sq), float(sqq)
+                mu = sq_d / n
+                var = max((sqq_d - (sq_d * sq_d) / n) / (n - 1), 0.0)
+                sd = _math.sqrt(var)
+                if sd <= 0.0:
+                    continue
+                # max by (q, -us): largest value, earliest-bucket tie-break;
+                # min by (q, us): smallest value, earliest-bucket tie-break —
+                # the same struct orderings as the distributed aggregates
+                mx_us, mx_q = max(pts, key=lambda p: (p[1], -p[0]))
+                mn_us, mn_q = min(pts, key=lambda p: (p[1], p[0]))
+                if (float(mx_q) - mu) >= (mu - float(mn_q)):
+                    q_rm, us_rm = mx_q, mx_us
+                else:
+                    q_rm, us_rm = mn_q, mn_us
+                r_stat = abs(float(q_rm) - mu) / sd
+                r_r6 = _math.floor(r_stat * 1e6 + 0.5) / 1e6
+                removed.append(
+                    (rnd, s, us_rm, q_rm / 1e9, r_r6, n - 1,
+                     r_r6 > float(z_crit))
+                )
+                per_series[s] = [p for p in pts if p[0] != us_rm]
+        return _esd_emit(spark, removed, series_col, series_ddl, value_name)
 
     for rnd in range(1, int(k) + 1):
         if dropped:
@@ -1964,6 +2017,12 @@ def _esd_iterate(
                 )
             )
             dropped.append((row["__s"], us_rm))
+    return _esd_emit(spark, removed, series_col, series_ddl, value_name)
+
+
+def _esd_emit(
+    spark, removed: list, series_col: str, series_ddl: str, value_name: str
+) -> DataFrame:
     # the bucket stays a microsecond LONG until Spark casts it: a naive
     # Python datetime would be re-interpreted in the HOST OS timezone
     # (the session timeZone=UTC pin does not cover driver-side datetime

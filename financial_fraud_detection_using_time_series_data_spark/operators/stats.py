@@ -38,7 +38,14 @@ def _rank2(df: DataFrame, col: str, n_chunks: int) -> DataFrame:
     r2 = 2·(average rank of v in the full sorted order) — an exact
     BIGINT (ties make average ranks half-integers; doubling clears the
     half). Chunked cumulative count, no partitionless window."""
-    g = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the bounded |distinct(col)|-row frame ONCE: it feeds
+    # the percentile-cut agg, the chunked window, the chunk totals and
+    # the final join — without the break each reference re-runs the
+    # corpus groupBy (round-12 plan audit: spearman_corr scanned its
+    # parquet input 26× through these re-references)
+    g = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
     ch = C.range_chunk(g, "v", n_chunks)
     w = (
         Window.partitionBy("__chunk")

@@ -245,3 +245,41 @@ def test_esd_decimal_sum_headroom(spark):
     assert len(out) == 1
     assert out[0]["bucket"].hour == 11
     assert out[0]["flagged"]
+
+
+def test_esd_driver_and_distributed_paths_identical(spark):
+    """Round-12 optimization: `_esd_iterate` collects the bounded
+    rollup once and iterates driver-side when it fits (k+1 Spark jobs
+    -> 2). The two paths must produce bit-identical trajectories —
+    including negative totals, exact extreme-value tie-breaks, and a
+    series that shrinks to n <= 3 mid-run."""
+    vals = [10.0, -50.0, 10.5, 400.0, 10.0, 10.25, -3.0, 10.0, 399.0, 10.0]
+    ev = _hourly_events(spark, vals, series="a")
+    ev2 = _hourly_events(spark, [5.0, 5.0, 80.0, 5.0, 5.5], series="b",
+                         start_id=100)
+    both = ev.unionByName(ev2)
+
+    def run(threshold):
+        rolled = (
+            both.groupBy(
+                F.col("event_type").alias("__s"),
+                F.date_trunc("hour", F.col("ts")).alias("__b"),
+            )
+            .agg(F.sum(F.col("value").cast("decimal(25,2)")).alias("__x"))
+            .select(
+                "__s",
+                F.unix_micros(F.col("__b").cast("timestamp")).alias("__us"),
+                (F.col("__x") * F.lit(1_000_000_000)).cast("long").alias("__q"),
+            )
+        )
+        out = drift._esd_iterate(
+            spark, rolled, "event_type", "string", "x", 5, 3.0,
+            driver_threshold=threshold,
+        )
+        return sorted(
+            tuple(r) for r in out.collect()
+        )
+
+    driver_rows = run(2_000_000)     # driver path (rollup is tiny)
+    dist_rows = run(0)               # force the distributed per-round loop
+    assert driver_rows == dist_rows
