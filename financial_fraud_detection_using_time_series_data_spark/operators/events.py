@@ -36,6 +36,82 @@ from pyspark.sql import functions as F
 from ..functions import exprs as E
 
 
+# Hybrid small-graph cutoff for the iterative graph operators
+# (pagerank / label_propagation / kcore): graphs whose symmetrized edge
+# list fits under this row count are solved driver-side in one
+# collect — the same production hybrid (and the same 2M default) as
+# `dedup.connected_components`. Module-level so tests can force either
+# path.
+_GRAPH_DRIVER_THRESHOLD = 2_000_000
+
+
+def _capped_members(
+    df: DataFrame,
+    attr,
+    entity_col: str,
+    min_degree: int,
+    max_degree: int,
+) -> DataFrame:
+    """Shared graph prologue: distinct (attr, entity) pairs restricted
+    to attr values held by ``min_degree``..``max_degree`` entities.
+
+    Round-12 shape (guide §2.4): ONE corpus distinct + ONE window count
+    over the attr partition replaces the old groupBy-degree + semi-join
+    composition, whose two references to the distinct frame re-executed
+    the corpus distinct twice (no exchange reuse across exprId-renamed
+    subtrees). The window's count is identical to the groupBy count on
+    the distinct frame, so membership — and every downstream edge list —
+    is bit-identical. Output columns: (attr, u).
+    """
+    a = df.select(
+        attr.alias("attr"), F.col(entity_col).alias("u")
+    ).where(F.col("attr").isNotNull()).distinct()
+    n_u = F.count(F.lit(1)).over(Window.partitionBy("attr"))
+    return (
+        a.withColumn("__n_u", n_u)
+        .where(
+            (F.col("__n_u") >= min_degree) & (F.col("__n_u") <= max_degree)
+        )
+        .drop("__n_u")
+    )
+
+
+def _capped_edges(
+    df: DataFrame,
+    attr,
+    entity_col: str,
+    min_degree: int,
+    max_degree: int,
+) -> DataFrame:
+    """Distinct undirected (u < v) edge list of the capped shared-
+    attribute graph — the construction every graph operator shares.
+
+    Round-12 shape (guide §2.4): the capped membership is grouped per
+    attr (≤ ``max_degree`` members by construction, so the per-value
+    array is BOUNDED) and pairs are emitted map-side from the array —
+    C(n, 2) per value, no self-join. This removes the two join-side
+    exchanges and the duplicated membership subtree of the old
+    members⋈members plan; the emitted pair set is identical
+    (least/greatest canonicalizes, the final distinct dedups pairs
+    linked through several values). Three exchanges total: the corpus
+    distinct, the attr window, the pair distinct.
+    """
+    members = _capped_members(df, attr, entity_col, min_degree, max_degree)
+    # groupBy("attr") rides the window's attr partitioning — no new
+    # exchange; the array is ≤ max_degree elements by the cap
+    g = members.groupBy("attr").agg(F.collect_list("u").alias("__us"))
+    pairs = F.expr(
+        "flatten(transform(__us, (x, i) -> "
+        "transform(slice(__us, i + 2, size(__us)), y -> "
+        "struct(least(x, y) AS u, greatest(x, y) AS v))))"
+    )
+    return (
+        g.select(F.explode(pairs).alias("__p"))
+        .select("__p.u", "__p.v")
+        .distinct()
+    )
+
+
 def transition_matrix(
     df: DataFrame,
     entity_col: str = "user_id",
@@ -461,24 +537,13 @@ def triangle_count(
 
     Returns a single row (n_nodes, n_edges, n_triangles).
     """
-    a = df.select(
-        attr.alias("attr"), F.col(entity_col).alias("u")
-    ).where(F.col("attr").isNotNull()).distinct()
-    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
-    keep = deg.where(
-        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
-    ).select("attr")
-    members = a.join(keep, "attr")
-    m2 = members.select("attr", F.col("u").alias("v"))
-    edges = (
-        members.join(m2, "attr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # round 12: map-side bounded pair emission (guide §2.4/§3.6) — the
+    # per-attr member arrays are ≤ max_degree, so C(n,2) expansion
+    # replaces the members⋈members self-join outright
+    edges = _capped_edges(df, attr, entity_col, min_degree, max_degree)
     # the edge list feeds four consumers (degree, orientation, closing
-    # probe, edge count); break lineage once so the pair-join runs once —
-    # the capped edge list is far smaller than the corpus
+    # probe, edge count); break lineage once so the pair expansion runs
+    # once — the capped edge list is far smaller than the corpus
     edges = edges.localCheckpoint(eager=False)
     both = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ndeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -619,35 +684,62 @@ def pagerank(
     Returns (entity, rank, rank_norm, out_degree) for every node in the
     capped graph.
     """
-    a = df.select(
-        attr.alias("attr"), F.col(entity_col).alias("u")
-    ).where(F.col("attr").isNotNull()).distinct()
-    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
-    keep = deg.where(
-        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
-    ).select("attr")
-    members = a.join(keep, "attr")
-    m2 = members.select("attr", F.col("u").alias("v"))
-    edges = (
-        members.join(m2, "attr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # round 12: map-side bounded pair emission (guide §2.4/§3.6) — the
+    # per-attr member arrays are ≤ max_degree, so C(n,2) expansion
+    # replaces the members⋈members self-join outright
+    edges = _capped_edges(df, attr, entity_col, min_degree, max_degree)
     both = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     if checkpoint_every:
         both = both.localCheckpoint(eager=False)
+
+    # HYBRID driver-iterate path (round 12): the capped graph's edge
+    # list is bounded far below the corpus; when it fits the same
+    # driver_threshold contract as `dedup.connected_components`
+    # (~2M symmetrized edges), collect it once and run the fixed
+    # power iteration in Python — the per-edge contribution floor, the
+    # integer Σ fold, and the rank/normalization float assembly are the
+    # SAME IEEE ops as the distributed aggregates, so the trajectory is
+    # bit-identical (path parity test-pinned). 10×(2 joins + 1 groupBy)
+    # Spark jobs collapse to 2 (count + collect); graphs above the
+    # threshold take the distributed rounds unchanged.
+    if both.count() <= _GRAPH_DRIVER_THRESHOLD:
+        erows = [(r["u"], r["v"]) for r in both.collect()]
+        odeg: dict = {}
+        for u, _ in erows:
+            odeg[u] = odeg.get(u, 0) + 1
+        rk = {u: 1.0 for u in odeg}
+        for _ in range(n_iter):
+            acc: dict = {}
+            for u, v in erows:
+                cu = math.floor(rk[u] / odeg[u] * 1e9 + 0.5)
+                acc[v] = acc.get(v, 0) + cu
+            base = 1.0 - damping
+            rk = {v: base + damping * (float(s) / 1e9) for v, s in acc.items()}
+        tot = float(sum(math.floor(r * 1e9 + 0.5) for r in rk.values())) / 1e9
+        ddl = df.schema[entity_col].dataType.simpleString()
+        out_rows = [
+            (u, rk[u], rk[u] / tot, odeg[u]) for u in rk
+        ]
+        return df.sparkSession.createDataFrame(
+            out_rows,
+            f"{entity_col} {ddl}, rank double, rank_norm double, "
+            "out_degree long",
+        )
+
     outdeg = both.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # static per-round join input: edge list pre-joined with the source
+    # outdegree ONCE (round 12 — the old per-round `.join(outdeg, "u")`
+    # re-ran the degree aggregation every iteration)
+    both_od = both.join(outdeg, "u").localCheckpoint(eager=False)
     ranks = outdeg.select("u", F.lit(1.0).alias("rank"))
     for i in range(n_iter):
         # 1e-9-grid integer fold: the per-edge contribution is floored
         # to micro-units BEFORE the sum, so the reduction is exact
         # integer arithmetic — order-invariant and engine-reproducible
         contribs = (
-            both.join(ranks, "u")
-            .join(outdeg, "u")
+            both_od.join(ranks, "u")
             .select(
                 F.col("v").alias("u"),
                 F.floor(
@@ -949,26 +1041,44 @@ def label_propagation(
 
     Returns (entity, community, community_size).
     """
-    a = df.select(
-        attr.alias("attr"), F.col(entity_col).alias("u")
-    ).where(F.col("attr").isNotNull()).distinct()
-    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
-    keep = deg.where(
-        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
-    ).select("attr")
-    members = a.join(keep, "attr")
-    m2 = members.select("attr", F.col("u").alias("v"))
-    edges = (
-        members.join(m2, "attr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # round 12: map-side bounded pair emission (guide §2.4/§3.6) — the
+    # per-attr member arrays are ≤ max_degree, so C(n,2) expansion
+    # replaces the members⋈members self-join outright
+    edges = _capped_edges(df, attr, entity_col, min_degree, max_degree)
     both = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     if checkpoint_every:
         both = both.localCheckpoint(eager=False)
+
+    # HYBRID driver-iterate path (round 12): same contract as
+    # `pagerank` — synchronous label updates with the (count, smallest-
+    # label) argmax are pure integer ops, identical in Python, so a
+    # small graph's trajectory is bit-identical (path parity test-
+    # pinned) while 5×(join + 2 groupBys) collapse to count + collect.
+    if both.count() <= _GRAPH_DRIVER_THRESHOLD:
+        erows = [(r["u"], r["v"]) for r in both.collect()]
+        lab = {u: u for u, _ in erows}
+        for _ in range(n_iter):
+            cnt: dict = {}
+            for u, v in erows:
+                key = (u, lab[v])
+                cnt[key] = cnt.get(key, 0) + 1
+            best: dict = {}
+            for (u, label), c in cnt.items():
+                cur = best.get(u)
+                if cur is None or (c, -label) > (cur[0], -cur[1]):
+                    best[u] = (c, label)
+            lab = {u: cl[1] for u, cl in best.items()}
+        sizes: dict = {}
+        for label in lab.values():
+            sizes[label] = sizes.get(label, 0) + 1
+        ddl = df.schema[entity_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [(u, label, sizes[label]) for u, label in lab.items()],
+            f"{entity_col} {ddl}, community {ddl}, community_size long",
+        )
+
     labels = both.select("u").distinct().select(
         "u", F.col("u").alias("label")
     )
@@ -1010,22 +1120,12 @@ def shared_attr_edges(
     emission at C(max_degree, 2) — no hub value goes quadratic at
     100 TB. Returns distinct undirected edges (u < v), lineage-broken
     (the edge list is joined repeatedly by every consumer)."""
-    a = df.select(
-        attr.alias("attr"), F.col(entity_col).alias("u")
-    ).where(F.col("attr").isNotNull()).distinct()
-    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
-    keep = deg.where(
-        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
-    ).select("attr")
-    members = a.join(keep, "attr")
-    m2 = members.select("attr", F.col("u").alias("v"))
-    return (
-        members.join(m2, "attr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # round 12: map-side bounded pair emission (guide §2.4/§3.6) — the
+    # per-attr member arrays are ≤ max_degree, so C(n,2) expansion
+    # replaces the members⋈members self-join outright
+    return _capped_edges(
+        df, attr, entity_col, min_degree, max_degree
+    ).localCheckpoint(eager=False)
 
 
 def adamic_adar(
@@ -1105,6 +1205,42 @@ def kcore(
     cur = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
+
+    # HYBRID driver peel (round 12, same contract as `pagerank` /
+    # `connected_components`): the peel is pure integer counting, so a
+    # small graph's fixpoint is identical computed driver-side — one
+    # collect replaces up-to-max_iter (agg + count + 2 semi-joins)
+    # rounds. Exact loop-state semantics replicated, incl. the
+    # n_alive==prev_n early return and the max_iter fallthrough.
+    ddl = edges.schema["u"].dataType.simpleString()
+    out_schema = f"u {ddl}, core_degree long"
+    if cur.count() <= _GRAPH_DRIVER_THRESHOLD:
+        pairs = [(r["u"], r["v"]) for r in cur.collect()]
+        spark = edges.sparkSession
+        prev_n = None
+        for _ in range(max_iter):
+            deg: dict = {}
+            for u, _v in pairs:
+                deg[u] = deg.get(u, 0) + 1
+            alive = {u for u, d in deg.items() if d >= k}
+            n_alive = len(alive)
+            if n_alive == 0:
+                return spark.createDataFrame([], out_schema)
+            if prev_n is not None and n_alive == prev_n:
+                return spark.createDataFrame(
+                    [(u, d) for u, d in deg.items() if d >= k], out_schema
+                )
+            prev_n = n_alive
+            pairs = [
+                (u, v) for u, v in pairs if u in alive and v in alive
+            ]
+        deg = {}
+        for u, _v in pairs:
+            deg[u] = deg.get(u, 0) + 1
+        return spark.createDataFrame(
+            [(u, d) for u, d in deg.items() if d >= k], out_schema
+        )
+
     prev_n = None
     for _ in range(max_iter):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -1574,21 +1710,10 @@ def _shared_attr_edges(
     the cap bounds per-value pair emission at C(max_degree, 2)) — the
     construction `fraud_rings` / `triangle_count` / `adamic_adar`
     share."""
-    a = df.select(
-        attr.alias("attr"), F.col(entity_col).alias("u")
-    ).where(F.col("attr").isNotNull()).distinct()
-    deg = a.groupBy("attr").agg(F.count(F.lit(1)).alias("n_u"))
-    keep = deg.where(
-        (F.col("n_u") >= min_degree) & (F.col("n_u") <= max_degree)
-    ).select("attr")
-    members = a.join(keep, "attr")
-    m2 = members.select("attr", F.col("u").alias("v"))
-    return (
-        members.join(m2, "attr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # round 12: map-side bounded pair emission (guide §2.4/§3.6) — the
+    # per-attr member arrays are ≤ max_degree, so C(n,2) expansion
+    # replaces the members⋈members self-join outright
+    return _capped_edges(df, attr, entity_col, min_degree, max_degree)
 
 
 def assortativity(
