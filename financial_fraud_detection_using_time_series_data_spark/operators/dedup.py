@@ -69,6 +69,12 @@ def minhash_signature(
     array_distinct in char_shingles runs once per doc, not num_hashes
     times (the inlined form was ~80× slower at sf0.1).
     """
+    # round 12 (guide §2.5 input skew): num_hashes × per-shingle hashing
+    # is the operator's cost; a single-split corpus runs it in ONE task.
+    # Map-only and per-row deterministic → partitioning-invariant.
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
     # two layered selects: normalize once, then shingle the attribute
     # (see char_shingles PERF note — HOF lambdas re-evaluate captured
     # expressions per element)

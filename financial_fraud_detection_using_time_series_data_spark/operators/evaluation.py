@@ -812,8 +812,14 @@ def bootstrap_auc(
         w = F.when(h < F.lit(_POISSON1_T32[k]), F.lit(k)).otherwise(w)
     b = F.floor(F.col(score) * F.lit(grid) + F.lit(0.5)).cast("long")
     lab = F.col(label).cast("long")
+    # round 12 (guide §2.5 input skew): the reps/4 md5 digests + reps-way
+    # explode per row are the corpus-pass cost; a single-split scan runs
+    # that map serially. fan_out is a no-op at scale, and the Poisson
+    # fold is exact integer aggregation — partitioning-invariant.
+    from ..sources.tables import fan_out
+
     cells = (
-        df.select(F.col(id_col), lab.alias("__y"), b.alias("__b"), grp)
+        fan_out(df).select(F.col(id_col), lab.alias("__y"), b.alias("__b"), grp)
         .select("__grp", "__y", "__b", digest.alias("__d"))
         .select("__grp", "__y", "__b", "__d", lane)
         .select(

@@ -48,8 +48,14 @@ def brute_force_topk(
     """Exact cosine top-k per query. Queries are broadcast (small side);
     the corpus scan is the only big pass; per-query top-k via window rank
     (AQE handles the skewless groupBy)."""
+    # round 12: |Q| cosine folds per corpus row; fan_out spreads a
+    # single-split corpus before the map (no-op at scale)
+    from ..sources.tables import fan_out
+
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
-    joined = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid_col))
+    joined = fan_out(corpus).crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
     scored = joined.select(
         qid_col,
         id_col,
@@ -1069,7 +1075,14 @@ def pq_topk_planted(
         _int_argmin_sql(f"slice({iv_txt}, {j * dsub + 1}, {dsub})", book)
         for j, book in enumerate(books_int)
     )
-    enc = corpus.select(id_col, F.expr(f"array({codes_exprs})").alias("codes"))
+    # round 12: the per-row m×codes×dsub argmin fold is the operator's
+    # cost; fan_out spreads a single-split corpus before it (no-op at
+    # scale, per-row deterministic so results are partitioning-invariant)
+    from ..sources.tables import fan_out
+
+    enc = fan_out(corpus).select(
+        id_col, F.expr(f"array({codes_exprs})").alias("codes")
+    )
     q = queries.select(qid_col, F.expr(iv_txt).alias("__qiv"))
     joined = enc.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col(qid_col)
@@ -1132,7 +1145,11 @@ def ivf_pq_topk_planted(
         _int_argmin_sql(f"slice({iv_txt}, {j * dsub + 1}, {dsub})", book)
         for j, book in enumerate(books_int)
     )
-    index = corpus.select(
+    # round 12: cell + code argmins are the per-row cost; fan_out
+    # spreads a single-split corpus before them (no-op at scale)
+    from ..sources.tables import fan_out
+
+    index = fan_out(corpus).select(
         id_col,
         F.expr(cell_expr).alias("cell_id"),
         F.expr(f"array({codes_exprs})").alias("codes"),

@@ -1696,7 +1696,12 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"winnow_fingerprints: k={k}, w={w} must be >= 1")
-    base = df.select(
+    # round 12 (guide §2.5 input skew): the per-position md5 pass is the
+    # cost of this operator; a single-split corpus would run it in ONE
+    # task. Pure per-row map, so the parallelism floor is result-exact.
+    from ..sources.tables import fan_out
+
+    base = fan_out(df).select(
         F.col(id_col), normalize(F.col(text_col)).alias("__norm")
     )
     n = F.length("__norm")
@@ -1761,6 +1766,11 @@ def char_entropy(
     SQL-replayable; the external twin computes the same histogram by
     unnest + groupBy — different shape, identical integers).
     """
+    # round 12 (guide §2.5 input skew): O(L log L) per-row array work;
+    # spread a single-split corpus first (no-op at scale, map-only op)
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
     base = df.select(
         F.col(id_col), normalize(F.col(text_col)).alias("__norm")
     )

@@ -502,10 +502,26 @@ def test_pagerank_normalization_has_no_window(spark, sf_dir):
     broadcast back onto the |nodes| rank frame, NOT a partitionless
     window — the rank frame is corpus-scale for a near-unique entity
     column, so any Window node in this plan is a 100 TB funnel."""
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    # default path at test scale is the round-12 driver-iterate hybrid:
+    # a local relation — trivially no Window, no shuffle at all
     df = spark_entry.q_pagerank(spark, sf_dir)
     plan = _plan(df)
     assert "Window" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # force the DISTRIBUTED rounds (the 100 TB path) and pin its shape:
+    # rank_norm via 1-row broadcast agg, never a partitionless window
+    saved = events_ops._GRAPH_DRIVER_THRESHOLD
+    events_ops._GRAPH_DRIVER_THRESHOLD = -1
+    try:
+        dplan = _plan(spark_entry.q_pagerank(spark, sf_dir))
+    finally:
+        events_ops._GRAPH_DRIVER_THRESHOLD = saved
+    assert "Window" not in dplan, dplan
+    assert "BroadcastNestedLoopJoin" in dplan or "BroadcastExchange" in dplan
 
 
 def test_heavy_hitters_total_is_broadcast_window_is_post_filter(spark, sf_dir):

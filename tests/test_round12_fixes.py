@@ -283,3 +283,28 @@ def test_esd_driver_and_distributed_paths_identical(spark):
     driver_rows = run(2_000_000)     # driver path (rollup is tiny)
     dist_rows = run(0)               # force the distributed per-round loop
     assert driver_rows == dist_rows
+
+
+def test_graph_driver_and_distributed_paths_identical(spark, sf_dir):
+    """Round-12 optimization: `pagerank` / `label_propagation` / `kcore`
+    collect the bounded capped-graph edge list once and iterate
+    driver-side when it fits `_GRAPH_DRIVER_THRESHOLD` (same contract as
+    `dedup.connected_components`). The driver loops replicate the exact
+    integer-grid / argmax / peel arithmetic of the distributed rounds,
+    so both paths must produce bit-identical rows."""
+    import __spark_entry__ as entrymod
+    from financial_fraud_detection_using_time_series_data_spark.operators import (
+        events as events_ops,
+    )
+
+    for qname in ("pagerank", "label_propagation", "kcore"):
+        fn = entrymod.queries()[qname]
+        driver_rows = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        saved = events_ops._GRAPH_DRIVER_THRESHOLD
+        events_ops._GRAPH_DRIVER_THRESHOLD = -1
+        try:
+            dist_rows = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        finally:
+            events_ops._GRAPH_DRIVER_THRESHOLD = saved
+        assert driver_rows == dist_rows, qname
+        assert len(driver_rows) > 0, qname
