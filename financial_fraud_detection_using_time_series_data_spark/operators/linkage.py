@@ -56,7 +56,13 @@ def block_pairs(
     """
     cnt = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
     ok = cnt.where(F.col("__bn") <= max_block).select(*block_cols)
-    base = df.join(F.broadcast(ok), block_cols)
+    # round 12 (guide §2.5 input skew): broadcast joins preserve the
+    # scan's partitioning, so a single-split input generates (and
+    # scores) EVERY candidate pair in one task; spread the blocked base
+    # first (no-op at scale, pair set is partitioning-invariant)
+    from ..sources.tables import fan_out
+
+    base = fan_out(df.join(F.broadcast(ok), block_cols))
     a = base.select(
         *block_cols,
         F.col(id_col).alias("id_a"),
