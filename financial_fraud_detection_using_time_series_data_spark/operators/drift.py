@@ -65,7 +65,11 @@ def psi_bins(
     is what a monitoring dashboard actually plots. ``exact_edges=False``
     switches the decile pass to the KLL sketch for 100 TB references."""
     spark = ref.sparkSession
-    edges = _edges(ref, value_col, n_bins, exact_edges)
+    # round 12 (guide §2.4): the 1-row edge frame feeds BOTH bin-count
+    # branches; without the break each re-runs the full percentile pass
+    edges = _edges(ref, value_col, n_bins, exact_edges).localCheckpoint(
+        eager=False
+    )
     rc = _bin_counts(ref, edges, value_col, "n_ref")
     cc = _bin_counts(cur, edges, value_col, "n_cur")
     tot_r = ref.agg(F.count(F.lit(1)).alias("__tr"))
@@ -118,9 +122,12 @@ def ks_statistic(
             F.col(value_col).alias("v"), F.lit(0).alias("r"), F.lit(1).alias("c")
         )
     )
+    # round 12 (guide §2.4): the distinct-value frame feeds the
+    # percentile cut AND the chunk assignment; the break stops each
+    # reference re-running the two-corpus union groupBy
     g = tagged.groupBy("v").agg(
         F.sum("r").alias("n_ref_v"), F.sum("c").alias("n_cur_v")
-    )
+    ).localCheckpoint(eager=False)
     ch = C.range_chunk(g, "v", n_chunks)
     w_in = (
         Window.partitionBy("__chunk")
@@ -129,12 +136,12 @@ def ks_statistic(
     )
     within = ch.withColumn("__cr_in", F.sum("n_ref_v").over(w_in)).withColumn(
         "__cc_in", F.sum("n_cur_v").over(w_in)
-    )
+    ).localCheckpoint(eager=False)
     # per-chunk totals from the windowed frame (monotone nonneg cumsums →
     # max = chunk total; groupBy key == window partitioning → exchange reuse)
     totals = within.groupBy("__chunk").agg(
         F.max("__cr_in").alias("__cr"), F.max("__cc_in").alias("__cc")
-    )
+    ).localCheckpoint(eager=False)
     offsets = C.chunk_offsets(totals, ["__cr", "__cc"])
     tot = totals.agg(
         F.sum("__cr").alias("__tr"), F.sum("__cc").alias("__tc")
@@ -196,16 +203,21 @@ def mann_whitney(
             F.col(value_col).alias("v"), F.lit(0).alias("r"), F.lit(1).alias("c")
         )
     )
+    # round 12 (guide §2.4): the distinct-value frame feeds the
+    # percentile cut AND the chunk assignment; the break stops each
+    # reference re-running the two-corpus union groupBy
     g = tagged.groupBy("v").agg(
         F.sum("r").alias("n_ref_v"), F.sum("c").alias("n_cur_v")
-    )
+    ).localCheckpoint(eager=False)
     ch = C.range_chunk(g, "v", n_chunks)
     w_in = (
         Window.partitionBy("__chunk")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = ch.withColumn("__cr_in", F.sum("n_ref_v").over(w_in))
+    within = ch.withColumn(
+        "__cr_in", F.sum("n_ref_v").over(w_in)
+    ).localCheckpoint(eager=False)
     totals = within.groupBy("__chunk").agg(F.max("__cr_in").alias("__cr"))
     offsets = C.chunk_offsets(totals, ["__cr"])
     # 2·U_cur contribution of value v: n_cur(v)·(2·ref_less(v) + n_ref(v));
@@ -331,6 +343,9 @@ def chi2_drift(
     (chi2, dof, n_categories)."""
     rc = ref.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("n_ref"))
     cc = cur.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("n_cur"))
+    # round 12 (guide §2.4): cells feeds the totals agg AND the term
+    # projection; the break stops both from re-running the two corpus
+    # groupBys (frame bounded by category cardinality)
     cells = (
         rc.join(cc, "cat", "full_outer")
         .select(
@@ -338,6 +353,7 @@ def chi2_drift(
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
@@ -879,7 +895,11 @@ def wasserstein_bins(
     from pyspark.sql import Window
 
     spark = ref.sparkSession
-    edges = _edges(ref, value_col, n_bins, exact_edges)
+    # round 12 (guide §2.4): the 1-row edge frame feeds BOTH bin-count
+    # branches; without the break each re-runs the full percentile pass
+    edges = _edges(ref, value_col, n_bins, exact_edges).localCheckpoint(
+        eager=False
+    )
     rc = _bin_counts(ref, edges, value_col, "n_ref")
     cc = _bin_counts(cur, edges, value_col, "n_cur")
     tot_r = ref.agg(F.count(F.lit(1)).alias("__tr"))
@@ -2557,9 +2577,12 @@ def cramer_von_mises(
             F.col(value_col).alias("v"), F.lit(0).alias("r"), F.lit(1).alias("c")
         )
     )
+    # round 12 (guide §2.4): the distinct-value frame feeds the
+    # percentile cut AND the chunk assignment; the break stops each
+    # reference re-running the two-corpus union groupBy
     g = tagged.groupBy("v").agg(
         F.sum("r").alias("n_ref_v"), F.sum("c").alias("n_cur_v")
-    )
+    ).localCheckpoint(eager=False)
     ch = C.range_chunk(g, "v", n_chunks)
     w_in = (
         Window.partitionBy("__chunk")
@@ -2568,10 +2591,10 @@ def cramer_von_mises(
     )
     within = ch.withColumn("__cr_in", F.sum("n_ref_v").over(w_in)).withColumn(
         "__cc_in", F.sum("n_cur_v").over(w_in)
-    )
+    ).localCheckpoint(eager=False)
     totals = within.groupBy("__chunk").agg(
         F.max("__cr_in").alias("__cr"), F.max("__cc_in").alias("__cc")
-    )
+    ).localCheckpoint(eager=False)
     offsets = C.chunk_offsets(totals, ["__cr", "__cc"])
     tot = totals.agg(
         F.sum("__cr").cast("long").alias("__tr"),

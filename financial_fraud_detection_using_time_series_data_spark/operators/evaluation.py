@@ -534,21 +534,31 @@ def conformal_intervals(
     Returns one row per group: n_cal, center, q_hat, lo, hi, n_test,
     coverage.
     """
+    # round 12 (guide §2.4/§5): centers feeds three consumers, the
+    # distinct-residual frame four (percentile cut + chunk assignment +
+    # window chain) and params two — every reference re-executed the
+    # corpus aggregation (26 parquet scans in the audited plan). Lazy
+    # localCheckpoints on the bounded frames cut that to 2 corpus
+    # passes; integer folds are unchanged, results bit-identical.
     centers = cal.groupBy(group_col).agg(
         F.median(value_col).alias("__center"),
         F.count(F.lit(1)).alias("n_cal"),
-    )
+    ).localCheckpoint(eager=False)
     r_cal = cal.join(F.broadcast(centers), group_col).select(
         group_col, F.abs(F.col(value_col) - F.col("__center")).alias("__r")
     )
-    g = r_cal.groupBy(group_col, "__r").agg(F.count(F.lit(1)).alias("__cnt"))
+    g = r_cal.groupBy(group_col, "__r").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    ).localCheckpoint(eager=False)
     ch = _range_chunk(g, "__r", n_chunks)
     w_in = (
         Window.partitionBy(group_col, "__chunk")
         .orderBy("__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = ch.withColumn("__c_in", F.sum("__cnt").over(w_in))
+    within = ch.withColumn(
+        "__c_in", F.sum("__cnt").over(w_in)
+    ).localCheckpoint(eager=False)
     totals = within.groupBy(group_col, "__chunk").agg(
         F.max("__c_in").alias("__ct")
     )
@@ -574,7 +584,7 @@ def conformal_intervals(
         .groupBy(group_col)
         .agg(F.min("__r").alias("q_hat"))
     )
-    params = centers.join(qhat, group_col)
+    params = centers.join(qhat, group_col).localCheckpoint(eager=False)
     covered = (
         test.join(
             F.broadcast(params.select(group_col, "__center", "q_hat")), group_col

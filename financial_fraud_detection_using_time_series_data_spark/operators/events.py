@@ -859,6 +859,12 @@ def cooccurrence_lift(
     |types|² rows.
     """
     b = F.date_trunc(bucket, F.col(ts_col))
+    # round 12 (guide §2.4/§5): items fed two consumers, sizes two and
+    # kept three — every reference re-executed the corpus distinct (18
+    # parquet scans in the audited plan). Lazy localCheckpoints on the
+    # bounded basket frames cut that to one corpus pass; the basket-size
+    # window replaces the groupBy+semi-join (same membership, one less
+    # corpus-frame join). Results bit-identical.
     items = (
         df.select(
             F.col(entity_col).alias("__e"),
@@ -867,13 +873,19 @@ def cooccurrence_lift(
         )
         .distinct()
     )
-    sizes = items.groupBy("__e", "__b").agg(F.count(F.lit(1)).alias("__sz"))
-    kept = items.join(
-        sizes.where(F.col("__sz") <= max_basket).select("__e", "__b"),
-        ["__e", "__b"],
+    sz = F.count(F.lit(1)).over(Window.partitionBy("__e", "__b"))
+    kept = (
+        items.withColumn("__sz", sz)
+        .where(F.col("__sz") <= max_basket)
+        .drop("__sz")
+        .localCheckpoint(eager=False)
     )
-    n_baskets = sizes.where(F.col("__sz") <= max_basket).agg(
-        F.count(F.lit(1)).alias("__N")
+    # surviving-basket census straight from the checkpointed kept frame
+    # (distinct (e, b) of kept ≡ baskets within the cap)
+    n_baskets = (
+        kept.select("__e", "__b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__N"))
     )
     marg = kept.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     other = kept.select("__e", "__b", F.col("item").alias("item_b"))
