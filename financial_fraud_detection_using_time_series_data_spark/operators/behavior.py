@@ -1169,9 +1169,13 @@ def decile_migration(
         raise ValueError(f"decile_migration: unsupported grain {grain!r}")
     step = "INTERVAL 7 DAY" if grain == "week" else "INTERVAL 1 MONTH"
     m = F.date_trunc(grain, F.col(ts_col)).alias("month")
+    # round 12 (guide §2.4/§5): spend feeds the decile agg AND the
+    # assignment join, dec both sides of the consecutive-period join —
+    # each reference re-ran the corpus groupBy (16 scans in the audited
+    # plan). Lazy breaks on the bounded entity×period frames.
     spend = df.groupBy(F.col(entity_col).alias("__e"), m).agg(
         F.sum(F.col(value_col).cast("decimal(25,2)")).cast("double").alias("__s")
-    )
+    ).localCheckpoint(eager=False)
     qs = spend.groupBy("month").agg(
         F.percentile("__s", F.array(*[F.lit(k / 10.0) for k in range(1, 10)])).alias(
             "__q"
@@ -1188,7 +1192,7 @@ def decile_migration(
                 lambda acc, q: acc + F.when(F.col("__s") > q, 1).otherwise(0),
             )
         ).alias("decile"),
-    )
+    ).localCheckpoint(eager=False)
     nxt = dec.select(
         "__e",
         (F.col("month") + F.expr(step)).alias("month"),

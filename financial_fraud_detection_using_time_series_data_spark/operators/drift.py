@@ -630,9 +630,12 @@ def volume_anomaly(
     aggregates and the final flag all run on that tiny frame via
     broadcast 1-row joins — no collect, no second corpus pass.
     """
+    # round 12 (guide §2.4/§5): the |buckets|-row count frame feeds the
+    # median and the staged chain — the break stops each reference
+    # re-running the corpus groupBy
     counts = df.groupBy(
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    ).agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=False)
     med = counts.agg(F.median("n_rows").alias("med"))
     with_med = counts.crossJoin(F.broadcast(med))
     mad = with_med.agg(
@@ -698,7 +701,14 @@ def seasonal_anomaly(
     """
     from .relational import seasonal_adjust
 
-    adj = seasonal_adjust(df, ts_col, value_col, id_col)
+    # round 12 (guide §2.4/§5): the adjusted frame feeds the median,
+    # the MAD and the flag projection — each reference re-ran the whole
+    # seasonal_adjust composition (32 scans in the audited plan). One
+    # executor-side materialization beats four recomputes; at 100 TB
+    # persist the adjusted table instead (split_compat convention).
+    adj = seasonal_adjust(df, ts_col, value_col, id_col).localCheckpoint(
+        eager=False
+    )
     med = adj.agg(F.median("adjusted").alias("med"))
     with_med = adj.crossJoin(F.broadcast(med))
     mad = with_med.agg(
@@ -836,7 +846,12 @@ def spectral_entropy(
     harmonic is the min-k row attaining the exact maximum power. All
     post-periodogram math runs on a ≤max_k-row frame.
     """
-    pg = periodogram(df, ts_col=ts_col, max_k=max_k, bucket_s=bucket_s)
+    # round 12 (guide §2.4): the ≤max_k-row periodogram feeds the total
+    # agg AND the entropy fold — the break stops the second reference
+    # re-running the corpus DFT rollup
+    pg = periodogram(
+        df, ts_col=ts_col, max_k=max_k, bucket_s=bucket_s
+    ).localCheckpoint(eager=False)
     tot = pg.agg(
         F.sum(
             F.floor(F.col("power") * F.lit(1e3) + F.lit(0.5)).cast("decimal(38,0)")
@@ -1216,7 +1231,12 @@ def residual_anomaly(
     buckets only: (series, bucket, x, residual, robust_z).
     """
     dec = seasonal_decompose(df, ts_col, type_col, value_col, bucket, half)
-    res = dec.where(F.col("residual").isNotNull())
+    # round 12 (guide §2.4/§5): the bounded |series|·|buckets| residual
+    # frame feeds the median, the MAD and the flag join — the break
+    # stops each from re-running the decomposition's rollup + windows
+    res = dec.where(F.col("residual").isNotNull()).localCheckpoint(
+        eager=False
+    )
     med = res.groupBy(type_col).agg(F.median("residual").alias("__med"))
     with_med = res.join(F.broadcast(med), type_col)
     mad = with_med.groupBy(type_col).agg(

@@ -433,9 +433,13 @@ def mutual_information(
     spark = df.sparkSession
     out = None
     for fc in feature_cols:
+        # round 12 (guide §2.4/§5): cells feeds both marginals, the
+        # total and the MI join — each reference re-ran the corpus
+        # groupBy (24 scans across the 3-feature audited plan). One
+        # lazy break per feature; frame bounded by |bins|·|labels|.
         cells = df.groupBy(
             F.col(fc).alias("__x"), F.col(label_col).alias("__y")
-        ).agg(F.count(F.lit(1)).alias("__nxy"))
+        ).agg(F.count(F.lit(1)).alias("__nxy")).localCheckpoint(eager=False)
         xm = cells.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
         ym = cells.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
         tot = cells.agg(F.sum("__nxy").alias("__n"))

@@ -344,7 +344,11 @@ def tfidf_top_terms(
     toks = df.select(
         id_col, F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.length("term") > 0)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("term_n"))
+    # round 12 (guide §2.4): tf feeds the doc-frequency agg AND the
+    # scoring join — the break stops the second tokenize+explode+agg pass
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("term_n")
+    ).localCheckpoint(eager=False)
     doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
@@ -792,10 +796,14 @@ def token_pmi(
     upstream (e.g. top-m terms per doc) before calling. Unigram doc
     frequencies are a |vocab|-row broadcast; N rides a 1-row broadcast.
     """
+    # round 12 (guide §2.4/§5): the distinct (doc, term) frame feeds the
+    # unigram agg AND both sides of the pair self-join — each reference
+    # re-ran the tokenize+explode+distinct corpus pass
     dt = (
         df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
         .filter(F.length("term") > 0)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
     uni = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
@@ -949,7 +957,12 @@ def rake_keywords(
     runs = nonstop.withColumn(
         "__run", F.col("__pos") - F.row_number().over(w)
     )
-    members = runs.select("__id", "__run", "__pos", "__tok")
+    # round 12 (guide §2.4): the windowed run frame feeds the
+    # phrase-length agg AND the member join — the break stops the
+    # second tokenize+window pass
+    members = runs.select("__id", "__run", "__pos", "__tok").localCheckpoint(
+        eager=False
+    )
     plen = members.groupBy("__id", "__run").agg(
         F.count(F.lit(1)).alias("__plen")
     )

@@ -233,9 +233,13 @@ def referential_integrity(
         raise ValueError("referential_integrity: edges must be non-empty")
     outs = []
     for name, (child, fk, parent, pk) in edges.items():
+        # round 12 (guide §2.4/§5): the distinct-fk frame feeds the
+        # null, total and orphan branches — each reference re-ran the
+        # corpus groupBy (40 parquet scans across the audited 5-edge
+        # plan). One lazy break per edge; results bit-identical.
         keyed = child.groupBy(F.col(fk).alias("__fk")).agg(
             F.count(F.lit(1)).alias("__n")
-        )
+        ).localCheckpoint(eager=False)
         nulls = keyed.where(F.col("__fk").isNull()).agg(
             F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_null_fk")
         )
