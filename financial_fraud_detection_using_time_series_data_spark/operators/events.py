@@ -1310,9 +1310,12 @@ def transition_entropy(
         )
         .where(F.col("__nxt").isNotNull())
     )
+    # round 12 (guide §2.4/§5): the |types|²-cell frame feeds both
+    # marginals, the total and the conditional-entropy join — each
+    # reference re-ran the corpus window+groupBy
     cells = pairs.groupBy("__cur", "__nxt").agg(
         F.count(F.lit(1)).alias("__nxy")
-    )
+    ).localCheckpoint(eager=False)
     row_m = cells.groupBy("__cur").agg(F.sum("__nxy").alias("__nx"))
     col_m = cells.groupBy("__nxt").agg(F.sum("__nxy").alias("__ny"))
     tot = cells.agg(F.sum("__nxy").alias("__n"))

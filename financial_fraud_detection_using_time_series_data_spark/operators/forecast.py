@@ -440,9 +440,12 @@ def forecast_accuracy(
     daily = df.groupBy(type_col, b).agg(
         F.sum(F.col(value_col).cast("decimal(25,2)")).alias("x_dec")
     )
+    # round 12 (guide §2.4/§5): the bounded |types|·|buckets| rollup
+    # feeds both shifted join sides and the windowed base — each
+    # reference re-ran the corpus groupBy
     base = daily.select(
         type_col, "bucket", F.col("x_dec").cast("double").alias("y"), "x_dec"
-    )
+    ).localCheckpoint(eager=False)
     shift1 = base.select(
         type_col,
         (F.col("bucket") + F.expr(f"INTERVAL 1 {unit}")).alias("bucket"),

@@ -684,10 +684,14 @@ def apply_cdc(
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()
     )
+    # round 12 (guide §2.4): the deduped log feeds the touched-key dim
+    # AND the upsert branch — the break stops the second window pass
+    # over the change log (the small side by contract)
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint(eager=False)
     )
     touched = latest.select(*keys)
     kept = snapshot.join(touched, keys, "left_anti")
