@@ -631,6 +631,9 @@ def siegel_slope(
         .cast("long")
         .alias("__mslope"),
     )
+    # round 12 (guide §2.4): pairs feeds the repeated-median branch AND
+    # the Theil-Sen diagnostic — the break stops the second B² self-join
+    pairs = pairs.localCheckpoint(eager=False)
     inner = pairs.groupBy("__g", "__i").agg(
         F.expr("percentile(__mslope, 0.5)").alias("__med_i")
     )
