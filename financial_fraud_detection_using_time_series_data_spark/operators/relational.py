@@ -663,6 +663,23 @@ def snapshot_diff(
     )
 
 
+def _cdc_latest_per_key(
+    changes: DataFrame, keys: list[str], op_col: str, seq_col: str
+) -> DataFrame:
+    """Latest change per key (`apply_cdc`'s dedup stage), exposed so the
+    plan-shape pin (rank-1 → WindowGroupLimit, window over the LOG side
+    only) stays checkable now that `apply_cdc` lineage-breaks this frame
+    (the break hides the window subtree from the composed plan)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_cdc(
     snapshot: DataFrame,
     changes: DataFrame,
@@ -681,17 +698,11 @@ def apply_cdc(
     side); the snapshot anti-joins the touched-key dim (broadcastable
     when churn is small) and never shuffles on anything but the key.
     """
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
-    )
     # round 12 (guide §2.4): the deduped log feeds the touched-key dim
     # AND the upsert branch — the break stops the second window pass
     # over the change log (the small side by contract)
-    latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-        .localCheckpoint(eager=False)
+    latest = _cdc_latest_per_key(changes, keys, op_col, seq_col).localCheckpoint(
+        eager=False
     )
     touched = latest.select(*keys)
     kept = snapshot.join(touched, keys, "left_anti")

@@ -321,13 +321,18 @@ def test_apply_cdc_windows_only_the_change_log(spark, sf_dir):
         .withColumn("seq", F.lit(1))
     )
     plan = _plan(relational.apply_cdc(snap, ch, ["event_id"]))
-    # the latest-per-key window subtree appears once per consumer of the
-    # deduped log (touched-keys dim + upserts) — both over the LOG side;
-    # the snapshot branch contributes joins only
+    # round 12: the deduped log is lineage-broken (computed ONCE for the
+    # touched-keys dim + upserts), so the composed plan holds NO window
+    # at all — the snapshot branch contributes joins only
     assert plan.count("+- Window ") <= 2
-    # rank-1 filter is pushed into WindowGroupLimit (no full per-key sort
-    # buffering — top-1 per key computed with running state)
-    assert "WindowGroupLimit" in plan
+    # the dedup stage itself (hidden behind the checkpoint in the
+    # composed plan) still pins: window over the LOG side only, rank-1
+    # pushed into WindowGroupLimit (no full per-key sort buffering)
+    dedup_plan = _plan(
+        relational._cdc_latest_per_key(ch, ["event_id"], "op", "seq")
+    )
+    assert dedup_plan.count("+- Window ") == 1
+    assert "WindowGroupLimit" in dedup_plan
 
 
 def test_time_decay_and_interp_no_python(spark, sf_dir):
