@@ -309,6 +309,14 @@ def sliding_distinct_exact(
     global running sum is chunked (percentile cuts → per-chunk cumsum →
     broadcast offsets; offsets use SUM of per-chunk totals, so negative
     deltas are safe) — no partitionless WindowExec, no per-frame sets.
+
+    Plan shape (round 12): the ±1 deltas are emitted MAP-SIDE from one
+    pass over the presence frame (a 2-element inline-array explode), the
+    per-hour bucket label rides the same tiny groupBy as the delta sum
+    (min over the +1 branch ≡ the old separate `present` rollup), and
+    the resulting |time-points|-row frame is lineage-broken before the
+    chunked cumsum multi-references it — the corpus rollup executes
+    ONCE where the union/present/totals form re-executed it 4×.
     """
     hour = F.floor(
         F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -320,6 +328,7 @@ def sliding_distinct_exact(
     wnext = Window.partitionBy("__u").orderBy("__h")
     cov = rolled.withColumn("__next", F.lead("__h").over(wnext)).select(
         "__h",
+        "__b",
         F.least(
             F.coalesce(
                 F.col("__next") - F.col("__h"), F.lit(window_buckets)
@@ -327,17 +336,38 @@ def sliding_distinct_exact(
             F.lit(window_buckets),
         ).alias("__len"),
     )
+    # map-side ±1 emission: one inline explode replaces the two-branch
+    # union (whose children each re-executed the rolled→lead lineage);
+    # the -1 element carries a NULL bucket so min(__pb) per time point
+    # reproduces the old per-hour `present` rollup — a +1 row exists at
+    # __t iff some value is present at hour __t
     deltas = (
-        cov.select(F.col("__h").alias("__t"), F.lit(1).alias("__d"))
-        .unionByName(
-            cov.select(
-                (F.col("__h") + F.col("__len")).alias("__t"),
-                F.lit(-1).alias("__d"),
+        cov.select(
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.col("__h").alias("__t"),
+                        F.lit(1).alias("__d"),
+                        F.col("__b").alias("__pb"),
+                    ),
+                    F.struct(
+                        (F.col("__h") + F.col("__len")).alias("__t"),
+                        F.lit(-1).alias("__d"),
+                        F.lit(None).cast("timestamp").alias("__pb"),
+                    ),
+                )
             )
         )
         .groupBy("__t")
-        .agg(F.sum("__d").cast("long").alias("__delta"))
+        .agg(
+            F.sum("__d").cast("long").alias("__delta"),
+            F.min("__pb").alias("__bmin"),
+        )
     )
+    # |time points|-row frame (bounded by the hour spine, not the
+    # corpus) feeding range_chunk + the within/totals double reference:
+    # break the lineage once here
+    deltas = deltas.localCheckpoint(eager=False)
     from .chunked import chunk_offsets, range_chunk
 
     ch = range_chunk(deltas, "__t", 32)
@@ -352,12 +382,16 @@ def sliding_distinct_exact(
     )
     offsets = chunk_offsets(totals, ["__tot"])
     cum = within.join(F.broadcast(offsets), "__chunk").select(
-        "__t", (F.col("__tot_off") + F.col("__cs_in")).alias("__cnt")
+        "__t",
+        "__bmin",
+        (F.col("__tot_off") + F.col("__cs_in")).alias("__cnt"),
     )
-    present = rolled.groupBy("__h").agg(F.min("__b").alias("bucket"))
-    return present.join(
-        cum, present["__h"] == cum["__t"]
-    ).select("bucket", F.col("__cnt").cast("long").alias("users_24h"))
+    # hours present in the corpus are exactly the time points the +1
+    # branch labeled (non-null __bmin) — the old present⋈cum inner join
+    return cum.where(F.col("__bmin").isNotNull()).select(
+        F.col("__bmin").alias("bucket"),
+        F.col("__cnt").cast("long").alias("users_24h"),
+    )
 
 
 def windowed_distinct_exact(
