@@ -64,6 +64,43 @@ def test_sliding_distinct_exact_run_semantics(spark):
     assert out[base + dt.timedelta(hours=30)] == 1
 
 
+def test_sliding_distinct_exact_single_pass_plan(spark, sf_dir):
+    """Round-12 shape pin: the ±1 deltas are emitted map-side from ONE
+    pass over the presence rollup (inline explode), not a two-branch
+    union whose children each re-execute the corpus lineage, and the
+    presence-hour spine rides the same aggregate (no separate `present`
+    rollup join). The delta frame's plan — captured at its checkpoint
+    boundary, ahead of the chunked-cumsum fan-out — must therefore hold
+    exactly one corpus scan, a Generate (the inline explode) and no
+    Union; the operator's final plan must hold no Union either."""
+    from unittest import mock
+
+    # Spark 4: the concrete class (with the real localCheckpoint) is the
+    # classic DataFrame; pyspark.sql.DataFrame is the abstract facade
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    ev = load_table(spark, sf_dir, "events")
+    captured = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
+    with mock.patch.object(DataFrame, "localCheckpoint", new=spy):
+        df = sketches.sliding_distinct_exact(ev, "ts", "user_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # first checkpoint inside the operator is the delta frame; an
+    # executed AdaptiveSparkPlan prints Final + Initial sections, so
+    # count scans in the final section only
+    dplan = captured[0]._jdf.queryExecution().executedPlan().toString()
+    final = dplan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, dplan
+    assert "Union" not in dplan
+    assert "Generate" in dplan
+
+
 # ------------------------------------------------------- planted PQ ANN
 
 
