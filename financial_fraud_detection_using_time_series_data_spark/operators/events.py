@@ -55,25 +55,30 @@ def _capped_members(
     """Shared graph prologue: distinct (attr, entity) pairs restricted
     to attr values held by ``min_degree``..``max_degree`` entities.
 
-    Round-12 shape (guide §2.4): ONE corpus distinct + ONE window count
-    over the attr partition replaces the old groupBy-degree + semi-join
-    composition, whose two references to the distinct frame re-executed
-    the corpus distinct twice (no exchange reuse across exprId-renamed
-    subtrees). The window's count is identical to the groupBy count on
-    the distinct frame, so membership — and every downstream edge list —
-    is bit-identical. Output columns: (attr, u).
+    Round-13 shape (guide §2.5 skew): the round-12 window count
+    (`count(*) OVER (PARTITION BY attr)`) had no partial aggregation —
+    a pathological hub attr (a default device ID shared by millions of
+    entities) would funnel ALL its distinct rows through ONE window
+    task before the cap discards it. Degree now comes from a map-side-
+    combined groupBy (the hub key reaches the reducer as ≤ #map-tasks
+    partial counts) semi-joined back onto the SAME distinct frame: the
+    two references share exprIds, so AQE's ReuseExchange executes the
+    corpus distinct once, and the join side is AQE-skew-splittable
+    (windows are not). Membership is the count-in-[min,max] filter
+    either way — bit-identical. Output columns: (attr, u).
     """
     a = df.select(
         attr.alias("attr"), F.col(entity_col).alias("u")
     ).where(F.col("attr").isNotNull()).distinct()
-    n_u = F.count(F.lit(1)).over(Window.partitionBy("attr"))
-    return (
-        a.withColumn("__n_u", n_u)
+    ok = (
+        a.groupBy("attr")
+        .agg(F.count(F.lit(1)).alias("__n_u"))
         .where(
             (F.col("__n_u") >= min_degree) & (F.col("__n_u") <= max_degree)
         )
-        .drop("__n_u")
+        .select("attr")
     )
+    return a.join(ok, "attr")
 
 
 def _capped_edges(
@@ -93,12 +98,12 @@ def _capped_edges(
     exchanges and the duplicated membership subtree of the old
     members⋈members plan; the emitted pair set is identical
     (least/greatest canonicalizes, the final distinct dedups pairs
-    linked through several values). Three exchanges total: the corpus
-    distinct, the attr window, the pair distinct.
+    linked through several values).
     """
     members = _capped_members(df, attr, entity_col, min_degree, max_degree)
-    # groupBy("attr") rides the window's attr partitioning — no new
-    # exchange; the array is ≤ max_degree elements by the cap
+    # the per-attr array is ≤ max_degree elements by the cap; a sort-
+    # merge membership join leaves the frame attr-partitioned, so this
+    # groupBy rides that exchange
     g = members.groupBy("attr").agg(F.collect_list("u").alias("__us"))
     pairs = F.expr(
         "flatten(transform(__us, (x, i) -> "

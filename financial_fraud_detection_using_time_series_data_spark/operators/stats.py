@@ -63,6 +63,65 @@ def _rank2(df: DataFrame, col: str, n_chunks: int) -> DataFrame:
     )
 
 
+def _grouped_median(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    med_col: str,
+    extra_over: dict | None = None,
+) -> DataFrame:
+    """Exact ``percentile(val_col, 0.5)`` per ``keys`` group WITHOUT the
+    percentile aggregate — round 13, guide §2.4/§5.
+
+    `percentile` buffers EVERY group value in one per-group in-memory
+    counts map (partials ship the whole map through the shuffle, the
+    merge runs single-threaded per group); profiled round 12 on
+    mann_kendall's 1.29M-row pair frame: percentile 3.31s vs 1.01s for
+    a plain `max` on the same frame. This helper ranks the group with
+    one window pass instead — spillable sort, O(1) running state —
+    keeps only the two middle order statistics, and interpolates
+    0.5·v_lo + 0.5·v_hi off a 2-rows-per-group frame.
+
+    Exactness: Spark's percentile interpolates
+    (hi−pos)·v_lo + (pos−lo)·v_hi, which at p = 0.5 is the midpoint
+    (0.5·v_lo + 0.5·v_hi) when n is even and v_k exactly when n is odd.
+    For values on the repo's integer / half-integer micro-grids below
+    2^52, halving is exact and the midpoint is representable, so BOTH
+    forms produce the identical double (odd n: 0.5·v + 0.5·v ≡ v
+    exactly) — the DuckDB `quantile_cont` twin replays the same bits.
+    NULL values sort last and are excluded (percentile semantics); an
+    all-NULL group yields a NULL median but keeps its row (the `rn = 1`
+    guard keeps at least one row per non-empty group in the picked
+    frame).
+
+    ``extra_over``: {name: aggregate fn} evaluated over the ENTIRE
+    group on the same window exchange (e.g. mann_kendall's Σsign /
+    hodges_lehmann's pair count) and carried to the output. Returns one
+    row per group: keys + med_col + extras.
+    """
+    wo = Window.partitionBy(*keys).orderBy(F.col(val_col).asc_nulls_last())
+    wp = Window.partitionBy(*keys)
+    proj = df.withColumn("__rn", F.row_number().over(wo)).withColumn(
+        "__nn", F.count(val_col).over(wp)
+    )
+    extras = dict(extra_over or {})
+    for name, agg in extras.items():
+        proj = proj.withColumn(name, agg.over(wp))
+    k1 = F.expr("(__nn + 1) div 2")
+    k2 = F.expr("(__nn + 2) div 2")
+    picked = proj.where(
+        (F.col("__rn") == k1) | (F.col("__rn") == k2) | (F.col("__rn") == 1)
+    )
+    v1 = F.max(F.when(F.col("__rn") == k1, F.col(val_col)))
+    v2 = F.max(F.when(F.col("__rn") == k2, F.col(val_col)))
+    return picked.groupBy(*keys).agg(
+        (
+            F.lit(0.5) * v1.cast("double") + F.lit(0.5) * v2.cast("double")
+        ).alias(med_col),
+        *[F.max(name).alias(name) for name in extras],
+    )
+
+
 def spearman_corr(
     df: DataFrame,
     x_col: str,
@@ -414,30 +473,31 @@ def mann_kendall(
         (F.col("__xb") - F.col("__x")).cast("double")
         / ((F.col("__usb") - F.col("__us")).cast("double") / F.lit(3.6e9))
     )
-    pairs = (
-        rolled.join(
-            right,
-            (F.col("__s") == F.col("__sb"))
-            & (F.col("__usb") > F.col("__us")),
-        )
-        .select(
-            # fresh name for the group key: after a self-join the left
-            # __s attribute is internally duplicated (Spark 4 keeps both
-            # lineage copies), and any later reference to __s — even
-            # qualified — resolves ambiguously; __g never collides
-            F.col("__s").alias("__g"),
-            F.signum((F.col("__qb") - F.col("__q")).cast("double"))
-            .cast("long")
-            .alias("__sgn"),
-            F.floor(pair_slope * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-            .alias("__mslope"),
-        )
-        .groupBy("__g")
-        .agg(
-            F.sum("__sgn").cast("long").alias("__S"),
-            F.expr("percentile(__mslope, 0.5)").alias("__sen_micro"),
-        )
+    pair_rows = rolled.join(
+        right,
+        (F.col("__s") == F.col("__sb")) & (F.col("__usb") > F.col("__us")),
+    ).select(
+        # fresh name for the group key: after a self-join the left
+        # __s attribute is internally duplicated (Spark 4 keeps both
+        # lineage copies), and any later reference to __s — even
+        # qualified — resolves ambiguously; __g never collides
+        F.col("__s").alias("__g"),
+        F.signum((F.col("__qb") - F.col("__q")).cast("double"))
+        .cast("long")
+        .alias("__sgn"),
+        F.floor(pair_slope * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("__mslope"),
+    )
+    # round 13: distributed rank-median (see _grouped_median) replaces
+    # the per-group percentile buffer; Σsign rides the same window
+    # exchange. Bit-identical: integer micro-slopes < 2^52.
+    pairs = _grouped_median(
+        pair_rows,
+        ["__g"],
+        "__mslope",
+        "__sen_micro",
+        extra_over={"__S": F.sum("__sgn")},
     )
     # distinct rename: pairs and ties branch off the SAME checkpoint, so
     # their __s attributes share an exprId — a USING-join would leave
@@ -535,23 +595,24 @@ def hodges_lehmann(
         F.col("__us").alias("__usb"),
         F.col("__q").alias("__qb"),
     )
-    pairs = (
-        rolled.join(
-            right,
-            (F.col("__s") == F.col("__sb"))
-            & (F.col("__usb") >= F.col("__us")),
-        )
-        .select(
-            # fresh group-key name: post-self-join __s resolves
-            # ambiguously in Spark 4 (mann_kendall convention)
-            F.col("__s").alias("__g"),
-            (F.col("__q") + F.col("__qb")).alias("__wsum"),
-        )
-        .groupBy("__g")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.expr("percentile(__wsum, 0.5)").alias("__hl2_micro"),
-        )
+    pair_rows = rolled.join(
+        right,
+        (F.col("__s") == F.col("__sb")) & (F.col("__usb") >= F.col("__us")),
+    ).select(
+        # fresh group-key name: post-self-join __s resolves
+        # ambiguously in Spark 4 (mann_kendall convention)
+        F.col("__s").alias("__g"),
+        (F.col("__q") + F.col("__qb")).alias("__wsum"),
+    )
+    # round 13: distributed rank-median over the Walsh sums (see
+    # _grouped_median); the pair count rides the same window exchange.
+    # Bit-identical: integer sums < 2^53 by the grid contract.
+    pairs = _grouped_median(
+        pair_rows,
+        ["__g"],
+        "__wsum",
+        "__hl2_micro",
+        extra_over={"n_pairs": F.count(F.lit(1))},
     )
     nb = rolled.select(F.col("__s").alias("__s2"), "__q").groupBy("__s2").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
@@ -634,6 +695,14 @@ def siegel_slope(
     # round 12 (guide §2.4): pairs feeds the repeated-median branch AND
     # the Theil-Sen diagnostic — the break stops the second B² self-join
     pairs = pairs.localCheckpoint(eager=False)
+    # round 13 NEGATIVE RESULT (kept as r12 percentile — see
+    # OPTIMIZATION_r13.md §1): the rank-median window was A/B'd here in
+    # three variants (all-window 6.0s, inner/outer-percentile hybrid
+    # 5.7-6.5s, vs 4.5-5.1s for this shape in the same sessions) and
+    # LOST — siegel's groups are all bounded by the operator contract
+    # (B and B² ride the time-span-bounded bucket rollup, never the
+    # corpus), so the percentile buffers are bounded too and the hash
+    # aggregate beats the window's exchange+sort at every scale.
     inner = pairs.groupBy("__g", "__i").agg(
         F.expr("percentile(__mslope, 0.5)").alias("__med_i")
     )

@@ -344,11 +344,16 @@ def tfidf_top_terms(
     toks = df.select(
         id_col, F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.length("term") > 0)
-    # round 12 (guide §2.4): tf feeds the doc-frequency agg AND the
-    # scoring join — the break stops the second tokenize+explode+agg pass
+    # round 13 (guide §5): the round-12 localCheckpoint here pinned a
+    # CORPUS-scale frame (|doc, term| rows) to executor block storage —
+    # a memory/fault-tolerance hazard at 100 TB, against the repo's
+    # bounded-frames-only checkpoint policy. Both references share
+    # exprIds, so the tokenize+explode+partial-agg subtree under the
+    # exchange is deduplicated by ReuseExchange instead (plan-verified:
+    # one parquet scan); only the post-shuffle merge agg re-runs.
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("term_n")
-    ).localCheckpoint(eager=False)
+    )
     doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
@@ -796,14 +801,17 @@ def token_pmi(
     upstream (e.g. top-m terms per doc) before calling. Unigram doc
     frequencies are a |vocab|-row broadcast; N rides a 1-row broadcast.
     """
-    # round 12 (guide §2.4/§5): the distinct (doc, term) frame feeds the
-    # unigram agg AND both sides of the pair self-join — each reference
-    # re-ran the tokenize+explode+distinct corpus pass
+    # round 13 (guide §5): the round-12 localCheckpoint here pinned the
+    # CORPUS-scale distinct (doc, term) frame to executor block storage
+    # — dropped per the bounded-frames-only checkpoint policy. The
+    # unigram agg and both self-join sides reference the same object
+    # (shared exprIds), so ReuseExchange deduplicates the
+    # tokenize+explode+partial-dedup subtree under the exchange; only
+    # the post-shuffle final dedup re-runs per reference.
     dt = (
         df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
         .filter(F.length("term") > 0)
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
     uni = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))

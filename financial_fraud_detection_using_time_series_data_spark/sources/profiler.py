@@ -224,44 +224,58 @@ def referential_integrity(
 
     Scale shape: each child first collapses to its DISTINCT fk frame
     with counts (map-side combined — the only corpus-sized pass), then
-    LEFT ANTI joins the parent's key projection; orphan totals fold off
-    the |distinct keys| frame. NULL fks are counted separately
-    (`n_null_fk`) — SQL FK semantics exempt NULLs from the constraint.
-    One output row per edge, unioned on the driver (|edges| plans).
+    LEFT joins the parent's distinct key projection tagged with a hit
+    marker; n_child / n_orphans / n_null_fk fold in ONE aggregate off
+    the |distinct keys| frame (a NULL fk never equi-matches, so
+    hit-IS-NULL on a non-null fk ≡ the old LEFT ANTI membership). NULL
+    fks are counted separately (`n_null_fk`) — SQL FK semantics exempt
+    NULLs from the constraint. One output row per edge, unioned on the
+    driver (|edges| plans).
     """
     if not edges:
         raise ValueError("referential_integrity: edges must be non-empty")
     outs = []
     for name, (child, fk, parent, pk) in edges.items():
-        # round 12 (guide §2.4/§5): the distinct-fk frame feeds the
-        # null, total and orphan branches — each reference re-ran the
-        # corpus groupBy (40 parquet scans across the audited 5-edge
-        # plan). One lazy break per edge; results bit-identical.
+        # round 13 (guide §2.4): the round-12 shape split the audit into
+        # null/total/orphan branches off a checkpointed distinct-fk frame
+        # — 2 scans + 1 checkpoint-materialization job + 3 single-row
+        # aggregates + 2 cross-joins PER EDGE. One left join + one
+        # multi-conditional aggregate computes all three counts in a
+        # single pass; no lineage break needed because nothing is
+        # referenced twice.
         keyed = child.groupBy(F.col(fk).alias("__fk")).agg(
             F.count(F.lit(1)).alias("__n")
-        ).localCheckpoint(eager=False)
-        nulls = keyed.where(F.col("__fk").isNull()).agg(
-            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_null_fk")
         )
-        total = keyed.agg(
-            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_child")
+        pkeys = (
+            parent.select(F.col(pk).alias("__fk"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-        orphans = (
-            keyed.where(F.col("__fk").isNotNull())
-            .join(
-                parent.select(F.col(pk).alias("__fk")).distinct(),
-                "__fk",
-                "left_anti",
-            )
+        outs.append(
+            keyed.join(pkeys, "__fk", "left")
             .agg(
                 F.coalesce(F.sum("__n"), F.lit(0))
                 .cast("long")
-                .alias("n_orphans")
+                .alias("n_child"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__fk").isNotNull()
+                            & F.col("__hit").isNull(),
+                            F.col("__n"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_orphans"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__fk").isNull(), F.col("__n"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_null_fk"),
             )
-        )
-        outs.append(
-            total.crossJoin(orphans)
-            .crossJoin(nulls)
             .select(
                 F.lit(name).alias("edge"),
                 "n_child",

@@ -1,9 +1,10 @@
 """Dump `.explain("formatted")` for named registry queries to
-plans/r12/<name>_<tag>.txt — the optimization round's plan evidence.
+plans/<round>/<name>_<tag>.txt — the optimization round's plan evidence.
 
 Usage: python tools_plan_dump.py <tag> <name>[,<name>...]
   tag   "before" or "after"
   names comma-separated queries() entry names
+Round dir defaults to r13; override with $SPARK_GRAFT_PLANS_ROUND.
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = [n for n in sys.argv[2].split(",") if n]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r12")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"plan-dump-{tag}")
     queries = entrymod.queries()
