@@ -99,6 +99,26 @@ def test_referential_integrity_plan_is_single_pass(spark, sf_dir):
     assert "ExistingRDD" not in plan, plan  # no localCheckpoint jobs
 
 
+def test_load_table_handle_memo_is_not_result_caching(spark, sf_dir):
+    """§8: the load_table memo stores only the lazy plan handle. The
+    returned DataFrame must carry NO storage level (nothing persisted),
+    and repeated calls must return the identical unexecuted handle."""
+    from financial_fraud_detection_using_time_series_data_spark.sources import (
+        tables,
+    )
+
+    a = tables.load_table(spark, sf_dir, "lineitem")
+    b = tables.load_table(spark, sf_dir, "lineitem")
+    assert a is b  # memo hit
+    lvl = a.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap), lvl
+    # the plan is a live parquet scan, not a materialized intermediate
+    plan = _plan(a)
+    assert "ExistingRDD" not in plan and "InMemoryTableScan" not in plan
+    # two actions both execute (fresh jobs, fresh scan) — counts agree
+    assert a.count() == b.count() > 0
+
+
 def test_text_checkpoints_stay_bounded(spark, sf_dir):
     """§3 (guide §5): tfidf_top_terms / token_pmi must NOT pin their
     corpus-scale frames to executor block storage — no checkpoint-backed
