@@ -188,6 +188,46 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)} / nullif({_norm_sql(a)} * {_norm_sql(b)}, 0.0D))"
 
 
+def _norms_py(rows: list[list[float]]) -> list[float]:
+    """Python twin of `_norm_sql` over a literal matrix: the same
+    left-to-right `acc + x*x` double fold and one IEEE sqrt — the result
+    bits are identical to evaluating `_norm_sql(c)` in the JVM, which is
+    what lets `_sims_vs_matrix_sql` hoist the per-cell norms out of the
+    per-row loop without moving a single output ulp."""
+    import math
+
+    out = []
+    for row in rows:
+        acc = 0.0
+        for v in row:
+            fv = float(v)
+            acc += fv * fv
+        out.append(math.sqrt(acc))
+    return out
+
+
+def _sims_vs_matrix_sql(vec: str, vn: str, rows: list[list[float]]) -> str:
+    """Per-cell cosine sims of one row vector against a literal matrix,
+    with BOTH norm factors hoisted (round 13, guide §1.2 per-task work):
+    the naive `transform(matrix, c -> cosine(vec, c))` recomputes
+    norm(c) — a dim-long fold + sqrt — per ROW per CELL at runtime
+    (Catalyst does not constant-fold under a lambda binder), and
+    norm(vec) per CELL. Here the cell norms are Python-precomputed
+    literals (`_norms_py`, bit-identical) and the row norm arrives as
+    the ``vn`` column computed once per row, so each cell costs exactly
+    one dot product: ~3x fewer flops on every corpus row at any scale.
+    Division/multiplication order matches `_cosine_sql(vec, c)` exactly
+    (vn * norm_c), so every sim bit is unchanged (oracle-hash pinned)."""
+    norms_lit = "array({})".format(
+        ", ".join(f"{n!r}D" for n in _norms_py(rows))
+    )
+    return (
+        f"transform({_matrix_sql(rows)}, (c, i) -> "
+        f"({_dot_sql(vec, 'c')} / "
+        f"nullif({vn} * element_at({norms_lit}, i + 1), 0.0D)))"
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -202,9 +242,13 @@ def assign_cells(
     (`array_position` returns the first exact match)."""
     from ..sources.tables import fan_out
 
+    # round 13: per-cell norms precomputed as literals, row norm hoisted
+    # to ONE column (see _sims_vs_matrix_sql) — each cell now costs one
+    # dot product instead of dot + two dim-long norm folds. Sim bits
+    # identical (same op order), so assignment — and k-means training
+    # built on it — is unchanged.
     sims = F.expr(
-        f"transform({_matrix_sql(centroids)}, "
-        f"c -> {_cosine_sql(f'`{vec_col}`', 'c')})"
+        _sims_vs_matrix_sql(f"`{vec_col}`", "__vn", centroids)
     )
     # layered select: materialize sims once; array_max + array_position
     # would otherwise each re-expand the 64-term cosine fold.
@@ -212,15 +256,34 @@ def assign_cells(
     # single-split scan must spread before this map (no-op at scale);
     # assignment is per-row deterministic, so results are bit-identical
     # under any partitioning.
+    # cell_id is wrapped in coalesce(..., -1) to make it provably
+    # NON-NULLABLE (round 13): the downstream inner join on cell_id
+    # otherwise derives an IsNotNull(cell_id) constraint, and filter
+    # pushdown re-inlines the FULL argmax expression — sims and all —
+    # into a Filter below this Project, so every corpus row paid the
+    # 16x64 cosine fold ~3x (plan-verified: the literal matrix appeared
+    # inside Filter conditions). -1 equi-joins nothing, exactly like
+    # NULL, and array_position cannot return 0 on a non-empty sims
+    # array, so results are bit-identical (oracle-hash pinned).
     return (
-        fan_out(corpus).withColumn("__sims", sims)
+        fan_out(corpus)
+        .withColumn(
+            "__vn", F.expr(_norm_sql(f"`{vec_col}`"))
+        )
+        .withColumn("__sims", sims)
         .withColumn(
             "cell_id",
-            (
-                F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1
-            ).cast("int"),
+            F.coalesce(
+                (
+                    F.array_position(
+                        F.col("__sims"), F.array_max(F.col("__sims"))
+                    )
+                    - 1
+                ).cast("int"),
+                F.lit(-1),
+            ),
         )
-        .drop("__sims")
+        .drop("__sims", "__vn")
     )
 
 
@@ -390,11 +453,11 @@ def _probe_cells(
     (sort structs of (-sim, idx): desc sim, asc cell on ties, matching
     the window path's tie-break). Output: (qid, qvec, cell_id)."""
     q = queries.select(qid_col, F.col(vec_col).alias("qvec"))
-    sims = F.expr(
-        f"transform({_matrix_sql(centroids)}, c -> {_cosine_sql('qvec', 'c')})"
-    )
+    # norms hoisted as in assign_cells — bit-identical sims
+    sims = F.expr(_sims_vs_matrix_sql("qvec", "__vn", centroids))
     return (
-        q.withColumn("__sims", sims)
+        q.withColumn("__vn", F.expr(_norm_sql("qvec")))
+        .withColumn("__sims", sims)
         .withColumn(
             "__top",
             F.slice(
@@ -411,9 +474,20 @@ def _probe_cells(
         .select(
             qid_col,
             "qvec",
-            F.explode(F.col("__top")).alias("__t"),
+            # explode_outer: plain explode derives a size(__top) > 0
+            # guard which filter-pushdown re-inlines as the FULL
+            # sims-sort-slice expression per query row; __top is never
+            # empty (nprobe >= 1 over a non-empty centroid list), so
+            # the outer form is row-identical and skips the re-eval.
+            F.explode_outer(F.col("__top")).alias("__t"),
         )
-        .select(qid_col, "qvec", F.col("__t.i").cast("int").alias("cell_id"))
+        .select(
+            qid_col,
+            "qvec",
+            F.coalesce(F.col("__t.i").cast("int"), F.lit(-1)).alias(
+                "cell_id"
+            ),
+        )
     )
 
 
@@ -1149,9 +1223,16 @@ def ivf_pq_topk_planted(
     # spreads a single-split corpus before them (no-op at scale)
     from ..sources.tables import fan_out
 
+    # coalesce(.., -1) makes cell_id provably NON-NULLABLE (round 13):
+    # the downstream inner join otherwise derives IsNotNull(cell_id)
+    # and filter pushdown re-inlines the FULL integer argmin — the
+    # whole centroid matrix — into a Filter, doubling the per-row
+    # assignment cost (plan-verified). -1 joins nothing, like NULL;
+    # argmin over a non-empty centroid list never yields it, so output
+    # is bit-identical (oracle-hash pinned).
     index = fan_out(corpus).select(
         id_col,
-        F.expr(cell_expr).alias("cell_id"),
+        F.expr(f"coalesce({cell_expr}, -1)").alias("cell_id"),
         F.expr(f"array({codes_exprs})").alias("codes"),
     )
     # probes are computed DRIVER-SIDE: the query set is small by
