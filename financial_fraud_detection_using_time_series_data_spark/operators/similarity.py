@@ -133,11 +133,23 @@ def lsh_topk(
     """ANN top-k: candidates share the hyperplane-signature bucket; exact
     cosine re-rank within the bucket. Recall < 1.0 by design; bucket count
     2^n_planes bounds the join fan-out."""
-    c = corpus.withColumn("bucket", rh_signature(F.col(vec_col), dim, n_planes))
+    # coalesce(.., sentinel): the bucket join key is otherwise nullable,
+    # the inner join derives IsNotNull(bucket), and filter pushdown
+    # re-inlines the FULL n_planes x dim signature fold into a Filter on
+    # BOTH sides — every row paid the signature twice (round 13,
+    # plan-verified). Signatures are >= 0; distinct sentinels per side
+    # keep NULL-never-matches semantics for contract-violating rows.
+    c = corpus.withColumn(
+        "bucket",
+        F.coalesce(rh_signature(F.col(vec_col), dim, n_planes), F.lit(-1)),
+    )
     q = queries.select(
         F.col(qid_col),
         F.col(vec_col).alias("qvec"),
-    ).withColumn("bucket", rh_signature(F.col("qvec"), dim, n_planes))
+    ).withColumn(
+        "bucket",
+        F.coalesce(rh_signature(F.col("qvec"), dim, n_planes), F.lit(-2)),
+    )
     joined = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col,
@@ -484,7 +496,11 @@ def _probe_cells(
         .select(
             qid_col,
             "qvec",
-            F.coalesce(F.col("__t.i").cast("int"), F.lit(-1)).alias(
+            # -2, not -1: the assign side's sentinel is -1, and the two
+            # must differ so a (contract-violating) null-embedding row
+            # on each side can never equi-join the other — preserving
+            # the old NULL-never-matches semantics exactly.
+            F.coalesce(F.col("__t.i").cast("int"), F.lit(-2)).alias(
                 "cell_id"
             ),
         )

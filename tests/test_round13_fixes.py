@@ -119,6 +119,27 @@ def test_load_table_handle_memo_is_not_result_caching(spark, sf_dir):
     assert a.count() == b.count() > 0
 
 
+def test_no_literal_matrix_reinlined_into_filters(spark, sf_dir):
+    """§7: a nullable computed join key (cell_id / LSH bucket) makes the
+    inner join derive IsNotNull(key), and filter pushdown re-inlines the
+    FULL argmax/signature expression — matrix literal and all — into a
+    Filter, doubling or tripling the per-row assignment cost. The
+    coalesce(.., sentinel) wraps keep the keys non-nullable; this pins
+    that no Filter condition ever carries a matrix literal again."""
+    import io
+    import contextlib
+
+    for qname in ("lsh_topk", "ivf_pq_topk", "ivf_topk_trained", "ann_recall"):
+        df = spark_entry.queries()[qname](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        for line in buf.getvalue().splitlines():
+            s = line.strip()
+            if s.startswith("Condition :"):
+                assert "transform([[" not in s, (qname, s[:300])
+
+
 def test_text_checkpoints_stay_bounded(spark, sf_dir):
     """§3 (guide §5): tfidf_top_terms / token_pmi must NOT pin their
     corpus-scale frames to executor block storage — no checkpoint-backed
