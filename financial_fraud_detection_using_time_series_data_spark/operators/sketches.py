@@ -366,7 +366,11 @@ def sliding_distinct_exact(
     )
     # |time points|-row frame (bounded by the hour spine, not the
     # corpus) feeding range_chunk + the within/totals double reference:
-    # break the lineage once here
+    # break the lineage once here. NOTE (r12 ADVICE): localCheckpoint
+    # blocks are unreplicated — on a multi-executor cluster an executor
+    # loss after truncation fails the job instead of recomputing.
+    # Acceptable for this bounded stat frame (cheap job retry); swap in
+    # a reliable checkpoint dir if the retry itself is expensive.
     deltas = deltas.localCheckpoint(eager=False)
     from .chunked import chunk_offsets, range_chunk
 

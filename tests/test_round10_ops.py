@@ -83,17 +83,23 @@ def test_sliding_distinct_exact_single_pass_plan(spark, sf_dir):
     captured = []
     orig = DataFrame.localCheckpoint
 
-    def spy(self, eager=True):
+    # signature-agnostic spy (r12 ADVICE): Spark 4's classic
+    # localCheckpoint also accepts storageLevel, and call sites may go
+    # positional — pass everything through untouched
+    def spy(self, *args, **kwargs):
         captured.append(self)
-        return orig(self, eager=eager)
+        return orig(self, *args, **kwargs)
 
     with mock.patch.object(DataFrame, "localCheckpoint", new=spy):
         df = sketches.sliding_distinct_exact(ev, "ts", "user_id")
         plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
-    # first checkpoint inside the operator is the delta frame; an
+    # first checkpoint inside the operator is the delta frame (assert
+    # it, r12 ADVICE: a reordering against range_chunk's internal
+    # checkpoints would otherwise silently pin the wrong frame); an
     # executed AdaptiveSparkPlan prints Final + Initial sections, so
     # count scans in the final section only
+    assert "__delta" in captured[0].columns, captured[0].columns
     dplan = captured[0]._jdf.queryExecution().executedPlan().toString()
     final = dplan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1, dplan
